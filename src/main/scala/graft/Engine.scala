@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine core — the "library" entry point (SURVEY §3 entry point 2).
+  *
+  * The reference (euiko/duckdb-pgwire, src/duckdb_pgwire_extension.cpp:40)
+  * holds one process-wide engine instance shared by every connection; the
+  * Spark-native equivalent is one [[SparkSession]] whose catalog (temp
+  * views + registered functions) is shared, with `newSession()` clones
+  * for per-connection state.
+  *
+  * Config posture (SURVEY §4): AQE on, UTC session timezone, ANSI on
+  * (Spark 4.x default — matches DuckDB's strict-cast semantics),
+  * shuffle partitions sized for local[32] rather than the 200 default.
+  */
+object Engine {
+
+  /** Build (or reuse) the shared session. Idempotent. */
+  def session(master: String = "local[32]"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft-engine")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Functions.registerAll(spark)
+    spark
+  }
+
+  /** Run one SQL statement through the compat layer (pg-dialect sugar
+    * rewrites: QUALIFY, generate_series, json arrows) then Catalyst.
+    * Mirrors the reference's single delegation point
+    * (src/duckdb_pgwire_extension.cpp:52 `conn.Prepare(query)`).
+    */
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    Functions.registerAll(spark)
+    spark.sql(SqlRewrites.rewrite(sql))
+  }
+}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md). */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view in the session catalog —
+    * the Spark analogue of the reference's shared catalog
+    * (src/duckdb_pgwire_extension.cpp:40). Idempotent.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

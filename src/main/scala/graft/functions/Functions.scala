@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-level function registration — the Spark analogue of the
+  * reference's `ExtensionUtil::RegisterFunction` calls
+  * (src/duckdb_pgwire_extension.cpp:204-212). Idempotent per session.
+  */
+object Functions {
+  private val marker = "graft.functions.registered"
+
+  def registerAll(spark: SparkSession): Unit = synchronized {
+    if (spark.conf.getOption(marker).isEmpty) {
+      // Postgres-compat shim: always false (reference
+      // src/duckdb_pgwire_extension.cpp:190-193).
+      spark.udf.register("pg_is_in_recovery", () => false)
+      // Demo greeting function (reference
+      // src/duckdb_pgwire_extension.cpp:195-202).
+      spark.udf.register("duckdb_pgwire", (s: String) => s"DuckdbPgwire $s 🐥")
+      spark.conf.set(marker, "true")
+    }
+  }
+}
