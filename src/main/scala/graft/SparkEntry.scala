@@ -33,12 +33,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRelational.defs ++ QueriesAgg.defs
+    QueriesRelational.defs ++ QueriesAgg.defs ++ QueriesJoins.defs ++
+      QueriesAggExt.defs ++ QueriesWindow.defs ++ QueriesSetSort.defs ++
+      QueriesScalar.defs ++ QueriesSub.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRelational.oracles ++ QueriesAgg.oracles
+    QueriesRelational.oracles ++ QueriesAgg.oracles ++ QueriesJoins.oracles ++
+      QueriesAggExt.oracles ++ QueriesWindow.oracles ++ QueriesSetSort.oracles ++
+      QueriesScalar.oracles ++ QueriesSub.oracles
 }
 
 /** Aggregation operators (SURVEY §2.2 "Aggregation"). */
