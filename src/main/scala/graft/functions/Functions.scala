@@ -17,6 +17,13 @@ object Functions {
       // Demo greeting function (reference
       // src/duckdb_pgwire_extension.cpp:195-202).
       spark.udf.register("duckdb_pgwire", (s: String) => s"DuckdbPgwire $s 🐥")
+      // Native Catalyst expression (codegen'd): SQL-surface parity with
+      // DuckDB v1.1's array_cosine_similarity.
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "array_cosine_similarity",
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          ArrayCosineSimilarity(exprs(0), exprs(1)),
+        "built-in")
       spark.conf.set(marker, "true")
     }
   }

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star M5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale posture: every variant is shuffle-bounded by design —
+  * candidate generation always goes through a bucket key (hash group,
+  * LSH band, SimHash band) so the pairwise verification join never
+  * degenerates into a cross join. All text math is native Spark SQL
+  * expressions (codegen'd), no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content, keep the smallest id as the
+    * canonical representative. One shuffle on the content hash.
+    */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame =
+    df.groupBy(contentCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingles of a text column (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(words) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the minimum over the shingle set. Runs as one codegen'd
+    * expression per row — no shuffle.
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(sh, s => xxhash64(s, j))))
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * signature → `bands` bands of `numHashes/bands` rows each → band
+    * hash buckets → self-join within bucket (the only shuffle, keyed
+    * by (band, bandHash)) → exact Jaccard verification on the shingle
+    * sets → threshold filter. At 100TB the bucket join is the
+    * bottleneck by design and is AQE-skew-splittable.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", minhashSignature(col("grams"), numHashes))
+
+    val banded = withSig.select(
+      col("id"), col("grams"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
+        .as("bucket"))
+
+    val a = banded.select(col("bucket").as("bk1"), col("id").as("id1"),
+      col("grams").as("g1"))
+    val b = banded.select(col("bucket").as("bk2"), col("id").as("id2"),
+      col("grams").as("g2"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(inter.cast("double") /
+          (size(col("g1")) + size(col("g2")) - inter), 6).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash of the token set: per bit, majority vote of the
+    * token hashes. Pure expression tree (transform + aggregate) —
+    * codegen'd, zero shuffles.
+    */
+  def simhash32(text: Column): Column = {
+    // One hash per token, computed once; 32 per-bit majority votes
+    // unrolled statically (shift amounts must be literals).
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    (0 until 32).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit fingerprint into four
+    * 8-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical
+    * chunk), bucket-join, verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sim"))
+    // chunk b = bits [8b, 8b+8)
+    val bucketed = withSim.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sim"), b * 8).bitwiseAND(255).as("chunk"))): _*))
+        .as("bucket"))
+    val a = bucketed.select(col("bucket").as("bk1"), col("id").as("id1"),
+      col("sim").as("s1"))
+    val b = bucketed.select(col("bucket").as("bk2"), col("id").as("id2"),
+      col("sim").as("s2"))
+    a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over candidate pairs bucketed by (lang,
+    * length band) — the SQL-oracle-able variant.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      maxCharDiff: Int = 20,
+      threshold: Double = 0.1): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        shingles(col("text"), shingleSize).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val a = g.select(col("lang").as("lang1"), col("doc_id").as("id1"),
+      col("n_chars").as("nc1"), col("grams").as("g1"))
+    val b = g.select(col("lang").as("lang2"), col("doc_id").as("id2"),
+      col("n_chars").as("nc2"), col("grams").as("g2"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    a.join(b, col("lang1") === col("lang2") && col("id1") < col("id2") &&
+        abs(col("nc1") - col("nc2")) <= maxCharDiff)
+      .select(col("id1"), col("id2"),
+        round(inter.cast("double") /
+          (size(col("g1")) + size(col("g2")) - inter), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding cosine near-dup pairs within a blocking key (label),
+    * using the native codegen'd cosine expression.
+    */
+  def embeddingNearDups(
+      emb: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val a = emb.select(col("label").as("lab1"), col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val b = emb.select(col("label").as("lab2"), col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    a.join(b, col("lab1") === col("lab2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(GraftFunctions.arrayCosineSimilarity(col("e1"), col("e2")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

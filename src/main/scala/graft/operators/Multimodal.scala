@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star M5): media as opaque
+  * `binary` columns with typed metadata, batch feature extraction via
+  * mapPartitions.
+  *
+  * The Spark-side plumbing — schema, partitioning, batch shape — is
+  * real and tested; the actual byte decoder is STUBBED with a
+  * deterministic fake (this container has no image/audio codecs; see
+  * [[StubDecoder.decode]] for the seam a real codec would fill).
+  */
+object Multimodal {
+
+  /** media metadata carried alongside the opaque bytes. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("declared_len", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("first_byte", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("mean_byte", DoubleType)))
+
+  /** Attach an opaque binary media column + metadata struct to the
+    * documents table (fixtures carry no real media; text bytes stand
+    * in — the schema/partition/batch path is identical).
+    */
+  def attachMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("application/octet-stream").as("media_type"),
+        length(col("text")).cast("long").as("declared_len")).as("meta"))
+
+  /** The decoder seam. A real implementation would parse image/audio
+    * frames here (per-partition, reusing codec state across rows —
+    * that is the batch shape that matters at scale). The stub derives
+    * deterministic pseudo-features from the raw bytes.
+    */
+  object StubDecoder {
+    def decode(docId: Long, bytes: Array[Byte]): Row = {
+      // STUB: stands in for e.g. JPEG decode + resize + frame-sample.
+      val n = bytes.length.toLong
+      val first = if (bytes.isEmpty) -1 else bytes(0) & 0xff
+      val frames = n / 32 // fake "frame" every 32 bytes
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else s.toDouble / n
+      Row(docId, n, first, frames, math.rint(mean * 1e6) / 1e6)
+    }
+  }
+
+  /** Batch feature extraction: one decoder instantiation per
+    * partition, rows streamed through it — the mapPartitions shape a
+    * real codec needs (amortized init, bounded memory).
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      // per-partition decoder init would go here
+      it.map { r => StubDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star M5):
+  * language-ID, quality scoring, token counting, fingerprinting.
+  * Everything is a native expression tree — codegen'd, shuffle-free,
+  * embarrassingly parallel over document partitions at 100TB.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * heuristic language classifier.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "en", "que"),
+    "it" -> Seq("il", "la", "di", "e", "un", "una", "che", "per", "con", "del"))
+
+  private def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-zA-Z0-9]+"), t => t =!= "")
+
+  /** Stopword-hit score for one language profile. */
+  def langScore(text: Column, lang: String): Column = {
+    val sw = typedlit(stopwords(lang))
+    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** Heuristic language-ID: argmax of the per-language stopword
+    * ratios ('und' when nothing matches).
+    */
+  def languageId(text: Column): Column = {
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      struct(langScore(text, l).as("score"), lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features + a composite score in [0,1]:
+    * length band, punctuation ratio, stopword ratio, word-length
+    * sanity — the usual pre-training corpus filters.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = split(text, " ")
+    val nWords = size(words)
+    val nChars = length(text)
+    val punct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val sw = typedlit(stopwords("en"))
+    val stopRatio = size(filter(words, w => array_contains(sw, w)))
+      .cast("double") / greatest(nWords, lit(1))
+    val punctRatio = punct.cast("double") / greatest(nChars, lit(1))
+    val avgWordLen = (nChars - nWords + 1).cast("double") / greatest(nWords, lit(1))
+    val lenScore = least(nWords.cast("double") / 20.0, lit(1.0))
+    val wordLenScore = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val score = round(
+      lenScore * 0.4 + wordLenScore * 0.3 +
+        least(stopRatio * 4, lit(1.0)) * 0.2 + (lit(1.0) - punctRatio) * 0.1, 6)
+    df.withColumn("n_words", nWords.cast("bigint"))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("avg_word_len", round(avgWordLen, 6))
+      .withColumn("quality", score)
+  }
+
+  /** Token counts: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens",
+        size(filter(split(col(textCol), " "), t => t =!= "")).cast("bigint"))
+      .withColumn("bpe_tokens",
+        size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("bigint"))
+
+  /** Polynomial rolling-hash fingerprint of the normalized text,
+    * mod 2^31-1 (keeps the ANSI-mode fold inside long range).
+    */
+  def fingerprint(text: Column): Column = {
+    val normalized = lower(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    aggregate(split(normalized, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
+  }
+}

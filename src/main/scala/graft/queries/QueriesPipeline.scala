@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** North-star M5 pipeline operators as driver-checkable queries:
+  * dedup family, similarity search, text analysis, multimodal
+  * features. SQL-expressible ones carry DuckDB oracles; the
+  * LSH/sketch-based ones are rows-only here (their quality bounds —
+  * recall vs. brute force, precision vs. exact pairs — are asserted
+  * in the scalatest specs instead, since the oracle cannot replay
+  * seeded xxhash banding).
+  */
+object QueriesPipeline {
+
+  val defs: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on content, min-id representative.
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+    // MinHash+LSH near-dups (rows-only: seeded banding).
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    // SimHash near-dups (rows-only: seeded fingerprint).
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    // Exact n-gram Jaccard pairs (oracle-checked).
+    "q_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+          shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    // Embedding-cosine near-dups within label blocks (oracle-checked).
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    // Brute-force cosine top-k (oracle-checked).
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // LSH ANN (rows-only: seeded hyperplanes; recall asserted in spec).
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.lshTopK(
+          emb.filter(col("vec_id") < 5), emb, k = 3, dims = 64,
+          bands = 16, bitsPerBand = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+    // Quality scoring (oracle-checked; formula mirrored in SQL).
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"), col("punct_ratio"),
+          col("stopword_ratio"), col("avg_word_len"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    // Token counting (oracle-checked).
+    "q_text_tokens" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+    // Language-ID heuristic (rows-only; behavior asserted in spec).
+    "q_text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_guess"))
+    }),
+    // Rolling-hash fingerprint (oracle-checked).
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // Multimodal: binary column + mapPartitions batch decode (stub).
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3)
+        |SELECT id1, id2, j AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND abs(a.n_chars - b.n_chars) <= 20)
+        |WHERE j >= 0.1 ORDER BY id1, id2""".stripMargin,
+    "q_dedup_embedding" ->
+      """SELECT id1, id2, c AS cos FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE c >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "q_ann_bruteforce" ->
+      """SELECT query_id, rk, cand_id, round(sim, 6) AS cos FROM (
+        |  SELECT q.vec_id AS query_id, cand.vec_id AS cand_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(cand.embedding AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(cand.embedding AS DOUBLE[])) DESC, cand.vec_id) AS rk
+        |  FROM embeddings q JOIN embeddings cand ON q.vec_id <> cand.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rk <= 3 ORDER BY query_id, rk""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |    / greatest(len(words), 1), 6) AS stopword_ratio,
+        |  round(CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1), 6) AS avg_word_len,
+        |  round(
+        |    least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |    (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |          BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |    least((CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |    (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1)) * 0.1, 6) AS quality
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  CAST(octet_length(CAST(text AS BLOB)) // 32 AS BIGINT) AS n_frames,
+        |  round(CAST(list_aggregate(list_transform(string_split(text, ''), c -> ascii(c)), 'sum') AS DOUBLE)
+        |    / octet_length(CAST(text AS BLOB)), 6) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ports of the reference's own tests + compat surface.
+  * Golden values from /root/reference/test/sql/duckdb_pgwire.test:15-18
+  * and src/duckdb_pgwire_extension.cpp:190-202.
+  */
+class CompatSpec extends SparkSpecBase {
+
+  test("duckdb_pgwire('Sam') golden output (reference test port)") {
+    Functions.registerAll(spark)
+    val got = spark.sql("SELECT duckdb_pgwire('Sam') AS g").collect().head.getString(0)
+    assert(got == "DuckdbPgwire Sam 🐥")
+  }
+
+  test("pg_is_in_recovery() is false") {
+    Functions.registerAll(spark)
+    assert(!spark.sql("SELECT pg_is_in_recovery() AS r").collect().head.getBoolean(0))
+  }
+
+  test("generate_series table-function rewrite (inclusive bounds)") {
+    // mirrors client/go/cmd/simple/main.go:27 — 0..10 → 11 rows
+    val n = Engine.query(spark,
+      "select count(*) as n from generate_series(0, 10)")
+      .collect().head.getLong(0)
+    assert(n == 11)
+    // README.md:54 smoke: select * from generate_series(0, 100)
+    val rows = Engine.query(spark,
+      "select * from generate_series(0, 100) s").count()
+    assert(rows == 101)
+  }
+
+  test("recursive CTE fixpoint: sum(1..100)") {
+    val s = spark
+    import s.implicits._
+    val series = RecursiveCte.unionAll(Seq(1L).toDF("n"),
+      prev => prev.filter(col("n") < 100).select((col("n") + 1).as("n")))
+    val r = series.agg(sum("n"), count(lit(1))).collect().head
+    assert(r.getLong(0) == 5050L && r.getLong(1) == 100L)
+  }
+
+  test("asof join: backward pick of most recent right row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 205L), (3L, 2L, 50L))
+      .toDF("event_id", "key", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 60L, "d")).toDF("rkey", "rt", "val")
+    val got = AsOfJoin.backward(left, right, "key", "rkey", "t", "rt",
+        Seq("val"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(got == Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+  }
+}

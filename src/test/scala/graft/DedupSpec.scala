@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup family: exact semantics, MinHash recall against exact
+  * Jaccard, SimHash behavior on identical/near-identical texts.
+  */
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup collapses duplicated rows to min id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(df, "doc_id", Seq("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds high-jaccard pairs (recall on j>=0.5)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    // ground truth: all-pairs exact jaccard at j >= 0.5 (no blocking —
+    // fine at spec scale, never in production paths)
+    val g = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("grams"))
+    val a = g.select(col("doc_id").as("id1"), col("grams").as("g1"))
+    val b = g.select(col("doc_id").as("id2"), col("grams").as("g2"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (inter.cast("double") / (size(col("g1")) + size(col("g2")) - inter))
+          .as("j"))
+      .filter(col("j") >= 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands × 2 rows: P(candidate | j=0.5) = 1-(1-0.25)^16 ≈ 0.99
+    if (exact.nonEmpty)
+      assert(lsh.intersect(exact).size.toDouble / exact.size >= 0.8,
+        s"recall too low: ${lsh.intersect(exact).size}/${exact.size}")
+    // precision: every reported pair really has j >= 0.5 (verified
+    // exactly inside minhashNearDups) and appears in the exact set
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical text → hamming 0; near-identical → small") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, base), (2L, base), (3L, base + " extra"),
+      (4L, "completely different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"), Dedup.simhash32(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 6)
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)) || java.lang.Long.bitCount(sims(1L) ^ sims(4L)) <= 3)
+  }
+
+  test("embedding near-dups agree with brute-force cosine at threshold") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val pairs = Dedup.embeddingNearDups(emb, 0.3)
+    // spot-verify one pair's cosine against a driver-side computation
+    val row = pairs.orderBy(col("id1"), col("id2")).limit(1).collect()
+    if (row.nonEmpty) {
+      val (id1, id2, cos) = (row(0).getLong(0), row(0).getLong(1), row(0).getDouble(2))
+      val vecs = emb.filter(col("vec_id").isin(id1, id2))
+        .orderBy("vec_id").collect()
+        .map(_.getSeq[Float](1).toArray)
+      val dot = vecs(0).zip(vecs(1)).map { case (a, b) => a.toDouble * b }.sum
+      val n1 = math.sqrt(vecs(0).map(x => x.toDouble * x).sum)
+      val n2 = math.sqrt(vecs(1).map(x => x.toDouble * x).sum)
+      assert(math.abs(cos - dot / (n1 * n2)) < 1e-5)
+    }
+  }
+}

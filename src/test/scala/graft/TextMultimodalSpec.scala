@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Text analysis heuristics + multimodal plumbing. */
+class TextMultimodalSpec extends SparkSpecBase {
+
+  test("language-ID picks the right stopword profile") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the cat is in the house and it is warm"),
+      (2L, "der hund ist mit den kindern im garten und das ist gut"),
+      (3L, "le chat est dans la maison et les enfants sont dans le jardin"),
+      (4L, "xyzzy qwerty plugh")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.languageId(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "fr")
+    assert(got(4L) == "und")
+  }
+
+  test("quality score is bounded and components are sane") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val q = TextAnalysis.qualityFeatures(docs, "text")
+      .agg(min("quality"), max("quality"), min("stopword_ratio"),
+        max("punct_ratio")).collect().head
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    assert(q.getDouble(2) >= 0.0 && q.getDouble(3) <= 1.0)
+  }
+
+  test("fingerprint is stable and normalization-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "different text")).toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L)) // punctuation/case stripped
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("multimodal: schema, batch decode, features match manual compute") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(10)
+    val media = Multimodal.attachMedia(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    val feats = Multimodal.extractFeatures(spark, media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val one = feats.orderBy("doc_id").limit(1).collect().head
+    val text = docs.orderBy("doc_id").limit(1).collect().head.getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    assert(one.getLong(1) == bytes.length.toLong)
+    assert(one.getInt(2) == (bytes(0) & 0xff))
+    assert(one.getLong(3) == bytes.length / 32)
+  }
+}
