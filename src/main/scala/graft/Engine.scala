@@ -28,6 +28,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // managed-table location for the in-memory catalog: keep it out
+      // of the repo and unique per JVM (a stale spark-warehouse dir
+      // otherwise breaks CREATE TABLE across restarts)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Functions.registerAll(spark)

@@ -1,0 +1,104 @@
+package graft.server
+
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import PgWire.Oid
+
+/** Spark DataType → Postgres OID + text-format rendering.
+  *
+  * Extends the reference's g_typemap
+  * (src/duckdb_pgwire_extension.cpp:25-38) to the full Spark primitive
+  * surface, fixing its silent-drop bugs: BOOLEAN was unreachable,
+  * TIMESTAMP_TZ dead-keyed, DECIMAL/BLOB/arrays omitted entirely
+  * (SURVEY §1.3). Values are rendered Postgres-style: booleans t/f,
+  * timestamps `yyyy-MM-dd HH:mm:ss[.ffffff]` UTC, arrays `{...}`,
+  * bytea `\x` hex.
+  */
+object PgTypes {
+
+  def oidOf(dt: DataType): Int = dt match {
+    case BooleanType => Oid.Bool
+    case ByteType | ShortType => Oid.Int2 // pg has no int1 (ref cpp:28)
+    case IntegerType => Oid.Int4
+    case LongType => Oid.Int8
+    case FloatType => Oid.Float4
+    case DoubleType => Oid.Float8
+    case StringType => Oid.Varchar
+    case DateType => Oid.Date
+    case _: TimestampType => Oid.Timestamp
+    case TimestampNTZType => Oid.Timestamp
+    case _: DecimalType => Oid.Numeric
+    case BinaryType => Oid.Bytea
+    case _: ArrayType => Oid.TextArray
+    case _: StructType | _: MapType => Oid.Json
+    case _ => Oid.Text
+  }
+
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(ZoneOffset.UTC)
+
+  private val ntzFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  private def microSuffix(micros: Int): String =
+    if (micros == 0) ""
+    else "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+
+  private def fmtTimestamp(v: Any): String = v match {
+    case ts: java.sql.Timestamp =>
+      tsFmt.format(ts.toInstant) + microSuffix(ts.getNanos / 1000)
+    case i: java.time.Instant =>
+      tsFmt.format(i) + microSuffix(i.getNano / 1000)
+    case ldt: java.time.LocalDateTime => // TIMESTAMP_NTZ value class
+      ntzFmt.format(ldt) + microSuffix(ldt.getNano / 1000)
+    case other => other.toString.replace('T', ' ')
+  }
+
+  /** Render one value in Postgres text format; None = SQL NULL. */
+  def render(v: Any, dt: DataType): Option[String] = {
+    if (v == null) return None
+    Some(dt match {
+      case BooleanType => if (v.asInstanceOf[Boolean]) "t" else "f"
+      case FloatType | DoubleType => v.toString match {
+        // pg renders whole doubles without the trailing .0
+        case s if s.endsWith(".0") => s.dropRight(2)
+        case s => s
+      }
+      case DateType => v.toString // java.sql.Date / LocalDate: yyyy-MM-dd
+      case _: TimestampType => fmtTimestamp(v)
+      case TimestampNTZType => fmtTimestamp(v)
+      case BinaryType =>
+        "\\x" + v.asInstanceOf[Array[Byte]].map(b => f"$b%02x").mkString
+      case ArrayType(et, _) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(e => render(e, et).map(quoteArrayElem).getOrElse("NULL"))
+          .mkString("{", ",", "}")
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          "\"" + f.name + "\": " +
+            render(r.get(i), f.dataType).map(jsonQuote(_, f.dataType))
+              .getOrElse("null")
+        }.mkString("{", ", ", "}")
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, mv) =>
+          "\"" + k + "\": " + render(mv, vt).map(jsonQuote(_, vt)).getOrElse("null")
+        }.mkString("{", ", ", "}")
+      case _ => v.toString
+    })
+  }
+
+  private def quoteArrayElem(s: String): String =
+    if (s.isEmpty || s.exists(c => c == ',' || c == '{' || c == '}' ||
+        c == '"' || c == '\\' || c.isWhitespace))
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    else s
+
+  private def jsonQuote(s: String, dt: DataType): String = dt match {
+    case _: NumericType | BooleanType => s
+    case _ => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  }
+}
