@@ -46,7 +46,8 @@ object Engine {
     */
   def query(spark: SparkSession, sql: String): DataFrame = {
     Functions.registerAll(spark)
-    spark.sql(SqlRewrites.rewrite(sql))
+    val r = SqlRewrites.rewriteFull(sql)
+    r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
   }
 }
 

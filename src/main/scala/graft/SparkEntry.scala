@@ -35,14 +35,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRelational.defs ++ QueriesAgg.defs ++ QueriesJoins.defs ++
       QueriesAggExt.defs ++ QueriesWindow.defs ++ QueriesSetSort.defs ++
-      QueriesScalar.defs ++ QueriesSub.defs ++ QueriesPipeline.defs
+      QueriesScalar.defs ++ QueriesSub.defs ++ QueriesPipeline.defs ++
+      QueriesSugar.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesRelational.oracles ++ QueriesAgg.oracles ++ QueriesJoins.oracles ++
       QueriesAggExt.oracles ++ QueriesWindow.oracles ++ QueriesSetSort.oracles ++
-      QueriesScalar.oracles ++ QueriesSub.oracles ++ QueriesPipeline.oracles
+      QueriesScalar.oracles ++ QueriesSub.oracles ++ QueriesPipeline.oracles ++
+      QueriesSugar.oracles
 }
 
 /** Aggregation operators (SURVEY §2.2 "Aggregation"). */

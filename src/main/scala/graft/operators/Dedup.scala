@@ -59,6 +59,10 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("grams"))
       .filter(size(col("grams")) > 0)
+      // verification runs on hashed shingles: long-array intersection
+      // is far cheaper than string-array intersection and Jaccard is
+      // preserved (modulo 64-bit collisions)
+      .withColumn("grams", array_distinct(transform(col("grams"), s => xxhash64(s))))
       .withColumn("sig", minhashSignature(col("grams"), numHashes))
 
     val banded = withSig.select(
@@ -123,8 +127,15 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard over candidate pairs bucketed by (lang,
-    * length band) — the SQL-oracle-able variant.
+  /** Exact n-gram Jaccard via a posting-list self-join — the
+    * SQL-oracle-able variant, shaped for scale: instead of pairwise
+    * `array_intersect` over materialized candidate pairs (quadratic in
+    * per-block doc count AND linear in shingle count per comparison),
+    * explode shingles into postings, self-join on (lang, shingle) to
+    * COUNT shared shingles per pair, then join sizes back for the
+    * Jaccard denominator. Work is proportional to Σ df(gram)² — the
+    * classic token-join bound — and every step is a hash
+    * shuffle/aggregate that AQE can skew-split.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -135,16 +146,27 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         shingles(col("text"), shingleSize).as("grams"))
       .filter(size(col("grams")) > 0)
-    val a = g.select(col("lang").as("lang1"), col("doc_id").as("id1"),
-      col("n_chars").as("nc1"), col("grams").as("g1"))
-    val b = g.select(col("lang").as("lang2"), col("doc_id").as("id2"),
-      col("n_chars").as("nc2"), col("grams").as("g2"))
-    val inter = size(array_intersect(col("g1"), col("g2")))
-    a.join(b, col("lang1") === col("lang2") && col("id1") < col("id2") &&
-        abs(col("nc1") - col("nc2")) <= maxCharDiff)
+    val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
+    val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+
+    val a = posts.select(col("lang").as("lang1"), col("gram").as("gram1"),
+      col("doc_id").as("id1"))
+    val b = posts.select(col("lang").as("lang2"), col("gram").as("gram2"),
+      col("doc_id").as("id2"))
+    val shared = a.join(b, col("lang1") === col("lang2") &&
+        col("gram1") === col("gram2") && col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("shared"))
+
+    val s1 = sizes.select(col("doc_id").as("id1"), col("n_chars").as("nc1"),
+      col("sz").as("sz1"))
+    val s2 = sizes.select(col("doc_id").as("id2"), col("n_chars").as("nc2"),
+      col("sz").as("sz2"))
+    shared.join(s1, "id1").join(s2, "id2")
+      .filter(abs(col("nc1") - col("nc2")) <= maxCharDiff)
       .select(col("id1"), col("id2"),
-        round(inter.cast("double") /
-          (size(col("g1")) + size(col("g2")) - inter), 6).as("jaccard"))
+        round(col("shared").cast("double") /
+          (col("sz1") + col("sz2") - col("shared")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -25,17 +25,26 @@ object TextAnalysis {
 
   /** Stopword-hit score for one language profile. */
   def langScore(text: Column, lang: String): Column = {
+    val toks = tokens(text)
     val sw = typedlit(stopwords(lang))
-    size(filter(tokens(text), t => array_contains(sw, t))).cast("double") /
-      greatest(size(tokens(text)), lit(1)).cast("double")
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
   }
 
   /** Heuristic language-ID: argmax of the per-language stopword
-    * ratios ('und' when nothing matches).
+    * ratios ('und' when nothing matches). Tokenization happens once —
+    * the per-language scores share the same tokens array via a
+    * higher-order expression over it, not N re-splits of the text.
     */
   def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val n = greatest(size(toks), lit(1)).cast("double")
     val scored = stopwords.keys.toSeq.sorted.map { l =>
-      struct(langScore(text, l).as("score"), lit(l).as("lang"))
+      val sw = typedlit(stopwords(l))
+      struct(
+        (size(filter(toks, t => array_contains(sw, t))).cast("double") / n)
+          .as("score"),
+        lit(l).as("lang"))
     }
     val best = array_max(array(scored: _*))
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

@@ -1,11 +1,21 @@
 package graft
 
 /** String-level pre-pass for pg/DuckDB dialect sugar Spark SQL lacks
-  * (SURVEY §7 M4). v0 is a conservative regex pre-pass; each rewrite
-  * only fires on patterns Spark would otherwise reject, so valid Spark
-  * SQL passes through byte-identical.
+  * (SURVEY §7 M4). Conservative: each rewrite only fires on patterns
+  * Spark would otherwise reject, so valid Spark SQL passes through
+  * byte-identical.
+  *
+  * Rewrites:
+  *  - `FROM generate_series(a,b[,step])` → lateral explode(sequence)
+  *  - pg type aliases in cast position (`::float8`, `CAST(x AS int8)`)
+  *  - JSON arrows `expr ->> 'k'` / `expr -> 'k'` → get_json_object
+  *  - `QUALIFY <pred>` → wrapped subquery + WHERE on a synthetic
+  *    column (dropped again by [[Engine.query]])
   */
 object SqlRewrites {
+
+  /** Columns the caller must drop from the final DataFrame. */
+  final case class Rewritten(sql: String, dropCols: Seq[String])
 
   /** `FROM generate_series(a, b [, step])` (DuckDB/pg table function;
     * reference README.md:54, client/go/cmd/simple/main.go:27 —
@@ -14,10 +24,6 @@ object SqlRewrites {
   private val genSeries =
     """(?i)(from|join)\s+generate_series\s*\(([^()]*)\)(\s+(?:as\s+)?(\w+))?""".r
 
-  /** Postgres type aliases in cast position (`1.5::float8`,
-    * `CAST(x AS int8)`) → Spark type names. Spark 4 already parses the
-    * `::` cast operator; only the pg alias names are missing.
-    */
   private val pgTypeAliases = Map(
     "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
@@ -26,7 +32,63 @@ object SqlRewrites {
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
-  def rewrite(sql: String): String = {
+  /** single-level JSON arrows on a column/paren expr with a string or
+    * integer key; `->>` and `->` both land on get_json_object (text).
+    */
+  private val jsonArrow =
+    """([\w.)\]]+)\s*(->>|->)\s*(?:'([^']+)'|(\d+))""".r
+
+  /** top-level QUALIFY clause (not inside parens — checked by paren
+    * depth scan), with optional trailing ORDER BY / LIMIT kept outside.
+    */
+  private def findTopLevelQualify(sql: String): Option[Int] = {
+    var depth = 0; var inS = false; var i = 0
+    val upper = sql.toUpperCase
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'Q' | 'q' if depth == 0 &&
+            upper.startsWith("QUALIFY", i) &&
+            (i == 0 || !Character.isLetterOrDigit(sql(i - 1))) &&
+            (i + 7 >= sql.length || !Character.isLetterOrDigit(sql(i + 7))) =>
+          return Some(i)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** index of the first top-level (paren-depth 0, outside strings)
+    * ORDER BY / LIMIT keyword, if any.
+    */
+  private def findTopLevelTrailing(s: String): Option[Int] = {
+    var depth = 0; var inS = false; var i = 0
+    val upper = s.toUpperCase
+    while (i < s.length) {
+      val c = s(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            (upper.startsWith("ORDER", i) || upper.startsWith("LIMIT", i)) &&
+            (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
+            (i + 5 >= s.length || !Character.isLetterOrDigit(s(i + 5))) =>
+          return Some(i)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  def rewriteFull(sql: String): Rewritten = {
     val s1 = genSeries.replaceAllIn(sql, m => {
       val kw = m.group(1)
       val args = m.group(2)
@@ -36,7 +98,42 @@ object SqlRewrites {
     })
     val s2 = castOp.replaceAllIn(s1,
       m => "::" + pgTypeAliases(m.group(1).toLowerCase))
-    castAs.replaceAllIn(s2,
+    val s3 = castAs.replaceAllIn(s2,
       m => "AS " + pgTypeAliases(m.group(1).toLowerCase) + ")")
+    val s4 = jsonArrow.replaceAllIn(s3, m => {
+      val op = m.group(2)
+      val isNum = m.group(4) != null
+      // `x -> 2` is ambiguous with Spark lambda syntax — only `->>`
+      // takes numeric subscripts; `->` requires a quoted key.
+      if (op == "->" && isNum)
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val path = if (!isNum) s"$$.${m.group(3)}" else s"$$[${m.group(4)}]"
+        java.util.regex.Matcher.quoteReplacement(
+          s"get_json_object(${m.group(1)}, '$path')")
+      }
+    })
+    findTopLevelQualify(s4) match {
+      case None => Rewritten(s4, Nil)
+      case Some(pos) =>
+        val before = s4.substring(0, pos)
+        val after = s4.substring(pos + "QUALIFY".length)
+        // split predicate from trailing top-level ORDER BY / LIMIT
+        val (pred, tail) = findTopLevelTrailing(after) match {
+          case Some(idx) => (after.substring(0, idx), after.substring(idx))
+          case None => (after, "")
+        }
+        // limitation: the predicate sees the inner query's output
+        // columns (select aliases + projected cols) — same shape most
+        // engines implement; window exprs over unprojected columns
+        // would need a real parser pass.
+        val wrapped =
+          s"""SELECT * FROM (
+             |  SELECT __q.*, ($pred) AS __qualify FROM ($before) __q
+             |) WHERE __qualify $tail""".stripMargin
+        Rewritten(wrapped, Seq("__qualify"))
+    }
   }
+
+  def rewrite(sql: String): String = rewriteFull(sql).sql
 }

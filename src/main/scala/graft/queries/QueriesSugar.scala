@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** Dialect sugar + streaming-shaped batch queries (SURVEY §7 M4/M6):
+  * QUALIFY, JSON arrows, tumbling time windows.
+  */
+object QueriesSugar {
+
+  val defs: Map[String, Q] = Map(
+    // QUALIFY clause (DuckDB sugar) through the rewrite pre-pass.
+    "q_qualify" -> ((s, dir) => sql(s, dir,
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin)),
+    // pg/DuckDB JSON arrow operators through the rewrite pre-pass.
+    "q_json_arrows" -> ((s, dir) => sql(s, dir,
+      """SELECT event_id, props ->> 'k' AS k_str,
+        |  CAST(props ->> 'k' AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin)),
+    // Tumbling time window (batch form of the streaming aggregation).
+    "q_window_tumbling" -> ((s, dir) => {
+      EventsStreaming.tumblingCounts(t(s, dir, "events"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_qualify" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_json_arrows" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+  )
+}
