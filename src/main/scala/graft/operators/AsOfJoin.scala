@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param rightCols right columns to carry onto each left row (they
+  /** Backward as-of (`leftTime >= rightTime`, most recent right row).
+    * @param rightCols right columns to carry onto each left row (they
     *   must not collide with left column names).
     */
   def backward(
@@ -27,37 +28,72 @@ object AsOfJoin {
       rightKey: String,
       leftTime: String,
       rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String]): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+      forward = false)
+
+  /** Forward as-of (`leftTime <= rightTime`, earliest upcoming right
+    * row).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String]): DataFrame =
+    join(left, right, leftKey, rightKey, leftTime, rightTime, rightCols,
+      forward = true)
+
+  private def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val key = "__asof_key"
     val time = "__asof_t"
-    val side = "__asof_side" // right=0 sorts before left=1 at equal time (>=)
+    val side = "__asof_side"
+    // inclusive match at equal time: backward needs right BEFORE left
+    // in the ascending sort; forward needs right AFTER left.
+    val (leftSide, rightSide) = if (forward) (0, 1) else (1, 0)
 
     val l = left
       .withColumn(key, col(leftKey))
       .withColumn(time, col(leftTime))
-      .withColumn(side, lit(1))
+      .withColumn(side, lit(leftSide))
       .select(Seq(key, time, side).map(col) ++
         leftCols.map(col) ++
         rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right
       .withColumn(key, col(rightKey))
       .withColumn(time, col(rightTime))
-      .withColumn(side, lit(0))
+      .withColumn(side, lit(rightSide))
       .select(Seq(key, time, side).map(col) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         rightCols.map(col): _*)
 
     // Deterministic total order: ties between right rows at the same
     // (key, time) resolve by the carried columns themselves.
-    val w = Window
-      .partitionBy(col(key))
-      .orderBy((Seq(time, side).map(col) ++ rightCols.map(col)).map(_.asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ordered = Seq(time, side).map(col) ++ rightCols.map(col)
+    val w =
+      if (forward)
+        Window.partitionBy(col(key)).orderBy(ordered.map(_.asc): _*)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col(key)).orderBy(ordered.map(_.asc): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = rightCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      val agg = if (forward) first(col(c), ignoreNulls = true)
+        else last(col(c), ignoreNulls = true)
+      df.withColumn(c, agg.over(w))
     }
-    carried.filter(col(side) === 1).drop(key, time, side)
+    carried.filter(col(side) === leftSide).drop(key, time, side)
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Sources/sinks (SURVEY §2.2 "Scans / sources / sinks"): parquet /
+  * CSV / JSON write+read round-trips — the engine-side equivalent of
+  * DuckDB's `COPY ... TO`.
+  */
+class SinksSpec extends SparkSpecBase {
+
+  private def roundTrip(fmt: String): Unit = {
+    val dir = Files.createTempDirectory(s"graft-sink-$fmt").toString + "/out"
+    val src = Tables.load(spark, sfDir, "nation")
+    src.write.format(fmt).option("header", "true").save(dir)
+    val back = spark.read.format(fmt)
+      .option("header", "true").option("inferSchema", "true").load(dir)
+      .select(src.columns.map(col): _*) // json infers alphabetical order
+    val a = src.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val b = back.orderBy("n_nationkey").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(a == b, s"$fmt round-trip mismatch")
+  }
+
+  test("parquet sink round-trips")(roundTrip("parquet"))
+  test("csv sink round-trips")(roundTrip("csv"))
+  test("json sink round-trips")(roundTrip("json"))
+
+  test("CREATE TABLE AS SELECT into the session catalog") {
+    val s = spark
+    spark.sql("DROP TABLE IF EXISTS ctas_check")
+    Tables.registerAll(s, sfDir)
+    spark.sql("CREATE TABLE ctas_check USING parquet AS SELECT * FROM region")
+    assert(spark.table("ctas_check").count() == 5)
+    spark.sql("DROP TABLE ctas_check")
+  }
+
+  test("asof forward picks earliest upcoming right row") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 205L), (3L, 2L, 500L))
+      .toDF("id", "key", "t")
+    val right = Seq((1L, 90L, "a"), (1L, 200L, "b"), (1L, 300L, "c"),
+      (2L, 60L, "d")).toDF("rkey", "rt", "val")
+    val got = AsOfJoin.forward(left, right, "key", "rkey", "t", "rt", Seq("val"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
+    assert(got == Seq((1L, Some("b")), (2L, Some("c")), (3L, None)))
+  }
+}
