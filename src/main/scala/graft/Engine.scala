@@ -72,8 +72,15 @@ object Tables {
 
   /** Register every table as a temp view in the session catalog —
     * the Spark analogue of the reference's shared catalog
-    * (src/duckdb_pgwire_extension.cpp:40). Idempotent.
+    * (src/duckdb_pgwire_extension.cpp:40). Idempotent AND cached per
+    * (session, dir): re-registration costs 10 parquet footer reads,
+    * which dominated the SQL-path queries' latency.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val marker = "graft.tables.dir"
+    if (!spark.conf.getOption(marker).contains(dir)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      spark.conf.set(marker, dir)
+    }
+  }
 }

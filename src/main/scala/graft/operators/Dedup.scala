@@ -30,12 +30,12 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum over the shingle set. Runs as one codegen'd
-    * expression per row — no shuffle.
+    * the minimum over the (already hashed) shingle set — the fused
+    * native expression (see [[MinHashSignature]]); no shuffle, no
+    * intermediate arrays.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(sh, s => xxhash64(s, j))))
+    MinHashSignature(sh, numHashes)
 
   /** MinHash + LSH near-duplicate pairs.
     *
@@ -64,24 +64,38 @@ object Dedup {
       // preserved (modulo 64-bit collisions)
       .withColumn("grams", array_distinct(transform(col("grams"), s => xxhash64(s))))
       .withColumn("sig", minhashSignature(col("grams"), numHashes))
+      // materialize ONCE: both sides of the self-join would otherwise
+      // recompute the numHashes×|shingles| signature expression
+      .localCheckpoint()
 
+    // banding carries ONLY ids: exploding the (large) shingle arrays
+    // 'bands' times would multiply shuffle volume by the band count.
     val banded = withSig.select(
-      col("id"), col("grams"),
+      col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))))
         .as("bucket"))
 
-    val a = banded.select(col("bucket").as("bk1"), col("id").as("id1"),
-      col("grams").as("g1"))
-    val b = banded.select(col("bucket").as("bk2"), col("id").as("id2"),
-      col("grams").as("g2"))
+    val a = banded.select(col("bucket").as("bk1"), col("id").as("id1"))
+    val b = banded.select(col("bucket").as("bk2"), col("id").as("id2"))
+    val candidates = a
+      .join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+
+    // shingle sets join back onto the (skinny, deduped) candidates
+    val g1 = withSig.select(col("id").as("id1"), col("grams").as("g1"))
+    val g2 = withSig.select(col("id").as("id2"), col("grams").as("g2"))
     val inter = size(array_intersect(col("g1"), col("g2")))
-    a.join(b, col("bk1") === col("bk2") && col("id1") < col("id2"))
+    // size prefilter: jaccard >= t needs min(|A|,|B|)/max(|A|,|B|) >= t;
+    // prunes low-similarity collisions before the expensive intersect.
+    candidates.join(g1, "id1").join(g2, "id2")
+      .filter(size(col("g1")) * threshold <= size(col("g2")) &&
+        size(col("g2")) * threshold <= size(col("g1")))
       .select(col("id1"), col("id2"),
         round(inter.cast("double") /
           (size(col("g1")) + size(col("g2")) - inter), 6).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -111,6 +125,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sim"))
+      .localCheckpoint() // 32 per-bit votes per row — compute once
     // chunk b = bits [8b, 8b+8)
     val bucketed = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
@@ -146,6 +161,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         shingles(col("text"), shingleSize).as("grams"))
       .filter(size(col("grams")) > 0)
+      .localCheckpoint() // shared by postings (twice) + sizes (twice)
     val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
     val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
 

@@ -16,13 +16,24 @@ object RecursiveCte {
   def unionAll(
       init: DataFrame,
       step: DataFrame => DataFrame,
-      maxIterations: Int = 1000): DataFrame = {
+      maxIterations: Int = 1000,
+      checkpointEvery: Int = 8): DataFrame = {
     var acc = init.localCheckpoint(eager = true)
     var frontier = acc
     var i = 0
-    while (i < maxIterations && !frontier.isEmpty) {
-      frontier = step(frontier).localCheckpoint(eager = true)
-      if (!frontier.isEmpty) acc = acc.unionByName(frontier)
+    var done = false
+    while (i < maxIterations && !done) {
+      val next = step(frontier)
+      // Spark jobs (materialize + emptiness probe) only at checkpoint
+      // boundaries: lineage depth stays <= checkpointEvery and the
+      // driver loop costs ~2 jobs per K iterations instead of per
+      // iteration. Between checkpoints an already-empty frontier just
+      // steps to more empty frames (harmless no-op unions).
+      if ((i + 1) % checkpointEvery == 0) {
+        frontier = next.localCheckpoint(eager = true)
+        done = frontier.isEmpty
+      } else frontier = next
+      if (!done) acc = acc.unionByName(frontier)
       i += 1
     }
     acc

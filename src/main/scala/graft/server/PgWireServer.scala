@@ -254,6 +254,9 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       case "SET" =>
         setStatement(sql)
         w.cstr("SET").send('C')
+      case "COPY" =>
+        val n = copyStatement(sql)
+        w.cstr(s"COPY $n").send('C')
       case _ =>
         val df = Engine.query(session, sql)
         if (returnsRows(sql)) {
@@ -268,6 +271,33 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         }
     }
     w.flushOut()
+  }
+
+  /** `COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER])`
+    * — DuckDB/pg export surface mapped onto DataFrame writers.
+    */
+  private def copyStatement(sql: String): Long = {
+    val re = """(?is)^COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
+    sql.trim match {
+      case re(src, path, optsOrNull) =>
+        val df =
+          if (src.startsWith("("))
+            Engine.query(session, src.stripPrefix("(").stripSuffix(")"))
+          else session.table(src)
+        val opts = Option(optsOrNull).getOrElse("").toUpperCase
+        val fmt =
+          if (opts.contains("PARQUET")) "parquet"
+          else if (opts.contains("JSON")) "json"
+          else "csv"
+        val n = df.count()
+        df.write.mode("overwrite")
+          .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
+          .format(fmt).save(path)
+        n
+      case _ =>
+        throw new IllegalArgumentException(
+          "COPY syntax: COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER])")
+    }
   }
 
   private def affectedRows(df: DataFrame): Long =

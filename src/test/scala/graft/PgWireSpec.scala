@@ -192,6 +192,21 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("COPY TO exports through DataFrame writers") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    val out = java.nio.file.Files.createTempDirectory("graft-copy").toString + "/r"
+    val (_, _, tags, errs) = c.query(
+      s"COPY (SELECT * FROM region) TO '$out' (FORMAT PARQUET)")
+    assert(errs.isEmpty, errs)
+    assert(tags.head == "COPY 5")
+    val (_, rows, _, _) = c.query(
+      s"SELECT count(*) AS n FROM parquet.`$out`")
+    assert(rows == Seq(Seq(Some("5"))))
+    c.close()
+  }
+
   test("multi-statement simple query + compat functions") {
     val (_, port) = server
     val c = new Client(port)
