@@ -24,6 +24,9 @@ object Functions {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           ArrayCosineSimilarity(exprs(0), exprs(1)),
         "built-in")
+      // typed Aggregator registered as a SQL UDAF
+      spark.udf.register("geomean",
+        org.apache.spark.sql.functions.udaf(GeometricMean))
       spark.conf.set(marker, "true")
     }
   }

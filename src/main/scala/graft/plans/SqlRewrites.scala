@@ -29,6 +29,9 @@ object SqlRewrites {
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
     "bytea" -> "binary")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
+  /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
+  private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
+
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
@@ -96,7 +99,8 @@ object SqlRewrites {
       java.util.regex.Matcher.quoteReplacement(
         s"$kw (SELECT explode(sequence($args)) AS $alias)")
     })
-    val s2 = castOp.replaceAllIn(s1,
+    val s1b = starExclude.replaceAllIn(s1, "* EXCEPT (")
+    val s2 = castOp.replaceAllIn(s1b,
       m => "::" + pgTypeAliases(m.group(1).toLowerCase))
     val s3 = castAs.replaceAllIn(s2,
       m => "AS " + pgTypeAliases(m.group(1).toLowerCase) + ")")
