@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.server.PgTypes
+
+/** Property-based tests (SURVEY §5 item 4): wire text-format
+  * round-trips and dialect-rewrite/plan invariance.
+  */
+class PropertySpec extends SparkSpecBase {
+
+  private def holds(p: Prop, cases: Int = 200): Unit = {
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  /** minimal pg text array parser (inverse of PgTypes.render for
+    * string arrays).
+    */
+  private def parsePgArray(s: String): Seq[String] = {
+    assert(s.head == '{' && s.last == '}')
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 1; var inQ = false
+    def flush(): Unit = { out += cur.toString; cur.clear() }
+    while (i < s.length - 1) {
+      val c = s(i)
+      if (inQ) c match {
+        case '\\' => cur += s(i + 1); i += 1
+        case '"' => inQ = false
+        case other => cur += other
+      } else c match {
+        case '"' => inQ = true
+        case ',' => flush()
+        case other => cur += other
+      }
+      i += 1
+    }
+    if (cur.nonEmpty || s.length > 2) flush()
+    out.result()
+  }
+
+  test("pg array text format round-trips arbitrary strings") {
+    val elem = Gen.listOfN(6,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(',', '{', '}', '"', '\\', ' ')))
+      .map(_.mkString)
+    val arrays = Gen.nonEmptyListOf(elem)
+    holds(Prop.forAll(arrays) { xs =>
+      val rendered = PgTypes.render(xs, ArrayType(StringType)).get
+      parsePgArray(rendered) == xs
+    })
+  }
+
+  test("numeric renders are unquoted and signed correctly") {
+    holds(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { n =>
+      PgTypes.render(n, LongType).contains(n.toString)
+    })
+    holds(Prop.forAll(Gen.chooseNum(-1e12, 1e12)) { d =>
+      val s = PgTypes.render(d, DoubleType).get
+      math.abs(s.toDouble - d) <= math.ulp(d)
+    })
+  }
+
+  test("SqlRewrites is identity on plain Spark SQL") {
+    val ident = Gen.identifier.suchThat(_.nonEmpty)
+    holds(Prop.forAll(ident, Gen.chooseNum(0, 1000)) { (name, n) =>
+      val sql = s"SELECT $name, $n FROM t$name WHERE $name > $n ORDER BY $name"
+      SqlRewrites.rewrite(sql) == sql
+    })
+  }
+
+  test("DataFrame and SQL paths agree for arbitrary pushed filters") {
+    val s = spark
+    Tables.registerAll(s, sfDir)
+    val l = Tables.load(s, sfDir, "lineitem")
+    val gen = for {
+      q <- Gen.chooseNum(1.0, 50.0)
+      flag <- Gen.oneOf("A", "N", "R")
+    } yield (q, flag)
+    holds(Prop.forAll(gen) { case (q, flag) =>
+      val viaDf = l.filter(col("l_quantity") >= q &&
+        col("l_returnflag") === flag).count()
+      val viaSql = Engine.query(s,
+        s"SELECT count(*) AS n FROM lineitem WHERE l_quantity >= $q AND l_returnflag = '$flag'")
+        .collect().head.getLong(0)
+      viaDf == viaSql
+    }, cases = 20) // each case runs two Spark jobs
+  }
+}
