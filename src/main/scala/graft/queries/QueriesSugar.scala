@@ -26,6 +26,12 @@ object QueriesSugar {
     "q_window_tumbling" -> ((s, dir) => {
       EventsStreaming.tumblingCounts(t(s, dir, "events"))
         .orderBy(col("bucket_start"), col("event_type"))
+    }),
+    // Gap-based sessionization (batch form; streaming variant is
+    // spec-checked against it).
+    "q_sessionize" -> ((s, dir) => {
+      EventsStreaming.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))
     })
   )
 
@@ -45,6 +51,23 @@ object QueriesSugar {
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v_sum
-        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(flag) OVER (PARTITION BY user_id ORDER BY ts
+        |                    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM (
+        |    SELECT user_id, ts,
+        |      CASE WHEN prev IS NULL
+        |             OR date_diff('second', prev, ts) > 1800 THEN 1
+        |           ELSE 0 END AS flag
+        |    FROM (SELECT user_id, ts,
+        |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |          FROM events)))
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming over the events shape (SURVEY §2.2 Streaming —
   * no reference counterpart; semantics defined here, M6):
@@ -31,6 +31,72 @@ object EventsStreaming {
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** Gap-based sessionization — the batch formulation: a session
+    * breaks after `gapMinutes` of inactivity per user. Expressed as
+    * the classic lag+cumulative-flag window pattern (one shuffle by
+    * user); works identically at any scale and is the semantic spec
+    * for the streaming variant below.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        (col("__prev").isNull ||
+          col("ts").cast("long") - col("__prev").cast("long") > gapMinutes * 60L)
+          .cast("long"))
+      .withColumn("__session_id", sum(col("__new_session")).over(byUser))
+      .groupBy(col("user_id"), col("__session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__session_id")
+  }
+
+  /** Streaming sessionization: flatMapGroupsWithState with an
+    * event-time timeout — the open session lives in keyed state and
+    * is emitted when the watermark passes its gap deadline. The batch
+    * formulation above is its semantic oracle.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.session_end.getTime <= gapMs =>
+                  cur = Some(s.copy(session_end = e.ts, n_events = s.n_events + 1))
+                case Some(s) =>
+                  closed ::= s
+                  cur = Some(Session(user, e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(Session(user, e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Custom keyed state: running per-user aggregate across micro-
     * batches (KeyValueGroupedDataset.mapGroupsWithState — SURVEY §2.2

@@ -64,6 +64,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows.head.getAs[Long]("n") == 2, "late event must not count")
   }
 
+  test("streaming sessionization emits sessions on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventsStreaming.sessionizeStream(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // session 1: two events 10 minutes apart
+    stream.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    // event at 02:00 starts session 2 and advances the watermark past
+    // session 1's gap deadline (00:40) → session 1 times out and emits
+    stream.addData(Ev(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0))
+    q.processAllAvailable()
+    // advance far again to flush session 2
+    stream.addData(Ev(4, ts("2024-01-01 05:00:00"), 7, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val got = s.table("sessions").orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(got.length >= 2)
+    assert(got(0) == ((ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00"), 2L)))
+    assert(got(1) == ((ts("2024-01-01 02:00:00"), ts("2024-01-01 02:00:00"), 1L)))
+    // streaming agrees with the batch formulation on the same data
+    val batch = EventsStreaming.sessionizeBatch(Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:10:00"), 7, "click", 1.0),
+      Ev(3, ts("2024-01-01 02:00:00"), 7, "click", 1.0),
+      Ev(4, ts("2024-01-01 05:00:00"), 7, "click", 1.0)).toDF())
+      .orderBy("session_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(batch.take(2).toSeq == got.take(2).toSeq)
+  }
+
   test("mapGroupsWithState keeps per-user state across micro-batches") {
     val s = spark
     import s.implicits._
