@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Explode, Expression, ExpressionInfo, Literal, Sequence}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation, Project}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The idiomatic Spark integration point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` (or
+  * `builder.withExtensions`) gives ANY SparkSession graft's native
+  * expressions, the `generate_series` table function, and the pg/
+  * DuckDB dialect pre-pass — the Spark-native analogue of loading the
+  * reference extension into a DuckDB process
+  * (src/duckdb_pgwire_extension.cpp:217-227 Load/init).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    // native scalar expressions
+    ext.injectFunction((
+      FunctionIdentifier("array_cosine_similarity"),
+      new ExpressionInfo(classOf[ArrayCosineSimilarity].getName,
+        "array_cosine_similarity"),
+      (exprs: Seq[Expression]) => ArrayCosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName,
+        "minhash_signature"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs(0),
+        exprs(1) match {
+          case Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature(arr, numHashes): numHashes must be a literal, got $other")
+        })))
+
+    // real table-valued generate_series (inclusive bounds, like
+    // DuckDB/pg — reference client/go/cmd/simple/main.go:27)
+    ext.injectTableFunction((
+      FunctionIdentifier("generate_series"),
+      new ExpressionInfo("graft.GraftExtensions", "generate_series"),
+      (exprs: Seq[Expression]) => {
+        val seq = new Sequence(exprs(0), exprs(1),
+          exprs.lift(2), Some("UTC"))
+        val gen = Generate(Explode(seq), Nil, outer = false, None, Nil,
+          OneRowRelation())
+        Project(Seq(Alias(UnresolvedAttribute("col"), "generate_series")()), gen)
+      }))
+
+    // dialect pre-pass at the parser seam: plain spark.sql(...) gets
+    // QUALIFY / JSON arrows / pg type aliases / star EXCLUDE
+    ext.injectParser((_, delegate) => new GraftParser(delegate))
+  }
+}
+
+/** ParserInterface wrapper applying [[SqlRewrites]] before delegating
+  * to the stock SparkSqlParser (SURVEY §7 M4 — "idiomatic: custom
+  * ParserInterface delegating to SparkSqlParser").
+  */
+class GraftParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(SqlRewrites.rewrite(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(SqlRewrites.rewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

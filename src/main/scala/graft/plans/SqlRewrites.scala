@@ -130,12 +130,13 @@ object SqlRewrites {
         // limitation: the predicate sees the inner query's output
         // columns (select aliases + projected cols) — same shape most
         // engines implement; window exprs over unprojected columns
-        // would need a real parser pass.
+        // would need a real parser pass. `* EXCEPT` keeps the
+        // synthetic column out of the result without post-plan help.
         val wrapped =
-          s"""SELECT * FROM (
+          s"""SELECT * EXCEPT (__qualify) FROM (
              |  SELECT __q.*, ($pred) AS __qualify FROM ($before) __q
              |) WHERE __qualify $tail""".stripMargin
-        Rewritten(wrapped, Seq("__qualify"))
+        Rewritten(wrapped, Nil)
     }
   }
 
