@@ -22,6 +22,7 @@ object Engine {
       .builder()
       .master(master)
       .appName("graft-engine")
+      .withExtensions(new GraftExtensions) // TVFs + parser + functions
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -131,6 +131,11 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   /** prepared statements + portals for the extended protocol. */
   private var statements = Map.empty[String, String] // name -> SQL
   private var portals = Map.empty[String, String]    // name -> SQL
+  /** open row streams for partially-executed portals (Execute with a
+    * row limit → PortalSuspended, resumed by the next Execute). */
+  private var portalIters =
+    Map.empty[String, (java.util.Iterator[org.apache.spark.sql.Row],
+      Array[org.apache.spark.sql.types.StructField])]
 
   /** @return false when the connection should close. */
   def dispatch(msg: FrontendMessage): Boolean = msg.msgType match {
@@ -140,7 +145,11 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     case 'D' => describe(msg); true
     case 'E' => execute(msg); true
     case 'C' => // Close statement/portal
-      val r = msg.reader; r.byte(); r.cstr()
+      val r = msg.reader
+      val kind = r.byte().toChar
+      val name = r.cstr()
+      if (kind == 'P') { portals -= name; portalIters -= name }
+      else statements -= name
       w.send('3') // CloseComplete
       true
     case 'S' => readyForQuery(); true // Sync
@@ -191,6 +200,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     val portal = r.cstr()
     val stmt = r.cstr()
     portals += portal -> statements.getOrElse(stmt, "")
+    portalIters -= portal // re-binding resets any suspended stream
     w.send('2') // BindComplete
   }
 
@@ -210,10 +220,45 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   private def execute(msg: FrontendMessage): Unit = {
     val r = msg.reader
     val portal = r.cstr()
+    val maxRows = r.int32()
     val sql = portals.getOrElse(portal, "")
     if (sql.trim.isEmpty) { w.send('I'); return } // EmptyQueryResponse
-    try runStatement(sql, describeFirst = false)
-    catch { case NonFatal(e) => errorResponse(e) }
+    try {
+      val resuming = portalIters.contains(portal)
+      if ((maxRows > 0 || resuming) && returnsRows(sql))
+        executeLimited(portal, sql,
+          if (maxRows > 0) maxRows else Int.MaxValue)
+      else runStatement(sql, describeFirst = false)
+    } catch { case NonFatal(e) => errorResponse(e) }
+  }
+
+  /** Execute with a row limit: stream up to `maxRows`, suspend the
+    * portal ('s') if rows remain — how pgjdbc fetchSize pages results.
+    */
+  private def executeLimited(portal: String, sql: String, maxRows: Int): Unit = {
+    val (it, schema) = portalIters.getOrElse(portal, {
+      val df = Engine.query(session, sql)
+      (df.toLocalIterator(), df.schema.fields)
+    })
+    var n = 0
+    while (n < maxRows && it.hasNext) {
+      val row = it.next()
+      w.int16(schema.length)
+      var i = 0
+      while (i < schema.length) {
+        w.field(PgTypes.render(row.get(i), schema(i).dataType)); i += 1
+      }
+      w.send('D')
+      n += 1
+    }
+    if (it.hasNext) {
+      portalIters += portal -> (it, schema)
+      w.send('s') // PortalSuspended
+    } else {
+      portalIters -= portal
+      w.cstr(commandTag(sql, n)).send('C')
+    }
+    w.flushOut()
   }
 
   // ------------------------------------------------------------- execution
