@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dialect pre-pass at the parser seam: plain spark.sql(...) gets
     // QUALIFY / JSON arrows / pg type aliases / star EXCLUDE
     ext.injectParser((_, delegate) => new GraftParser(delegate))
+
+    // opt-in interval-join rewrite (spark.graft.rangeJoin.binWidth)
+    ext.injectOptimizerRule(BinnedRangeJoinRule)
   }
 }
 

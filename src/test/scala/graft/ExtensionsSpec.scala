@@ -42,6 +42,53 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(stepped == Seq(1, 3, 5, 7, 9))
   }
 
+  test("BinnedRangeJoinRule rewrites interval joins off the nested-loop path") {
+    import org.apache.spark.sql.functions.col
+    val s = ext
+    import s.implicits._
+    val points = (1 to 500).map(i => (i.toLong, (i % 97).toDouble))
+      .toDF("id", "x")
+    val ranges = Seq((1L, 5.0, 20.0), (2L, 50.0, 60.0), (3L, 90.0, 96.0))
+      .toDF("rid", "lo", "hi")
+    def run() = points.join(ranges,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = run()
+    val basePlan = points.join(ranges,
+      col("x") >= col("lo") && col("x") <= col("hi"))
+      .queryExecution.executedPlan.toString
+    assert(basePlan.contains("NestedLoop") || basePlan.contains("Cartesian"))
+    ext.conf.set("spark.graft.rangeJoin.binWidth", "10.0")
+    try {
+      val q = points.join(ranges,
+        col("x") >= col("lo") && col("x") <= col("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"rule must produce a hash join:\n$plan")
+      val got = q.select("id", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == baseline)
+    } finally ext.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
+  test("BinnedRangeJoinRule symmetric shape: interval side on the left") {
+    import org.apache.spark.sql.functions.col
+    val s = ext
+    import s.implicits._
+    val points = (1 to 200).map(i => (i.toLong, (i % 50).toDouble)).toDF("id", "x")
+    val ranges = Seq((1L, 5.0, 20.0), (2L, 30.0, 45.0)).toDF("rid", "lo", "hi")
+    def q() = ranges.join(points,
+      col("x") >= col("lo") && col("x") <= col("hi")).select("rid", "id")
+    val base = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ext.conf.set("spark.graft.rangeJoin.binWidth", "10.0")
+    try {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+      val got = q().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == base && got.nonEmpty)
+    } finally ext.conf.unset("spark.graft.rangeJoin.binWidth")
+  }
+
   test("injected parser applies the dialect pre-pass to plain sql") {
     val r = ext.sql("SELECT 2::int8 AS a, 1.5::float8 AS b").collect().head
     assert(r.getLong(0) == 2L && r.getDouble(1) == 1.5)
