@@ -49,6 +49,82 @@ object SimilaritySearch {
       (acc, x) => acc + x) > 0, 1L).otherwise(0L)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the
+    * corpus; queries probe the `nprobe` nearest centroids and exact-
+    * rerank only those posting lists. The index is one extra int
+    * column on the corpus (cluster id) — at 100TB the posting-list
+    * join is a hash join on cluster id touching |corpus|×nprobe/k of
+    * the data instead of all of it.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numClusters: Int = 16,
+      nprobe: Int = 4,
+      kmeansIters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+
+    // deterministic seeding: the first numClusters vectors by id
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col("vec_id")).limit(numClusters)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+    def centroidDf() = {
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
+        .toDF("cluster", "centroid")
+    }
+    def assign(df: DataFrame) = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(
+        col("sim").desc, col("cluster"))
+      df.crossJoin(broadcast(centroidDf()))
+        .withColumn("sim",
+          GraftFunctions.arrayCosineSimilarity(col("embedding"), col("centroid")))
+        .withColumn("rk", row_number().over(w))
+    }
+
+    // Lloyd iterations: assign → recompute means (posexplode + avg)
+    for (_ <- 1 to kmeansIters) {
+      val assigned = assign(corpus).filter(col("rk") === 1)
+        .select(col("cluster"), col("embedding"))
+      val means = assigned
+        .select(col("cluster"), posexplode(col("embedding")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cluster"),
+          transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .collect()
+      means.foreach { r =>
+        centroids(r.getInt(0)) =
+          r.getSeq[Double](1).toArray
+      }
+    }
+
+    val index = assign(corpus).filter(col("rk") === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("cluster"))
+      .localCheckpoint()
+
+    val probes = assign(queries).filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cluster"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    probes.join(index, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Sign-LSH bucketed ANN: `bands` signatures of `bitsPerBand` random
     * hyperplane sign bits; candidates share any band bucket; exact
     * cosine rerank keeps top-k. Recall/latency trade via bands ×

@@ -58,6 +58,15 @@ object QueriesPipeline {
           bands = 16, bitsPerBand = 4)
         .orderBy(col("query_id"), col("rk"))
     }),
+    // IVF ANN (rows-only: k-means float averaging is engine-specific;
+    // recall bound asserted in AnnSpec).
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.ivfTopK(
+          emb.filter(col("vec_id") < 5), emb, k = 3,
+          numClusters = 16, nprobe = 6, kmeansIters = 3)
+        .orderBy(col("query_id"), col("rk"))
+    }),
     // Quality scoring (oracle-checked; formula mirrored in SQL).
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")

@@ -20,6 +20,21 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.4, s"recall@3 = $recall")
   }
 
+  test("IVF ANN achieves reasonable recall@3 vs brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
+    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, 3,
+      numClusters = 16, nprobe = 6, kmeansIters = 3))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall@3 = $recall")
+    // every query returns exactly k candidates
+    assert(ivf.groupBy(_._1).forall(_._2.size == 3))
+  }
+
   test("LSH is deterministic across runs (seeded planes)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
