@@ -303,6 +303,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         val n = copyStatement(sql)
         w.cstr(s"COPY $n").send('C')
       case _ =>
+        PgCatalogShim.intercept(session, sql) match {
+          case Some(listing) =>
+            if (describeFirst) rowDescription(listing)
+            val n = streamRows(listing)
+            w.cstr(s"SELECT $n").send('C')
+            w.flushOut()
+            return
+          case None =>
+        }
         val df = Engine.query(session, sql)
         if (returnsRows(sql)) {
           if (describeFirst) rowDescription(df)
