@@ -41,6 +41,13 @@ object SqlRewrites {
   private val jsonArrow =
     """([\w.)\]]+)\s*(->>|->)\s*(?:'([^']+)'|(\d+))""".r
 
+  /** SQL identifier characters — keyword boundary checks must treat
+    * `_` as a word char or identifiers like `__qualify` read as the
+    * QUALIFY keyword on a second (idempotent) rewrite pass.
+    */
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
   /** top-level QUALIFY clause (not inside parens — checked by paren
     * depth scan), with optional trailing ORDER BY / LIMIT kept outside.
     */
@@ -56,8 +63,8 @@ object SqlRewrites {
         case ')' => depth -= 1
         case 'Q' | 'q' if depth == 0 &&
             upper.startsWith("QUALIFY", i) &&
-            (i == 0 || !Character.isLetterOrDigit(sql(i - 1))) &&
-            (i + 7 >= sql.length || !Character.isLetterOrDigit(sql(i + 7))) =>
+            (i == 0 || !isWordChar(sql(i - 1))) &&
+            (i + 7 >= sql.length || !isWordChar(sql(i + 7))) =>
           return Some(i)
         case _ =>
       }
@@ -81,8 +88,8 @@ object SqlRewrites {
         case ')' => depth -= 1
         case _ if depth == 0 &&
             (upper.startsWith("ORDER", i) || upper.startsWith("LIMIT", i)) &&
-            (i == 0 || !Character.isLetterOrDigit(s(i - 1))) &&
-            (i + 5 >= s.length || !Character.isLetterOrDigit(s(i + 5))) =>
+            (i == 0 || !isWordChar(s(i - 1))) &&
+            (i + 5 >= s.length || !isWordChar(s(i + 5))) =>
           return Some(i)
         case _ =>
       }
