@@ -41,6 +41,18 @@ object QueriesMisc {
         .select(col("n_name").as("nm"), col("n_nationkey").as("k"))
       a.unionByName(b).orderBy(col("k"))
     }),
+    // try_* arithmetic: ANSI-mode-safe forms matching DuckDB's
+    // NULL-on-div-zero semantics (SURVEY §7 semantic-delta closure).
+    "q_try_arith" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"),
+            col("l_quantity") - col("l_quantity")).as("div0"),
+          try_divide(round(col("l_extendedprice"), 2), col("l_quantity"))
+            .as("unit_price"),
+          try_add(col("l_orderkey"), col("l_partkey")).as("k_sum"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")).limit(3000)
+    }),
     // star EXCLUDE modifier (DuckDB) through the rewrite pre-pass.
     "q_star_exclude" -> ((s, dir) => sql(s, dir,
       """SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey""".stripMargin)),
@@ -76,6 +88,12 @@ object QueriesMisc {
         |UNION ALL BY NAME
         |SELECT n_name AS nm, n_nationkey AS k FROM nation WHERE n_nationkey = 3
         |ORDER BY k""".stripMargin,
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / (l_quantity - l_quantity) AS div0,
+        |  round(l_extendedprice, 2) / l_quantity AS unit_price,
+        |  l_orderkey + l_partkey AS k_sum
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 3000""".stripMargin,
     "q_star_exclude" ->
       "SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey",
     "q_named_windows" ->

@@ -367,7 +367,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     * gets from per-query connections).
     */
   private def setStatement(sql: String): Unit = {
-    val m = """(?is)SET\s+(\w+)\s*(?:=|TO)\s*(.+)""".r
+    val m = """(?is)SET\s+([\w.]+)\s*(?:=|TO)\s*(.+)""".r
     sql.trim match {
       case m(key, value) =>
         val allow = Set("spark.sql.shuffle.partitions",
