@@ -54,7 +54,12 @@ object Multimodal {
       var i = 0
       while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
       val mean = if (n == 0) 0.0 else s.toDouble / n
-      Row(docId, n, first, frames, math.rint(mean * 1e6) / 1e6)
+      // HALF_UP to match SQL round(): byte sums over power-of-two
+      // lengths land on exact .xxxxx5 ties where rint (half-even)
+      // would disagree
+      val rounded = BigDecimal(mean)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Row(docId, n, first, frames, rounded)
     }
   }
 
