@@ -9,8 +9,9 @@ package graft
   *  - `FROM generate_series(a,b[,step])` → lateral explode(sequence)
   *  - pg type aliases in cast position (`::float8`, `CAST(x AS int8)`)
   *  - JSON arrows `expr ->> 'k'` / `expr -> 'k'` → get_json_object
-  *  - `QUALIFY <pred>` → wrapped subquery + WHERE on a synthetic
-  *    column (dropped again by [[Engine.query]])
+  *  - `QUALIFY <pred>` → predicate injected into the main select's
+  *    projection (full FROM scope, like DuckDB) + outer WHERE on the
+  *    synthetic column; whole-query wrap as fallback for set ops
   */
 object SqlRewrites {
 
@@ -74,10 +75,12 @@ object SqlRewrites {
   }
 
   /** index of the first top-level (paren-depth 0, outside strings)
-    * ORDER BY / LIMIT keyword, if any.
+    * occurrence of any of `kws` (uppercase, word-boundary-checked),
+    * scanning from `start`.
     */
-  private def findTopLevelTrailing(s: String): Option[Int] = {
-    var depth = 0; var inS = false; var i = 0
+  private def findTopLevelKeyword(s: String, start: Int,
+      kws: Seq[String]): Option[Int] = {
+    var depth = 0; var inS = false; var i = start
     val upper = s.toUpperCase
     while (i < s.length) {
       val c = s(i)
@@ -86,16 +89,53 @@ object SqlRewrites {
         case '\'' => inS = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case _ if depth == 0 &&
-            (upper.startsWith("ORDER", i) || upper.startsWith("LIMIT", i)) &&
+        case _ if depth == 0 && kws.exists(k =>
+            upper.startsWith(k, i) &&
             (i == 0 || !isWordChar(s(i - 1))) &&
-            (i + 5 >= s.length || !isWordChar(s(i + 5))) =>
+            (i + k.length >= s.length || !isWordChar(s(i + k.length)))) =>
           return Some(i)
         case _ =>
       }
       i += 1
     }
     None
+  }
+
+  private def findTopLevelTrailing(s: String): Option[Int] =
+    findTopLevelKeyword(s, 0, Seq("ORDER", "LIMIT"))
+
+  /** Inject `(pred) AS __qualify` into the main select's projection
+    * list (so the predicate is evaluated in the FROM scope, like
+    * DuckDB's QUALIFY), then filter + drop it one level up. Returns
+    * None when the main select can't be safely located: a top-level
+    * set operation, or no top-level FROM. Note `* EXCEPT (c)` in the
+    * select list also reads as a top-level set-op keyword — the
+    * fallback is semantically fine there since `*` projects every
+    * column the predicate could name.
+    */
+  private def injectQualify(before: String, pred: String): Option[String] = {
+    if (findTopLevelKeyword(before, 0,
+        Seq("UNION", "INTERSECT", "EXCEPT")).isDefined) return None
+    val selPos = findTopLevelKeyword(before, 0, Seq("SELECT"))
+      .getOrElse(return None)
+    var j = selPos + "SELECT".length
+    while (j < before.length && before(j).isWhitespace) j += 1
+    val upper = before.toUpperCase
+    var distinct = false
+    if (upper.startsWith("DISTINCT", j) &&
+        (j + 8 >= before.length || !isWordChar(before(j + 8)))) {
+      distinct = true; j += 8
+    } else if (upper.startsWith("ALL", j) &&
+        (j + 3 >= before.length || !isWordChar(before(j + 3)))) j += 3
+    val fromPos = findTopLevelKeyword(before, j, Seq("FROM"))
+      .getOrElse(return None)
+    // DISTINCT moves to the outer select: it must deduplicate the
+    // qualify-filtered rows WITHOUT the synthetic column.
+    val inner = before.substring(0, selPos) + "SELECT " +
+      before.substring(j, fromPos) + s", ($pred) AS __qualify " +
+      before.substring(fromPos)
+    val outerSel = if (distinct) "SELECT DISTINCT" else "SELECT"
+    Some(s"$outerSel * EXCEPT (__qualify) FROM (\n  $inner\n) WHERE __qualify")
   }
 
   def rewriteFull(sql: String): Rewritten = {
@@ -134,16 +174,20 @@ object SqlRewrites {
           case Some(idx) => (after.substring(0, idx), after.substring(idx))
           case None => (after, "")
         }
-        // limitation: the predicate sees the inner query's output
-        // columns (select aliases + projected cols) — same shape most
-        // engines implement; window exprs over unprojected columns
-        // would need a real parser pass. `* EXCEPT` keeps the
-        // synthetic column out of the result without post-plan help.
-        val wrapped =
+        // Preferred form: inject the predicate as an extra projected
+        // column of the SAME select, so it sees the full FROM scope
+        // (window exprs over unprojected columns work, matching
+        // DuckDB) and — via Spark's lateral column alias resolution —
+        // the select's own aliases too. Falls back to wrapping the
+        // whole query when the main select can't be located (e.g. a
+        // top-level set operation), where the predicate then sees
+        // output columns only.
+        val injected = injectQualify(before, pred)
+        val wrapped = injected.getOrElse(
           s"""SELECT * EXCEPT (__qualify) FROM (
              |  SELECT __q.*, ($pred) AS __qualify FROM ($before) __q
-             |) WHERE __qualify $tail""".stripMargin
-        Rewritten(wrapped, Nil)
+             |) WHERE __qualify""".stripMargin)
+        Rewritten(s"$wrapped $tail", Nil)
     }
   }
 

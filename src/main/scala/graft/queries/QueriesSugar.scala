@@ -17,6 +17,22 @@ object QueriesSugar {
         |FROM orders
         |QUALIFY rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin)),
+    // QUALIFY whose window expr references columns NOT in the
+    // projection (o_custkey) — the rewrite injects the predicate into
+    // the select's own scope, like DuckDB evaluates it.
+    "q_qualify_unprojected" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_orderkey""".stripMargin)),
+    // DISTINCT + QUALIFY: windows evaluate over pre-distinct rows,
+    // DISTINCT applies to the filtered result (DuckDB clause order).
+    "q_qualify_distinct" -> ((s, dir) => sql(s, dir,
+      """SELECT DISTINCT o_orderpriority
+        |FROM orders
+        |QUALIFY count(*) OVER (PARTITION BY o_orderpriority, o_custkey) >= 2
+        |ORDER BY o_orderpriority""".stripMargin)),
     // pg/DuckDB JSON arrow operators through the rewrite pre-pass.
     "q_json_arrows" -> ((s, dir) => sql(s, dir,
       """SELECT event_id, props ->> 'k' AS k_str,
@@ -43,6 +59,17 @@ object QueriesSugar {
         |FROM orders
         |QUALIFY rn <= 2
         |ORDER BY o_custkey, rn""".stripMargin,
+    "q_qualify_unprojected" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_qualify_distinct" ->
+      """SELECT DISTINCT o_orderpriority
+        |FROM orders
+        |QUALIFY count(*) OVER (PARTITION BY o_orderpriority, o_custkey) >= 2
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
