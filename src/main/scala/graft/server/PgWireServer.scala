@@ -23,11 +23,11 @@ import PgWire._
   *    (`DatabaseInstance &db`, cpp:40 → here one root SparkSession,
   *    with `newSession()` clones so temp state is per-connection — a
   *    strict superset of the reference's per-query amnesia, cpp:42)
-  *  - simple AND minimal extended query protocol
-  *    (Parse/Bind/Describe/Execute/Sync with zero params; the
-  *    reference ignores bind parameters too, cpp:91-92) so lib/pq and
-  *    pgjdbc work — the reference's unfinished milestone
-  *    (README.md:28)
+  *  - simple AND extended query protocol (Parse/Bind/Describe/
+  *    Execute/Sync) with REAL bind parameters — `$N` placeholders,
+  *    text + fixed-width binary formats ([[BindParams]]) — where the
+  *    reference drops them (cpp:91-92); lib/pq, pgjdbc and psycopg
+  *    defaults work, the reference's unfinished milestone (README.md:28)
   *  - errors carry real SQLSTATEs (42601 syntax, 42P01 missing table)
   *    instead of the reference's blanket DataException (cpp:66-67)
   *  - ALL result column types ship; the reference silently drops
@@ -125,12 +125,20 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
   }
 }
 
+/** A parsed prepared statement: raw SQL, declared param type OIDs
+  * (may be shorter than the placeholder count — drivers send 0 for
+  * inferred types), and the number of `$N` placeholders found. */
+private final case class Prepared(sql: String, oids: Array[Int], nParams: Int) {
+  def oidAt(i: Int): Int = if (i < oids.length) oids(i) else 0
+}
+private object Prepared { val empty = Prepared("", Array.empty, 0) }
+
 /** Per-connection protocol state machine. */
 private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
 
   /** prepared statements + portals for the extended protocol. */
-  private var statements = Map.empty[String, String] // name -> SQL
-  private var portals = Map.empty[String, String]    // name -> SQL
+  private var statements = Map.empty[String, Prepared]
+  private var portals = Map.empty[String, String] // name -> bound SQL
   /** open row streams for partially-executed portals (Execute with a
     * row limit → PortalSuspended, resumed by the next Execute). */
   private var portalIters =
@@ -185,12 +193,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     val r = msg.reader
     val name = r.cstr()
     val sql = r.cstr()
-    // param type OIDs ignored — zero-param statements only, like the
-    // reference (cpp:91-92 ignores parameters entirely)
+    val nOids = r.int16()
+    val oids = Array.fill(nOids)(r.int32())
     try {
-      // analyze now so Parse surfaces syntax errors (cpp:52 semantics)
-      if (sql.trim.nonEmpty) Engine.query(session, sql).queryExecution.analyzed
-      statements += name -> sql
+      val nParams = BindParams.paramCount(sql)
+      // zero-param statements analyze now so Parse surfaces syntax
+      // errors (cpp:52 semantics); parameterized ones defer to Bind
+      if (nParams == 0 && sql.trim.nonEmpty)
+        Engine.query(session, sql).queryExecution.analyzed
+      statements += name -> Prepared(sql, oids, nParams)
       w.send('1') // ParseComplete
     } catch { case NonFatal(e) => errorResponse(e) }
   }
@@ -199,17 +210,46 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     val r = msg.reader
     val portal = r.cstr()
     val stmt = r.cstr()
-    portals += portal -> statements.getOrElse(stmt, "")
-    portalIters -= portal // re-binding resets any suspended stream
-    w.send('2') // BindComplete
+    val prep = statements.getOrElse(stmt, Prepared.empty)
+    try {
+      val nFmt = r.int16()
+      val fmts = Array.fill(nFmt)(r.int16())
+      val nParams = r.int16()
+      val lits = (0 until nParams).map { i =>
+        val len = r.int32()
+        val data = if (len < 0) null else r.bytes(len)
+        // one format code applies to all params; zero means all-text
+        val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
+        BindParams.literal(prep.oidAt(i), fmt, data)
+      }
+      portals += portal -> (
+        if (prep.nParams == 0) prep.sql
+        else BindParams.substitute(prep.sql, lits))
+      portalIters -= portal // re-binding resets any suspended stream
+      w.send('2') // BindComplete
+    } catch { case NonFatal(e) => errorResponse(e) }
   }
 
   private def describe(msg: FrontendMessage): Unit = {
     val r = msg.reader
     val kind = r.byte().toChar
     val name = r.cstr()
-    val sql = if (kind == 'S') statements.getOrElse(name, "")
-      else portals.getOrElse(name, "")
+    val sql = if (kind == 'S') {
+      val prep = statements.getOrElse(name, Prepared.empty)
+      // ParameterDescription precedes the row shape (protocol order)
+      w.int16(prep.nParams)
+      var i = 0
+      while (i < prep.nParams) {
+        val oid = prep.oidAt(i)
+        w.int32(if (oid == 0) PgWire.Oid.Text else oid)
+        i += 1
+      }
+      w.send('t')
+      // typed NULLs stand in for $N so the row shape analyzes pre-Bind
+      if (prep.nParams == 0) prep.sql
+      else BindParams.substitute(prep.sql,
+        (0 until prep.nParams).map(i => BindParams.nullLiteral(prep.oidAt(i))))
+    } else portals.getOrElse(name, "")
     if (sql.trim.isEmpty || !returnsRows(sql)) { w.send('n'); return } // NoData
     try {
       val df = Engine.query(session, sql)
@@ -423,6 +463,9 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         if (a.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")) "42P01"
         else if (a.getMessage.contains("UNRESOLVED_COLUMN")) "42703"
         else "42000"
+      case _: NumberFormatException => "22P02"          // bad param text
+      case _: UnsupportedOperationException => "0A000"  // unsupported format
+      case _: BindParams.BindException => "08P01"       // param count mismatch
       case _ => "XX000"
     }
     val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
