@@ -43,6 +43,16 @@ object QueriesSugar {
       EventsStreaming.tumblingCounts(t(s, dir, "events"))
         .orderBy(col("bucket_start"), col("event_type"))
     }),
+    // Stream-stream attribution join, batch form (same declaration
+    // runs as a watermarked streaming join; StreamingSpec checks the
+    // stream/batch agreement).
+    "q_stream_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      EventsStreaming.attributeJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), windowMinutes = 60)
+        .orderBy(col("click_id"), col("purchase_id"))
+    }),
     // Gap-based sessionization (batch form; streaming variant is
     // spec-checked against it).
     "q_sessionize" -> ((s, dir) => {
@@ -79,6 +89,13 @@ object QueriesSugar {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+        |  a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "q_sessionize" ->
       """SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events

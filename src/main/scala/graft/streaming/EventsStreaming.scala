@@ -98,6 +98,45 @@ object EventsStreaming {
       }
   }
 
+  /** Exactly-once dedup of an at-least-once event stream. Streaming:
+    * `dropDuplicatesWithinWatermark` keeps seen ids only inside the
+    * watermark horizon, so state is bounded by (ingest rate ×
+    * watermark) instead of growing with total stream length — the
+    * property that keeps this viable on an unbounded 100 TB/day feed.
+    * Batch: plain dropDuplicates, the semantic oracle.
+    */
+  def dedupEvents(events: DataFrame, watermarkMinutes: Int = 30): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", s"$watermarkMinutes minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
+  /** Click→purchase attribution: pairs within `windowMinutes`, keyed
+    * by user. The SAME declaration runs as a batch interval join or a
+    * stream-stream inner join (withWatermark is a no-op in batch);
+    * in streaming, the time-range condition + both-side watermarks
+    * let Spark prune join state, so the operator holds a bounded
+    * window of each side rather than the whole history. One shuffle
+    * by user_id on both sides.
+    */
+  def attributeJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 10): DataFrame = {
+    val wm = s"${windowMinutes * 2} minutes"
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", wm)
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", wm)
+    c.join(p,
+        col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Custom keyed state: running per-user aggregate across micro-
     * batches (KeyValueGroupedDataset.mapGroupsWithState — SURVEY §2.2
     * UDF/state surface). State survives between batches; timeout off

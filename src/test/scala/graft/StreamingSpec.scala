@@ -102,6 +102,71 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.take(2).toSeq == got.take(2).toSeq)
   }
 
+  test("dropDuplicatesWithinWatermark dedups an at-least-once stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventsStreaming.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    // batch 1: event 1 delivered twice, event 2 once
+    stream.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:02:00"), 1, "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: event 1 redelivered inside the watermark → still dropped
+    stream.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 00:05:00"), 2, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val ids = s.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"each event exactly once, got $ids")
+    // batch formulation agrees
+    val batch = EventsStreaming.dedupEvents(Seq(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:02:00"), 1, "view", 2.0),
+      Ev(3, ts("2024-01-01 00:05:00"), 2, "click", 3.0)).toDF())
+    assert(batch.count() == 3)
+  }
+
+  test("stream-stream attribution join equals the batch interval join") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val clicks = Seq(
+      Ev(10, ts("2024-01-01 00:00:00"), 1, "click", 0.0),
+      Ev(11, ts("2024-01-01 01:00:00"), 1, "click", 0.0),
+      Ev(12, ts("2024-01-01 00:00:00"), 2, "click", 0.0))
+    val purchases = Seq(
+      Ev(20, ts("2024-01-01 00:05:00"), 1, "purchase", 9.0),  // joins 10
+      Ev(21, ts("2024-01-01 01:08:00"), 1, "purchase", 5.0),  // joins 11
+      Ev(22, ts("2024-01-01 03:00:00"), 2, "purchase", 7.0))  // outside window
+    val cs = MemoryStream[Ev]; val ps = MemoryStream[Ev]
+    val q = EventsStreaming.attributeJoin(cs.toDF(), ps.toDF(), 10)
+      .writeStream.format("memory").queryName("attr_join")
+      .outputMode("append").start()
+    cs.addData(clicks: _*); ps.addData(purchases: _*)
+    q.processAllAvailable()
+    // advance both watermarks so all join state flushes
+    cs.addData(Ev(99, ts("2024-01-01 09:00:00"), 9, "click", 0.0))
+    ps.addData(Ev(98, ts("2024-01-01 09:00:00"), 9, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("attr_join")
+      .filter(col("user_id") < 9)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = EventsStreaming.attributeJoin(
+        clicks.toDF(), purchases.toDF(), 10)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(batch == Seq((10L, 20L), (11L, 21L)), s"batch: $batch")
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("mapGroupsWithState keeps per-user state across micro-batches") {
     val s = spark
     import s.implicits._
