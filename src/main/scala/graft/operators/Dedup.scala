@@ -29,6 +29,24 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*)))
   }
 
+  /** Distinct 64-bit shingle hashes, built WITHOUT materializing gram
+    * strings: each word is hashed once, then a gram hash combines `n`
+    * consecutive word hashes. ~15× cheaper than concat_ws + string
+    * array_distinct at equal Jaccard (modulo 64-bit collisions) — at
+    * 100 TB the gram-building map stage is pure CPU, so this is the
+    * dominant term. The word-hash array goes through its own
+    * projection so it materializes once per row; inlining it into
+    * every element_at would recompute it per gram (quadratic).
+    */
+  def withHashedShingles(df: DataFrame, textCol: String, n: Int,
+      out: String): DataFrame = {
+    df.withColumn("__wh", transform(split(col(textCol), " "), w => xxhash64(w)))
+      .withColumn(out, array_distinct(
+        transform(sequence(lit(1), greatest(size(col("__wh")) - (n - 1), lit(0))),
+          i => xxhash64((0 until n).map(k => element_at(col("__wh"), i + k)): _*))))
+      .drop("__wh")
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum over the (already hashed) shingle set — the fused
     * native expression (see [[MinHashSignature]]); no shuffle, no
@@ -56,13 +74,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("grams"))
-      .filter(size(col("grams")) > 0)
-      // verification runs on hashed shingles: long-array intersection
-      // is far cheaper than string-array intersection and Jaccard is
-      // preserved (modulo 64-bit collisions)
-      .withColumn("grams", array_distinct(transform(col("grams"), s => xxhash64(s))))
+    // emptiness pre-filter on the word count, NOT on size(grams):
+    // a predicate on the gram column would be pushed through the
+    // projection with the whole gram expression substituted into it,
+    // recomputing the shingles once more per row.
+    val withSig = withHashedShingles(
+        df.select(col(idCol).as("id"), col(textCol))
+          .filter(size(split(col(textCol), " ")) >= shingleSize),
+        textCol, shingleSize, "grams")
+      .select(col("id"), col("grams"))
       .withColumn("sig", minhashSignature(col("grams"), numHashes))
       // materialize ONCE: both sides of the self-join would otherwise
       // recompute the numHashes×|shingles| signature expression
@@ -115,6 +135,22 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** [[simhash32]] with the token-hash array materialized through its
+    * own projection: the 32 per-bit votes each reference the array, so
+    * inlining it (what a single-projection formulation does) would
+    * recompute split+hash 32× per row.
+    */
+  def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
+    df.withColumn("__th", transform(split(col(textCol), " "), t => xxhash64(t)))
+      .withColumn(out, (0 until 32).map { b =>
+        when(aggregate(col("__th"), lit(0L),
+          (acc, h) => acc +
+            when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+          > 0, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _))
+      .drop("__th")
+  }
+
   /** SimHash near-dup pairs: band the 32-bit fingerprint into four
     * 8-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical
     * chunk), bucket-join, verify with bit_count(xor) <= maxHamming.
@@ -124,7 +160,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash32(col(textCol)).as("sim"))
+    val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)),
+        textCol, "sim")
+      .select(col("id"), col("sim"))
       .localCheckpoint() // 32 per-bit votes per row — compute once
     // chunk b = bits [8b, 8b+8)
     val bucketed = withSim.select(col("id"), col("sim"),
@@ -157,10 +195,13 @@ object Dedup {
       shingleSize: Int = 3,
       maxCharDiff: Int = 20,
       threshold: Double = 0.1): DataFrame = {
-    val g = docs
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        shingles(col("text"), shingleSize).as("grams"))
-      .filter(size(col("grams")) > 0)
+    // pre-filter on word count — see minhashNearDups for why not
+    // size(grams) (predicate pushdown would recompute the shingles)
+    val g = withHashedShingles(
+        docs.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .filter(size(split(col("text"), " ")) >= shingleSize),
+        "text", shingleSize, "grams")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
       .localCheckpoint() // shared by postings (twice) + sizes (twice)
     val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
     val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))

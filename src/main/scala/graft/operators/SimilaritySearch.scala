@@ -55,6 +55,11 @@ object SimilaritySearch {
     * column on the corpus (cluster id) — at 100TB the posting-list
     * join is a hash join on cluster id touching |corpus|×nprobe/k of
     * the data instead of all of it.
+    *
+    * Centroid assignment is a pure expression over a broadcast
+    * literal of the (tiny) centroid table — per Lloyd iteration the
+    * only shuffle is the mean recompute; an earlier crossJoin+window
+    * formulation shuffled |corpus|×numClusters rows per iteration.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -63,34 +68,38 @@ object SimilaritySearch {
       numClusters: Int = 16,
       nprobe: Int = 4,
       kmeansIters: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
 
     // deterministic seeding: the first numClusters vectors by id
-    var centroids: Array[Array[Double]] = corpus
+    val centroids: Array[Array[Double]] = corpus
       .orderBy(col("vec_id")).limit(numClusters)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    def centroidDf() = {
-      import spark.implicits._
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq
-        .toDF("cluster", "centroid")
-    }
-    def assign(df: DataFrame) = {
-      val w = Window.partitionBy(col("vec_id")).orderBy(
-        col("sim").desc, col("cluster"))
-      df.crossJoin(broadcast(centroidDf()))
-        .withColumn("sim",
-          GraftFunctions.arrayCosineSimilarity(col("embedding"), col("centroid")))
-        .withColumn("rk", row_number().over(w))
-    }
+    // (cluster, centroid) pairs as one literal array column
+    def cents: Column = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cluster"), typedlit(c.map(_.toFloat)).as("centroid"))
+    }: _*)
 
-    // Lloyd iterations: assign → recompute means (posexplode + avg)
+    /** per-row scored clusters, sorted (sim desc, cluster asc), top n —
+      * map-only: no join, no window. */
+    def nearestClusters(emb: Column, n: Int): Column =
+      slice(array_sort(
+        transform(cents, s => struct(
+          GraftFunctions.arrayCosineSimilarity(emb, s.getField("centroid"))
+            .as("sim"),
+          s.getField("cluster").as("cluster"))),
+        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+          .when(a.getField("sim") < b.getField("sim"), 1)
+          .otherwise(a.getField("cluster") - b.getField("cluster"))
+          .cast("int")), 1, n)
+
+    def assigned(df: DataFrame): DataFrame = df.withColumn("cluster",
+      element_at(nearestClusters(col("embedding"), 1), 1).getField("cluster"))
+
+    // Lloyd iterations: map-only assign → recompute means (the one
+    // shuffle: posexplode + avg by (cluster, dim))
     for (_ <- 1 to kmeansIters) {
-      val assigned = assign(corpus).filter(col("rk") === 1)
-        .select(col("cluster"), col("embedding"))
-      val means = assigned
+      val means = assigned(corpus)
         .select(col("cluster"), posexplode(col("embedding")))
         .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
         .groupBy(col("cluster"))
@@ -104,14 +113,15 @@ object SimilaritySearch {
       }
     }
 
-    val index = assign(corpus).filter(col("rk") === 1)
+    val index = assigned(corpus)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("cluster"))
       .localCheckpoint()
 
-    val probes = assign(queries).filter(col("rk") <= nprobe)
+    val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cluster"))
+        explode(transform(nearestClusters(col("embedding"), nprobe),
+          s => s.getField("cluster"))).as("cluster"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
@@ -141,27 +151,36 @@ object SimilaritySearch {
       seed: Long = 42L): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dims, seed)
 
-    def signature(df: DataFrame, idAs: String, embAs: String,
-        bbAs: String): DataFrame = {
+    // signatures carry ids ONLY — exploding the embedding array
+    // `bands` times and running distinct() over float arrays would
+    // multiply shuffle volume by the band count (same skinny-candidate
+    // rule as Dedup.minhashNearDups)
+    def signature(df: DataFrame, idAs: String, bbAs: String): DataFrame = {
       val bandCols = (0 until bands).map { b =>
         val bits = (0 until bitsPerBand).map { j =>
           dotSign(col("embedding"), planes(b * bitsPerBand + j)) * (1L << j)
         }
         struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"b$b")
       }
-      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
-          explode(array(bandCols: _*)).as(bbAs))
+      df.select(col("vec_id").as(idAs),
+        explode(array(bandCols: _*)).as(bbAs))
     }
 
-    val qs = signature(queries, "query_id", "qe", "qbb")
-    val cs = signature(corpus, "cand_id", "ce", "cbb")
+    val qs = signature(queries, "query_id", "qbb")
+    val cs = signature(corpus, "cand_id", "cbb")
     val cand = qs.join(cs, col("qbb") === col("cbb") &&
         col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("qe"), col("cand_id"), col("ce"))
+      .select(col("query_id"), col("cand_id"))
       .distinct()
+    // embeddings join back onto the deduped id pairs (queries side
+    // broadcast-small by construction)
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val ce = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
-    cand
+    cand.join(broadcast(qe), "query_id").join(ce, "cand_id")
       .select(col("query_id"), col("cand_id"),
         GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
       .withColumn("rk", row_number().over(w))

@@ -50,6 +50,30 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** [[languageId]] with the tokens array materialized through its
+    * own projection. The column-level form inlines the tokenization
+    * into every per-language score (Catalyst composes expression
+    * trees, it does not share them), re-splitting the text ~6× per
+    * row; this is the form the hot path uses.
+    */
+  def withLanguageId(df: DataFrame, textCol: String, out: String): DataFrame = {
+    val toksCol = col("__toks")
+    val n = greatest(size(toksCol), lit(1)).cast("double")
+    val scored = stopwords.keys.toSeq.sorted.map { l =>
+      val sw = typedlit(stopwords(l))
+      struct(
+        (size(filter(toksCol, t => array_contains(sw, t))).cast("double") / n)
+          .as("score"),
+        lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn(out,
+        when(best.getField("score") > 0, best.getField("lang"))
+          .otherwise(lit("und")))
+      .drop("__toks")
+  }
+
   /** Quality features + a composite score in [0,1]:
     * length band, punctuation ratio, stopword ratio, word-length
     * sanity — the usual pre-training corpus filters.

@@ -82,8 +82,9 @@ object QueriesPipeline {
     }),
     // Language-ID heuristic (rows-only; behavior asserted in spec).
     "q_text_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+      TextAnalysis.withLanguageId(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", "lang_guess")
         .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_guess"))
     }),

@@ -19,6 +19,10 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(got(2L) == "de")
     assert(got(3L) == "fr")
     assert(got(4L) == "und")
+    // the single-tokenization hot-path form agrees everywhere
+    val fast = TextAnalysis.withLanguageId(df, "text", "lg")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lg")).toMap
+    assert(fast == got, s"$fast != $got")
   }
 
   test("quality score is bounded and components are sane") {
