@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audit — the properties that carry to a 1000-executor
+  * cluster, asserted on the actual corpus queries: filter/projection
+  * pushdown into the parquet scan, broadcast of small dimensions,
+  * partial (map-side) aggregation, top-k fusion, whole-stage codegen,
+  * and no cartesian/nested-loop joins in the candidate-pair operators.
+  * A plan regression here is a 100× cost at the target scale even
+  * when sf0.01 results stay correct.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_scan_filter: predicate and projection reach the parquet scan") {
+    val plan = formatted(q("q_scan_filter"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity"),
+      s"quantity filter must push into the scan:\n$plan")
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter must push into the scan:\n$plan")
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.nonEmpty && !rs.contains("l_comment") && !rs.contains("l_extendedprice"),
+      s"read schema must prune unused columns: $rs")
+  }
+
+  test("q_join_multi: dims broadcast, region filter pushes down") {
+    val plan = formatted(q("q_join_multi"))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 3, s"customer/nation/region must broadcast:\n$plan")
+    assert(plan.contains("EqualTo(r_name,ASIA)"),
+      s"region predicate must reach its scan:\n$plan")
+  }
+
+  test("q1_agg: partial aggregation before the shuffle, codegen'd") {
+    val df = q("q1_agg")
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val exec = df.queryExecution.executedPlan.toString
+    val nAgg = "HashAggregate".r.findAllIn(exec).length
+    assert(nAgg >= 2, s"partial+final aggregate expected:\n$exec")
+    assert(exec.contains("*("), s"whole-stage codegen expected:\n$exec")
+  }
+
+  test("q_topk: ORDER BY + LIMIT fuses to TakeOrderedAndProject") {
+    val exec = q("q_topk").queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+  }
+
+  test("candidate-pair operators never plan a cartesian product") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val plans = Seq(
+      "minhash" -> Dedup.minhashNearDups(docs, "doc_id", "text"),
+      "simhash" -> Dedup.simhashNearDups(docs, "doc_id", "text"),
+      "ngram" -> Dedup.ngramJaccardPairs(docs),
+      "lsh" -> SimilaritySearch.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, 3, 64))
+    plans.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"),
+        s"$name plans a cross join:\n$p")
+    }
+  }
+}
