@@ -94,6 +94,23 @@ object QueriesPipeline {
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    // End-to-end curation pipeline (oracle-checked): quality gate →
+    // exact dedup (canonical = min doc_id) → per-language doc / dup /
+    // token accounting. The composite the individual operators exist
+    // for; two shuffles total (dedup groupBy, language rollup).
+    "q_pipeline_curate" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .filter(col("quality") >= 0.7)
+      val kept = scored.groupBy(col("lang"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      TextAnalysis.tokenCounts(kept, "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("n_copies")) - count(lit(1))).cast("bigint")
+            .as("n_dups_removed"),
+          sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -157,6 +174,26 @@ object QueriesPipeline {
         |      / greatest(length(text), 1)) * 0.1, 6) AS quality
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_pipeline_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    round(
+        |      least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least((CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.1, 6) AS quality
+        |  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS words FROM documents)
+        |), kept AS (
+        |  SELECT lang, text, min(doc_id) AS doc_id, count(*) AS n_copies
+        |  FROM scored WHERE quality >= 0.7 GROUP BY lang, text
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dups_removed,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
