@@ -32,8 +32,16 @@ object RecursiveCte {
       if ((i + 1) % checkpointEvery == 0) {
         frontier = next.localCheckpoint(eager = true)
         done = frontier.isEmpty
-      } else frontier = next
-      if (!done) acc = acc.unionByName(frontier)
+        if (!done) {
+          // checkpoint the accumulator too: downstream consumers see
+          // an O(1)-depth plan instead of a union of O(iterations)
+          // branches (whose analysis alone dominates at high counts)
+          acc = acc.unionByName(frontier).localCheckpoint(eager = true)
+        }
+      } else {
+        frontier = next
+        if (!done) acc = acc.unionByName(frontier)
+      }
       i += 1
     }
     acc

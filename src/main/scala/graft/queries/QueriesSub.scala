@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import QueryDsl._
 
 /** CTEs & subqueries (SURVEY §2.2 "CTEs & subqueries"): WITH, scalar/
-  * IN/EXISTS/correlated subqueries, LATERAL, recursive CTE (custom
-  * fixpoint — Spark has no WITH RECURSIVE).
+  * IN/EXISTS/correlated subqueries, LATERAL, recursive CTE (native
+  * UnionLoop in Spark 4.1; [[RecursiveCte]] covers DataFrame-level
+  * fixpoints).
   */
 object QueriesSub {
 
@@ -43,15 +44,15 @@ object QueriesSub {
         |  LATERAL (SELECT min(n_name) AS x FROM nation
         |           WHERE n_regionkey = r_regionkey) t
         |ORDER BY r_name""".stripMargin)),
-    // WITH RECURSIVE — iterative fixpoint operator (RecursiveCte).
-    "q_recursive_cte" -> ((s, dir) => {
-      val spark = s
-      import spark.implicits._
-      val init = Seq(1L).toDF("n")
-      val series = RecursiveCte.unionAll(
-        init, prev => prev.filter(col("n") < 100).select((col("n") + 1).as("n")))
-      series.agg(sum(col("n")).as("total"), count(lit(1)).as("cnt"))
-    })
+    // WITH RECURSIVE — Spark 4.1 executes this natively (UnionLoop),
+    // one plan instead of a driver loop; the DataFrame-level fixpoint
+    // operator (RecursiveCte, CompatSpec) remains for iterative
+    // algorithms SQL can't express.
+    "q_recursive_cte" -> ((s, dir) => sql(s, dir,
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100)
+        |SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS cnt FROM t"""
+        .stripMargin))
   )
 
   val oracles: Map[String, String] = Map(
