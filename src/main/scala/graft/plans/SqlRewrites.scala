@@ -154,9 +154,13 @@ object SqlRewrites {
     val s4 = jsonArrow.replaceAllIn(s3, m => {
       val op = m.group(2)
       val isNum = m.group(4) != null
+      val lhs = m.group(1)
       // `x -> 2` is ambiguous with Spark lambda syntax — only `->>`
-      // takes numeric subscripts; `->` requires a quoted key.
-      if (op == "->" && isNum)
+      // takes numeric subscripts; `->` requires a quoted key. A `)`
+      // without its `(` means the regex bit off the tail of a paren
+      // expression — leave those alone rather than mangle them.
+      if ((op == "->" && isNum) ||
+          lhs.count(_ == ')') > lhs.count(_ == '('))
         java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val path = if (!isNum) s"$$.${m.group(3)}" else s"$$[${m.group(4)}]"
