@@ -40,6 +40,12 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
   private val started = new AtomicBoolean(false) // mirrors g_started, cpp:23
   @volatile private var acceptThread: Thread = _
 
+  /** (pid, secret) → Spark job group, for CancelRequest routing. */
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), String]()
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val secretRng = new java.security.SecureRandom()
+
   def start(): Int = {
     if (!started.compareAndSet(false, true))
       return serverSocket.getLocalPort
@@ -73,12 +79,20 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
     val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     val out = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
     val w = new MessageWriter(out)
+    val pid = pidCounter.getAndIncrement()
+    val secret = secretRng.nextInt()
     try {
-      if (!startup(in, out, w)) return
+      if (!startup(in, out, w, pid, secret)) return
       // per-connection session: shared catalog, private temp views/conf
       val session = root.newSession()
       graft.Functions.registerAll(session)
       onNewSession(session) // e.g. temp-view catalog registration
+      // all of this connection's Spark jobs run on this thread → one
+      // job group; a CancelRequest with the matching key cancels it
+      val group = s"pgwire-$pid"
+      session.sparkContext.setJobGroup(group, s"pgwire connection $pid",
+        interruptOnCancel = true)
+      cancelKeys.put((pid, secret), group)
       val conn = new ConnectionHandler(session, w)
       var open = true
       while (open) {
@@ -90,20 +104,30 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
     } catch {
       case NonFatal(_) => // connection torn down
     } finally {
+      cancelKeys.remove((pid, secret))
       try sock.close() catch { case NonFatal(_) => }
     }
   }
 
-  /** Startup phase: SSL negotiation refusal + StartupMessage + auth. */
+  /** Startup phase: SSL negotiation refusal + StartupMessage + auth.
+    * A CancelRequest connection instead carries (pid, secret): cancel
+    * the matching connection's Spark job group and close.
+    */
   private def startup(in: DataInputStream, out: DataOutputStream,
-      w: MessageWriter): Boolean = {
+      w: MessageWriter, pid: Int, secret: Int): Boolean = {
     var len = in.readInt()
     var code = in.readInt()
     while (code == SslRequestCode || code == GssRequestCode) {
       out.write('N'); out.flush() // no TLS — reference behaves the same
       len = in.readInt(); code = in.readInt()
     }
-    if (code == CancelRequestCode) return false
+    if (code == CancelRequestCode) {
+      val targetPid = in.readInt()
+      val targetSecret = in.readInt()
+      val group = cancelKeys.get((targetPid, targetSecret))
+      if (group != null) root.sparkContext.cancelJobGroup(group)
+      return false
+    }
     if (code != ProtocolV3) return false
     val payload = new Array[Byte](len - 8)
     in.readFully(payload)
@@ -118,7 +142,7 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
       "standard_conforming_strings" -> "on",
       "TimeZone" -> "UTC"
     ).foreach { case (k, v) => w.cstr(k).cstr(v).send('S') }
-    w.int32(0).int32(0).send('K') // BackendKeyData (no cancel support)
+    w.int32(pid).int32(secret).send('K') // BackendKeyData → CancelRequest
     w.int8('I').send('Z') // ReadyForQuery, idle
     w.flushOut()
     true
@@ -466,6 +490,9 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       case _: NumberFormatException => "22P02"          // bad param text
       case _: UnsupportedOperationException => "0A000"  // unsupported format
       case _: BindParams.BindException => "08P01"       // param count mismatch
+      case e if Option(e.getMessage).exists(m =>
+        m.contains("cancelled") || m.contains("SPARK_JOB_CANCELLED")) =>
+        "57014"                                         // query_canceled
       case _ => "XX000"
     }
     val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
