@@ -353,9 +353,63 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     }
   }
 
+  /** top-level comma split for EXECUTE argument lists. */
+  private def splitArgs(s: String): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inS = false
+    s.foreach { c =>
+      if (inS) { cur += c; if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case _ => cur += c
+      }
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  private val prepareRe = """(?is)^PREPARE\s+(\w+)\s+AS\s+(.+)$""".r
+  private val executeRe = """(?is)^EXECUTE\s+(\w+)\s*(?:\((.*)\))?\s*$""".r
+  private val deallocRe = """(?is)^DEALLOCATE\s+(?:PREPARE\s+)?(\w+|ALL)$""".r
+
   private def runStatement(sql: String, describeFirst: Boolean): Unit = {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     head match {
+      // SQL-level prepared statements (pg/DuckDB surface the reference
+      // serves through DuckDB): share the extended protocol's
+      // statement namespace; EXECUTE args are SQL literals spliced
+      // into $N exactly like Bind values.
+      case "PREPARE" => sql.trim.stripSuffix(";") match {
+        case prepareRe(name, body) =>
+          statements += name -> Prepared(body, Array.empty,
+            BindParams.paramCount(body))
+          w.cstr("PREPARE").send('C')
+        case _ => throw new IllegalArgumentException(
+          "PREPARE syntax: PREPARE name AS statement")
+      }
+      case "EXECUTE" => sql.trim.stripSuffix(";") match {
+        case executeRe(name, argsOrNull) =>
+          val prep = statements.getOrElse(name,
+            throw new IllegalArgumentException(s"prepared statement $name does not exist"))
+          val args = Option(argsOrNull).map(splitArgs).getOrElse(Vector.empty)
+          runStatement(
+            if (prep.nParams == 0) prep.sql
+            else BindParams.substitute(prep.sql, args), describeFirst)
+        case _ => throw new IllegalArgumentException(
+          "EXECUTE syntax: EXECUTE name [(arg, ...)]")
+      }
+      case "DEALLOCATE" => sql.trim.stripSuffix(";") match {
+        case deallocRe(name) =>
+          if (name.equalsIgnoreCase("ALL")) statements = Map.empty
+          else statements -= name
+          w.cstr("DEALLOCATE").send('C')
+        case _ => throw new IllegalArgumentException(
+          "DEALLOCATE syntax: DEALLOCATE [PREPARE] name|ALL")
+      }
       case "BEGIN" | "COMMIT" | "END" | "ROLLBACK" | "ABORT" =>
         // accepted-and-meaningless, observably identical to the
         // reference whose per-query Connection kills txn state (cpp:42)
