@@ -63,6 +63,34 @@ object Multimodal {
     }
   }
 
+  /** Expression-level frame sampling: every `stride`-th fixed-size
+    * byte window of the media column, as pure SQL expressions —
+    * substring() on binary is codegen'd, so sampling never leaves
+    * Tungsten and needs no UDF or decoder round-trip. Emits one row
+    * per sampled frame: (doc_id, frame_no, frame, frame_len). The
+    * real-codec analogue is keyframe extraction before the expensive
+    * per-frame model pass; sampling first keeps that pass at 1/stride
+    * of the data.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32,
+      stride: Int = 4): DataFrame =
+    media
+      .select(col("doc_id"), expr(
+        s"""posexplode(transform(
+           |  sequence(0, greatest(CAST(length(media) / $frameBytes AS INT) - 1, 0), $stride),
+           |  i -> substring(media, i * $frameBytes + 1, $frameBytes)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("pos").as("frame_no"),
+        col("col").as("frame"), length(col("col")).cast("long").as("frame_len"))
+
+  /** "Resize" stub: clamp media to `targetBytes` (the seam where a
+    * real implementation re-encodes; the byte-budget semantics and
+    * expression shape are what carry over).
+    */
+  def resizeMedia(media: DataFrame, targetBytes: Int): DataFrame =
+    media.withColumn("media",
+      substring(col("media"), 1, targetBytes))
+
   /** Batch feature extraction: one decoder instantiation per
     * partition, rows streamed through it — the mapPartitions shape a
     * real codec needs (amortized init, bounded memory).

@@ -115,6 +115,17 @@ object QueriesPipeline {
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
+    }),
+    // Multimodal frame sampling (rows-only: DuckDB 1.0 lacks blob
+    // substring; byte-exactness asserted in TextMultimodalSpec).
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.attachMedia(t(s, dir, "documents")),
+          frameBytes = 32, stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("frame_len")).as("sampled_bytes"))
+        .orderBy(col("doc_id"))
     })
   )
 

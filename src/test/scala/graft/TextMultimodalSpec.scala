@@ -25,6 +25,25 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(fast == got, s"$fast != $got")
   }
 
+  test("frame sampling slices exact byte windows at the stride") {
+    val s = spark
+    import s.implicits._
+    val text = "abcdefgh" * 20 // 160 bytes → 5 frames of 32, sample 0 and 4
+    val df = Multimodal.attachMedia(Seq((1L, text)).toDF("doc_id", "text"))
+    val frames = Multimodal.sampleFrames(df, frameBytes = 32, stride = 4)
+      .orderBy("frame_no").collect()
+    assert(frames.length == 2, frames.mkString(","))
+    val f0 = new String(frames(0).getAs[Array[Byte]]("frame"), "UTF-8")
+    val f1 = new String(frames(1).getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(f0 == text.substring(0, 32))
+    assert(f1 == text.substring(128, 160))
+    assert(frames.forall(_.getAs[Long]("frame_len") == 32L))
+    // resize clamps the byte budget
+    val resized = Multimodal.resizeMedia(df, 48)
+      .select(length(col("media"))).collect().head.getInt(0)
+    assert(resized == 48)
+  }
+
   test("quality score is bounded and components are sane") {
     val docs = Tables.load(spark, sfDir, "documents")
     val q = TextAnalysis.qualityFeatures(docs, "text")
