@@ -10,6 +10,24 @@ import QueryDsl._
 object QueriesExtra {
 
   val defs: Map[String, Q] = Map(
+    // Skew-safe aggregation through the gate: salted two-phase sum
+    // must equal the plain group-by (ScaleOps.saltedSum).
+    "q_salted_agg" -> ((s, dir) => {
+      ScaleOps.saltedSum(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .orderBy(col("l_returnflag"))
+    }),
+    // Embedding vector math as sequential folds — identical
+    // left-to-right accumulation order in both engines, so the
+    // doubles are bit-equal and hash-match.
+    "q_embed_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings").select(col("vec_id"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (acc, x) => acc + x.cast("double")), 6).as("comp_sum"),
+          size(col("embedding")).as("dims"))
+        .orderBy(col("vec_id"))
+    }),
     // PIVOT — DataFrame-API relational pivot with pinned value set
     // (no second pass to discover values: scale posture).
     "q_pivot" -> ((s, dir) => {
@@ -110,6 +128,17 @@ object QueriesExtra {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_l_quantity,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_embed_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b)), 6) AS l2,
+        |  round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 6) AS comp_sum,
+        |  len(embedding) AS dims
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_pivot" ->
       """SELECT * FROM (SELECT o_orderpriority AS priority, o_orderstatus AS st
         |               FROM orders)
