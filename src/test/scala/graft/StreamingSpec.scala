@@ -167,6 +167,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch, s"stream $streamed != batch $batch")
   }
 
+  test("parquet sink + checkpoint: exactly-once across query restarts") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val stream = MemoryStream[Ev]
+    val deduped = EventsStreaming.dedupEvents(stream.toDF())
+    def start() = deduped.writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    val q1 = start()
+    stream.addData(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0), // dup in-batch
+      Ev(2, ts("2024-01-01 00:02:00"), 1, "view", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint; only the new batch may process
+    stream.addData(Ev(3, ts("2024-01-01 00:05:00"), 2, "click", 3.0))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val ids = s.read.parquet(s"$dir/out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"each event exactly once across restarts, got $ids")
+  }
+
   test("mapGroupsWithState keeps per-user state across micro-batches") {
     val s = spark
     import s.implicits._
