@@ -420,6 +420,10 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       case "COPY" =>
         val n = copyStatement(sql)
         w.cstr(s"COPY $n").send('C')
+      case "UPDATE" =>
+        w.cstr(s"UPDATE ${Dml.update(session, sql)}").send('C')
+      case "DELETE" =>
+        w.cstr(s"DELETE ${Dml.delete(session, sql)}").send('C')
       case _ =>
         PgCatalogShim.intercept(session, sql) match {
           case Some(listing) =>
