@@ -35,6 +35,27 @@ class SinksSpec extends SparkSpecBase {
     spark.sql("DROP TABLE ctas_check")
   }
 
+  test("partitioned write: partition pruning reaches the scan") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.load(s, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .write.partitionBy("lang").parquet(s"$dir/docs")
+    val back = s.read.parquet(s"$dir/docs")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the lang predicate must prune directories, not filter rows
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter must be a partition filter:\n$plan")
+    val expected = Tables.load(s, sfDir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === "en").count()
+    assert(back.count() == expected)
+  }
+
   test("asof forward picks earliest upcoming right row") {
     val sp = spark
     import sp.implicits._
