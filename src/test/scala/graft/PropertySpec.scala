@@ -54,6 +54,27 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("bind-parameter literals round-trip arbitrary strings through SQL") {
+    val tricky = Gen.oneOf('\'', '\\', '\n', '\t', '%', '_', '$', '"',
+      ';', 'é', '好', ' ')
+    val strs = Gen.listOfN(10,
+      Gen.frequency(3 -> Gen.alphaNumChar, 2 -> tricky)).map(_.mkString)
+    holds(Prop.forAll(strs) { s0 =>
+      val lit = graft.server.BindParams.literal(
+        graft.server.PgWire.Oid.Text, 0, s0.getBytes("UTF-8"))
+      spark.sql(s"SELECT $lit AS v").collect()(0).getString(0) == s0
+    }, cases = 60)
+  }
+
+  test("$N substitution never fires inside string literals") {
+    val keys = Gen.listOfN(4, Gen.alphaNumChar).map(_.mkString)
+    holds(Prop.forAll(keys) { k =>
+      val sql = s"SELECT $$1 AS a, '$$2 $k' AS b"
+      val out = graft.server.BindParams.substitute(sql, Vector("7"))
+      out == s"SELECT 7 AS a, '$$2 $k' AS b"
+    }, cases = 40)
+  }
+
   test("numeric renders are unquoted and signed correctly") {
     holds(Prop.forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { n =>
       PgTypes.render(n, LongType).contains(n.toString)
