@@ -26,6 +26,13 @@ object QueriesSugar {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) = 1
         |ORDER BY o_orderkey""".stripMargin)),
+    // QUALIFY over GROUP BY: the window evaluates on the aggregated
+    // rows, referencing the aggregate itself.
+    "q_qualify_groupby" -> ((s, dir) => sql(s, dir,
+      """SELECT o_custkey, count(*) AS n
+        |FROM orders GROUP BY o_custkey
+        |QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 5
+        |ORDER BY o_custkey""".stripMargin)),
     // DISTINCT + QUALIFY: windows evaluate over pre-distinct rows,
     // DISTINCT applies to the filtered result (DuckDB clause order).
     "q_qualify_distinct" -> ((s, dir) => sql(s, dir,
@@ -75,6 +82,11 @@ object QueriesSugar {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) = 1
         |ORDER BY o_orderkey""".stripMargin,
+    "q_qualify_groupby" ->
+      """SELECT o_custkey, count(*) AS n
+        |FROM orders GROUP BY o_custkey
+        |QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 5
+        |ORDER BY o_custkey""".stripMargin,
     "q_qualify_distinct" ->
       """SELECT DISTINCT o_orderpriority
         |FROM orders
