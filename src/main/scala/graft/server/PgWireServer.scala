@@ -169,9 +169,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     Map.empty[String, (java.util.Iterator[org.apache.spark.sql.Row],
       Array[org.apache.spark.sql.types.StructField])]
 
+  /** After an extended-protocol error, discard messages until Sync —
+    * one ErrorResponse per failed pipeline (protocol §55.2.3; drivers
+    * batch Parse/Bind/Execute and rely on this). */
+  private var skipTilSync = false
+
   /** @return false when the connection should close. */
   def dispatch(msg: FrontendMessage): Boolean = msg.msgType match {
-    case 'Q' => simpleQuery(msg.reader.cstr()); true
+    case 'P' | 'B' | 'D' | 'E' | 'C' | 'H' if skipTilSync => true // discarded
+    case 'Q' => skipTilSync = false; simpleQuery(msg.reader.cstr()); true
     case 'P' => parse(msg); true
     case 'B' => bind(msg); true
     case 'D' => describe(msg); true
@@ -184,7 +190,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       else statements -= name
       w.send('3') // CloseComplete
       true
-    case 'S' => readyForQuery(); true // Sync
+    case 'S' => skipTilSync = false; readyForQuery(); true // Sync
     case 'H' => w.flushOut(); true    // Flush
     case 'X' => false                  // Terminate
     case _ => true // ignore unknown (e.g. F function call)
@@ -227,7 +233,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         Engine.query(session, sql).queryExecution.analyzed
       statements += name -> Prepared(sql, oids, nParams)
       w.send('1') // ParseComplete
-    } catch { case NonFatal(e) => errorResponse(e) }
+    } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
 
   private def bind(msg: FrontendMessage): Unit = {
@@ -251,7 +257,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         else BindParams.substitute(prep.sql, lits))
       portalIters -= portal // re-binding resets any suspended stream
       w.send('2') // BindComplete
-    } catch { case NonFatal(e) => errorResponse(e) }
+    } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
 
   private def describe(msg: FrontendMessage): Unit = {
@@ -278,7 +284,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     try {
       val df = Engine.query(session, sql)
       rowDescription(df)
-    } catch { case NonFatal(e) => errorResponse(e) }
+    } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
 
   private def execute(msg: FrontendMessage): Unit = {
@@ -293,7 +299,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         executeLimited(portal, sql,
           if (maxRows > 0) maxRows else Int.MaxValue)
       else runStatement(sql, describeFirst = false)
-    } catch { case NonFatal(e) => errorResponse(e) }
+    } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
 
   /** Execute with a row limit: stream up to `maxRows`, suspend the
