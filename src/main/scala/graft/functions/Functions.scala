@@ -27,6 +27,17 @@ object Functions {
       // typed Aggregator registered as a SQL UDAF
       spark.udf.register("geomean",
         org.apache.spark.sql.functions.udaf(GeometricMean))
+      // DuckDB/pg strftime/strptime with C-style % formats (Spark's
+      // date_format speaks Java patterns — translate).
+      spark.udf.register("strftime",
+        (ts: java.sql.Timestamp, fmt: String) =>
+          if (ts == null || fmt == null) null
+          else ts.toLocalDateTime.format(
+            java.time.format.DateTimeFormatter.ofPattern(StrfTime.toJava(fmt))))
+      spark.udf.register("strptime",
+        (s: String, fmt: String) =>
+          if (s == null || fmt == null) null
+          else StrfTime.parse(s, fmt))
       spark.conf.set(marker, "true")
     }
   }

@@ -95,6 +95,15 @@ object QueriesExtra {
           make_date(lit(2024), lit(2), lit(29)).as("leap"))
         .orderBy(col("o_orderkey")).limit(2000)
     }),
+    // DuckDB strftime/strptime (C-style % formats) via registered
+    // compat functions — Functions.registerAll + StrfTime translation.
+    "q_strftime" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%y %H:%M:%S') AS dmy,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), 'day %j of %Y') AS doy,
+        |  CAST(strptime('2024-03-05 10:30:45', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS back
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin)),
     "q_hash_funcs" -> ((s, dir) => {
       t(s, dir, "nation").select(
           col("n_nationkey"),
@@ -176,6 +185,13 @@ object QueriesExtra {
         |  chr(CAST(65 + n_nationkey % 26 AS INT)) AS ch,
         |  translate(n_name, 'NAT', 'nat') AS tr
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_strftime" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%y %H:%M:%S') AS dmy,
+        |  strftime(CAST(o_orderdate AS TIMESTAMP), 'day %j of %Y') AS doy,
+        |  CAST(strptime('2024-03-05 10:30:45', '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS back
+        |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin,
     "q_date_funcs2" ->
       """SELECT o_orderkey,
         |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
