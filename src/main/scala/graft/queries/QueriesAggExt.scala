@@ -93,7 +93,7 @@ object QueriesAggExt {
       t(s, dir, "nation")
         .groupBy(col("n_regionkey"))
         .agg(
-          array_sort(collect_list(col("n_name"))).as("names"),
+          to_json(array_sort(collect_list(col("n_name")))).as("names"),
           concat_ws(",", array_sort(collect_list(col("n_name"))))
             .as("names_csv"))
         .orderBy(col("n_regionkey"))
@@ -164,7 +164,7 @@ object QueriesAggExt {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_agg_collect" ->
       """SELECT n_regionkey,
-        |  list(n_name ORDER BY n_name) AS names,
+        |  to_json(list(n_name ORDER BY n_name)) AS names,
         |  string_agg(n_name, ',' ORDER BY n_name) AS names_csv
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_agg_boolbit" ->

@@ -127,11 +127,11 @@ object QueriesExtra {
       t(s, dir, "nation").select(
           col("n_nationkey"),
           array_position(arr, 3).as("pos3"),
-          flatten(array(arr, arr)).as("flat"),
-          slice(arr, 1, 2).as("first2"),
-          reverse(sort_array(arr)).as("desc_sorted"),
-          array_union(arr, typedlit(Seq(9L, 10L))).as("uni"),
-          array_except(arr, typedlit(Seq(1L, 2L))).as("exc"))
+          to_json(flatten(array(arr, arr))).as("flat"),
+          to_json(slice(arr, 1, 2)).as("first2"),
+          to_json(reverse(sort_array(arr))).as("desc_sorted"),
+          to_json(array_union(arr, typedlit(Seq(9L, 10L)))).as("uni"),
+          to_json(array_except(arr, typedlit(Seq(1L, 2L)))).as("exc"))
         .orderBy(col("n_nationkey"))
     })
   )
@@ -216,12 +216,12 @@ object QueriesExtra {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_array_funcs2" ->
       """SELECT n_nationkey,
-        |  coalesce(list_position(arr, 3), 0) AS pos3,
-        |  flatten([arr, arr]) AS flat,
-        |  list_slice(arr, 1, 2) AS first2,
-        |  list_reverse_sort(arr) AS desc_sorted,
-        |  list_concat(arr, [9, 10]) AS uni,
-        |  list_filter(arr, x -> x NOT IN (1, 2)) AS exc
+        |  CAST(coalesce(list_position(arr, 3), 0) AS BIGINT) AS pos3,
+        |  to_json(flatten([arr, arr])) AS flat,
+        |  to_json(list_slice(arr, 1, 2)) AS first2,
+        |  to_json(list_reverse_sort(arr)) AS desc_sorted,
+        |  to_json(list_concat(arr, [9, 10])) AS uni,
+        |  to_json(list_filter(arr, x -> x NOT IN (1, 2))) AS exc
         |FROM (SELECT n_nationkey,
         |        range(1, 2 + n_nationkey % 5) AS arr FROM nation)
         |ORDER BY n_nationkey""".stripMargin

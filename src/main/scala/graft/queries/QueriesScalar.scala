@@ -166,8 +166,8 @@ object QueriesScalar {
     "q_math_funcs" ->
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_discount - 0.05) AS ad,
-        |  ceil(l_extendedprice) AS ce,
-        |  floor(l_extendedprice) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
         |  round(sqrt(l_quantity), 6) AS sq,
         |  round(ln(l_extendedprice), 6) AS lg,
         |  round(pow(l_quantity, 2), 6) AS p2,

@@ -169,6 +169,12 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     Map.empty[String, (java.util.Iterator[org.apache.spark.sql.Row],
       Array[org.apache.spark.sql.types.StructField])]
 
+  /** Active COPY FROM STDIN state: target table, format, accumulated
+    * CopyData bytes. Non-None between CopyInResponse and CopyDone. */
+  private final case class CopyIn(table: String, csv: Boolean,
+      header: Boolean, delim: String, buf: java.io.ByteArrayOutputStream)
+  private var copyIn: Option[CopyIn] = None
+
   /** After an extended-protocol error, discard messages until Sync —
     * one ErrorResponse per failed pipeline (protocol §55.2.3; drivers
     * batch Parse/Bind/Execute and rely on this). */
@@ -176,6 +182,14 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
 
   /** @return false when the connection should close. */
   def dispatch(msg: FrontendMessage): Boolean = msg.msgType match {
+    // COPY FROM STDIN sub-protocol (psql \copy): accumulate CopyData
+    // until CopyDone/CopyFail; everything else is out-of-band.
+    case 'd' if copyIn.isDefined =>
+      copyIn.get.buf.write(msg.payload); true
+    case 'c' if copyIn.isDefined => copyInDone(); true
+    case 'f' if copyIn.isDefined =>
+      copyInFailed(msg.reader.cstr()); true
+    case 'd' | 'c' | 'f' => true // stray copy messages outside copy-in
     case 'P' | 'B' | 'D' | 'E' | 'C' | 'H' if skipTilSync => true // discarded
     case 'Q' => skipTilSync = false; simpleQuery(msg.reader.cstr()); true
     case 'P' => parse(msg); true
@@ -207,14 +221,16 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     if (stmts.isEmpty) { w.send('I'); readyForQuery(); return }
     var failed = false
     stmts.foreach { stmt =>
-      if (!failed) {
+      if (!failed && copyIn.isEmpty) {
         try runStatement(stmt, describeFirst = true)
         catch {
           case NonFatal(e) => errorResponse(e); failed = true
         }
       }
     }
-    readyForQuery()
+    // a COPY FROM STDIN statement leaves the connection in copy-in
+    // mode: ReadyForQuery is deferred until CopyDone/CopyFail
+    if (copyIn.isEmpty) readyForQuery()
   }
 
   // --------------------------------------------------------- extended query
@@ -424,8 +440,10 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         setStatement(sql)
         w.cstr("SET").send('C')
       case "COPY" =>
-        val n = copyStatement(sql)
-        w.cstr(s"COPY $n").send('C')
+        copyStatement(sql) match {
+          case Some(n) => w.cstr(s"COPY $n").send('C')
+          case None => // COPY FROM STDIN: completion deferred to CopyDone
+        }
       case "UPDATE" =>
         w.cstr(s"UPDATE ${Dml.update(session, sql)}").send('C')
       case "DELETE" =>
@@ -455,31 +473,121 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     w.flushOut()
   }
 
-  /** `COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER])`
-    * — DuckDB/pg export surface mapped onto DataFrame writers.
+  /** `COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER])`,
+    * `COPY table FROM 'path' (...)`, `COPY table FROM STDIN [...]`
+    * — DuckDB/pg import/export surface mapped onto DataFrame
+    * readers/writers. The reference forwards COPY verbatim to the
+    * delegated engine (src/duckdb_pgwire_extension.cpp:52); this is
+    * the Spark-native equivalent. Returns Some(rowCount) for a
+    * completed statement, None after switching into copy-in mode
+    * (CopyInResponse sent; rows arrive as CopyData messages).
     */
-  private def copyStatement(sql: String): Long = {
-    val re = """(?is)^COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
-    sql.trim match {
-      case re(src, path, optsOrNull) =>
-        val df =
-          if (src.startsWith("("))
-            Engine.query(session, src.stripPrefix("(").stripSuffix(")"))
-          else session.table(src)
-        val opts = Option(optsOrNull).getOrElse("").toUpperCase
-        val fmt =
-          if (opts.contains("PARQUET")) "parquet"
-          else if (opts.contains("JSON")) "json"
-          else "csv"
-        val n = df.count()
-        df.write.mode("overwrite")
-          .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
-          .format(fmt).save(path)
-        n
-      case _ =>
-        throw new IllegalArgumentException(
-          "COPY syntax: COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER])")
-    }
+  private val copyToRe =
+    """(?is)^COPY\s+(\(.*\)|[\w.]+)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*;?\s*$""".r
+  private val copyFromFileRe =
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
+  private val copyFromStdinRe =
+    """(?is)^COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
+
+  private def copyStatement(sql: String): Option[Long] = sql.trim match {
+    case copyToRe(src, path, optsOrNull) =>
+      val df =
+        if (src.startsWith("("))
+          Engine.query(session, src.stripPrefix("(").stripSuffix(")"))
+        else session.table(src)
+      val opts = Option(optsOrNull).getOrElse("").toUpperCase
+      val fmt =
+        if (opts.contains("PARQUET")) "parquet"
+        else if (opts.contains("JSON")) "json"
+        else "csv"
+      val n = df.count()
+      df.write.mode("overwrite")
+        .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
+        .format(fmt).save(path)
+      Some(n)
+    case copyFromFileRe(table, path, optsRaw) =>
+      val opts = Option(optsRaw).getOrElse("").toUpperCase
+      val schema = session.table(table).schema
+      val fmt =
+        if (opts.contains("PARQUET")) "parquet"
+        else if (opts.contains("JSON")) "json"
+        else "csv"
+      val df = fmt match {
+        case "parquet" =>
+          // positional cast to the target schema (pg COPY semantics)
+          val raw = session.read.parquet(path)
+          require(raw.schema.length == schema.length,
+            s"COPY FROM: ${raw.schema.length} cols in file, ${schema.length} in $table")
+          raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
+            org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        case "json" => session.read.schema(schema).json(path)
+        case "csv" => session.read.schema(schema)
+          .option("header", opts.contains("HEADER").toString)
+          .csv(path)
+      }
+      Some(loadInto(table, df))
+    case copyFromStdinRe(table, optsRaw) =>
+      val opts = Option(optsRaw).getOrElse("").toUpperCase
+      val schema = session.table(table).schema // validates table exists
+      copyIn = Some(CopyIn(table,
+        csv = opts.contains("CSV"),
+        header = opts.contains("HEADER"),
+        delim = """DELIMITER\s+'(.)'""".r.findFirstMatchIn(opts)
+          .map(_.group(1)).getOrElse(if (opts.contains("CSV")) "," else "\t"),
+        buf = new java.io.ByteArrayOutputStream()))
+      // CopyInResponse: overall text format, per-column text format
+      w.int8(0).int16(schema.length)
+      schema.foreach(_ => w.int16(0))
+      w.send('G')
+      w.flushOut()
+      None
+    case _ =>
+      throw new IllegalArgumentException(
+        "COPY syntax: COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER]) | COPY table FROM 'path' (...) | COPY table FROM STDIN [(FORMAT csv [, HEADER])]")
+  }
+
+  /** Append `df` to catalog table `table`; returns the row count. */
+  private def loadInto(table: String, df: DataFrame): Long = {
+    val snap = df.localCheckpoint() // count + write from one materialization
+    val n = snap.count()
+    snap.write.mode("append").insertInto(table)
+    n
+  }
+
+  /** CopyDone: parse the buffered copy-in payload (pg text format:
+    * tab-delimited `\N` nulls; or CSV) against the target table's
+    * schema via Spark's CSV reader over an in-memory Dataset, append,
+    * and complete the COPY. Scale note: STDIN ingest is inherently
+    * driver-bounded (the bytes arrive on one socket) — bulk loads at
+    * scale go through `COPY t FROM 'path'`, which is a distributed
+    * file scan.
+    */
+  def copyInDone(): Unit = {
+    val st = copyIn.get
+    copyIn = None
+    try {
+      val text = new String(st.buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      val lines = text.split("\r?\n", -1).toIndexedSeq
+        .filter(l => l.nonEmpty && l != "\\.")
+      val schema = session.table(st.table).schema
+      import session.implicits._
+      val ds = session.createDataset(lines)
+      val reader = session.read.schema(schema).option("sep", st.delim)
+      val df =
+        if (st.csv) reader.option("header", st.header.toString).csv(ds)
+        else reader // pg text format: no quoting, backslash escapes, \N null
+          .option("quote", " ").option("nullValue", "\\N").csv(ds)
+      w.cstr(s"COPY ${loadInto(st.table, df)}").send('C')
+    } catch { case NonFatal(e) => errorResponse(e) }
+    readyForQuery()
+  }
+
+  def copyInFailed(reason: String): Unit = {
+    copyIn = None
+    errorResponse(new IllegalArgumentException(s"COPY aborted: $reason"))
+    readyForQuery()
   }
 
   private def affectedRows(df: DataFrame): Long =

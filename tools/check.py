@@ -52,6 +52,31 @@ def main():
             print(f"FAIL {name}: oracle error {e}");  n_fail += 1;  continue
         scols, srows = rows_of(con.execute(
             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"))
+        # dtype probe: the driver's hash is dtype-sensitive (BIGINT 123 vs
+        # DOUBLE 123.0 hash-differ even when check.py's norm() agrees).
+        otypes = dict((r[0], r[1]) for r in
+                      con.execute(f"DESCRIBE ({sql})").fetchall())
+        stypes = dict((r[0], r[1]) for r in con.execute(
+            f"DESCRIBE SELECT * FROM "
+            f"read_parquet('{out_dir}/{name}/*.parquet')").fetchall())
+        def tclass(t):
+            if t in ("TINYINT","SMALLINT","INTEGER","BIGINT","HUGEINT",
+                     "UTINYINT","USMALLINT","UINTEGER","UBIGINT"):
+                return "int"
+            if t in ("FLOAT","DOUBLE"):
+                return "float"
+            if t.startswith("DECIMAL"):
+                return t  # scale matters: Decimal('2.50') != 2.5 rendering
+            if t in ("JSON","VARCHAR"):
+                return "str"
+            return t
+        # int-width skew (INTEGER vs BIGINT) is benign — the driver's
+        # hash renders both as python int. Class skew (int vs float)
+        # is what broke q_math_funcs in round 1.
+        tdiff = [(c, otypes.get(c), stypes.get(c)) for c in otypes
+                 if c in stypes and tclass(otypes[c]) != tclass(stypes[c])]
+        if tdiff:
+            print(f"WARN {name}: dtype skew (driver hash may fail): {tdiff}")
         if ocols != scols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
             n_fail += 1
