@@ -49,6 +49,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Project(Seq(Alias(UnresolvedAttribute("col"), "generate_series")()), gen)
       }))
 
+    // SQL-level file readers — the delegated-engine surface a wire
+    // client expects (`SELECT * FROM read_parquet('f.parquet')`,
+    // reference forwards verbatim at cpp:52). Each resolves at
+    // analysis time to the DataFrame reader's plan, so Catalyst sees
+    // an ordinary relation (pushdown/pruning apply as usual).
+    def pathArg(exprs: Seq[Expression], fn: String): String = exprs match {
+      case Seq(Literal(v, _), _*) if v != null => v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn(path): path must be a string literal")
+    }
+    def injectReader(name: String)(
+        read: String => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (exprs: Seq[Expression]) =>
+          read(pathArg(exprs, name)).queryExecution.analyzed))
+    def active = org.apache.spark.sql.SparkSession.active
+    injectReader("read_parquet")(p => active.read.parquet(p))
+    injectReader("read_csv_auto")(p => active.read
+      .option("header", "true").option("inferSchema", "true").csv(p))
+    injectReader("read_csv")(p => active.read
+      .option("header", "true").option("inferSchema", "true").csv(p))
+    injectReader("read_json")(p => active.read.json(p))
+
     // dialect pre-pass at the parser seam: plain spark.sql(...) gets
     // QUALIFY / JSON arrows / pg type aliases / star EXCLUDE
     ext.injectParser((_, delegate) => new GraftParser(delegate))

@@ -138,8 +138,198 @@ object SqlRewrites {
     Some(s"$outerSel * EXCEPT (__qualify) FROM (\n  $inner\n) WHERE __qualify")
   }
 
+  /** index of the close paren matching the open paren at `open`. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var inS = false; var i = open
+    while (i < s.length) {
+      val c = s(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** split on top-level commas (outside parens/strings). */
+  private def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val out = Seq.newBuilder[String]; val cur = new StringBuilder
+    var depth = 0; var inS = false
+    s.foreach { c =>
+      if (inS) { cur += c; if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true; cur += c
+        case '(' => depth += 1; cur += c
+        case ')' => depth -= 1; cur += c
+        case `sep` if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** DuckDB `* REPLACE (expr AS col, ...)` → `* EXCEPT (cols), exprs`.
+    * The replaced column moves to the end of the projection; the
+    * engine's column set and values match DuckDB exactly (consumers
+    * that need DuckDB's ordinal order should name columns, as the
+    * driver's sorted-column compare does).
+    */
+  private val starReplace = """(?i)\*\s+REPLACE\s*\(""".r
+
+  private def rewriteStarReplace(sql: String): String =
+    starReplace.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchParen(sql, open)
+        if (close < 0) sql
+        else {
+          val items = splitTopLevel(sql.substring(open + 1, close))
+          val asRe = """(?is)^(.*)\s+AS\s+(\w+)\s*$""".r
+          val parsed = items.map {
+            case asRe(expr, name) => (expr.trim, name)
+            case other => return sql // malformed: leave untouched
+          }
+          val names = parsed.map(_._2).mkString(", ")
+          val repl = parsed.map { case (e, n) => s"($e) AS $n" }.mkString(", ")
+          rewriteStarReplace( // handle any further REPLACE occurrences
+            sql.substring(0, m.start) + s"* EXCEPT ($names), $repl" +
+              sql.substring(close + 1))
+        }
+    }
+
+  /** DuckDB v1.1 `ASOF [LEFT] JOIN` SQL (reference-surface syntax;
+    * SURVEY §2.2 Joins) → correlated LATERAL top-1 subquery, the
+    * declarative Spark formulation of "latest right row at or before
+    * the left timestamp". The DataFrame-level [[graft.AsOfJoin]]
+    * (single-shuffle union+window) is the scale path; this rewrite is
+    * the wire-compat path: Catalyst plans the lateral as a left outer
+    * join of the aggregated subquery, not a nested loop, but it
+    * re-aggregates per distinct key — fine for wire clients, not the
+    * 100 TB pipeline entry point.
+    *
+    * Shape accepted: `FROM <left> ASOF [LEFT] JOIN <table> [alias]
+    * ON <conjuncts>` where exactly one conjunct is an inequality on
+    * the ordering column and the rest are equalities.
+    */
+  private val asofJoinRe =
+    """(?i)\bASOF\s+(LEFT\s+)?JOIN\s+([\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?\s+ON\s+""".r
+
+  private def rewriteAsofJoin(sql: String): String =
+    asofJoinRe.findFirstMatchIn(sql) match {
+      case None => sql
+      case Some(m) =>
+        val leftKw = Option(m.group(1)).map(_ => "LEFT ").getOrElse("")
+        val table = m.group(2)
+        val alias = Option(m.group(3)).getOrElse(table)
+        // ON condition runs to the next top-level clause keyword
+        val rest = sql.substring(m.end)
+        val condEnd = findTopLevelKeyword(rest, 0,
+          Seq("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "WINDOW",
+            "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ASOF",
+            "INNER", "CROSS", "FULL", "RIGHT")).getOrElse(rest.length)
+        val cond = rest.substring(0, condEnd).trim
+        val tail = rest.substring(condEnd)
+        val conjuncts = splitOnAnd(cond)
+        val ineqRe = """(?s)^(.*?)(<=|>=|<|>)(.*)$""".r
+        val bPrefixes = Seq(s"$alias.", s"$table.")
+        def isB(e: String) = bPrefixes.exists(e.startsWith)
+        val parsedIneqs = conjuncts.flatMap { c =>
+          ineqRe.findFirstMatchIn(c).map(mm =>
+            (c, mm.group(1).trim, mm.group(2), mm.group(3).trim))
+        }
+        // exactly one ordering inequality, its B side identifiable,
+        // every other conjunct an equality with a B-side key
+        val shape = parsedIneqs match {
+          case Seq((ic, lhs0, op0, rhs0)) if isB(lhs0) != isB(rhs0) =>
+            val (lExpr, bTs, op) =
+              if (isB(rhs0)) (lhs0, rhs0, op0)
+              else (rhs0, lhs0, op0 match {
+                case "<=" => ">="; case ">=" => "<="
+                case "<" => ">"; case ">" => "<"
+              })
+            val eqConjs = conjuncts.filterNot(_ == ic)
+            val keys = eqConjs.map { c =>
+              val i = c.indexOf('=')
+              if (i < 0) "" else {
+                val (a, b) = (c.substring(0, i).trim, c.substring(i + 1).trim)
+                if (isB(a)) a else if (isB(b)) b else ""
+              }
+            }
+            if (keys.contains("")) None
+            else Some((lExpr, bTs, op, keys))
+          case _ => None
+        }
+        shape match {
+          case Some((lExpr, bTs, op, keys)) =>
+            // Interval formulation: each B row is valid from its own
+            // timestamp until its successor's (per key); the ASOF
+            // match is then a plain equi-join plus a range filter —
+            // hash-join plannable, no correlated subquery, exactly
+            // one B row per matching left row (ties collapse into
+            // empty intervals). Backward (L >= B.ts) uses lead();
+            // forward (L <= B.ts) uses lag().
+            val backward = op.startsWith(">")
+            val nbFn = if (backward) "lead" else "lag"
+            val invOp = op match {
+              case ">=" => "<"; case ">" => "<="
+              case "<=" => ">"; case "<" => ">="
+            }
+            val partBy =
+              if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
+            val innerFrom =
+              s"$table${if (alias != table) s" AS $alias" else ""}"
+            val inner = s"(SELECT ${alias}.*, $nbFn($bTs) OVER " +
+              s"(${partBy}ORDER BY $bTs) AS __asof_nb " +
+              s"FROM $innerFrom WHERE $bTs IS NOT NULL)"
+            val joined = s"${leftKw}JOIN $inner AS $alias ON $cond " +
+              s"AND ($lExpr $invOp $alias.__asof_nb " +
+              s"OR $alias.__asof_nb IS NULL)"
+            rewriteAsofJoin(sql.substring(0, m.start) + joined + " " + tail)
+          case None => sql // not an ASOF shape we can translate
+        }
+    }
+
+  /** split a predicate on top-level AND. */
+  private def splitOnAnd(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var start = 0
+    var i = 0
+    var depth = 0; var inS = false
+    val upper = s.toUpperCase
+    while (i < s.length) {
+      val c = s(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'A' | 'a' if depth == 0 && upper.startsWith("AND", i) &&
+            (i == 0 || !isWordChar(s(i - 1))) &&
+            (i + 3 >= s.length || !isWordChar(s(i + 3))) =>
+          out += s.substring(start, i).trim
+          start = i + 3
+          i += 2
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.result().filter(_.nonEmpty)
+  }
+
   def rewriteFull(sql: String): Rewritten = {
-    val s1 = genSeries.replaceAllIn(sql, m => {
+    val sr = rewriteStarReplace(sql)
+    val s0 = rewriteAsofJoin(sr)
+    // the ASOF interval rewrite adds a helper column that `SELECT *`
+    // would otherwise surface
+    val asofDrop = if (s0 != sr) Seq("__asof_nb") else Nil
+    val s1 = genSeries.replaceAllIn(s0, m => {
       val kw = m.group(1)
       val args = m.group(2)
       val alias = Option(m.group(4)).getOrElse("generate_series")
@@ -169,7 +359,7 @@ object SqlRewrites {
       }
     })
     findTopLevelQualify(s4) match {
-      case None => Rewritten(s4, Nil)
+      case None => Rewritten(s4, asofDrop)
       case Some(pos) =>
         val before = s4.substring(0, pos)
         val after = s4.substring(pos + "QUALIFY".length)
@@ -191,7 +381,7 @@ object SqlRewrites {
           s"""SELECT * EXCEPT (__qualify) FROM (
              |  SELECT __q.*, ($pred) AS __qualify FROM ($before) __q
              |) WHERE __qualify""".stripMargin)
-        Rewritten(s"$wrapped $tail", Nil)
+        Rewritten(s"$wrapped $tail", asofDrop)
     }
   }
 

@@ -60,6 +60,25 @@ object QueriesSugar {
         ev.filter(col("event_type") === "purchase"), windowMinutes = 60)
         .orderBy(col("click_id"), col("purchase_id"))
     }),
+    // DuckDB `* REPLACE` star modifier through the rewrite pre-pass
+    // (the paired `* EXCLUDE` is q_star_exclude).
+    "q_star_replace" -> ((s, dir) => sql(s, dir,
+      """SELECT * REPLACE (upper(r_name) AS r_name) FROM region
+        |ORDER BY r_regionkey""".stripMargin)),
+    // DuckDB v1.1 `ASOF JOIN` SQL syntax through the rewrite pre-pass
+    // — same semantics as the DataFrame-level q_asof_join, exercised
+    // from raw SQL text as a wire client would send it.
+    "q_asof_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT e.event_id, o.o_orderdate AS last_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin)),
+    // SQL-level file reader TVF (read_parquet) — the delegated-engine
+    // surface a wire client can call on loose files (cpp:52).
+    "q_read_tvf" -> ((s, dir) => sql(s, dir,
+      s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
+         |FROM read_parquet('$dir/documents.parquet')
+         |GROUP BY lang ORDER BY lang""".stripMargin)),
     // Gap-based sessionization (batch form; streaming variant is
     // spec-checked against it).
     "q_sessionize" -> ((s, dir) => {
@@ -92,6 +111,18 @@ object QueriesSugar {
         |FROM orders
         |QUALIFY count(*) OVER (PARTITION BY o_orderpriority, o_custkey) >= 2
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_star_replace" ->
+      """SELECT * REPLACE (upper(r_name) AS r_name) FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+    "q_asof_sql" ->
+      """SELECT e.event_id, o.o_orderdate AS last_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q_read_tvf" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num

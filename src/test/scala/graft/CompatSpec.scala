@@ -40,6 +40,46 @@ class CompatSpec extends SparkSpecBase {
     assert(r.getLong(0) == 5050L && r.getLong(1) == 100L)
   }
 
+  test("star REPLACE / ASOF JOIN / reader TVF rewrites") {
+    // * REPLACE keeps the column set, substitutes the expression
+    val r = SqlRewrites.rewrite(
+      "SELECT * REPLACE (upper(r_name) AS r_name) FROM region")
+    assert(r.contains("* EXCEPT (r_name)") &&
+      r.contains("(upper(r_name)) AS r_name"), r)
+    // ASOF LEFT JOIN → interval join (lead + range filter), no LATERAL
+    val a = SqlRewrites.rewrite(
+      "SELECT e.id, o.ts FROM ev e ASOF LEFT JOIN ord o " +
+        "ON e.k = o.k AND e.ts >= o.ts ORDER BY e.id")
+    assert(a.contains("LEFT JOIN (SELECT o.*, lead(o.ts) OVER " +
+      "(PARTITION BY o.k ORDER BY o.ts)"), a)
+    assert(a.contains("AND (e.ts < o.__asof_nb OR o.__asof_nb IS NULL)"), a)
+    // forward ASOF (strict) uses lag with the dual filter
+    val f = SqlRewrites.rewrite(
+      "SELECT * FROM ev e ASOF JOIN ord o ON e.k = o.k AND e.ts < o.ts")
+    assert(f.contains("lag(o.ts) OVER") && f.contains("e.ts >= o.__asof_nb"), f)
+    // valid Spark SQL without the sugar passes through untouched
+    val plain = "SELECT a FROM t JOIN u ON t.k = u.k AND t.x >= u.x"
+    assert(SqlRewrites.rewrite(plain) == plain)
+  }
+
+  test("reader TVFs resolve through Engine.query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tvf").toString
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("k", "g")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    Seq((10L, "x"), (20L, "y")).toDF("n", "s")
+      .write.mode("overwrite").json(s"$dir/j")
+    val csvN = Engine.query(spark,
+      s"SELECT count(*) AS n, sum(k) AS sk FROM read_csv_auto('$dir/c')")
+      .collect().head
+    assert(csvN.getLong(0) == 3 && csvN.getLong(1) == 6)
+    val jsonN = Engine.query(spark,
+      s"SELECT sum(n) AS sn FROM read_json('$dir/j')")
+      .collect().head.getLong(0)
+    assert(jsonN == 30)
+  }
+
   test("asof join: backward pick of most recent right row") {
     val s = spark
     import s.implicits._

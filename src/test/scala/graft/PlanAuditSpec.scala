@@ -52,6 +52,13 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exec.contains("TakeOrderedAndProject"), exec)
   }
 
+  test("q_asof_sql: interval rewrite plans an equi-join, not a nested loop") {
+    val plan = formatted(q("q_asof_sql"))
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"ASOF SQL rewrite must stay a hash/merge join:\n$plan")
+  }
+
   test("candidate-pair operators never plan a cartesian product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
