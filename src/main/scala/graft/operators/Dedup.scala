@@ -229,15 +229,88 @@ object Dedup {
 
   /** Embedding cosine near-dup pairs within a blocking key (label),
     * using the native codegen'd cosine expression.
+    *
+    * Candidate generation is an EXACT-COMPLETE shifted-grid bucket
+    * join (not approximate LSH): unit-normalized vectors at cosine ≥ t
+    * sit within chord distance r = √(2−2t) of each other, so their
+    * projections onto any unit direction differ by at most r. A 1-D
+    * grid of cell width w > 2r, taken twice with a w/2 shift, is
+    * guaranteed to co-locate any two values at distance < w/2 in at
+    * least one of the two grids (a length-<w/2 interval contains at
+    * most one grid boundary of the interleaved pair). ANDing k
+    * projections over all 2^k shift combinations keeps that guarantee
+    * in k dimensions — so the bucket join provably produces a
+    * candidate superset and the exact cosine verify loses nothing:
+    * the result is identical to the all-pairs formulation, row for
+    * row, while the join is keyed by (label, cells) and therefore
+    * hash-partitionable and AQE-skew-splittable at 100 TB.
+    *
+    * Pruning power scales with the threshold: at near-dup thresholds
+    * (t → 1) w shrinks and the grid separates aggressively; at loose
+    * thresholds (t ≲ 0.5) w exceeds the unit-ball diameter and the
+    * candidate set degenerates toward per-label all-pairs — which is
+    * inherent: the OUTPUT of "all pairs at cosine ≥ 0.4" is itself
+    * quadratic in the worst case, so no candidate scheme can beat it.
     */
   def embeddingNearDups(
       emb: DataFrame,
-      threshold: Double = 0.4): DataFrame = {
-    val a = emb.select(col("label").as("lab1"), col("vec_id").as("id1"),
-      col("embedding").as("e1"))
-    val b = emb.select(col("label").as("lab2"), col("vec_id").as("id2"),
-      col("embedding").as("e2"))
-    a.join(b, col("lab1") === col("lab2") && col("id1") < col("id2"))
+      threshold: Double = 0.4,
+      dims: Int = 64,
+      numProjections: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    // chord length on the unit sphere at the cosine threshold
+    val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
+    val w = 2.0 * r * 1.000001 + 1e-12 // strictly > 2r → completeness
+
+    val planes = SimilaritySearch.hyperplanes(numProjections, dims, seed)
+      .map { p =>
+        val n = math.sqrt(p.map(x => x.toDouble * x).sum)
+        p.map(x => (x / n).toFloat)
+      }
+    def dot(p: Array[Float]): Column =
+      aggregate(zip_with(col("embedding"), typedlit(p), (a, b) => a * b),
+        lit(0.0d), (acc, x) => acc + x)
+    val nrm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x * x))
+
+    // projections of the unit-normalized vector; nrm through its own
+    // projection so it computes once, not once per plane
+    val projected = emb
+      .select(col("label"), col("vec_id"), col("embedding"), nrm.as("nrm"))
+      .select(Seq(col("label"), col("vec_id")) ++
+        planes.zipWithIndex.map { case (p, j) =>
+          (dot(p) / col("nrm")).as(s"pj$j")
+        }: _*)
+
+    // every shift combination's cell vector; array_distinct collapses
+    // combos that land in identical cells (all of them, at loose
+    // thresholds) so the key explosion is ≤ 2^k and usually ~1
+    val cellStructs = (0 until (1 << numProjections)).map { s =>
+      struct((0 until numProjections).map { j =>
+        floor((col(s"pj$j") + lit(((s >> j) & 1) * w / 2)) / lit(w))
+          .cast("long").as(s"c$j")
+      }: _*)
+    }
+    val keyed = projected
+      .select(col("label"), col("vec_id").as("id"),
+        explode(array_distinct(array(cellStructs: _*))).as("cell"))
+      .localCheckpoint() // both sides of the self-join read this once
+
+    val a = keyed.select(col("label").as("lab1"), col("cell").as("cell1"),
+      col("id").as("id1"))
+    val b = keyed.select(col("label").as("lab2"), col("cell").as("cell2"),
+      col("id").as("id2"))
+    val cand = a
+      .join(b, col("lab1") === col("lab2") && col("cell1") === col("cell2") &&
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+
+    // embeddings join back onto the skinny candidate pairs; exact
+    // cosine verify makes the grid stage invisible in the result
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    cand.join(e1, "id1").join(e2, "id2")
       .select(col("id1"), col("id2"),
         round(GraftFunctions.arrayCosineSimilarity(col("e1"), col("e2")), 6)
           .as("cos"))
