@@ -58,18 +58,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert
-    // to a microsecond timestamp with integer arithmetic (a double
-    // division would lose precision above 2^53 ns).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
-  }
+  /** per-(session, dir, table) DataFrame cache: every corpus query
+    * calls load(), and an uncached load costs a file listing + parquet
+    * footer schema read — ~50-100 ms of pure driver latency that
+    * dominated the per-query floor at small SF. The cached object is
+    * just the analyzed read plan; execution still streams from disk.
+    */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.computeIfAbsent((spark, dir, name), _ => {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+      // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert
+      // to a microsecond timestamp with integer arithmetic (a double
+      // division would lose precision above 2^53 ns).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Register every table as a temp view in the session catalog —
     * the Spark analogue of the reference's shared catalog

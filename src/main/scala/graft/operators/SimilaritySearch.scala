@@ -67,10 +67,16 @@ object SimilaritySearch {
       k: Int,
       numClusters: Int = 16,
       nprobe: Int = 4,
-      kmeansIters: Int = 5): DataFrame = {
+      kmeansIters: Int = 3,
+      dims: Int = 64): DataFrame = {
+
+    // one materialization: every Lloyd iteration and the final index
+    // read this instead of re-scanning the source
+    val corpusCk = corpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
 
     // deterministic seeding: the first numClusters vectors by id
-    val centroids: Array[Array[Double]] = corpus
+    val centroids: Array[Array[Double]] = corpusCk
       .orderBy(col("vec_id")).limit(numClusters)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -96,24 +102,25 @@ object SimilaritySearch {
     def assigned(df: DataFrame): DataFrame = df.withColumn("cluster",
       element_at(nearestClusters(col("embedding"), 1), 1).getField("cluster"))
 
-    // Lloyd iterations: map-only assign → recompute means (the one
-    // shuffle: posexplode + avg by (cluster, dim))
+    // Lloyd iterations: map-only assign → recompute means. The mean
+    // is `dims` scalar avg aggregates (one per dimension) — partial
+    // aggregation happens map-side, so the per-iteration shuffle is
+    // numClusters × dims partial sums, not |corpus| × dims exploded
+    // rows as a posexplode formulation would move.
+    val meanCols = (0 until dims).map(i =>
+      avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
     for (_ <- 1 to kmeansIters) {
-      val means = assigned(corpus)
-        .select(col("cluster"), posexplode(col("embedding")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("col")).as("m"))
+      val means = assigned(corpusCk)
         .groupBy(col("cluster"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cluster"),
-          transform(col("ps"), p => p.getField("m")).as("centroid"))
+        .agg(meanCols.head, meanCols.tail: _*)
         .collect()
       means.foreach { r =>
         centroids(r.getInt(0)) =
-          r.getSeq[Double](1).toArray
+          Array.tabulate(dims)(i => r.getDouble(i + 1))
       }
     }
 
-    val index = assigned(corpus)
+    val index = assigned(corpusCk)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("cluster"))
       .localCheckpoint()

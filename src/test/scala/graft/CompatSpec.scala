@@ -80,6 +80,16 @@ class CompatSpec extends SparkSpecBase {
     assert(jsonN == 30)
   }
 
+  test("approx_count_distinct within 5% of exact (no_oracle row bound)") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    import org.apache.spark.sql.functions._
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey")))
+      .collect()(0).getLong(0)
+    val err = math.abs(approx - exact).toDouble / exact
+    assert(err <= 0.05, s"HLL err $err (exact=$exact approx=$approx)")
+  }
+
   test("asof join: backward pick of most recent right row") {
     val s = spark
     import s.implicits._

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.contains((1L, 4L)) || java.lang.Long.bitCount(sims(1L) ^ sims(4L)) <= 3)
   }
 
+  test("simhash: exact duplicates are always found (recall 1.0 on copies)") {
+    // quantified check for the no_oracle q_dedup_simhash row: byte-
+    // identical texts share the full fingerprint, so every chunk
+    // collides and the pair MUST surface with hamming 0 — pigeonhole
+    // recall on exact copies is deterministic, not probabilistic.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val copies = docs.limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val corpus = docs.limit(50).unionByName(copies)
+    val pairs = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = 0)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = docs.limit(50).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing exact-copy pairs: ${expected.diff(pairs).take(5)}")
+  }
+
   test("embedding near-dups agree with brute-force cosine at threshold") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val pairs = Dedup.embeddingNearDups(emb, 0.3)

@@ -25,6 +25,33 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(fast == got, s"$fast != $got")
   }
 
+  test("language-ID accuracy 1.0 on a stopword-bearing constructed corpus") {
+    // quantified check for the no_oracle q_text_langid row. The
+    // driver's synthetic documents carry a decorative lang label (the
+    // text is the same token vocabulary for every label), so accuracy
+    // must be measured on text that actually bears the language:
+    // 100 docs per language built from that language's function words
+    // mixed with neutral filler must classify perfectly.
+    val s = spark
+    import s.implicits._
+    val filler = Seq("data", "table", "row", "value", "query")
+    val langs = Seq("en", "de", "fr", "es")
+    val docs = (for {
+      (lang, li) <- langs.zipWithIndex
+      i <- 0 until 100
+    } yield {
+      val sw = TextAnalysis.stopwords(lang)
+      val words = (0 until 12).map(j =>
+        if (j % 2 == 0) sw((i + j) % sw.length)
+        else filler((i * 7 + j) % filler.length))
+      ((li * 100 + i).toLong, lang, words.mkString(" "))
+    }).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.withLanguageId(docs, "text", "lg")
+      .select(col("lang"), col("lg")).collect()
+    val acc = got.count(r => r.getString(0) == r.getString(1)).toDouble / got.length
+    assert(acc >= 0.95, s"lang-ID accuracy $acc on constructed corpus")
+  }
+
   test("frame sampling slices exact byte windows at the stride") {
     val s = spark
     import s.implicits._
