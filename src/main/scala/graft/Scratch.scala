@@ -2,30 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad main — plan inspection during the build loop.
-  * Not part of the library surface.
+/** Dev scratchpad main — times named SparkEntry queries (3 runs each)
+  * at an SF dir. Not part of the library surface.
+  *
+  * Usage: runMain graft.Scratch <sfDir> <query> [query...]
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1).toSeq
     val spark = SparkSession.builder()
-      .master("local[8]")
+      .master("local[32]")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    Tables.registerAll(spark, dir)
-    val sql =
-      """SELECT e.event_id, o.o_orderdate AS last_order_date
-        |FROM events e ASOF LEFT JOIN orders o
-        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
-        |ORDER BY e.event_id""".stripMargin
-    val df = Engine.query(spark, sql)
-    df.explain("formatted")
-    val t0 = System.nanoTime()
-    println(s"rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}s")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMING $n%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
     spark.stop()
   }
 }
