@@ -488,8 +488,51 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+'([^']+)'\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
   private val copyFromStdinRe =
     """(?is)^COPY\s+([\w.]+)\s+FROM\s+STDIN\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
+  private val copyToStdoutRe =
+    """(?is)^COPY\s+(\(.*\)|[\w.]+)\s+TO\s+STDOUT\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
 
   private def copyStatement(sql: String): Option[Long] = sql.trim match {
+    case copyToStdoutRe(src, optsRaw) =>
+      // psql `\copy t to file` path: CopyOutResponse, one CopyData per
+      // row (pg text format or CSV), CopyDone. Streams through
+      // toLocalIterator — one partition in memory at a time; STDOUT
+      // egress is single-socket by nature (scale exports use TO 'path').
+      val df =
+        if (src.startsWith("("))
+          Engine.query(session, src.stripPrefix("(").stripSuffix(")"))
+        else session.table(src)
+      val opts = Option(optsRaw).getOrElse("").toUpperCase
+      val csv = opts.contains("CSV")
+      val header = opts.contains("HEADER")
+      val delim = if (csv) "," else "\t"
+      val fields = df.schema.fields
+      w.int8(0).int16(fields.length)
+      fields.foreach(_ => w.int16(0))
+      w.send('H') // CopyOutResponse
+      def csvQuote(s: String): String =
+        if (s.contains(delim) || s.contains("\"") || s.contains("\n"))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+      var n = 0L
+      if (csv && header) {
+        w.bytes((fields.map(f => csvQuote(f.name)).mkString(delim) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).send('d')
+      }
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val line = fields.indices.map { i =>
+          PgTypes.render(row.get(i), fields(i).dataType) match {
+            case None => if (csv) "" else "\\N"
+            case Some(s) => if (csv) csvQuote(s) else s
+          }
+        }.mkString(delim)
+        w.bytes((line + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)).send('d')
+        n += 1
+      }
+      w.send('c') // CopyDone
+      Some(n)
     case copyToRe(src, path, optsOrNull) =>
       val df =
         if (src.startsWith("("))
