@@ -93,6 +93,45 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
+  test("ASOF SQL rewrite agrees with the DataFrame AsOfJoin on random data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val nl = 30 + rng.nextInt(40)
+      val nr = 20 + rng.nextInt(30)
+      val leftRows = (0 until nl).map(i =>
+        (i.toLong, rng.nextInt(5).toLong, rng.nextInt(1000).toLong))
+      val rightRows = (0 until nr).map(i =>
+        (i.toLong, rng.nextInt(5).toLong, rng.nextInt(1000).toLong,
+          s"v$i"))
+      leftRows.toDF("lid", "k", "t").createOrReplaceTempView("asof_l")
+      rightRows.toDF("rid", "rk", "rt", "v")
+        .createOrReplaceTempView("asof_r")
+      // SQL path: the ASOF LEFT JOIN rewrite (interval formulation).
+      // Project the right TIME, not the row id: when two right rows
+      // tie on (key, time) the matched row is engine-arbitrary but the
+      // carried timestamp is not.
+      val sqlRes = Engine.query(s,
+        """SELECT l.lid, r.rt AS matched_t
+          |FROM asof_l l ASOF LEFT JOIN asof_r r
+          |  ON l.k = r.rk AND l.t >= r.rt""".stripMargin)
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      // DataFrame path: union+window formulation
+      val dfRes = AsOfJoin.backward(
+          s.table("asof_l"), s.table("asof_r"),
+          "k", "rk", "t", "rt", Seq("rt"))
+        .select(col("lid"), col("rt"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(sqlRes == dfRes, {
+        val diff = (sqlRes.keySet ++ dfRes.keySet)
+          .filter(k => sqlRes.get(k) != dfRes.get(k)).take(5)
+        s"round $round mismatch on lids $diff: " +
+          diff.map(k => s"$k sql=${sqlRes.get(k)} df=${dfRes.get(k)}").mkString("; ")
+      })
+    }
+  }
+
   test("DataFrame and SQL paths agree for arbitrary pushed filters") {
     val s = spark
     Tables.registerAll(s, sfDir)
