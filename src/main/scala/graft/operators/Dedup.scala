@@ -163,7 +163,7 @@ object Dedup {
     val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)),
         textCol, "sim")
       .select(col("id"), col("sim"))
-      .localCheckpoint() // 32 per-bit votes per row — compute once
+      .localCheckpoint(eager = false) // 32 per-bit votes per row — compute once
     // chunk b = bits [8b, 8b+8)
     val bucketed = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
@@ -202,7 +202,7 @@ object Dedup {
           .filter(size(split(col("text"), " ")) >= shingleSize),
         "text", shingleSize, "grams")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
-      .localCheckpoint() // shared by postings (twice) + sizes (twice)
+      .localCheckpoint(eager = false) // shared by postings (twice) + sizes (twice)
     val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
     val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
 
@@ -294,7 +294,7 @@ object Dedup {
     val keyed = projected
       .select(col("label"), col("vec_id").as("id"),
         explode(array_distinct(array(cellStructs: _*))).as("cell"))
-      .localCheckpoint() // both sides of the self-join read this once
+      .localCheckpoint(eager = false) // both sides of the self-join read this once
 
     val a = keyed.select(col("label").as("lab1"), col("cell").as("cell1"),
       col("id").as("id1"))

@@ -323,8 +323,32 @@ object SqlRewrites {
     out.result().filter(_.nonEmpty)
   }
 
+  /** pg/DuckDB `CREATE TEMP TABLE` (session-scoped): the AS-SELECT
+    * form maps to a Spark temporary view (session-scoped, recomputed —
+    * equivalent for deterministic queries and a strict superset of the
+    * reference, whose per-query connections forget temp tables
+    * instantly, cpp:42). The column-definition form maps to a regular
+    * managed table (Spark has no temp table with a schema body).
+    */
+  private val createTempAs =
+    """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+""".r
+  private val createTempSchema =
+    """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+""".r
+
+  private def rewriteCreateTemp(sql: String): String =
+    createTempAs.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        s"CREATE OR REPLACE TEMPORARY VIEW ${m.group(1)} AS " +
+          sql.substring(m.end)
+      case None =>
+        createTempSchema.findFirstMatchIn(sql) match {
+          case Some(m) => "CREATE TABLE " + sql.substring(m.end)
+          case None => sql
+        }
+    }
+
   def rewriteFull(sql: String): Rewritten = {
-    val sr = rewriteStarReplace(sql)
+    val sr = rewriteStarReplace(rewriteCreateTemp(sql))
     val s0 = rewriteAsofJoin(sr)
     // the ASOF interval rewrite adds a helper column that `SELECT *`
     // would otherwise surface
