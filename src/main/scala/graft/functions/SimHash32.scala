@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `simhash32(tokenHashes)` — native Catalyst expression computing
+  * the 32-bit SimHash fingerprint of a token-hash array in ONE pass.
+  *
+  * The composable formulation (32 × `aggregate(hashes, 0, vote_b)`)
+  * walks the array 32 times through interpreted higher-order-function
+  * machinery (Spark HOF lambdas do not participate in whole-stage
+  * codegen). This expression keeps 32 primitive vote counters and
+  * walks the array once, inside codegen. Per-row hot loop of
+  * [[Dedup.simhashNearDups]].
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 32) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val votes = ctx.freshName("votes")
+      val fp = ctx.freshName("fp")
+      s"""
+         |int[] $votes = new int[32];
+         |int n = $x.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  long h = $x.getLong(i);
+         |  for (int b = 0; b < 32; b++) {
+         |    $votes[b] += ((int) ((h >>> b) & 1L) << 1) - 1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int b = 0; b < 32; b++) {
+         |  if ($votes[b] > 0) $fp |= (1L << b);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}
+
+object SimHash32 {
+  def apply(c: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))
+}

@@ -86,7 +86,7 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("grams"), numHashes))
       // materialize ONCE: both sides of the self-join would otherwise
       // recompute the numHashes×|shingles| signature expression
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // banding carries ONLY ids: exploding the (large) shingle arrays
     // 'bands' times would multiply shuffle volume by the band count.
@@ -123,31 +123,17 @@ object Dedup {
     * token hashes. Pure expression tree (transform + aggregate) —
     * codegen'd, zero shuffles.
     */
-  def simhash32(text: Column): Column = {
-    // One hash per token, computed once; 32 per-bit majority votes
-    // unrolled statically (shift amounts must be literals).
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    (0 until 32).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc +
-          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def simhash32(text: Column): Column =
+    SimHash32(transform(split(text, " "), t => xxhash64(t)))
 
   /** [[simhash32]] with the token-hash array materialized through its
-    * own projection: the 32 per-bit votes each reference the array, so
-    * inlining it (what a single-projection formulation does) would
-    * recompute split+hash 32× per row.
+    * own projection (the fused native [[SimHash32]] walks it once; an
+    * earlier 32-aggregate formulation walked it 32× through
+    * interpreted HOF machinery).
     */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     df.withColumn("__th", transform(split(col(textCol), " "), t => xxhash64(t)))
-      .withColumn(out, (0 until 32).map { b =>
-        when(aggregate(col("__th"), lit(0L),
-          (acc, h) => acc +
-            when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-          > 0, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _))
+      .withColumn(out, SimHash32(col("__th")))
       .drop("__th")
   }
 

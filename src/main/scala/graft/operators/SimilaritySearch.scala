@@ -43,12 +43,6 @@ object SimilaritySearch {
     Array.fill(numPlanes)(Array.fill(dims)(rng.nextGaussian().toFloat))
   }
 
-  private def dotSign(vec: Column, plane: Array[Float]): Column = {
-    val p = typedlit(plane)
-    when(aggregate(zip_with(vec, p, (a, b) => a * b), lit(0.0d),
-      (acc, x) => acc + x) > 0, 1L).otherwise(0L)
-  }
-
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the
     * corpus; queries probe the `nprobe` nearest centroids and exact-
     * rerank only those posting lists. The index is one extra int
@@ -73,7 +67,7 @@ object SimilaritySearch {
     // one materialization: every Lloyd iteration and the final index
     // read this instead of re-scanning the source
     val corpusCk = corpus.select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // deterministic seeding: the first numClusters vectors by id
     val centroids: Array[Array[Double]] = corpusCk
@@ -123,7 +117,7 @@ object SimilaritySearch {
     val index = assigned(corpusCk)
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -161,17 +155,14 @@ object SimilaritySearch {
     // signatures carry ids ONLY — exploding the embedding array
     // `bands` times and running distinct() over float arrays would
     // multiply shuffle volume by the band count (same skinny-candidate
-    // rule as Dedup.minhashNearDups)
-    def signature(df: DataFrame, idAs: String, bbAs: String): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        val bits = (0 until bitsPerBand).map { j =>
-          dotSign(col("embedding"), planes(b * bitsPerBand + j)) * (1L << j)
-        }
-        struct(lit(b).as("band"), bits.reduce(_ + _).as("bucket")).as(s"b$b")
-      }
+    // rule as Dedup.minhashNearDups). All bands' buckets come from the
+    // fused native SignLshBuckets expression: one pass over the
+    // vector, zero per-plane array allocations.
+    def signature(df: DataFrame, idAs: String, bbAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
-        explode(array(bandCols: _*)).as(bbAs))
-    }
+          posexplode(SignLshBuckets(col("embedding"), planes, bitsPerBand)))
+        .select(col(idAs),
+          struct(col("pos").as("band"), col("col").as("bucket")).as(bbAs))
 
     val qs = signature(queries, "query_id", "qbb")
     val cs = signature(corpus, "cand_id", "cbb")
