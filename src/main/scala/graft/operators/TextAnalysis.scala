@@ -31,48 +31,22 @@ object TextAnalysis {
       greatest(size(toks), lit(1)).cast("double")
   }
 
-  /** Heuristic language-ID: argmax of the per-language stopword
-    * ratios ('und' when nothing matches). Tokenization happens once —
-    * the per-language scores share the same tokens array via a
-    * higher-order expression over it, not N re-splits of the text.
+  /** Heuristic language-ID: argmax of the per-language stopword hit
+    * counts ('und' when nothing matches), via the fused native
+    * [[LangIdArgmax]] expression — one pass over the tokens against
+    * hash-set profiles, inside whole-stage codegen (the composable
+    * per-profile `filter(toks, array_contains(...))` form walked the
+    * array once per language through interpreted HOF machinery).
     */
-  def languageId(text: Column): Column = {
-    val toks = tokens(text)
-    val n = greatest(size(toks), lit(1)).cast("double")
-    val scored = stopwords.keys.toSeq.sorted.map { l =>
-      val sw = typedlit(stopwords(l))
-      struct(
-        (size(filter(toks, t => array_contains(sw, t))).cast("double") / n)
-          .as("score"),
-        lit(l).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def languageId(text: Column): Column =
+    LangIdArgmax(tokens(text), stopwords)
 
-  /** [[languageId]] with the tokens array materialized through its
-    * own projection. The column-level form inlines the tokenization
-    * into every per-language score (Catalyst composes expression
-    * trees, it does not share them), re-splitting the text ~6× per
-    * row; this is the form the hot path uses.
+  /** [[languageId]] DataFrame form (kept for API symmetry with the
+    * other with* helpers — the fused expression already reads the
+    * token array exactly once).
     */
-  def withLanguageId(df: DataFrame, textCol: String, out: String): DataFrame = {
-    val toksCol = col("__toks")
-    val n = greatest(size(toksCol), lit(1)).cast("double")
-    val scored = stopwords.keys.toSeq.sorted.map { l =>
-      val sw = typedlit(stopwords(l))
-      struct(
-        (size(filter(toksCol, t => array_contains(sw, t))).cast("double") / n)
-          .as("score"),
-        lit(l).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    df.withColumn("__toks", tokens(col(textCol)))
-      .withColumn(out,
-        when(best.getField("score") > 0, best.getField("lang"))
-          .otherwise(lit("und")))
-      .drop("__toks")
-  }
+  def withLanguageId(df: DataFrame, textCol: String, out: String): DataFrame =
+    df.withColumn(out, languageId(col(textCol)))
 
   /** Quality features + a composite score in [0,1]:
     * length band, punctuation ratio, stopword ratio, word-length
