@@ -34,18 +34,12 @@ object Dedup {
     * consecutive word hashes. ~15× cheaper than concat_ws + string
     * array_distinct at equal Jaccard (modulo 64-bit collisions) — at
     * 100 TB the gram-building map stage is pure CPU, so this is the
-    * dominant term. The word-hash array goes through its own
-    * projection so it materializes once per row; inlining it into
-    * every element_at would recompute it per gram (quadratic).
+    * dominant term. Fused into the native [[HashedShingles]]
+    * expression: one pass over the UTF-8 bytes inside codegen.
     */
   def withHashedShingles(df: DataFrame, textCol: String, n: Int,
-      out: String): DataFrame = {
-    df.withColumn("__wh", transform(split(col(textCol), " "), w => xxhash64(w)))
-      .withColumn(out, array_distinct(
-        transform(sequence(lit(1), greatest(size(col("__wh")) - (n - 1), lit(0))),
-          i => xxhash64((0 until n).map(k => element_at(col("__wh"), i + k)): _*))))
-      .drop("__wh")
-  }
+      out: String): DataFrame =
+    df.withColumn(out, HashedShingles(col(textCol), n))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum over the (already hashed) shingle set — the fused

@@ -75,26 +75,16 @@ object SimilaritySearch {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
-    // (cluster, centroid) pairs as one literal array column
-    def cents: Column = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cluster"), typedlit(c.map(_.toFloat)).as("centroid"))
-    }: _*)
-
-    /** per-row scored clusters, sorted (sim desc, cluster asc), top n —
-      * map-only: no join, no window. */
-    def nearestClusters(emb: Column, n: Int): Column =
-      slice(array_sort(
-        transform(cents, s => struct(
-          GraftFunctions.arrayCosineSimilarity(emb, s.getField("centroid"))
-            .as("sim"),
-          s.getField("cluster").as("cluster"))),
-        (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-          .when(a.getField("sim") < b.getField("sim"), 1)
-          .otherwise(a.getField("cluster") - b.getField("cluster"))
-          .cast("int")), 1, n)
+    // fused native argmax over a centroid snapshot — one codegen'd
+    // pass per row (the composable transform+array_sort form ran
+    // numClusters interpreted cosine HOFs plus an interpreted
+    // comparator sort per row). Snapshot per call: the Lloyd loop
+    // mutates `centroids` between iterations, and each plan must see
+    // the values at build time, like the previous typedlit literals.
+    def snap(): Array[Array[Float]] = centroids.map(_.map(_.toFloat))
 
     def assigned(df: DataFrame): DataFrame = df.withColumn("cluster",
-      element_at(nearestClusters(col("embedding"), 1), 1).getField("cluster"))
+      element_at(NearestCentroids(col("embedding"), snap(), 1), 1))
 
     // Lloyd iterations: map-only assign → recompute means. The mean
     // is `dims` scalar avg aggregates (one per dimension) — partial
@@ -121,8 +111,8 @@ object SimilaritySearch {
 
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(transform(nearestClusters(col("embedding"), nprobe),
-          s => s.getField("cluster"))).as("cluster"))
+        explode(NearestCentroids(col("embedding"), snap(), nprobe))
+          .as("cluster"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))
