@@ -210,6 +210,40 @@ object QueriesPipeline {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same stopword-argmax semantics as LangIdArgmax: hit counts per
+    // profile over lowercased alnum tokens, ties to the
+    // lexicographically greatest code, 'und' when nothing hits.
+    "q_text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                t -> t <> '') AS tk
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['the','a','of','and','to','in','is','that','it','for'], t))) AS en,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['der','die','das','und','ist','von','mit','den','im','ein'], t))) AS de,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['le','la','les','de','et','un','une','est','dans','que'], t))) AS fr,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['el','la','los','de','y','un','una','es','en','que'], t))) AS es,
+        |    len(list_filter(tk, t -> list_contains(
+        |      ['il','la','di','e','un','una','che','per','con','del'], t))) AS it
+        |  FROM toks
+        |), best AS (
+        |  SELECT doc_id, CASE
+        |    WHEN greatest(en, de, fr, es, it) = 0 THEN 'und'
+        |    WHEN it = greatest(en, de, fr, es, it) THEN 'it'
+        |    WHEN fr = greatest(en, de, fr, es, it) THEN 'fr'
+        |    WHEN es = greatest(en, de, fr, es, it) THEN 'es'
+        |    WHEN en = greatest(en, de, fr, es, it) THEN 'en'
+        |    ELSE 'de' END AS lang_guess
+        |  FROM scored
+        |)
+        |SELECT lang_guess, count(*) AS n FROM best
+        |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
