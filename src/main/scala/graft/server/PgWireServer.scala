@@ -268,6 +268,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
         BindParams.literal(prep.oidAt(i), fmt, data)
       }
+      // result-format codes: results ship in text format, like the
+      // reference's serializer (cpp:119-166). A client that asks for
+      // binary results gets an explicit feature error instead of
+      // silently mis-framed text bytes.
+      val nResFmt = r.int16()
+      val resFmts = Array.fill(nResFmt)(r.int16())
+      if (resFmts.exists(_ != 0))
+        throw new UnsupportedOperationException(
+          "binary result format is not supported; request text (format 0)")
       portals += portal -> (
         if (prep.nParams == 0) prep.sql
         else BindParams.substitute(prep.sql, lits))
