@@ -111,6 +111,31 @@ object QueriesPipeline {
           sum(col("ws_tokens")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    // Reproducible stratified sample (deterministic mix-hash — no
+    // engine RNG, so fully oracle-checkable, unlike TABLESAMPLE).
+    "q_corpus_sample" -> ((s, dir) => {
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id", 0.1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    }),
+    // Deterministic train/val/test split by id mix-bucket.
+    "q_corpus_split" -> ((s, dir) => {
+      CorpusOps.hashSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))
+    }),
+    // Token-budget shard packing (what corpus sharding for training
+    // actually does): per-language prefix sum over a deterministic
+    // order, shard = floor(exclusive_cumsum / budget).
+    "q_corpus_pack" -> ((s, dir) => {
+      CorpusOps.packByBudget(t(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", budget = 10000L)
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"), col("shard"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -210,6 +235,32 @@ object QueriesPipeline {
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_sample" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents
+        |WHERE ((doc_id % 1000003) * 40503 + 17) % 10000 < 1000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_corpus_split" ->
+      """SELECT CASE
+        |    WHEN b < 90 THEN 'train'
+        |    WHEN b < 95 THEN 'val'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT n_chars,
+        |        ((doc_id % 1000003) * 40503 + 29) % 100 AS b
+        |      FROM documents)
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "q_corpus_pack" ->
+      """SELECT lang, shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CAST(floor((sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_chars)
+        |      / 10000.0) AS BIGINT) AS shard
+        |  FROM documents)
+        |GROUP BY lang, shard ORDER BY lang, shard""".stripMargin,
     // Same stopword-argmax semantics as LangIdArgmax: hit counts per
     // profile over lowercased alnum tokens, ties to the
     // lexicographically greatest code, 'und' when nothing hits.

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-management operators: reproducible sampling, splitting,
+  * and token-budget packing.
+  */
+class CorpusOpsSpec extends SparkSpecBase {
+
+  test("stratified sample is reproducible and near the target fraction") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = CorpusOps.stratifiedSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = CorpusOps.stratifiedSample(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must be byte-identical across runs")
+    val frac = s1.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"fraction $frac far from 0.2")
+    // growing the fraction keeps prior rows (nested samples)
+    val s3 = CorpusOps.stratifiedSample(docs, "doc_id", 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3), "samples must be nested as fraction grows")
+  }
+
+  test("hash split is disjoint, total, and near the target ratios") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val counts = CorpusOps.hashSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n, "split must be total")
+    assert(counts("train").toDouble / n > 0.8, counts.toString)
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+  }
+
+  test("budget packing: every shard fits budget + one overflowing doc") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val budget = 10000L
+    val shards = CorpusOps.packByBudget(docs, "lang", "doc_id",
+        "n_chars", budget)
+      .groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_chars")).as("total"), max(col("n_chars")).as("mx"))
+      .collect()
+    shards.foreach { r =>
+      val total = r.getLong(2); val mx = r.getLong(3)
+      assert(total <= budget + mx,
+        s"shard ${r.get(0)}/${r.get(1)} holds $total > budget+$mx")
+    }
+    // shards are contiguous per group starting at 0
+    val perLang = shards.groupBy(_.getString(0))
+    perLang.foreach { case (lang, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong),
+        s"$lang shards not contiguous: $ids")
+    }
+  }
+}
