@@ -36,6 +36,31 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.length == 2) // two 10-minute windows
   }
 
+  test("CorpusOps sampling/split run unchanged on a stream (stateless ops)") {
+    // the corpus-management operators are pure map-stage expressions,
+    // so the SAME declaration runs as a streaming transform and
+    // agrees with its batch twin row-for-row
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val data = (0L until 200L).map(i => (i, s"doc $i", i % 7))
+    val stream = MemoryStream[(Long, String, Long)]
+    stream.addData(data: _*)
+    val streamDf = stream.toDF().toDF("doc_id", "text", "n_chars")
+    val q = CorpusOps.hashSplit(
+        CorpusOps.stratifiedSample(streamDf, "doc_id", 0.5), "doc_id")
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("corpus_stream")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batchDf = data.toDF("doc_id", "text", "n_chars")
+    val batch = CorpusOps.hashSplit(
+        CorpusOps.stratifiedSample(batchDf, "doc_id", 0.5), "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("watermark drops data later than 30 minutes (append mode)") {
     val s = spark
     import s.implicits._
