@@ -233,8 +233,12 @@ object SqlRewrites {
           Seq("WHERE", "GROUP", "ORDER", "LIMIT", "QUALIFY", "WINDOW",
             "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN", "ASOF",
             "INNER", "CROSS", "FULL", "RIGHT")).getOrElse(rest.length)
-        val cond = rest.substring(0, condEnd).trim
+        var cond = rest.substring(0, condEnd).trim
         val tail = rest.substring(condEnd)
+        // strip redundant outer parens: `ON (a AND b)` must split
+        while (cond.startsWith("(") &&
+            matchParen(cond, 0) == cond.length - 1)
+          cond = cond.substring(1, cond.length - 1).trim
         val conjuncts = splitOnAnd(cond)
         val ineqRe = """(?s)^(.*?)(<=|>=|<|>)(.*)$""".r
         val bPrefixes = Seq(s"$alias.", s"$table.")

@@ -57,6 +57,10 @@ class CompatSpec extends SparkSpecBase {
     val f = SqlRewrites.rewrite(
       "SELECT * FROM ev e ASOF JOIN ord o ON e.k = o.k AND e.ts < o.ts")
     assert(f.contains("lag(o.ts) OVER") && f.contains("e.ts >= o.__asof_nb"), f)
+    // parenthesized ON clause still splits into key + inequality
+    val par = SqlRewrites.rewrite(
+      "SELECT * FROM ev e ASOF JOIN ord o ON (e.k = o.k AND e.ts >= o.ts)")
+    assert(par.contains("PARTITION BY o.k") && par.contains("lead(o.ts)"), par)
     // valid Spark SQL without the sugar passes through untouched
     val plain = "SELECT a FROM t JOIN u ON t.k = u.k AND t.x >= u.x"
     assert(SqlRewrites.rewrite(plain) == plain)
