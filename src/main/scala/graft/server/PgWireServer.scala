@@ -448,6 +448,14 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       case "SET" =>
         setStatement(sql)
         w.cstr("SET").send('C')
+      case "SHOW" if pgShow(sql).isDefined =>
+        // pg session variables drivers probe on connect (pgjdbc sends
+        // SHOW TRANSACTION ISOLATION LEVEL); Spark's SHOW TABLES etc.
+        // falls through to the engine below
+        val df = pgShow(sql).get
+        if (describeFirst) rowDescription(df)
+        streamRows(df)
+        w.cstr("SHOW").send('C')
       case "COPY" =>
         copyStatement(sql) match {
           case Some(n) => w.cstr(s"COPY $n").send('C')
@@ -649,6 +657,33 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
           .map(_.value).getOrElse(0L)
       case _ => 0L
     }
+
+  /** `SHOW <pg session variable>` → one-row result, like Postgres.
+    * Returns None for anything that is not a known pg variable so
+    * Spark's own SHOW TABLES / SHOW DATABASES still work.
+    */
+  private def pgShow(sql: String): Option[DataFrame] = {
+    val m = """(?is)^SHOW\s+(.+?)\s*;?\s*$""".r
+    val varName = sql.trim match {
+      case m(v) => v.trim.toLowerCase.replaceAll("\\s+", " ")
+      case _ => return None
+    }
+    val known: Map[String, (String, String)] = Map(
+      "transaction isolation level" ->
+        ("transaction_isolation", "read committed"),
+      "server_version" -> ("server_version", "15.0 (graft-spark)"),
+      "server_encoding" -> ("server_encoding", "UTF8"),
+      "client_encoding" -> ("client_encoding", "UTF8"),
+      "datestyle" -> ("DateStyle", "ISO, MDY"),
+      "timezone" -> ("TimeZone",
+        session.conf.get("spark.sql.session.timeZone", "UTC")),
+      "search_path" -> ("search_path", "public"),
+      "standard_conforming_strings" ->
+        ("standard_conforming_strings", "on"))
+    known.get(varName).map { case (colName, value) =>
+      session.sql(s"SELECT '$value' AS `$colName`")
+    }
+  }
 
   /** SET allowlist → session conf; everything else accepted as no-op
     * (psql sends extra_float_digits etc. — same amnesty the reference
