@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -204,6 +205,74 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("shared").cast("double") /
           (col("sz1") + col("sz2") - col("shared")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard pairs at a HIGH threshold via prefix filtering
+    * (the classic exact similarity-join pruning from the published
+    * SSJoin/PPJoin line of work): order each document's grams by
+    * global document frequency ascending (rarest first, ties on the
+    * gram value), and index only each document's first
+    * `|g| − ⌈t·|g|⌉ + 1` grams. Any pair with Jaccard ≥ t MUST share
+    * a prefix gram under a consistent total order — if two sets share
+    * none of either's prefix, their overlap is bounded below the
+    * threshold — so candidate generation is exact-complete, like the
+    * all-postings join, but the posting lists shrink to the rare end
+    * of the df distribution: hot grams (the Σdf² cost driver at
+    * 100 TB) fall out of every prefix. A length filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes further before verification.
+    *
+    * Complements [[ngramJaccardPairs]]: at loose thresholds (t≈0.1)
+    * prefixes are ~90% of the grams and the plain posting join wins;
+    * at near-dup thresholds (t ≥ 0.5) the prefix join moves a small
+    * fraction of the postings.
+    */
+  def prefixJaccardPairs(
+      docs: DataFrame,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val g = withHashedShingles(
+        docs.select(col("doc_id"), col("text"))
+          .filter(size(split(col("text"), " ")) >= shingleSize),
+        "text", shingleSize, "grams")
+      .select(col("doc_id"), col("grams"))
+      .filter(size(col("grams")) > 0)
+      .localCheckpoint(eager = false) // postings + sizes + verify share it
+
+    // global document frequency per gram — the prefix order
+    val dfreq = g.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+
+    // rank grams per doc by (df asc, gram) and keep the prefix
+    val posts = g.select(col("doc_id"), size(col("grams")).as("sz"),
+        explode(col("grams")).as("gram"))
+      .join(dfreq, "gram")
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("gram"))
+    val prefix = posts
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("gram"), col("doc_id"), col("sz"))
+
+    val a = prefix.select(col("gram").as("g1"), col("doc_id").as("id1"),
+      col("sz").as("sz1"))
+    val b = prefix.select(col("gram").as("g2"), col("doc_id").as("id2"),
+      col("sz").as("sz2"))
+    val candidates = a
+      .join(b, col("g1") === col("g2") && col("id1") < col("id2") &&
+        col("sz1") * threshold <= col("sz2") &&
+        col("sz2") * threshold <= col("sz1"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+
+    val g1 = g.select(col("doc_id").as("id1"), col("grams").as("ga"))
+    val g2 = g.select(col("doc_id").as("id2"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    candidates.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        round(inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -111,6 +111,13 @@ object QueriesPipeline {
           sum(col("ws_tokens")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    // Exact prefix-filtered similarity join (high-threshold Jaccard;
+    // oracle = all-pairs, plan = rare-prefix posting join).
+    "q_dedup_prefix" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+          shingleSize = 3, threshold = 0.6)
+        .orderBy(col("id1"), col("id2"))
+    }),
     // Reproducible stratified sample (deterministic mix-hash — no
     // engine RNG, so fully oracle-checkable, unlike TABLESAMPLE).
     "q_corpus_sample" -> ((s, dir) => {
@@ -173,6 +180,22 @@ object QueriesPipeline {
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |    AND abs(a.n_chars - b.n_chars) <= 20)
         |WHERE j >= 0.1 ORDER BY id1, id2""".stripMargin,
+    "q_dedup_prefix" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3 AND len(list_distinct(list_transform(
+        |    range(1, len(words)-1),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) > 0)
+        |SELECT id1, id2, j AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |WHERE j >= 0.6 ORDER BY id1, id2""".stripMargin,
     "q_dedup_embedding" ->
       """SELECT id1, id2, c AS cos FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

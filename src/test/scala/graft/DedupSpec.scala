@@ -82,6 +82,29 @@ class DedupSpec extends SparkSpecBase {
       s"missing exact-copy pairs: ${expected.diff(pairs).take(5)}")
   }
 
+  test("prefix-filtered jaccard join equals all-pairs at the threshold") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(80)
+      .localCheckpoint()
+    val got = Dedup.prefixJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // ground truth: all-pairs jaccard over the same hashed grams
+    val g = Dedup.withHashedShingles(
+        docs.filter(size(split(col("text"), " ")) >= 3), "text", 3, "grams")
+      .select(col("doc_id"), col("grams")).filter(size(col("grams")) > 0)
+    val a = g.select(col("doc_id").as("id1"), col("grams").as("ga"))
+    val b = g.select(col("doc_id").as("id2"), col("grams").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    val exact = a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(inter.cast("double") /
+          (size(col("ga")) + size(col("gb")) - inter), 6).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got == exact,
+      s"prefix join must be exact: missing=${(exact.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- exact.keySet).take(3)}")
+  }
+
   test("embedding near-dups agree with brute-force cosine at threshold") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val pairs = Dedup.embeddingNearDups(emb, 0.3)

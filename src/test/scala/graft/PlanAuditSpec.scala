@@ -66,6 +66,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "minhash" -> Dedup.minhashNearDups(docs, "doc_id", "text"),
       "simhash" -> Dedup.simhashNearDups(docs, "doc_id", "text"),
       "ngram" -> Dedup.ngramJaccardPairs(docs),
+      "prefix" -> Dedup.prefixJaccardPairs(docs, threshold = 0.6),
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
       "lsh" -> SimilaritySearch.lshTopK(
         emb.filter(col("vec_id") < 5), emb, 3, 64))
