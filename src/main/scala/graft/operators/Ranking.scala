@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical relevance ranking over a document corpus — the retrieval
+  * side of a training-data pipeline (dataset search, nearest-query
+  * mining, curriculum selection by topic).
+  *
+  * BM25 (Robertson/Spärck Jones, the Okapi formulation with the
+  * Lucene-style `ln(1 + (N-df+0.5)/(df+0.5))` non-negative idf) is
+  * implemented as pure relational algebra: a posting-list build
+  * (explode + hash aggregate keyed by (doc, term)), a term-level df
+  * aggregate, and one final per-doc score aggregate — every shuffle is
+  * keyed by doc or term, so the plan is AQE-skew-splittable and holds
+  * at 100 TB. The query-term set is a broadcast-small literal filter
+  * pushed into the posting build, so the exploded volume is bounded by
+  * matching postings only, not corpus token count.
+  */
+object Ranking {
+
+  /** Lowercased alnum tokens — the same segmentation the language-ID
+    * and token-count operators use, so posting stats line up across
+    * the pipeline.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Per-(doc, term) BM25 contributions for `terms`, summed per doc
+    * through an exact decimal accumulator (partial-aggregation order
+    * cannot perturb low bits — the float-sum trap), then top-k by
+    * score. Returns (doc_id, score) with score rounded to 6 decimals.
+    *
+    * Corpus stats (N, avgdl) ride along as a broadcast single-row
+    * crossJoin — never a driver-side collect.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 15): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+      .localCheckpoint(eager = false) // stats scan + posting build share it
+
+    // dl values are integral doubles, so sum(avg) is order-exact
+    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+
+    val posts = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val dfreq = posts.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    val contrib = idf * col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+
+    posts
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(30,15)")).cast("double"), 6)
+        .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -85,6 +85,52 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
           .cast("bigint"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    * how much of a document is the same phrase repeated. Emitted per
+    * doc: bigram count, the most frequent bigram's occurrence count
+    * and fraction, and the fraction of trigrams that are duplicates.
+    *
+    * Unlike the rest of this file, the top-bigram signal is not
+    * shuffle-free — the per-doc mode needs a (doc, gram) hash
+    * aggregate — but both shuffles are keyed by doc_id, so the
+    * operator stays embarrassingly parallel across documents at
+    * 100 TB (no cross-document joins).
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    def grams(wc: Column, n: Int): Column =
+      // sequence(1, hi) DESCENDS when hi < 1 (Spark semantics) — the
+      // short-doc guard must short-circuit before sequence() is built
+      when(size(wc) >= n,
+        transform(sequence(lit(1), size(wc) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(wc, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val base = df
+      .select(col(idCol).cast("long").as("doc_id"), words.as("words"))
+      .select(col("doc_id"), grams(col("words"), 2).as("bigrams"),
+        grams(col("words"), 3).as("trigrams"))
+      .localCheckpoint(eager = false) // per-doc frame + exploded counts share it
+
+    val top = base
+      .select(col("doc_id"), explode(col("bigrams")).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_n"))
+
+    val nTri = size(col("trigrams"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("bigrams")).cast("bigint").as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).cast("bigint").as("top_bigram_n"),
+        round(coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(size(col("bigrams")), lit(1)), 6).as("top_bigram_frac"),
+        when(nTri === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(col("trigrams"))).cast("double") /
+            nTri, 6)).as("dup_trigram_frac"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the normalized text,
     * mod 2^31-1 (keeps the ANSI-mode fold inside long range).
     */

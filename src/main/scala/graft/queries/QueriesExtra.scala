@@ -37,6 +37,18 @@ object QueriesExtra {
         .groupBy(col("priority")).pivot("st", Seq("F", "O", "P")).count()
         .orderBy(col("priority"))
     }),
+    // UNPIVOT (wide metrics → long), the inverse of q_pivot: Spark's
+    // native unpivot/melt against DuckDB's UNPIVOT clause. Values
+    // share one type (double) via the exact-decimal sum.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("double").as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .unpivot(Array(col("priority")),
+          Array(col("n_orders"), col("total_price")), "metric", "value")
+        .orderBy(col("priority"), col("metric"))
+    }),
     // GROUP BY ALL sugar (both engines).
     "q_groupby_all" -> ((s, dir) => sql(s, dir,
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
@@ -153,6 +165,14 @@ object QueriesExtra {
         |               FROM orders)
         |PIVOT (count(*) FOR st IN ('F', 'O', 'P'))
         |ORDER BY priority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT priority, metric, value FROM (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total_price
+        |  FROM orders GROUP BY o_orderpriority)
+        |UNPIVOT (value FOR metric IN (n_orders, total_price))
+        |ORDER BY priority, metric""".stripMargin,
     "q_groupby_all" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY ALL

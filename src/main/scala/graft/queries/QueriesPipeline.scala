@@ -143,6 +143,26 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
         .orderBy(col("lang"), col("shard"))
     }),
+    // Near-dup pairs → duplicate clusters: iterative min-label
+    // connected components with pointer jumping (oracle replays the
+    // closure via WITH RECURSIVE — right at sf0.01, wrong at 100 TB,
+    // which is exactly why the Spark side is the iterative operator).
+    "q_dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
+      GraphOps.dupClusters(pairs).orderBy(col("doc_id"))
+    }),
+    // BM25 keyword retrieval over the corpus (oracle-checked; decimal
+    // accumulator keeps the score sum order-exact).
+    "q_text_bm25" -> ((s, dir) => {
+      Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("vector", "spark", "merge"), k = 15)
+    }),
+    // Gopher-style repetition filters (oracle-checked).
+    "q_text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -318,6 +338,82 @@ object QueriesPipeline {
         |)
         |SELECT lang_guess, count(*) AS n FROM best
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3),
+        |pairs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |      round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+        |    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      AND abs(a.n_chars - b.n_chars) <= 20)
+        |  WHERE j >= 0.1),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical FROM (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')) AS DOUBLE) AS dl,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |posts AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('vector', 'spark', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM posts GROUP BY term)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(
+        |    ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * (1.2 + 1) /
+        |      (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |    AS DECIMAL(30,15))) AS DOUBLE), 6) AS score
+        |FROM posts p JOIN dfreq f ON p.term = f.term CROSS JOIN stats s
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(words)),
+        |      i -> words[i] || ' ' || words[i+1]) AS bigrams,
+        |    list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS trigrams
+        |  FROM w),
+        |tops AS (
+        |  SELECT doc_id, max(n) AS top_bigram_n FROM (
+        |    SELECT doc_id, gram, count(*) AS n
+        |    FROM (SELECT doc_id, unnest(bigrams) AS gram FROM b)
+        |    GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id AS doc_id,
+        |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  round(CAST(coalesce(top_bigram_n, 0) AS DOUBLE)
+        |    / greatest(len(bigrams), 1), 6) AS top_bigram_frac,
+        |  CASE WHEN len(trigrams) = 0 THEN 0.0 ELSE
+        |    round(1.0 - CAST(len(list_distinct(trigrams)) AS DOUBLE)
+        |      / len(trigrams), 6) END AS dup_trigram_frac
+        |FROM b LEFT JOIN tops ON b.doc_id = tops.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(
