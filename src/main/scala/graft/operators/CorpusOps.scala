@@ -51,6 +51,71 @@ object CorpusOps {
         .otherwise("test"))
   }
 
+  /** Benchmark decontamination: flag corpus documents that share at
+    * least one word n-gram with an evaluation set (the standard
+    * n-gram-overlap contamination check from the published LM
+    * literature — GPT-3 appendix C / PaLM-style 8-gram matching,
+    * shrunk to `n` for short documents).
+    *
+    * Shape at 100 TB: the eval side is a benchmark — thousands of
+    * documents, millions of n-grams at most — so its distinct gram set
+    * is BROADCAST and the corpus side never shuffles: one map-side
+    * semi-join probe per corpus gram, then a doc-keyed count. Grams
+    * ride as 64-bit combined word hashes ([[HashedShingles]]), never
+    * materialized strings.
+    *
+    * @return (doc_id, n_shared) — contaminated corpus docs only.
+    */
+  def contaminationReport(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = Dedup.withHashedShingles(
+        df.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+          .filter(size(split(col(textCol), " ")) >= n),
+        textCol, n, "grams")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val evalGrams = grams(evalDocs).select(col("gram")).distinct()
+    grams(corpus)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      // grams are distinct within a doc (HashedShingles dedups), so a
+      // plain count is the distinct shared-gram count
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Vocabulary build + out-of-vocabulary rate — tokenizer-training
+    * prep: the corpus vocabulary is every token with frequency ≥
+    * `minFreq`; each document's OOV rate is the fraction of its tokens
+    * outside that vocabulary; the report aggregates by language.
+    *
+    * Two token-keyed hash aggregates (vocab build, postings probe) and
+    * one doc-keyed rollup — no broadcast of the vocab (a 100 TB corpus
+    * vocabulary is itself huge, so the probe is a shuffle join on the
+    * token, skew-handled by AQE; stopword-heavy tokens are exactly the
+    * frequent ones, which the join's map-side combine pre-collapses).
+    */
+  def oovReport(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", groupCol: String = "lang",
+      minFreq: Long = 5L): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(groupCol).as("grp"),
+        explode(Ranking.tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = false) // vocab build + probe share it
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+      .select(col("tok"))
+    val perDoc = toks.join(vocab.withColumn("in_v", lit(1)), Seq("tok"), "left")
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+    perDoc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(sum(col("n_oov")).cast("double") / sum(col("n_toks")), 6)
+          .as("oov_rate"))
+      .withColumnRenamed("grp", groupCol)
+  }
+
   /** Pack documents into shards of at most `budget` tokens (plus one
     * overflowing document) per group: shard = floor(exclusive-prefix-
     * sum(tokens) / budget) over a deterministic order.

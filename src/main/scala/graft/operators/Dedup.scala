@@ -22,6 +22,20 @@ object Dedup {
     df.groupBy(contentCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Streaming-compatible exact dedup: keep the FIRST arrival per
+    * content key. The same call works on batch and streaming frames —
+    * in streaming it is the ingestion-time dedup of a training-data
+    * firehose, keyed state per content key. With `withinWatermark`
+    * (requires an upstream `withWatermark`) the state store evicts
+    * keys older than the horizon, which is the only state-bounded
+    * (therefore 100 TB-viable) form of infinite-stream dedup.
+    */
+  def exactStreaming(df: DataFrame, contentCols: Seq[String],
+      withinWatermark: Boolean = false): DataFrame =
+    if (withinWatermark)
+      df.dropDuplicatesWithinWatermark(contentCols.head, contentCols.tail: _*)
+    else df.dropDuplicates(contentCols)
+
   /** Word n-gram shingles of a text column (distinct). */
   def shingles(text: Column, n: Int): Column = {
     val words = split(text, " ")

@@ -163,6 +163,20 @@ object QueriesPipeline {
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
+    // Benchmark decontamination: corpus docs sharing any 5-gram with
+    // the "benchmark" slice (doc_id < 20); eval gram set broadcast.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.contaminationReport(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Vocabulary build + per-language OOV rate (tokenizer prep).
+    "q_corpus_vocab" -> ((s, dir) => {
+      CorpusOps.oovReport(t(s, dir, "documents"), minFreq = 5L)
+        .orderBy(col("lang"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -338,6 +352,36 @@ object QueriesPipeline {
         |)
         |SELECT lang_guess, count(*) AS n FROM best
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    "q_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(words)-3),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |           || ' ' || words[i+3] || ' ' || words[i+4])) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS words FROM documents)
+        |  WHERE len(words) >= 5),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
+        |SELECT c.doc_id AS doc_id, count(*) AS n_shared
+        |FROM c JOIN e ON c.gram = e.gram
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_corpus_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) >= 5),
+        |per_doc AS (
+        |  SELECT doc_id, lang, count(*) AS n_toks,
+        |    sum(CASE WHEN v.one IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM toks LEFT JOIN (SELECT tok, 1 AS one FROM vocab) v
+        |    ON toks.tok = v.tok
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_oov) AS DOUBLE) / sum(n_toks), 6) AS oov_rate
+        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id, lang, n_chars,

@@ -50,6 +50,13 @@ object QueriesSugar {
       EventsStreaming.tumblingCounts(t(s, dir, "events"))
         .orderBy(col("bucket_start"), col("event_type"))
     }),
+    // Hopping windows (size 10 min, slide 5 min): every event in two
+    // overlapping buckets; oracle replays the overlap via unnest of
+    // the two candidate bucket starts.
+    "q_window_hopping" -> ((s, dir) => {
+      EventsStreaming.hoppingCounts(t(s, dir, "events"))
+        .orderBy(col("bucket_start"), col("event_type"))
+    }),
     // Stream-stream attribution join, batch form (same declaration
     // runs as a watermarked streaming join; StreamingSpec checks the
     // stream/batch agreement).
@@ -132,6 +139,16 @@ object QueriesSugar {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type""".stripMargin,
+    "q_window_hopping" ->
+      """SELECT bucket_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS v_sum
+        |FROM (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |    AS bucket_start, event_type, value
+        |  FROM events)
+        |GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
     "q_stream_join" ->
       """SELECT a.event_id AS click_id, b.event_id AS purchase_id,
         |  a.user_id, a.ts AS click_ts, b.ts AS purchase_ts

@@ -28,6 +28,21 @@ object EventsStreaming {
         col("n"), col("v_sum"))
   }
 
+  /** Hopping (sliding) windows: size 10 min, slide 5 min — every event
+    * lands in exactly two overlapping buckets. Same declaration runs
+    * batch or watermarked streaming, like [[tumblingCounts]].
+    */
+  def hoppingCounts(events: DataFrame, watermarked: Boolean = false): DataFrame = {
+    val src = if (watermarked) events.withWatermark("ts", "30 minutes") else events
+    src
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).cast("double").as("v_sum"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n"), col("v_sum"))
+  }
+
   final case class Ev(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)

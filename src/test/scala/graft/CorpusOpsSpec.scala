@@ -54,4 +54,37 @@ class CorpusOpsSpec extends SparkSpecBase {
         s"$lang shards not contiguous: $ids")
     }
   }
+
+  test("contamination report flags exactly the overlapping docs, broadcast-side eval") {
+    val s = spark
+    import s.implicits._
+    val evalDocs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "xx alpha beta gamma delta epsilon yy"), // shares 1 5-gram
+      (101L, "alpha beta gamma other words here"),    // shares none (4-gram max)
+      (102L, "totally unrelated text about sparks and rows")
+    ).toDF("doc_id", "text")
+    val rep = CorpusOps.contaminationReport(corpus, evalDocs, n = 5)
+    val got = rep.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(100L -> 1L))
+    // scale shape: the eval gram set must ride a broadcast hash join
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("oov report: known vocabulary and rates") {
+    val s = spark
+    import s.implicits._
+    // 'common' appears 5x (>= minFreq), everything else is OOV
+    val docs = Seq(
+      (1L, "en", "common common common rare1"),
+      (2L, "en", "common common rare2 rare3")
+    ).toDF("doc_id", "lang", "text")
+    val got = CorpusOps.oovReport(docs, minFreq = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // 8 tokens, 3 OOV (rare1, rare2, rare3) → 0.375
+    assert(got == Seq(("en", 2L, 8L, 0.375)))
+  }
 }

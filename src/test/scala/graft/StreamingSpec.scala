@@ -36,6 +36,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.length == 2) // two 10-minute windows
   }
 
+  test("streaming hopping agg (complete mode) equals batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val data = Seq(
+      Ev(1, ts("2024-01-01 00:01:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 00:06:00"), 1, "click", 2.0),
+      Ev(3, ts("2024-01-01 00:12:00"), 2, "view", 3.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(data: _*)
+    val q = EventsStreaming.hoppingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("hopping_complete")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("hopping_complete")
+      .orderBy("bucket_start", "event_type").collect().map(_.toSeq).toSeq
+    val batch = EventsStreaming.hoppingCounts(data.toDF())
+      .orderBy("bucket_start", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // every event lands in exactly two 10-min/5-min-slide windows
+    assert(streamed.map(_(2).asInstanceOf[Long]).sum == 2 * data.length)
+  }
+
+  test("streaming exact dedup keeps one row per content key across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup.exactStreaming(stream.toDF().toDF("doc_id", "text"),
+        Seq("text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    stream.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+    q.processAllAvailable()
+    stream.addData((4L, "aaa"), (5L, "ccc"), (6L, "bbb")) // dups of batch 1
+    q.processAllAvailable(); q.stop()
+    val got = s.table("dedup_stream").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // first arrival wins; state persists ACROSS micro-batches
+    assert(got == Seq((1L, "aaa"), (2L, "bbb"), (5L, "ccc")))
+    val batchCount = Dedup.exactStreaming(
+      Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"), (5L, "ccc"),
+        (6L, "bbb")).toDF("doc_id", "text"), Seq("text")).count()
+    assert(batchCount == got.length)
+  }
+
   test("CorpusOps sampling/split run unchanged on a stream (stateless ops)") {
     // the corpus-management operators are pure map-stage expressions,
     // so the SAME declaration runs as a streaming transform and
