@@ -48,15 +48,23 @@ object GraphOps {
       srcCol: String = "src",
       dstCol: String = "dst",
       maxRounds: Int = 20): DataFrame = {
-    val sym = edges
+    // checkpoint the INPUT edges before the symmetrizing union: both
+    // union branches read `edges`, and upstream of this operator sits
+    // a whole candidate-pair pipeline (posting joins, verification) —
+    // without the checkpoint that pipeline would execute twice
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+      .localCheckpoint(eager = false)
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(eager = false) // reused every round — compute once
 
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
+    // seed labels with round-1 propagation folded in: sym carries both
+    // directions, so min(dst) over a node's edges is its min neighbor
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
 
