@@ -111,6 +111,42 @@ object QueriesPipeline {
           sum(col("ws_tokens")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    // THE end-to-end curation pipeline — the composite every operator
+    // above exists for, as one DAG: quality + repetition gate →
+    // near-dup clustering (posting-list pairs → connected components,
+    // keep cluster canonicals) → benchmark decontamination → hash
+    // split → per-(split, lang) accounting. The oracle replays the
+    // identical semantics with all-pairs joins and a recursive
+    // closure — right answer at sf0.01, unviable at 100 TB, which is
+    // the point of the Spark formulation.
+    "q_pipeline_full" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val evalDocs = docs.filter(col("doc_id") < 20)
+      val scored = TextAnalysis.qualityFeatures(corpus, "text")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          col("quality"))
+      val rep = TextAnalysis.repetitionFeatures(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("dup_trigram_frac"))
+      val kept = scored.join(rep, "doc_id")
+        .filter(col("quality") >= 0.84 && col("dup_trigram_frac") <= 0.1)
+        .localCheckpoint(eager = false) // pairs + canonical + contamination + split
+      val pairs = Dedup.ngramJaccardPairs(
+        kept.select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
+        shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
+      val comp = GraphOps.connectedComponents(pairs, "id1", "id2")
+      val canon = kept.join(comp, kept("doc_id") === comp("id"), "left")
+        .filter(col("component").isNull || col("component") === col("doc_id"))
+        .select(kept("doc_id"), col("lang"), col("text"))
+      val contaminated = CorpusOps.contaminationReport(canon, evalDocs, n = 5)
+        .select(col("doc_id"), lit(1).as("bad"))
+      val clean = canon.join(contaminated, Seq("doc_id"), "left")
+        .filter(col("bad").isNull)
+      TextAnalysis.tokenCounts(CorpusOps.hashSplit(clean, "doc_id"), "text")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))
+    }),
     // Exact prefix-filtered similarity join (high-threshold Jaccard;
     // oracle = all-pairs, plan = rare-prefix posting join).
     "q_dedup_prefix" -> ((s, dir) => {
@@ -352,6 +388,85 @@ object QueriesPipeline {
         |)
         |SELECT lang_guess, count(*) AS n FROM best
         |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+    "q_pipeline_full" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS words
+        |  FROM documents WHERE doc_id >= 20),
+        |scored AS (
+        |  SELECT doc_id, lang, n_chars, text, words,
+        |    round(
+        |      least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least((CAST(len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.1, 6) AS quality
+        |  FROM w),
+        |rep AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tri) = 0 THEN 0.0 ELSE
+        |      round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+        |    END AS dupf
+        |  FROM (SELECT doc_id, list_transform(range(1, len(words)-1),
+        |          i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS tri
+        |        FROM w)),
+        |kept AS (
+        |  SELECT s.doc_id AS doc_id, s.lang AS lang, s.n_chars AS n_chars,
+        |         s.text AS text, s.words AS words
+        |  FROM scored s JOIN rep r ON s.doc_id = r.doc_id
+        |  WHERE s.quality >= 0.84 AND r.dupf <= 0.1),
+        |g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+        |  FROM kept WHERE len(words) >= 3),
+        |pairs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |      round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+        |    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      AND abs(a.n_chars - b.n_chars) <= 20)
+        |  WHERE j >= 0.1),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS cid
+        |         FROM reach GROUP BY a),
+        |canon AS (
+        |  SELECT k.doc_id AS doc_id, k.lang AS lang, k.text AS text,
+        |         k.words AS words
+        |  FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+        |  WHERE c.cid IS NULL OR c.cid = k.doc_id),
+        |eg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(words)-3),
+        |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |         || ' ' || words[i+3] || ' ' || words[i+4]))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+        |        WHERE doc_id < 20)
+        |  WHERE len(words) >= 5),
+        |cont AS (
+        |  SELECT DISTINCT cg.doc_id AS doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)-3),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+        |           || ' ' || words[i+3] || ' ' || words[i+4]))) AS gram
+        |    FROM canon WHERE len(words) >= 5) cg
+        |  JOIN eg ON cg.gram = eg.gram),
+        |clean AS (
+        |  SELECT * FROM canon
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(words, t -> t <> ''))) AS BIGINT) AS total_tokens
+        |FROM (SELECT lang, words,
+        |        ((doc_id % 1000003) * 40503 + 29) % 100 AS b
+        |      FROM clean)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,
