@@ -59,6 +59,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"ASOF SQL rewrite must stay a hash/merge join:\n$plan")
   }
 
+  test("q_pipeline_full: the end-to-end DAG stays cartesian-free") {
+    // the composite chains six operators and a dozen joins — a single
+    // trivially-true or decorrelated-to-domain join anywhere in the
+    // chain would degenerate it; the executed plan must stay hash-
+    // joined end to end (the one sanctioned BNLJ is the broadcast
+    // single-row stats frame, which this pipeline does not use)
+    val df = q("q_pipeline_full")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(4000))
+  }
+
   test("candidate-pair operators never plan a cartesian product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
