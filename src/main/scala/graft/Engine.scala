@@ -47,8 +47,77 @@ object Engine {
     */
   def query(spark: SparkSession, sql: String): DataFrame = {
     Functions.registerAll(spark)
-    val r = SqlRewrites.rewriteFull(sql)
-    r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+    sql match {
+      case SummarizeRe(target) => summarize(spark, target)
+      case _ =>
+        val r = SqlRewrites.rewriteFull(sql)
+        r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+    }
+  }
+
+  private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
+
+  /** DuckDB's `SUMMARIZE <table | SELECT ...>` statement (delegated
+    * surface — any wire client can send it; the bridge forwards it
+    * verbatim at cpp:52): per-column min/max/approx-distinct/avg/std/
+    * quartiles/count/null%. One pass over the data — every statistic
+    * for every column is computed in a single aggregate row, which is
+    * then exploded into the per-column result rows. At 100 TB that is
+    * one scan + one single-row shuffle, not a scan per column.
+    */
+  def summarize(spark: SparkSession, target: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val t = target.trim
+    val base =
+      if (t.matches("(?is)^(SELECT|WITH|VALUES|FROM)\\b.*")) query(spark, t)
+      else spark.table(t)
+    val fields = base.schema.fields
+    def isOrderable(dt: DataType) = dt match {
+      case _: NumericType | StringType | DateType | BooleanType => true
+      case _: TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def isNumeric(dt: DataType) = dt.isInstanceOf[NumericType]
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(s"`${f.name}`")
+      val minMax =
+        if (isOrderable(f.dataType))
+          Seq(min(c).cast("string").as(s"__mn$i"),
+            max(c).cast("string").as(s"__mx$i"))
+        else Seq(lit(null).cast("string").as(s"__mn$i"),
+          lit(null).cast("string").as(s"__mx$i"))
+      val numeric =
+        if (isNumeric(f.dataType))
+          Seq(avg(c).cast("double").as(s"__avg$i"),
+            stddev(c).cast("double").as(s"__std$i"),
+            percentile_approx(c.cast("double"),
+              array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as(s"__q$i"))
+        else Seq(lit(null).cast("double").as(s"__avg$i"),
+          lit(null).cast("double").as(s"__std$i"),
+          lit(null).cast("array<double>").as(s"__q$i"))
+      minMax ++ numeric ++ Seq(
+        approx_count_distinct(c).as(s"__au$i"),
+        count(c).as(s"__nn$i"))
+    } :+ count(lit(1)).as("__n")
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.zipWithIndex.map { case (f, i) =>
+      struct(
+        lit(f.name).as("column_name"),
+        lit(f.dataType.sql).as("column_type"),
+        col(s"__mn$i").as("min"),
+        col(s"__mx$i").as("max"),
+        col(s"__au$i").as("approx_unique"),
+        col(s"__avg$i").as("avg"),
+        col(s"__std$i").as("std"),
+        element_at(col(s"__q$i"), 1).as("q25"),
+        element_at(col(s"__q$i"), 2).as("q50"),
+        element_at(col(s"__q$i"), 3).as("q75"),
+        col("__n").as("count"),
+        round(lit(100.0) * (col("__n") - col(s"__nn$i")) / greatest(col("__n"), lit(1L)), 2)
+          .as("null_percentage"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
   }
 }
 

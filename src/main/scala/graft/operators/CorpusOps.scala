@@ -51,6 +51,38 @@ object CorpusOps {
         .otherwise("test"))
   }
 
+  /** Temperature-based mixture resampling — the data-mixing step of a
+    * pre-training pipeline (public recipe from the multilingual /
+    * multi-source training literature: sampling weight ∝ share^(1/T),
+    * T > 1 flattens toward uniform across sources, T = 1 keeps natural
+    * proportions). Deterministic: the per-source keep rate is computed
+    * from exact counts, and membership uses the same mix-hash as
+    * [[stratifiedSample]], so the resample is reproducible and
+    * oracle-checkable — no engine RNG.
+    *
+    * Per source s with count c_s: w_s = c_s^(1/T); keep rate
+    * p_s = min(1, f·N·(w_s/Σw) / c_s), rounded to 6 decimals so both
+    * engines derive an identical integer threshold. The rate table is
+    * one row per source (broadcast); the corpus side is a map-only
+    * filter — no shuffle of the data being sampled.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+      temperature: Double, fraction: Double, seed: Int = 37): DataFrame = {
+    require(temperature > 0 && fraction >= 0 && fraction <= 1)
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("cs"))
+    val tot = counts.agg(sum(col("cs")).as("n"),
+      sum(pow(col("cs"), lit(1.0 / temperature))).as("sw"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        round(least(lit(1.0),
+          lit(fraction) * col("n") * (pow(col("cs"), lit(1.0 / temperature)) / col("sw")) / col("cs")),
+          6).as("p"))
+    df.join(broadcast(rates), sourceCol)
+      .filter(mixBucket(col(idCol), seed, 1000000) <
+        round(col("p") * 1000000).cast("long"))
+      .drop("p")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at
     * least one word n-gram with an evaluation set (the standard
     * n-gram-overlap contamination check from the published LM

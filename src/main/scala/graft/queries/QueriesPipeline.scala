@@ -213,6 +213,15 @@ object QueriesPipeline {
       CorpusOps.oovReport(t(s, dir, "documents"), minFreq = 5L)
         .orderBy(col("lang"))
     }),
+    // Temperature mixture resampling across sources (T=2 flattens,
+    // f=0.5 target fraction) — deterministic, per-source accounting.
+    "q_corpus_mix" -> ((s, dir) => {
+      CorpusOps.temperatureMix(t(s, dir, "documents"), "source", "doc_id",
+          temperature = 2.0, fraction = 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -467,6 +476,19 @@ object QueriesPipeline {
         |        ((doc_id % 1000003) * 40503 + 29) % 100 AS b
         |      FROM clean)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cs FROM documents GROUP BY source),
+        |tot AS (SELECT sum(cs) AS n, sum(pow(cs, 0.5)) AS sw FROM c),
+        |rates AS (
+        |  SELECT source,
+        |    round(least(1.0, 0.5 * n * (pow(cs, 0.5) / sw) / cs), 6) AS p
+        |  FROM c CROSS JOIN tot)
+        |SELECT d.source AS source, count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS chars
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE ((d.doc_id % 1000003) * 40503 + 37) % 1000000 <
+        |  CAST(round(r.p * 1000000) AS BIGINT)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,

@@ -94,6 +94,25 @@ class CompatSpec extends SparkSpecBase {
     assert(err <= 0.05, s"HLL err $err (exact=$exact approx=$approx)")
   }
 
+  test("SUMMARIZE statement: per-column stats in one pass") {
+    Tables.registerAll(spark, sfDir)
+    val got = Engine.query(spark, "SUMMARIZE region").collect()
+    assert(got.length == 2) // r_regionkey, r_name
+    val byName = got.map(r => r.getString(0) -> r).toMap
+    val key = byName("r_regionkey")
+    assert(key.getString(2) == "0" && key.getString(3) == "4") // min/max
+    assert(key.getLong(10) == 5L && key.getDouble(11) == 0.0) // count, null%
+    assert(key.getDouble(5) == 2.0) // avg of 0..4
+    val name = byName("r_name")
+    assert(name.getString(2) == "AFRICA") // min string
+    assert(name.isNullAt(5)) // no avg for strings
+    // SUMMARIZE over a subquery, through the same statement surface
+    val sub = Engine.query(spark,
+      "SUMMARIZE SELECT o_totalprice FROM orders").collect()
+    assert(sub.length == 1 && sub(0).getString(0) == "o_totalprice")
+    assert(sub(0).getDouble(5) > 0.0) // avg present
+  }
+
   test("asof join: backward pick of most recent right row") {
     val s = spark
     import s.implicits._

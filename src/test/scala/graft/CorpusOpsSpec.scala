@@ -73,6 +73,32 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("temperature mix flattens source shares toward uniform") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val natural = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = CorpusOps.temperatureMix(docs, "source", "doc_id",
+        temperature = 2.0, fraction = 0.5)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source survives, and the kept SHARE of a small source
+    // exceeds its natural share (T>1 upweights the tail)
+    assert(mixed.keySet == natural.keySet)
+    val nTot = natural.values.sum.toDouble
+    val mTot = mixed.values.sum.toDouble
+    val smallest = natural.minBy(_._2)._1
+    val largest = natural.maxBy(_._2)._1
+    if (smallest != largest && natural(smallest) < natural(largest)) {
+      assert(mixed(smallest) / mTot >= natural(smallest) / nTot,
+        s"small source share must not shrink: $natural -> $mixed")
+    }
+    // deterministic: same call, same rows
+    val again = CorpusOps.temperatureMix(docs, "source", "doc_id", 2.0, 0.5)
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == mixed)
+  }
+
   test("oov report: known vocabulary and rates") {
     val s = spark
     import s.implicits._
