@@ -36,7 +36,8 @@ object SparkEntry {
     QueriesRelational.defs ++ QueriesAgg.defs ++ QueriesJoins.defs ++
       QueriesAggExt.defs ++ QueriesWindow.defs ++ QueriesSetSort.defs ++
       QueriesScalar.defs ++ QueriesSub.defs ++ QueriesPipeline.defs ++
-      QueriesSugar.defs ++ QueriesExtra.defs ++ QueriesMisc.defs
+      QueriesSugar.defs ++ QueriesExtra.defs ++ QueriesMisc.defs ++
+      QueriesAnalytics.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,7 +45,8 @@ object SparkEntry {
     QueriesRelational.oracles ++ QueriesAgg.oracles ++ QueriesJoins.oracles ++
       QueriesAggExt.oracles ++ QueriesWindow.oracles ++ QueriesSetSort.oracles ++
       QueriesScalar.oracles ++ QueriesSub.oracles ++ QueriesPipeline.oracles ++
-      QueriesSugar.oracles ++ QueriesExtra.oracles ++ QueriesMisc.oracles
+      QueriesSugar.oracles ++ QueriesExtra.oracles ++ QueriesMisc.oracles ++
+      QueriesAnalytics.oracles
 }
 
 /** Aggregation operators (SURVEY §2.2 "Aggregation"). */
