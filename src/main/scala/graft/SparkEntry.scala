@@ -37,7 +37,7 @@ object SparkEntry {
       QueriesAggExt.defs ++ QueriesWindow.defs ++ QueriesSetSort.defs ++
       QueriesScalar.defs ++ QueriesSub.defs ++ QueriesPipeline.defs ++
       QueriesSugar.defs ++ QueriesExtra.defs ++ QueriesMisc.defs ++
-      QueriesAnalytics.defs
+      QueriesAnalytics.defs ++ QueriesAnalytics.moreDefs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -69,6 +69,59 @@ object QueriesAnalytics {
     })
   )
 
+  val moreDefs: Map[String, Q] = Map(
+    // Ordered funnel: earliest view -> first click after it -> first
+    // purchase after that, per user; one row per stage with the user
+    // count that reached it. Every join is user-keyed (no windows over
+    // the full event stream), so the funnel scales with users.
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("mv"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("mc"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("mp"))
+      val stages = Seq(("view", v), ("click", c), ("purchase", p))
+      stages.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+          col("n_users"))
+      }.reduce(_ unionAll _).orderBy(col("stage"))
+    }),
+    // Weekly cohort retention: cohort = week index of a user's first
+    // event (pure integer date arithmetic — no engine week-numbering
+    // conventions), cell = users from cohort w0 active at offset w-w0.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .cast("bigint").as("w"))
+        .distinct()
+      val first = ev.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+      ev.join(first, "user_id")
+        .groupBy(col("w0").as("cohort_week"),
+          (col("w") - col("w0")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    }),
+    // Per-language length-outlier trim: drop docs above the exact
+    // in-language p95 of n_chars (the usual heavy-tail cleanup);
+    // thresholds are one row per language (broadcast), corpus side
+    // map-only.
+    "q_length_trim" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = docs.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.95)).as("p95"))
+      docs.join(broadcast(thr), "lang")
+        .filter(col("n_chars") <= col("p95"))
+        .groupBy(col("lang"), round(col("p95").cast("double"), 6).as("p95"))
+        .agg(count(lit(1)).as("n_kept"), max(col("n_chars")).as("max_kept"))
+        .orderBy(col("lang"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate,
@@ -93,6 +146,43 @@ object QueriesAnalytics {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS mv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id AS user_id, min(e.ts) AS mc
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.mv
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id AS user_id, min(e.ts) AS mp
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.mc
+        |      GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT 'view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT 'click', count(*) FROM c
+        |  UNION ALL SELECT 'purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) AS w0 FROM a GROUP BY user_id)
+        |SELECT f.w0 AS cohort_week, a.w - f.w0 AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.w0, a.w - f.w0
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_length_trim" ->
+      """WITH thr AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.95) AS p95
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang AS lang, round(CAST(t.p95 AS DOUBLE), 6) AS p95,
+        |  count(*) AS n_kept, max(d.n_chars) AS max_kept
+        |FROM documents d JOIN thr t ON d.lang = t.lang
+        |WHERE d.n_chars <= t.p95
+        |GROUP BY d.lang, round(CAST(t.p95 AS DOUBLE), 6)
+        |ORDER BY d.lang""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
