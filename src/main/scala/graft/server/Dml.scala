@@ -16,6 +16,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Dml {
 
+  /** Per-table write lock: the snapshot-then-overwrite cycle is not
+    * atomic, so two concurrent writers on one table would both
+    * snapshot the original and the last overwrite would silently drop
+    * the first writer's rows. The delegated engine serializes writers
+    * (DuckDB admits one write transaction at a time), so a per-table
+    * monitor reproduces the observable semantics. Keyed by lowercased
+    * table name, process-wide (the catalog is process-wide too).
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table.toLowerCase, _ => new Object)
+
   private val deleteRe =
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val updateRe =
@@ -43,7 +57,7 @@ object Dml {
   }
 
   def delete(session: SparkSession, sql: String): Long = sql.trim match {
-    case deleteRe(table, whereOrNull) =>
+    case deleteRe(table, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
         .collect()(0).getLong(0)
@@ -53,12 +67,13 @@ object Dml {
         keep.write.mode("overwrite").insertInto(table)
       }
       n
+    }
     case _ => throw new IllegalArgumentException(
       "DELETE syntax: DELETE FROM table [WHERE predicate]")
   }
 
   def update(session: SparkSession, sql: String): Long = sql.trim match {
-    case updateRe(table, setList, whereOrNull) =>
+    case updateRe(table, setList, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val schema = session.table(table).schema
       val sets: Map[String, String] = splitTopLevel(setList).map { a =>
@@ -86,6 +101,7 @@ object Dml {
         updated.write.mode("overwrite").insertInto(table)
       }
       n
+    }
     case _ => throw new IllegalArgumentException(
       "UPDATE syntax: UPDATE table SET col = expr[, ...] [WHERE predicate]")
   }

@@ -475,7 +475,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
             return
           case None =>
         }
-        val df = Engine.query(session, sql)
+        // INSERT INTO shares Dml's per-table writer serialization: a
+        // concurrent copy-on-write UPDATE/DELETE snapshotting the same
+        // table mid-append would silently drop the appended rows
+        val insertTableRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+).*""".r
+        val df = sql match {
+          case insertTableRe(tbl) =>
+            Dml.lockFor(tbl).synchronized(Engine.query(session, sql))
+          case _ => Engine.query(session, sql)
+        }
         if (returnsRows(sql)) {
           if (describeFirst) rowDescription(df)
           val n = streamRows(df)
