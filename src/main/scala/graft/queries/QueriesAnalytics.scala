@@ -70,6 +70,24 @@ object QueriesAnalytics {
   )
 
   val moreDefs: Map[String, Q] = Map(
+    // Q14 silhouette: promo revenue share — fact ⋈ part dim with a
+    // conditional aggregate ratio (the only query family touching
+    // `part`, closing full-fixture coverage).
+    "q_tpch_q14" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+      val p = t(s, dir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))
+              .cast("decimal(30,8)")).cast("double") /
+            sum(rev.cast("decimal(30,8)")).cast("double"), 6)
+            .as("promo_revenue_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
     // Ordered funnel: earliest view -> first click after it -> first
     // purchase after that, per user; one row per stage with the user
     // count that reached it. Every join is user-keyed (no windows over
@@ -146,6 +164,17 @@ object QueriesAnalytics {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT
+        |  round(100.0 *
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE) /
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE), 6)
+        |    AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS mv FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
