@@ -35,6 +35,37 @@ class GraphRankingSpec extends SparkSpecBase {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) == (64L, 1L, 0L))
   }
 
+  test("connected components agree with union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { trial =>
+      val n = 40 + trial * 20
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // min-relabel: union-find roots are not necessarily the min id,
+      // so normalize both sides by component member minimum
+      val byRoot = truth.groupBy(_._2).map { case (_, m) =>
+        val ids = m.keys.toSeq; val mn = ids.min; ids.map(_ -> mn)
+      }.flatten.toMap
+      val got = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == byRoot, s"trial $trial: $got vs $byRoot")
+    }
+  }
+
   test("dup clusters mark exactly one canonical per cluster") {
     val pairs = Dedup.ngramJaccardPairs(Tables.load(spark, sfDir, "documents"),
       shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
