@@ -124,10 +124,13 @@ object QueriesAnalytics {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("week_offset"))
     }),
-    // Per-language length-outlier trim: drop docs above the exact
-    // in-language p95 of n_chars (the usual heavy-tail cleanup);
-    // thresholds are one row per language (broadcast), corpus side
-    // map-only.
+    // Per-language length-outlier trim: drop docs above the in-language
+    // p95 of n_chars (the usual heavy-tail cleanup); thresholds are one
+    // row per language (broadcast), corpus side map-only. NOTE exact
+    // `percentile` buffers each group's values — fine here and needed
+    // for the oracle's quantile_cont to match bit-for-bit, but the
+    // 100 TB path swaps in approx_percentile (t-digest: mergeable,
+    // bounded memory) with everything else unchanged.
     "q_length_trim" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val thr = docs.groupBy(col("lang"))
