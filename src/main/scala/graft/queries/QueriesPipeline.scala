@@ -227,8 +227,11 @@ object QueriesPipeline {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
-    // Multimodal frame sampling (rows-only: DuckDB 1.0 lacks blob
-    // substring; byte-exactness asserted in TextMultimodalSpec).
+    // Multimodal frame sampling. DuckDB 1.0 lacks blob substring, but
+    // the AGGREGATED outputs (frames sampled, bytes covered) are pure
+    // integer arithmetic on the byte length, so the oracle replays
+    // them arithmetically; per-frame byte-exactness is asserted in
+    // TextMultimodalSpec.
     "q_multimodal_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
           Multimodal.attachMedia(t(s, dir, "documents")),
@@ -602,6 +605,14 @@ object QueriesPipeline {
         |      list_transform(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')), ''),
         |        c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+        |  CAST(greatest(octet_length(CAST(text AS BLOB)) // 32 - 1, 0) // 4 + 1
+        |    AS BIGINT) AS n_sampled,
+        |  CAST(CASE WHEN octet_length(CAST(text AS BLOB)) >= 32
+        |    THEN 32 * (greatest(octet_length(CAST(text AS BLOB)) // 32 - 1, 0) // 4 + 1)
+        |    ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS sampled_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id,
