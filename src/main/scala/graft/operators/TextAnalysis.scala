@@ -85,6 +85,33 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all($textCol, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
           .cast("bigint"))
 
+  /** Duplicate-trigram fraction as a pure expression column — the
+    * shuffle-free member of the repetition family, for pipelines that
+    * gate on it without needing the per-doc top-bigram mode. The
+    * trigram array is materialized through its own projection so the
+    * three references (two sizes + distinct) don't recompute it.
+    */
+  def withDupTrigramFrac(df: DataFrame, textCol: String,
+      out: String): DataFrame = {
+    val w = col("__dtf_w")
+    val tri = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1),
+          element_at(w, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // words and trigrams each materialize through their own projection:
+    // both are multi-referenced non-cheap arrays, and inlining them
+    // re-splits the text once per reference
+    df.withColumn("__dtf_w", filter(split(col(textCol), " "), x => x =!= ""))
+      .withColumn("__tri", tri)
+      .drop("__dtf_w")
+      .withColumn(out,
+        when(size(col("__tri")) === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(col("__tri"))).cast("double") /
+            size(col("__tri")), 6)))
+      .drop("__tri")
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
     * how much of a document is the same phrase repeated. Emitted per
     * doc: bigram count, the most frequent bigram's occurrence count

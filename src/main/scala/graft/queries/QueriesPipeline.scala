@@ -123,14 +123,23 @@ object QueriesPipeline {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") >= 20)
       val evalDocs = docs.filter(col("doc_id") < 20)
-      val scored = TextAnalysis.qualityFeatures(corpus, "text")
+      // the repetition gate only needs the trigram fraction, which is
+      // a pure expression — computing it inline instead of joining the
+      // full repetitionFeatures saves the top-bigram shuffle pair and
+      // the doc_id join (the oracle's rep CTE computes only dupf too)
+      // checkpoint BEFORE the gate: a filter on derived columns gets
+      // the full quality/trigram expression trees substituted into the
+      // pushed-down predicate and recomputed per downstream reference
+      // (round-1 lesson); filtering the materialized frame keeps the
+      // gate a cheap column comparison
+      val scored = TextAnalysis.withDupTrigramFrac(
+          TextAnalysis.qualityFeatures(corpus, "text"), "text",
+          "dup_trigram_frac")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
-          col("quality"))
-      val rep = TextAnalysis.repetitionFeatures(corpus, "doc_id", "text")
-        .select(col("doc_id"), col("dup_trigram_frac"))
-      val kept = scored.join(rep, "doc_id")
+          col("quality"), col("dup_trigram_frac"))
+        .localCheckpoint(eager = false)
+      val kept = scored
         .filter(col("quality") >= 0.84 && col("dup_trigram_frac") <= 0.1)
-        .localCheckpoint(eager = false) // pairs + canonical + contamination + split
       val pairs = Dedup.ngramJaccardPairs(
         kept.select(col("doc_id"), col("lang"), col("n_chars"), col("text")),
         shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
