@@ -94,11 +94,17 @@ object QueriesAnalytics {
     // the full event stream), so the funnel scales with users.
     "q_funnel" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // Each stage frame is BOTH counted and joined into the next
+      // stage; without a checkpoint the final union re-executes v's
+      // lineage 3× and c's 2× (scan+agg each time). Lazy localCheckpoint
+      // materializes each stage once, on first use.
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
+        .localCheckpoint(eager = false)
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id").filter(col("ts") > col("mv"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("mc"))
+        .localCheckpoint(eager = false)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id").filter(col("ts") > col("mc"))
         .groupBy(col("user_id")).agg(min(col("ts")).as("mp"))

@@ -127,7 +127,7 @@ object QueriesSugar {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     "q_read_tvf" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS chars
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_json_arrows" ->
