@@ -44,15 +44,21 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // All locals fresh-named: whole-stage codegen splices this block
+      // into one shared method body, so fixed names collide (janino
+      // "Redefinition of local variable" -> silent interpreted fallback).
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       s"""
-         |int n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $x.getFloat(i);
-         |  double yv = $y.getFloat(i);
-         |  dot += xv * yv; nx += xv * xv; ny += yv * yv;
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double xv$i = $x.getFloat($i);
+         |  double yv$i = $y.getFloat($i);
+         |  $dot += xv$i * yv$i; $nx += xv$i * xv$i; $ny += yv$i * yv$i;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

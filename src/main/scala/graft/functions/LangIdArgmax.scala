@@ -75,20 +75,25 @@ case class LangIdArgmax(child: Expression,
       val np = profiles.length
       val hits = ctx.freshName("hits")
       val best = ctx.freshName("best")
+      // Every local fresh-named: fixed names collide when whole-stage
+      // codegen splices two instances into one method body.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val t = ctx.freshName("t"); val p = ctx.freshName("p")
+      val p2 = ctx.freshName("p2")
       s"""
          |int[] $hits = new int[$np];
-         |int n = $x.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  org.apache.spark.unsafe.types.UTF8String t = $x.getUTF8String(i);
-         |  for (int p = 0; p < $np; p++) {
-         |    if ($setsRef[p].contains(t)) $hits[p]++;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $t = $x.getUTF8String($i);
+         |  for (int $p = 0; $p < $np; $p++) {
+         |    if ($setsRef[$p].contains($t)) $hits[$p]++;
          |  }
          |}
          |int $best = -1;
-         |for (int p = 0; p < $np; p++) {
-         |  if ($hits[p] > 0 && ($best < 0 || $hits[p] > $hits[$best] ||
-         |      ($hits[p] == $hits[$best] &&
-         |       $langsRef[p].compareTo($langsRef[$best]) > 0))) $best = p;
+         |for (int $p2 = 0; $p2 < $np; $p2++) {
+         |  if ($hits[$p2] > 0 && ($best < 0 || $hits[$p2] > $hits[$best] ||
+         |      ($hits[$p2] == $hits[$best] &&
+         |       $langsRef[$p2].compareTo($langsRef[$best]) > 0))) $best = $p2;
          |}
          |${ev.value} = ($best < 0) ? $undRef : $langsRef[$best];
        """.stripMargin

@@ -49,15 +49,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val minima = ctx.freshName("minima")
       val xxh = classOf[XXH64].getName
       val gad = classOf[GenericArrayData].getName
+      // Every local fresh-named: fixed names collide when whole-stage
+      // codegen splices two instances into one method body.
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val v = ctx.freshName("v"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
       s"""
          |long[] $minima = new long[$numHashes];
          |java.util.Arrays.fill($minima, Long.MAX_VALUE);
-         |int n = $x.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long v = $x.getLong(i);
-         |  for (int j = 0; j < $numHashes; j++) {
-         |    long h = $xxh.hashLong(v, (long) j);
-         |    if (h < $minima[j]) $minima[j] = h;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $x.getLong($i);
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $h = $xxh.hashLong($v, (long) $j);
+         |    if ($h < $minima[$j]) $minima[$j] = $h;
          |  }
          |}
          |${ev.value} = new $gad($minima);

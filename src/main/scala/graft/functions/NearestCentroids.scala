@@ -76,30 +76,36 @@ case class NearestCentroids(child: Expression,
       val out = ctx.freshName("nearest")
       val taken = ctx.freshName("taken")
       val gad = classOf[GenericArrayData].getName
+      // Every local fresh-named: fixed names collide when whole-stage
+      // codegen splices two instances into one method body.
+      val dims = ctx.freshName("dims"); val c = ctx.freshName("c")
+      val d = ctx.freshName("d"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val best = ctx.freshName("best")
+      val bs = ctx.freshName("bs")
       s"""
          |double[] $sims = new double[$k];
-         |int dims = $x.numElements();
-         |for (int c = 0; c < $k; c++) {
-         |  float[] cent = $centsRef[c];
-         |  int lim = Math.min(dims, cent.length);
-         |  double dot = 0.0, nv = 0.0, nc = 0.0;
-         |  for (int d = 0; d < lim; d++) {
-         |    double xv = (double) $x.getFloat(d);
-         |    double yv = (double) cent[d];
-         |    dot += xv * yv; nv += xv * xv; nc += yv * yv;
+         |int $dims = $x.numElements();
+         |for (int $c = 0; $c < $k; $c++) {
+         |  float[] cent$c = $centsRef[$c];
+         |  int lim$c = Math.min($dims, cent$c.length);
+         |  double dot$c = 0.0, nv$c = 0.0, nc$c = 0.0;
+         |  for (int $d = 0; $d < lim$c; $d++) {
+         |    double xv$d = (double) $x.getFloat($d);
+         |    double yv$d = (double) cent$c[$d];
+         |    dot$c += xv$d * yv$d; nv$c += xv$d * xv$d; nc$c += yv$d * yv$d;
          |  }
-         |  $sims[c] = (nv == 0 || nc == 0)
-         |    ? Double.NEGATIVE_INFINITY : dot / Math.sqrt(nv * nc);
+         |  $sims[$c] = (nv$c == 0 || nc$c == 0)
+         |    ? Double.NEGATIVE_INFINITY : dot$c / Math.sqrt(nv$c * nc$c);
          |}
          |int[] $out = new int[$n];
          |boolean[] $taken = new boolean[$k];
-         |for (int i = 0; i < $n; i++) {
-         |  int best = -1; double bs = Double.NEGATIVE_INFINITY;
-         |  for (int j = 0; j < $k; j++) {
-         |    if (!$taken[j] && (best < 0 || $sims[j] > bs)) { best = j; bs = $sims[j]; }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $best = -1; double $bs = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if (!$taken[$j] && ($best < 0 || $sims[$j] > $bs)) { $best = $j; $bs = $sims[$j]; }
          |  }
-         |  $taken[best] = true;
-         |  $out[i] = best;
+         |  $taken[$best] = true;
+         |  $out[$i] = $best;
          |}
          |${ev.value} = new $gad($out);
        """.stripMargin

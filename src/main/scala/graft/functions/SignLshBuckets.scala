@@ -62,19 +62,25 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Float]],
       val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
       val out = ctx.freshName("buckets")
       val gad = classOf[GenericArrayData].getName
+      // Every local fresh-named: fixed names collide when whole-stage
+      // codegen splices two instances into one method body.
+      val dims = ctx.freshName("dims"); val b = ctx.freshName("b")
+      val bucket = ctx.freshName("bucket"); val j = ctx.freshName("j")
+      val p = ctx.freshName("p"); val lim = ctx.freshName("lim")
+      val dot = ctx.freshName("dot"); val d = ctx.freshName("d")
       s"""
          |long[] $out = new long[$bands];
-         |int dims = $x.numElements();
-         |for (int b = 0; b < $bands; b++) {
-         |  long bucket = 0L;
-         |  for (int j = 0; j < $bitsPerBand; j++) {
-         |    float[] p = $planesRef[b * $bitsPerBand + j];
-         |    int lim = Math.min(dims, p.length);
-         |    double dot = 0.0;
-         |    for (int d = 0; d < lim; d++) dot += $x.getFloat(d) * p[d];
-         |    if (dot > 0) bucket |= (1L << j);
+         |int $dims = $x.numElements();
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerBand; $j++) {
+         |    float[] $p = $planesRef[$b * $bitsPerBand + $j];
+         |    int $lim = Math.min($dims, $p.length);
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $lim; $d++) $dot += $x.getFloat($d) * $p[$d];
+         |    if ($dot > 0) $bucket |= (1L << $j);
          |  }
-         |  $out[b] = bucket;
+         |  $out[$b] = $bucket;
          |}
          |${ev.value} = new $gad($out);
        """.stripMargin

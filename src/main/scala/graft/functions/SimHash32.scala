@@ -48,20 +48,25 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x => {
+      // Every local fresh-named: fixed names collide when whole-stage
+      // codegen splices two instances into one method body.
       val votes = ctx.freshName("votes")
       val fp = ctx.freshName("fp")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val b = ctx.freshName("b")
+      val b2 = ctx.freshName("b2")
       s"""
          |int[] $votes = new int[32];
-         |int n = $x.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  long h = $x.getLong(i);
-         |  for (int b = 0; b < 32; b++) {
-         |    $votes[b] += ((int) ((h >>> b) & 1L) << 1) - 1;
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $x.getLong($i);
+         |  for (int $b = 0; $b < 32; $b++) {
+         |    $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
          |  }
          |}
          |long $fp = 0L;
-         |for (int b = 0; b < 32; b++) {
-         |  if ($votes[b] > 0) $fp |= (1L << b);
+         |for (int $b2 = 0; $b2 < 32; $b2++) {
+         |  if ($votes[$b2] > 0) $fp |= (1L << $b2);
          |}
          |${ev.value} = $fp;
        """.stripMargin

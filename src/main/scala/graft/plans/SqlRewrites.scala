@@ -12,6 +12,7 @@ package graft
   *  - `QUALIFY <pred>` → predicate injected into the main select's
   *    projection (full FROM scope, like DuckDB) + outer WHERE on the
   *    synthetic column; whole-query wrap as fallback for set ops
+  *  - bare file-path tables `FROM 'f.parquet'` → reader TVFs
   */
 object SqlRewrites {
 
@@ -32,6 +33,23 @@ object SqlRewrites {
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
   /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
+
+  /** DuckDB bare file-path tables — `SELECT * FROM 'docs.parquet'`
+    * (delegated surface; the reference forwards the statement verbatim
+    * at src/duckdb_pgwire_extension.cpp:52 and DuckDB resolves the
+    * quoted path as a table) → the reader TVFs GraftExtensions
+    * injects, so Catalyst sees an ordinary file relation with
+    * pushdown/pruning. Only fires on a quoted path with a known data
+    * extension directly after FROM/JOIN — `COPY t FROM 'p'` never
+    * reaches this pass (handled at the wire layer before Spark).
+    */
+  private val barePathTable =
+    """(?i)\b(from|join)\s+'([^']+?\.(parquet|pq|csv|tsv|csv\.gz|tsv\.gz|json|jsonl|ndjson))'""".r
+  private def readerFor(ext: String): String = ext.toLowerCase match {
+    case "parquet" | "pq" => "read_parquet"
+    case "json" | "jsonl" | "ndjson" => "read_json"
+    case _ => "read_csv_auto"
+  }
 
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
@@ -364,7 +382,12 @@ object SqlRewrites {
       java.util.regex.Matcher.quoteReplacement(
         s"$kw (SELECT explode(sequence($args)) AS $alias)")
     })
-    val s1b = starExclude.replaceAllIn(s1, "* EXCEPT (")
+    val s1a = barePathTable.replaceAllIn(s1, m => {
+      val kw = m.group(1); val path = m.group(2); val ext = m.group(3)
+      java.util.regex.Matcher.quoteReplacement(
+        s"$kw ${readerFor(ext)}('$path')")
+    })
+    val s1b = starExclude.replaceAllIn(s1a, "* EXCEPT (")
     val s2 = castOp.replaceAllIn(s1b,
       m => "::" + pgTypeAliases(m.group(1).toLowerCase))
     val s3 = castAs.replaceAllIn(s2,

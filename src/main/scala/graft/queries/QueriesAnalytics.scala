@@ -98,6 +98,10 @@ object QueriesAnalytics {
       // stage; without a checkpoint the final union re-executes v's
       // lineage 3× and c's 2× (scan+agg each time). Lazy localCheckpoint
       // materializes each stage once, on first use.
+      // Cluster caveat: local-checkpointed blocks live on executors and
+      // are NOT recomputable on executor loss — on a real cluster use
+      // reliable checkpoint (or persist + explicit unpersist) instead;
+      // localCheckpoint is the right trade only for single-JVM local mode.
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts")).as("mv"))
         .localCheckpoint(eager = false)

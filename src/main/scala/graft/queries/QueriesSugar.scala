@@ -86,6 +86,13 @@ object QueriesSugar {
       s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
          |FROM read_parquet('$dir/documents.parquet')
          |GROUP BY lang ORDER BY lang""".stripMargin)),
+    // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
+    // the reader TVFs; exercises both FROM and JOIN positions.
+    "q_read_barepath" -> ((s, dir) => sql(s, dir,
+      s"""SELECT d.lang, count(*) AS n, sum(e.label) AS label_sum
+         |FROM '$dir/documents.parquet' d
+         |JOIN '$dir/embeddings.parquet' e ON d.doc_id = e.vec_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
     // Gap-based sessionization (batch form; streaming variant is
     // spec-checked against it).
     "q_sessionize" -> ((s, dir) => {
@@ -130,6 +137,10 @@ object QueriesSugar {
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_read_barepath" ->
+      """SELECT d.lang, count(*) AS n, CAST(sum(e.label) AS BIGINT) AS label_sum
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
