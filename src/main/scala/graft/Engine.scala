@@ -49,6 +49,8 @@ object Engine {
     Functions.registerAll(spark)
     sql match {
       case SummarizeRe(target) => summarize(spark, target)
+      case AttachRe(path, alias) => attach(spark, path, Option(alias))
+      case DetachRe(alias) => detach(spark, alias)
       case _ =>
         val r = SqlRewrites.rewriteFull(sql)
         r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
@@ -56,6 +58,80 @@ object Engine {
   }
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
+  private val AttachRe =
+    "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
+  private val DetachRe =
+    "(?is)\\A\\s*DETACH\\s+(?:DATABASE\\s+)?(\\w+)\\s*;?\\s*\\z".r
+
+  /** DuckDB `ATTACH 'file.db' [AS alias]` — persistent second database
+    * (reference README.md:8 "start persisting data"; forwarded
+    * verbatim at cpp:52). Spark-first re-expression: the path is a
+    * DIRECTORY warehouse (a single-file binary db is a DuckDB storage
+    * detail, not a semantic) holding one parquet table per subdir. The
+    * statement creates a session-catalog database at that location and
+    * re-registers every existing table subdir as an EXTERNAL parquet
+    * table, so data written through a previous session's attach is
+    * visible again — the persistence contract ATTACH promises.
+    * `ATTACH ':memory:' AS x` creates a location-less (temp) database.
+    * New tables land under the directory via the database location;
+    * `USE alias` / `alias.t` qualification are native Spark.
+    */
+  def attach(spark: SparkSession, path: String, aliasOpt: Option[String]): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val mem = path == ":memory:" || path.isEmpty
+    val alias = aliasOpt.getOrElse {
+      if (mem) "memory"
+      else {
+        val base = Paths.get(path).getFileName.toString
+        base.replaceAll("\\.(db|duckdb|ddb)$", "")
+      }
+    }
+    if (mem) spark.sql(s"CREATE DATABASE IF NOT EXISTS `$alias`")
+    else {
+      val dir = Paths.get(path).toAbsolutePath
+      if (Files.isRegularFile(dir)) throw new IllegalArgumentException(
+        s"ATTACH '$path': graft attaches directory warehouses of parquet " +
+          "tables; a single-file database is not supported")
+      Files.createDirectories(dir)
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$alias` LOCATION '$dir'")
+      // Re-register persisted tables: any subdir is a parquet table.
+      val sub = Files.list(dir).iterator()
+      while (sub.hasNext) {
+        val p = sub.next()
+        if (Files.isDirectory(p)) {
+          val t = p.getFileName.toString
+          if (!spark.catalog.tableExists(s"`$alias`.`$t`"))
+            spark.sql(s"CREATE TABLE `$alias`.`$t` USING parquet LOCATION '$p'")
+        }
+      }
+    }
+    spark.emptyDataFrame
+  }
+
+  /** DuckDB `DETACH alias` — drop the catalog entry, KEEP the data
+    * (detach closes the database file; it never deletes it). Managed
+    * tables are flipped to EXTERNAL first so the cascade drop removes
+    * only metadata.
+    */
+  def detach(spark: SparkSession, alias: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogTableType
+    val cat = spark.sessionState.catalog
+    cat.listTables(alias).foreach { ti =>
+      val meta = cat.getTableMetadata(TableIdentifier(ti.table, Some(alias)))
+      if (meta.tableType == CatalogTableType.MANAGED)
+        cat.alterTable(meta.copy(tableType = CatalogTableType.EXTERNAL))
+    }
+    // InMemoryCatalog.dropDatabase recursively DELETES the database
+    // location — repoint it at a throwaway temp dir first so the
+    // cascade removes metadata + that decoy only, never the attached
+    // warehouse (EXTERNAL table drops are already metadata-only).
+    val db = cat.getDatabaseMetadata(alias)
+    val decoy = java.nio.file.Files.createTempDirectory("graft-detach").toUri
+    cat.alterDatabase(db.copy(locationUri = decoy))
+    spark.sql(s"DROP DATABASE `$alias` CASCADE")
+    spark.emptyDataFrame
+  }
 
   /** DuckDB's `SUMMARIZE <table | SELECT ...>` statement (delegated
     * surface — any wire client can send it; the bridge forwards it

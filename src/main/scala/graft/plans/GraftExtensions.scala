@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_signature(arr, numHashes): numHashes must be a literal, got $other")
         })))
 
+    // DuckDB COLUMNS(...) star expression: ordinary function resolving
+    // to a placeholder the ExpandColumnsRule rewrites at analysis time
+    ext.injectFunction((
+      FunctionIdentifier("columns"),
+      new ExpressionInfo(classOf[ColumnsPlaceholder].getName, "columns"),
+      (exprs: Seq[Expression]) => ColumnsPlaceholder(exprs)))
+    ext.injectResolutionRule(_ => ExpandColumnsRule)
+
     // real table-valued generate_series (inclusive bounds, like
     // DuckDB/pg — reference client/go/cmd/simple/main.go:27)
     ext.injectTableFunction((

@@ -56,6 +56,16 @@ object QueriesMisc {
     // star EXCLUDE modifier (DuckDB) through the rewrite pre-pass.
     "q_star_exclude" -> ((s, dir) => sql(s, dir,
       """SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey""".stripMargin)),
+    // DuckDB COLUMNS(regex) star expression — bare form (regex is a
+    // partial match, output keeps source column names).
+    "q_columns_regex" -> ((s, dir) => sql(s, dir,
+      """SELECT COLUMNS('_id$|^lang$') FROM documents
+        |ORDER BY doc_id""".stripMargin)),
+    // COLUMNS(*) threaded through an aggregate: one agg per source
+    // column, result columns named after the source (DuckDB naming).
+    "q_columns_agg" -> ((s, dir) => sql(s, dir,
+      """SELECT lang, max(COLUMNS('^n_|^doc_id$')) FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin)),
     // named WINDOW clause shared by several window functions.
     "q_named_windows" -> ((s, dir) => sql(s, dir,
       """SELECT o_custkey, o_orderkey,
@@ -67,6 +77,13 @@ object QueriesMisc {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB evaluates COLUMNS natively — oracle SQL is identical.
+    "q_columns_regex" ->
+      """SELECT COLUMNS('_id$|^lang$') FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_columns_agg" ->
+      """SELECT lang, max(COLUMNS('^n_|^doc_id$')) FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_agg_mode" ->
       """SELECT l_returnflag, mode(l_linenumber) AS mode_ln
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
