@@ -117,8 +117,11 @@ object Engine {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.CatalogTableType
     val cat = spark.sessionState.catalog
-    cat.listTables(alias).foreach { ti =>
-      val meta = cat.getTableMetadata(TableIdentifier(ti.table, Some(alias)))
+    // externalCatalog, NOT SessionCatalog.listTables: the latter merges
+    // session temp views into the listing and their metadata lookup
+    // under this database would (correctly) fail.
+    cat.externalCatalog.listTables(alias).foreach { t =>
+      val meta = cat.getTableMetadata(TableIdentifier(t, Some(alias)))
       if (meta.tableType == CatalogTableType.MANAGED)
         cat.alterTable(meta.copy(tableType = CatalogTableType.EXTERNAL))
     }

@@ -646,7 +646,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       val df =
         if (st.csv) reader.option("header", st.header.toString).csv(ds)
         else reader // pg text format: no quoting, backslash escapes, \N null
-          .option("quote", " ").option("nullValue", "\\N").csv(ds)
+          .option("quote", "\u0000").option("nullValue", "\\N").csv(ds)
       w.cstr(s"COPY ${loadInto(st.table, df)}").send('C')
     } catch { case NonFatal(e) => errorResponse(e) }
     readyForQuery()
@@ -784,7 +784,7 @@ object SqlSplitter {
     var inS = false; var inD = false; var inLC = false; var inBC = false
     while (i < sql.length) {
       val c = sql(i)
-      val next = if (i + 1 < sql.length) sql(i + 1) else ' '
+      val next = if (i + 1 < sql.length) sql(i + 1) else '\u0000'
       if (inLC) { if (c == '\n') inLC = false; cur += c }
       else if (inBC) { if (c == '*' && next == '/') { inBC = false; cur += c; cur += next; i += 1 } else cur += c }
       else if (inS) { if (c == '\'') inS = false; cur += c }
