@@ -370,29 +370,42 @@ object SqlRewrites {
     }
 
   def rewriteFull(sql: String): Rewritten = {
-    val sr = rewriteStarReplace(rewriteCreateTemp(sql))
-    val s0 = rewriteAsofJoin(sr)
+    // Cheap pre-scan gates: this pre-pass runs on EVERY statement the
+    // parser sees (GraftParser seam), and most statements trigger no
+    // rewrite — an indexOf is ~100× cheaper than a full regex pass, so
+    // each pass first checks for its trigger substring. Semantics are
+    // unchanged: a pattern can only match if its literal anchor occurs.
+    val low = sql.toLowerCase
+    @inline def has(t: String): Boolean = low.contains(t)
+    val sr0 = if (has("temp")) rewriteCreateTemp(sql) else sql
+    val sr = if (has("replace")) rewriteStarReplace(sr0) else sr0
+    val s0 = if (has("asof")) rewriteAsofJoin(sr) else sr
     // the ASOF interval rewrite adds a helper column that `SELECT *`
     // would otherwise surface
     val asofDrop = if (s0 != sr) Seq("__asof_nb") else Nil
-    val s1 = genSeries.replaceAllIn(s0, m => {
-      val kw = m.group(1)
-      val args = m.group(2)
-      val alias = Option(m.group(4)).getOrElse("generate_series")
-      java.util.regex.Matcher.quoteReplacement(
-        s"$kw (SELECT explode(sequence($args)) AS $alias)")
-    })
-    val s1a = barePathTable.replaceAllIn(s1, m => {
-      val kw = m.group(1); val path = m.group(2); val ext = m.group(3)
-      java.util.regex.Matcher.quoteReplacement(
-        s"$kw ${readerFor(ext)}('$path')")
-    })
-    val s1b = starExclude.replaceAllIn(s1a, "* EXCEPT (")
-    val s2 = castOp.replaceAllIn(s1b,
+    val s1 = if (!has("generate_series")) s0 else
+      genSeries.replaceAllIn(s0, m => {
+        val kw = m.group(1)
+        val args = m.group(2)
+        val alias = Option(m.group(4)).getOrElse("generate_series")
+        java.util.regex.Matcher.quoteReplacement(
+          s"$kw (SELECT explode(sequence($args)) AS $alias)")
+      })
+    val s1a = if (!has("'")) s1 else
+      barePathTable.replaceAllIn(s1, m => {
+        val kw = m.group(1); val path = m.group(2); val ext = m.group(3)
+        java.util.regex.Matcher.quoteReplacement(
+          s"$kw ${readerFor(ext)}('$path')")
+      })
+    val s1b = if (!has("exclude")) s1a
+      else starExclude.replaceAllIn(s1a, "* EXCEPT (")
+    // both cast rewrites can only fire if a pg type-alias name occurs
+    val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
+    val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,
       m => "::" + pgTypeAliases(m.group(1).toLowerCase))
-    val s3 = castAs.replaceAllIn(s2,
+    val s3 = if (!aliasFound) s2 else castAs.replaceAllIn(s2,
       m => "AS " + pgTypeAliases(m.group(1).toLowerCase) + ")")
-    val s4 = jsonArrow.replaceAllIn(s3, m => {
+    val s4 = if (!has("->")) s3 else jsonArrow.replaceAllIn(s3, m => {
       val op = m.group(2)
       val isNum = m.group(4) != null
       val lhs = m.group(1)
@@ -409,7 +422,7 @@ object SqlRewrites {
           s"get_json_object(${m.group(1)}, '$path')")
       }
     })
-    findTopLevelQualify(s4) match {
+    (if (has("qualify")) findTopLevelQualify(s4) else None) match {
       case None => Rewritten(s4, asofDrop)
       case Some(pos) =>
         val before = s4.substring(0, pos)

@@ -64,7 +64,7 @@ object QueriesPipeline {
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(
           emb.filter(col("vec_id") < 5), emb, k = 3,
-          numClusters = 16, nprobe = 6, kmeansIters = 3)
+          numClusters = 16, nprobe = 6, kmeansIters = 2)
         .orderBy(col("query_id"), col("rk"))
     }),
     // Quality scoring (oracle-checked; formula mirrored in SQL).

@@ -28,9 +28,9 @@ class AnnSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
     val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, 3,
-      numClusters = 16, nprobe = 6, kmeansIters = 3))
+      numClusters = 16, nprobe = 6, kmeansIters = 2))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.4, s"IVF recall@3 = $recall")
+    assert(recall >= 0.6, s"IVF recall@3 = $recall")
     // every query returns exactly k candidates
     assert(ivf.groupBy(_._1).forall(_._2.size == 3))
   }

@@ -21,28 +21,28 @@ class DedupSpec extends SparkSpecBase {
 
   test("minhash LSH finds high-jaccard pairs (recall on j>=0.5)") {
     val docs = Tables.load(spark, sfDir, "documents")
-    // ground truth: all-pairs exact jaccard at j >= 0.5 (no blocking —
-    // fine at spec scale, never in production paths)
-    val g = docs.select(col("doc_id"),
-      Dedup.shingles(col("text"), 3).as("grams"))
-    val a = g.select(col("doc_id").as("id1"), col("grams").as("g1"))
-    val b = g.select(col("doc_id").as("id2"), col("grams").as("g2"))
-    val inter = size(array_intersect(col("g1"), col("g2")))
-    val exact = a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        (inter.cast("double") / (size(col("g1")) + size(col("g2")) - inter))
-          .as("j"))
-      .filter(col("j") >= 0.5)
+    // Ground truth: the oracle-backed exact operator (q_dedup_ngram
+    // hash-matches DuckDB's all-pairs SQL every round), run at the
+    // same threshold with the size prefilter disabled — cross-operator
+    // truth instead of a second self-computed all-pairs join. The lang
+    // column is neutralized because ngramJaccardPairs blocks on
+    // language while minhash is lang-agnostic (this corpus repeats
+    // identical texts across languages, so the universes differ).
+    val exact = Dedup.ngramJaccardPairs(
+        docs.withColumn("lang", lit("x")), shingleSize = 3,
+        maxCharDiff = Int.MaxValue, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // 16 bands × 2 rows: P(candidate | j=0.5) = 1-(1-0.25)^16 ≈ 0.99
     if (exact.nonEmpty)
-      assert(lsh.intersect(exact).size.toDouble / exact.size >= 0.8,
+      assert(lsh.intersect(exact).size.toDouble / exact.size >= 0.9,
         s"recall too low: ${lsh.intersect(exact).size}/${exact.size}")
     // precision: every reported pair really has j >= 0.5 (verified
     // exactly inside minhashNearDups) and appears in the exact set
+    // (ngram truth is same-language only; a cross-language j>=0.5
+    // trigram pair does not occur in this corpus)
     assert(lsh.subsetOf(exact))
   }
 
