@@ -167,4 +167,71 @@ object CorpusOps {
       floor((sum(col(tokensCol)).over(w) - col(tokensCol)) / budget)
         .cast("bigint"))
   }
+
+  /** Regexes shared by the Spark operator and the DuckDB oracle —
+    * restricted to syntax RE2 and java.util.regex interpret
+    * identically (no backrefs, no lookaround, no \\b differences in
+    * char classes).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII scrub: replace emails / phone numbers / IPv4 literals with
+    * typed placeholder tokens and report per-document match counts —
+    * the standard pre-training redaction pass. Order matters: emails
+    * go first (their domain part would otherwise feed the IP pattern a
+    * dotted tail), phones before IPs (disjoint alphabets, but the
+    * order is still fixed so results are deterministic).
+    *
+    * Scale: pure per-row map — three codegen'd regexp_replace + three
+    * regexp_extract_all, zero shuffles, pushdown-transparent.
+    */
+  def redactPii(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val afterEmail = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    val clean = regexp_replace(afterPhone, Ipv4Re, "<IP>")
+    df.select(col(idCol),
+      clean.as("clean_text"),
+      size(regexp_extract_all(t0, lit(EmailRe), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhoneRe), lit(0)))
+        .cast("bigint").as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(Ipv4Re), lit(0)))
+        .cast("bigint").as("n_ips"))
+  }
+
+  /** Token-budget chunking with overlap: split each document's
+    * whitespace tokens into windows of `chunkSize` tokens advancing by
+    * `chunkSize - overlap` — the standard context-window packing step
+    * before tokenization. A document shorter than one chunk yields
+    * exactly one chunk.
+    *
+    * Scale: per-row explode of a computed index range — map-only, no
+    * shuffle; chunk count is derived per row so no driver round trip.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkSize: Int = 32,
+      overlap: Int = 8): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0)
+    val stride = chunkSize - overlap
+    // tokens is referenced by every chunk row: materialize it as its
+    // own projection so the explode does not recompute the split per
+    // output row (Catalyst composes, never shares, column trees)
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+    val nChunks = when(col("n") <= chunkSize, lit(1L)).otherwise(
+      ceil((col("n") - lit(chunkSize)).cast("double") / stride)
+        .cast("bigint") + 1L)
+    toks
+      .withColumn("chunk_id", explode(sequence(lit(0L), nChunks - 1L)))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("toks"),
+          (col("chunk_id") * stride + 1L).cast("int"), lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize),
+          col("n") - col("chunk_id") * stride).cast("bigint").as("n_tok"))
+  }
 }

@@ -379,4 +379,37 @@ object Dedup {
           .as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Cross-document duplicate-span report — the exact-substring dedup
+    * signal from Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), reduced to fixed-width word windows:
+    * for each document, how many of its distinct `spanWords`-word
+    * spans also occur in at least one OTHER document. High
+    * dup_fraction docs are boilerplate/mirror candidates the
+    * quality-filter family can then drop or trim.
+    *
+    * Shape: hashed span windows (fused [[HashedShingles]], no gram
+    * strings) → explode to (doc, span) postings → a count window
+    * partitioned by span hash annotates each posting with its
+    * document frequency → one groupBy(doc) rolls up totals. Two
+    * shuffles total (by span, then by doc), both plain hash
+    * partitionings AQE can skew-split; nothing pairwise, nothing
+    * quadratic — this is the scale-correct contrast to the pair
+    * operators above, because span df is the only statistic needed.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanWords: Int = 5): DataFrame = {
+    val g = withHashedShingles(
+        docs.select(col(idCol), col(textCol).as("__t"))
+          .filter(size(split(col("__t"), " ")) >= spanWords),
+        "__t", spanWords, "spans")
+      .select(col(idCol), explode(col("spans")).as("span"))
+    val bynSpan = Window.partitionBy(col("span"))
+    g.withColumn("docs_with", count(lit(1)).over(bynSpan))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_spans"), 6))
+  }
 }

@@ -32,6 +32,29 @@ object QueriesPipeline {
           maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
     }),
+    // Cross-doc duplicate 5-word spans (Lee et al. exact-substring
+    // dedup signal; oracle-checked).
+    "q_dedup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(t(s, dir, "documents"), "doc_id", "text",
+          spanWords = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // PII scrub with per-doc match counts (oracle-checked). PII is
+    // synthesized deterministically from doc_id so the pass has
+    // real matches — the same concatenation runs in the oracle.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or 555-123-4567 at 10.0."),
+          pmod(col("doc_id"), lit(256)), lit(".1")).as("text"))
+      CorpusOps.redactPii(d, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+    // Token-budget chunking with overlap (oracle-checked).
+    "q_chunk_tokens" -> ((s, dir) => {
+      CorpusOps.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     // Exact n-gram Jaccard pairs (oracle-checked).
     "q_dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"),
@@ -256,6 +279,51 @@ object QueriesPipeline {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(words)-3),
+        |        i -> words[i]||' '||words[i+1]||' '||words[i+2]||' '||
+        |             words[i+3]||' '||words[i+4]))) AS span
+        |      FROM w WHERE len(words) >= 5),
+        |cnt AS (SELECT span, count(*) AS dw FROM g GROUP BY span)
+        |SELECT g.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN dw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(sum(CASE WHEN dw >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM g JOIN cnt USING(span)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    "q_pii_redact" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@mail.example.com or """ +
+        """555-123-4567 at 10.0.' || doc_id % 256 || '.1' AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '__EMRE__', '<EMAIL>', 'g'), '__PHRE__', '<PHONE>', 'g'),
+        |    '__IPRE__', '<IP>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '__EMRE__')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(regexp_replace(text, '__EMRE__',
+        |    '<EMAIL>', 'g'), '__PHRE__')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+        |    '__EMRE__', '<EMAIL>', 'g'), '__PHRE__', '<PHONE>', 'g'),
+        |    '__IPRE__')) AS BIGINT) AS n_ips
+        |FROM d ORDER BY doc_id""").stripMargin
+        .replace("__EMRE__", CorpusOps.EmailRe)
+        .replace("__PHRE__", CorpusOps.PhoneRe)
+        .replace("__IPRE__", CorpusOps.Ipv4Re),
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |            len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |  CASE WHEN n <= 32 THEN 1
+        |       ELSE CAST(ceil((n-32)/24.0) AS BIGINT)+1 END AS nch FROM t),
+        |e AS (SELECT doc_id, toks, n, unnest(range(0, nch)) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(toks, chunk_id*24+1, chunk_id*24+32),
+        |    ' ') AS chunk_text,
+        |  CAST(least(32, n - chunk_id*24) AS BIGINT) AS n_tok
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
     "q_dedup_ngram" ->
       """WITH g AS (
         |  SELECT doc_id, lang, n_chars,

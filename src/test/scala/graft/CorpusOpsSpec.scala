@@ -113,4 +113,57 @@ class CorpusOpsSpec extends SparkSpecBase {
     // 8 tokens, 3 OOV (rare1, rare2, rare3) → 0.375
     assert(got == Seq(("en", 2L, 8L, 0.375)))
   }
+
+  test("pii redaction replaces and counts every category, leaves clean text alone") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e.org call 555-123-4567 ip 10.0.0.1"),
+      (2L, "nothing sensitive here at all")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.redactPii(docs).orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getString(1) ==
+      "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP>")
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4)) == ((2L, 1L, 1L)))
+    val r2 = got(1)
+    assert(r2.getString(1) == "nothing sensitive here at all")
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) == ((0L, 0L, 0L)))
+  }
+
+  test("token chunking: stride windows, short-doc single chunk, full coverage") {
+    val s = spark
+    import s.implicits._
+    val words = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, "a b c")).toDF("doc_id", "text")
+    val got = CorpusOps.chunkByTokens(docs, chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id").collect()
+    // doc 1: 50 tokens → chunks at 0 and 24 (stride 24): sizes 32, 26
+    val d1 = got.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(1)).toSeq == Seq(0L, 1L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(32L, 26L))
+    assert(d1(0).getString(2).startsWith("w1 ") &&
+      d1(1).getString(2).startsWith("w25 ") &&
+      d1(1).getString(2).endsWith(" w50"))
+    // short doc: exactly one chunk with every token
+    val d2 = got.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(2) == "a b c" &&
+      d2(0).getLong(3) == 3L)
+  }
+
+  test("duplicate spans: shared 5-gram found cross-doc, unique docs score zero") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared zeta eta"),
+      (2L, s"prefix words here $shared"),
+      (3L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, spanWords = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc1: 3 spans, 1 shared; doc2: 4 spans, 1 shared; doc3: 4 spans, 0
+    assert(got == Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)))
+  }
 }

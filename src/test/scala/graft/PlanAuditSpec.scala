@@ -81,6 +81,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "ngram" -> Dedup.ngramJaccardPairs(docs),
       "prefix" -> Dedup.prefixJaccardPairs(docs, threshold = 0.6),
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
+      "spans" -> Dedup.duplicateSpans(docs),
       "lsh" -> SimilaritySearch.lshTopK(
         emb.filter(col("vec_id") < 5), emb, 3, 64))
     plans.foreach { case (name, df) =>
