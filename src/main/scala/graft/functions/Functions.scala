@@ -38,6 +38,8 @@ object Functions {
         (s: String, fmt: String) =>
           if (s == null || fmt == null) null
           else StrfTime.parse(s, fmt))
+      // DuckDB-named aliases over Spark builtins (len, list_*, ...)
+      DuckAliases.registerAll(spark)
       spark.conf.set(marker, "true")
     }
   }

@@ -51,6 +51,12 @@ object SqlRewrites {
     case _ => "read_csv_auto"
   }
 
+  /** DuckDB `USING SAMPLE n% | n [ROWS]` → Spark TABLESAMPLE. DuckDB's
+    * bare-number default unit is rows.
+    */
+  private val usingSample =
+    """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?""".r
+
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
@@ -121,6 +127,65 @@ object SqlRewrites {
 
   private def findTopLevelTrailing(s: String): Option[Int] =
     findTopLevelKeyword(s, 0, Seq("ORDER", "LIMIT"))
+
+  /** pg/DuckDB `SELECT DISTINCT ON (keys) ...` (delegated surface —
+    * DuckDB keeps the first row per key combo under the query's ORDER
+    * BY) → `QUALIFY row_number() OVER (PARTITION BY keys ORDER BY
+    * <trailing order, else keys>) = 1`, which the QUALIFY pass below
+    * lowers into the select's own scope. Top-level statements only:
+    * QUALIFY injection is a top-level rewrite, so a subquery DISTINCT
+    * ON passes through and fails analysis loudly rather than being
+    * silently mis-rewritten.
+    */
+  private val distinctOnRe = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  private def atDepth0(s: String, pos: Int): Boolean = {
+    var depth = 0; var inS = false; var i = 0
+    while (i < pos) {
+      val c = s(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth == 0 && !inS
+  }
+
+  private def rewriteDistinctOn(sql: String): String =
+    distinctOnRe.findFirstMatchIn(sql) match {
+      case Some(m) if atDepth0(sql, m.start) =>
+        val open = m.end - 1
+        val close = matchParen(sql, open)
+        if (close < 0) sql
+        else {
+          val keys = sql.substring(open + 1, close).trim
+          val rest = sql.substring(close + 1)
+          val (body, tail) = findTopLevelTrailing(rest) match {
+            case Some(i) => (rest.substring(0, i), rest.substring(i))
+            case None => (rest, "")
+          }
+          // pg semantics: the trailing ORDER BY decides which row per
+          // key survives; without one the choice falls back to the
+          // keys themselves (any row — deterministic given the keys).
+          val winOrder =
+            if (tail.toUpperCase.startsWith("ORDER")) {
+              val afterBy = tail.substring(
+                tail.toUpperCase.indexOf("BY") + 2)
+              findTopLevelKeyword(afterBy, 0, Seq("LIMIT")) match {
+                case Some(i) => afterBy.substring(0, i)
+                case None => afterBy
+              }
+            } else keys
+          sql.substring(0, m.start) + "SELECT " + body +
+            s" QUALIFY row_number() OVER (PARTITION BY $keys" +
+            s" ORDER BY ${winOrder.trim}) = 1 " + tail
+        }
+      case _ => sql
+    }
 
   /** Inject `(pred) AS __qualify` into the main select's projection
     * list (so the predicate is evaluated in the FROM scope, like
@@ -397,8 +462,16 @@ object SqlRewrites {
         java.util.regex.Matcher.quoteReplacement(
           s"$kw ${readerFor(ext)}('$path')")
       })
-    val s1b = if (!has("exclude")) s1a
-      else starExclude.replaceAllIn(s1a, "* EXCEPT (")
+    val s1s = if (!has("sample")) s1a else
+      usingSample.replaceAllIn(s1a, m => {
+        val unit = Option(m.group(2)).map(_.toUpperCase.trim) match {
+          case Some("%") | Some("PERCENT") => "PERCENT"
+          case _ => "ROWS"
+        }
+        s"TABLESAMPLE (${m.group(1)} $unit)"
+      })
+    val s1b = if (!has("exclude")) s1s
+      else starExclude.replaceAllIn(s1s, "* EXCEPT (")
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,
@@ -422,11 +495,12 @@ object SqlRewrites {
           s"get_json_object(${m.group(1)}, '$path')")
       }
     })
-    (if (has("qualify")) findTopLevelQualify(s4) else None) match {
-      case None => Rewritten(s4, asofDrop)
+    val s5 = if (has("distinct") && has("on")) rewriteDistinctOn(s4) else s4
+    (if ((s5 ne s4) || has("qualify")) findTopLevelQualify(s5) else None) match {
+      case None => Rewritten(s5, asofDrop)
       case Some(pos) =>
-        val before = s4.substring(0, pos)
-        val after = s4.substring(pos + "QUALIFY".length)
+        val before = s5.substring(0, pos)
+        val after = s5.substring(pos + "QUALIFY".length)
         // split predicate from trailing top-level ORDER BY / LIMIT
         val (pred, tail) = findTopLevelTrailing(after) match {
           case Some(idx) => (after.substring(0, idx), after.substring(idx))

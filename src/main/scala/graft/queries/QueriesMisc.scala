@@ -56,6 +56,18 @@ object QueriesMisc {
     // star EXCLUDE modifier (DuckDB) through the rewrite pre-pass.
     "q_star_exclude" -> ((s, dir) => sql(s, dir,
       """SELECT * EXCLUDE (n_name) FROM nation ORDER BY n_nationkey""".stripMargin)),
+    // pg/DuckDB DISTINCT ON: first row per key under the query ORDER
+    // BY — rewritten to a QUALIFY row_number() window.
+    "q_distinct_on_sql" -> ((s, dir) => sql(s, dir,
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin)),
+    // GROUP BY ALL / ORDER BY ALL (DuckDB sugar Spark 4 also speaks
+    // natively — parity checked against DuckDB's own evaluation).
+    "q_orderby_all" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
     // DuckDB COLUMNS(regex) star expression — bare form (regex is a
     // partial match, output keeps source column names).
     "q_columns_regex" -> ((s, dir) => sql(s, dir,
@@ -77,6 +89,16 @@ object QueriesMisc {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB evaluates DISTINCT ON / GROUP BY ALL natively — oracle
+    // SQL is identical to the engine-side statement.
+    "q_distinct_on_sql" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_orderby_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS tot
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin,
     // DuckDB evaluates COLUMNS natively — oracle SQL is identical.
     "q_columns_regex" ->
       """SELECT COLUMNS('_id$|^lang$') FROM documents

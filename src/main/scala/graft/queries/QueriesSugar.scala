@@ -86,6 +86,21 @@ object QueriesSugar {
       s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
          |FROM read_parquet('$dir/documents.parquet')
          |GROUP BY lang ORDER BY lang""".stripMargin)),
+    // DuckDB function vocabulary through the engine: polymorphic len,
+    // string_split (literal separator), list_* family, lambdas,
+    // array_to_string, regexp_matches — the oracle runs the IDENTICAL
+    // statement in DuckDB, so the alias pack is hash-checked 1:1.
+    "q_duckdb_funcs" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_ch,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 4)) AS BIGINT) AS n_long,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '_')
+        |    AS first3,
+        |  regexp_matches(text, 'query') AS has_q
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
     // the reader TVFs; exercises both FROM and JOIN positions.
     "q_read_barepath" -> ((s, dir) => sql(s, dir,
@@ -141,6 +156,17 @@ object QueriesSugar {
       """SELECT d.lang, count(*) AS n, CAST(sum(e.label) AS BIGINT) AS label_sum
         |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q_duckdb_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_ch,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> len(w) > 4)) AS BIGINT) AS n_long,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 3), '_')
+        |    AS first3,
+        |  regexp_matches(text, 'query') AS has_q
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num

@@ -113,6 +113,38 @@ class CompatSpec extends SparkSpecBase {
     assert(sub(0).getDouble(5) > 0.0) // avg present
   }
 
+  test("USING SAMPLE rewrites to TABLESAMPLE (percent and rows)") {
+    Tables.registerAll(spark, sfDir)
+    // 100% sample must be the whole table (sampling RNG can't shrink it)
+    val all = Engine.query(spark,
+      "SELECT count(*) AS n FROM (SELECT * FROM nation USING SAMPLE 100%)")
+      .collect().head.getLong(0)
+    assert(all == 25L)
+    // row-count sample is exact in Spark's TABLESAMPLE (n ROWS)
+    val ten = Engine.query(spark,
+      "SELECT count(*) AS n FROM (SELECT * FROM nation USING SAMPLE 10 ROWS)")
+      .collect().head.getLong(0)
+    assert(ten == 10L)
+    // bare number defaults to rows, like DuckDB
+    val five = Engine.query(spark,
+      "SELECT count(*) AS n FROM (SELECT * FROM nation USING SAMPLE 5)")
+      .collect().head.getLong(0)
+    assert(five == 5L)
+  }
+
+  test("DISTINCT ON falls back untouched inside subqueries (loud failure)") {
+    // top-level works (oracle q_distinct_on); a subquery DISTINCT ON
+    // must raise an analysis error, not silently produce wrong rows
+    Tables.registerAll(spark, sfDir)
+    val thrown = intercept[Exception] {
+      Engine.query(spark,
+        """SELECT * FROM (SELECT DISTINCT ON (n_regionkey) n_regionkey,
+          |n_name FROM nation ORDER BY n_regionkey, n_name) t""".stripMargin)
+        .collect()
+    }
+    assert(thrown != null)
+  }
+
   test("asof join: backward pick of most recent right row") {
     val s = spark
     import s.implicits._
