@@ -51,6 +51,11 @@ object Engine {
       case SummarizeRe(target) => summarize(spark, target)
       case AttachRe(path, alias) => attach(spark, path, Option(alias))
       case DetachRe(alias) => detach(spark, alias)
+      case CreateOrReplaceRe(name, rest) =>
+        // DuckDB `CREATE OR REPLACE TABLE` (delegated surface); Spark's
+        // v1 catalog rejects REPLACE TABLE AS SELECT → drop-then-create.
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        query(spark, s"CREATE TABLE $name $rest")
       case _ =>
         val r = SqlRewrites.rewriteFull(sql)
         r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
@@ -62,6 +67,8 @@ object Engine {
     "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
   private val DetachRe =
     "(?is)\\A\\s*DETACH\\s+(?:DATABASE\\s+)?(\\w+)\\s*;?\\s*\\z".r
+  private val CreateOrReplaceRe =
+    "(?is)\\A\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+([\\w.]+)\\s+(.+?);?\\s*\\z".r
 
   /** DuckDB `ATTACH 'file.db' [AS alias]` — persistent second database
     * (reference README.md:8 "start persisting data"; forwarded

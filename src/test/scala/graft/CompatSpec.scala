@@ -145,6 +145,27 @@ class CompatSpec extends SparkSpecBase {
     assert(thrown != null)
   }
 
+  test("POSITIONAL JOIN pairs rows by index, pads the shorter side") {
+    val s = spark
+    import s.implicits._
+    val a = Seq("x", "y", "z").toDF("l").coalesce(1)
+    val b = Seq(10, 20).toDF("r").coalesce(1)
+    val got = RelationalOps.positionalJoin(a, b).collect()
+      .map(r => (Option(r.getString(0)), Option(r.get(1)))).toSeq
+    assert(got == Seq((Some("x"), Some(10)), (Some("y"), Some(20)),
+      (Some("z"), None)))
+  }
+
+  test("CREATE OR REPLACE TABLE drops and recreates (v1 catalog)") {
+    Engine.query(spark, "CREATE OR REPLACE TABLE cort AS SELECT 1 AS x")
+    assert(Engine.query(spark, "SELECT x FROM cort")
+      .collect().head.getInt(0) == 1)
+    Engine.query(spark, "CREATE OR REPLACE TABLE cort AS SELECT 2 AS x")
+    assert(Engine.query(spark, "SELECT x FROM cort")
+      .collect().head.getInt(0) == 2)
+    Engine.query(spark, "DROP TABLE cort")
+  }
+
   test("asof join: backward pick of most recent right row") {
     val s = spark
     import s.implicits._
