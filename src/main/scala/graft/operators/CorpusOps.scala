@@ -101,11 +101,7 @@ object CorpusOps {
   def contaminationReport(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame) = Dedup.withHashedShingles(
-        df.select(col(idCol).cast("long").as("doc_id"), col(textCol))
-          .filter(size(split(col(textCol), " ")) >= n),
-        textCol, n, "grams")
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    def grams(df: DataFrame) = docGrams(df, idCol, textCol, n)
     val evalGrams = grams(evalDocs).select(col("gram")).distinct()
     grams(corpus)
       .join(broadcast(evalGrams), "gram")
@@ -113,6 +109,79 @@ object CorpusOps {
       // grams are distinct within a doc (HashedShingles dedups), so a
       // plain count is the distinct shared-gram count
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** (doc_id, gram) pairs of 64-bit hashed word `n`-grams — shared by
+    * the exact and Bloom decontamination paths. Grams are distinct
+    * within a document ([[Dedup.withHashedShingles]] dedups).
+    */
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    Dedup.withHashedShingles(
+        df.select(col(idCol).cast("long").as("doc_id"), col(textCol))
+          .filter(size(split(col(textCol), " ")) >= n),
+        textCol, n, "grams")
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+
+  /** Bloom-filter decontamination — the 100 TB scale path of
+    * [[contaminationReport]]. The exact variant broadcasts the eval
+    * set's DISTINCT gram set (8 bytes/gram: fine for thousands of eval
+    * docs, 800 MB once the eval suite reaches 10^8 grams); this
+    * variant aggregates those grams into a fixed-size Bloom filter
+    * (built distributed via Spark's BloomFilter aggregate, ~240 MB at
+    * 10^8 grams / fpp=1e-4), broadcasts the bitset once, and probes it
+    * with a map-side predicate — the corpus still never shuffles.
+    *
+    * One-sided error, the safe direction for decontamination: a Bloom
+    * filter has NO false negatives, so every exactly-contaminated
+    * document is flagged (nothing contaminated slips through); false
+    * positives over-flag clean DOCS at ~grams-per-doc × fpp (the
+    * per-gram rate is amplified by every gram a document gets to
+    * probe), which is why the default fpp is 1e-4, not the generic
+    * 0.01: at ~10² grams/doc that holds the over-flag rate near 1%,
+    * trading a sliver of clean data for the broadcast-size cap.
+    * CorpusOpsSpec asserts the superset relation against
+    * [[contaminationReport]] and bounds the over-flag rate.
+    *
+    * @return (doc_id, n_flagged) — corpus docs with ≥1 Bloom-positive
+    *         gram and their flagged-gram count (an upper bound on the
+    *         exact shared-gram count).
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 5, fpp: Double = 1e-4): DataFrame = {
+    val evalGrams = docGrams(evalDocs, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    // expectedNumItems needs a driver-side count of the (small) eval
+    // side only; the corpus side stays lazy and distributed.
+    val expected = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    docGrams(corpus, idCol, textCol, n)
+      .filter(mightContain(col("gram")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+  }
+
+  /** Deterministic global training-order shuffle: every document gets
+    * a cryptographic-hash sort key (seeded md5 over the id) and a
+    * shard bucket, so the written training order is a reproducible
+    * pseudo-random permutation — re-running the pipeline yields
+    * byte-identical shard files, and no engine RNG state is involved.
+    *
+    * Scale shape: shard assignment is a map-only expression; the
+    * within-shard order is a local sort after a repartition on
+    * `shard` — at 100 TB this is one all-to-all scatter into nShards
+    * writer groups, each sorting its own slice (no global sort, no
+    * single-partition window).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+      seed: Int = 41, nShards: Int = 8): DataFrame = {
+    require(nShards > 0)
+    df.withColumn("shard", mixBucket(col(idCol), seed, nShards))
+      .withColumn("shuffle_key",
+        md5(concat_ws(":", lit(seed), col(idCol)).cast("binary")))
   }
 
   /** Vocabulary build + out-of-vocabulary rate — tokenizer-training

@@ -397,6 +397,41 @@ object Dedup {
     * quadratic — this is the scale-correct contrast to the pair
     * operators above, because span df is the only statistic needed.
     */
+  /** Canonical-document selection: within each near-duplicate cluster
+    * keep the BEST document, not the arbitrary first — the curation
+    * policy most public pipelines describe (dedup keeps the
+    * highest-quality representative; min-id "first arrival" is a tie
+    * rule, not a policy). Composes three already-gated operators:
+    * [[ngramJaccardPairs]] candidates → [[GraphOps.dupClusters]]
+    * components → arg-max of [[TextAnalysis.qualityFeatures]] quality
+    * per cluster (ties toward the smaller doc id, so selection stays
+    * deterministic).
+    *
+    * Scale shape: inherits the posting-list and O(log d) component
+    * bounds of its parts; the selection itself is one doc-keyed join
+    * plus a per-cluster ranking window whose partitions are cluster-
+    * sized (bounded, typically tiny) — nothing new shuffles more than
+    * the cluster membership table of ids.
+    *
+    * @return one row per cluster: (cluster_id, keep_id, quality,
+    *         n_members), clusters of ≥2 docs only.
+    */
+  def canonicalDocs(docs: DataFrame, shingleSize: Int = 3,
+      maxCharDiff: Int = 20, threshold: Double = 0.1): DataFrame = {
+    val clusters = GraphOps.dupClusters(
+      ngramJaccardPairs(docs, shingleSize, maxCharDiff, threshold))
+    val quality = TextAnalysis.qualityFeatures(docs, "text")
+      .select(col("doc_id"), col("quality"))
+    val ranked = clusters.join(quality, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+    ranked.groupBy(col("cluster_id"))
+      .agg(max(when(col("rk") === 1, col("doc_id"))).as("keep_id"),
+        max(when(col("rk") === 1, col("quality"))).as("quality"),
+        count(lit(1)).as("n_members"))
+  }
+
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanWords: Int = 5): DataFrame = {
     val g = withHashedShingles(

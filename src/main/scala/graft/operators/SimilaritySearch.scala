@@ -131,6 +131,29 @@ object SimilaritySearch {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-space cluster assignment — topic bucketing for corpus
+    * curation: every vector is assigned to its nearest (cosine) seed
+    * centroid. Seeds are the first `numClusters` corpus vectors by id,
+    * so the operator is fully deterministic and oracle-checkable (the
+    * iterated-k-means variant lives in [[ivfTopK]]; this is the
+    * assignment primitive a pipeline uses to bucket documents by
+    * topic, stratify mixtures, or shard an ANN index).
+    *
+    * Scale: the centroid table is a bounded driver-side literal
+    * (≤ dozens of rows) fused into the codegen'd [[NearestCentroids]]
+    * argmax — the corpus pass is map-only, zero shuffles, and the
+    * downstream per-cluster accounting is an ordinary hash aggregate.
+    */
+  def clusterAssign(corpus: DataFrame, numClusters: Int = 8): DataFrame = {
+    val centroids: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id")).limit(numClusters)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    corpus.select(col("vec_id"),
+      element_at(NearestCentroids(col("embedding"), centroids, 1), 1)
+        .as("cluster"))
+  }
+
   /** Sign-LSH bucketed ANN: `bands` signatures of `bitsPerBand` random
     * hyperplane sign bits; candidates share any band bucket; exact
     * cosine rerank keeps top-k. Recall/latency trade via bands ×

@@ -75,6 +75,73 @@ object TextAnalysis {
       .withColumn("quality", score)
   }
 
+  /** Logistic quality model: a fixed-weight linear classifier over the
+    * [[qualityFeatures]] signals, squashed to a keep-probability — the
+    * shape of the model-based quality filters in the public pipeline
+    * literature (CCNet / Gopher / C4 use trained fasttext or logistic
+    * models; the weights here are fixed constants so the operator is
+    * deterministic and oracle-checkable, and a trained coefficient
+    * vector drops in without changing the plan).
+    *
+    * The score is computed from the ROUNDED feature columns (6 dp),
+    * so any engine replaying the published formula reproduces it
+    * bit-for-bit; the final sigmoid is rounded to 6 dp to absorb
+    * last-ulp exp() differences across math libraries.
+    *
+    * Scale: map-only — one codegen'd expression per row on top of the
+    * feature projection, no shuffle.
+    */
+  def qualityModel(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val z = lit(-2.0) +
+      least(col("n_words").cast("double"), lit(60.0)) * 0.05 +
+      col("stopword_ratio") * 5.0 -
+      col("punct_ratio") * 8.0 +
+      when(col("avg_word_len").between(3.0, 10.0), 0.5).otherwise(-0.5)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    f.select(col(idCol), col("n_words"), col("punct_ratio"),
+        col("stopword_ratio"), col("avg_word_len"),
+        score.as("model_score"),
+        (score >= 0.5).as("keep"))
+  }
+
+  /** Unigram log-probability scoring — the perplexity-proxy filter of
+    * CCNet (Wenzek et al. 2020, public): score each document by the
+    * mean negative log-probability of its tokens under the corpus's
+    * own unigram distribution. High avg_nll = rare-token soup (OCR
+    * noise, gibberish); low = stopword-heavy boilerplate. A real
+    * pipeline thresholds both tails.
+    *
+    * Determinism: each token's -ln p is rounded to 8 dp (absorbing
+    * last-ulp ln() differences) then accumulated as an exact DECIMAL,
+    * so the per-doc mean is independent of partitioning and addition
+    * order — fully oracle-checkable.
+    *
+    * Scale shape (same as [[CorpusOps.oovReport]]): one token-keyed
+    * hash aggregate to build the frequency table, one token-keyed
+    * shuffle join to probe it (the unigram table of a 100 TB corpus is
+    * itself large, so no broadcast — AQE handles stopword skew, and
+    * map-side combine collapses the frequent tokens), one doc-keyed
+    * rollup.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(Ranking.tokens(col(textCol))).as("tok"))
+      .localCheckpoint(eager = false) // freq build + probe share it
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val total = freq.agg(sum(col("cf")).as("ct"))
+    val nll = round(-log(col("cf").cast("double") / col("ct")), 8)
+      .cast("decimal(20,10)")
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        // exact decimal sum → one well-defined double conversion →
+        // correctly-rounded double division: identical in any engine
+        round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation).
     */

@@ -254,6 +254,49 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
         .orderBy(col("source"))
     }),
+    // Canonical doc per near-dup cluster: keep the best-quality
+    // member, not the arbitrary first (oracle replays the recursive
+    // closure + the quality formula + the ranking).
+    "q_dedup_canonical" -> ((s, dir) => {
+      Dedup.canonicalDocs(t(s, dir, "documents"),
+          shingleSize = 3, maxCharDiff = 20, threshold = 0.1)
+        .orderBy(col("cluster_id"))
+    }),
+    // Bloom-filter decontamination (rows-only: the Bloom bitset uses
+    // engine-specific hashing; the no-false-negative superset relation
+    // vs q_decontaminate is asserted in CorpusOpsSpec).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.bloomDecontaminate(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          n = 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Deterministic seeded training-order shuffle (oracle-checked:
+    // md5 + mix-hash arithmetic replay identically in any engine).
+    "q_corpus_shuffle" -> ((s, dir) => {
+      CorpusOps.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+          seed = 41, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shuffle_key"))
+        .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+    }),
+    // CCNet-style unigram log-prob (perplexity-proxy) scoring.
+    "q_text_ppl" -> ((s, dir) => {
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+    // Fixed-weight logistic quality model over the feature columns.
+    "q_quality_model" -> ((s, dir) => {
+      TextAnalysis.qualityModel(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+    // Embedding cluster assignment to deterministic seed centroids
+    // (the oracle replays the argmax with list_cosine_similarity).
+    "q_cluster_assign" -> ((s, dir) => {
+      SimilaritySearch.clusterAssign(t(s, dir, "embeddings"), numClusters = 8)
+        .select(col("vec_id"), col("cluster").cast("bigint").as("cluster"))
+        .orderBy(col("vec_id"))
+    }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -279,6 +322,102 @@ object QueriesPipeline {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS words
+        |        FROM documents)
+        |  WHERE len(words) >= 3),
+        |pairs AS (
+        |  SELECT id1, id2 FROM (
+        |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |      round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS j
+        |    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |      AND abs(a.n_chars - b.n_chars) <= 20)
+        |  WHERE j >= 0.1),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION SELECT id2, id1 FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |clusters AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(
+        |      least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least((CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.1, 6) AS quality
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents)),
+        |ranked AS (
+        |  SELECT c.cluster_id, c.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY q.quality DESC, c.doc_id) AS rk
+        |  FROM clusters c JOIN q USING (doc_id))
+        |SELECT cluster_id,
+        |  max(CASE WHEN rk = 1 THEN doc_id END) AS keep_id,
+        |  max(CASE WHEN rk = 1 THEN quality END) AS quality,
+        |  count(*) AS n_members
+        |FROM ranked GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  ((doc_id % 1000003) * 40503 + 41) % 8 AS shard,
+        |  md5('41:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shard, shuffle_key, doc_id""".stripMargin,
+    "q_text_ppl" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cf FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS ct FROM freq)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(CAST(sum(CAST(round(-ln(CAST(cf AS DOUBLE) / ct), 8)
+        |      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |FROM toks JOIN freq USING (tok), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_model" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1), 6) AS punct_ratio,
+        |    round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / greatest(len(words), 1), 6) AS stopword_ratio,
+        |    round(CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1), 6) AS avg_word_len
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents))
+        |SELECT doc_id, n_words, punct_ratio, stopword_ratio, avg_word_len,
+        |  round(1.0 / (1.0 + exp(-(
+        |    -2.0 + least(CAST(n_words AS DOUBLE), 60.0) * 0.05 +
+        |    stopword_ratio * 5.0 - punct_ratio * 8.0 +
+        |    CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.5 ELSE -0.5 END))), 6)
+        |    AS model_score,
+        |  round(1.0 / (1.0 + exp(-(
+        |    -2.0 + least(CAST(n_words AS DOUBLE), 60.0) * 0.05 +
+        |    stopword_ratio * 5.0 - punct_ratio * 8.0 +
+        |    CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.5 ELSE -0.5 END))), 6)
+        |    >= 0.5 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_cluster_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce
+        |           FROM embeddings WHERE vec_id < 8)
+        |SELECT vec_id, cid AS cluster FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |        CAST(c.ce AS DOUBLE[])) DESC, c.cid) AS rk
+        |  FROM embeddings v CROSS JOIN c)
+        |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
     "q_dedup_spans" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -166,4 +166,43 @@ class CorpusOpsSpec extends SparkSpecBase {
     // doc1: 3 spans, 1 shared; doc2: 4 spans, 1 shared; doc3: 4 spans, 0
     assert(got == Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)))
   }
+
+  test("bloom decontamination: no false negatives vs exact, bounded over-flag") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val exact = CorpusOps.contaminationReport(corpus, evalSet, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = CorpusOps.bloomDecontaminate(corpus, evalSet, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided error: every exactly-contaminated doc must be flagged,
+    // with a flagged-gram count >= the true shared-gram count
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
+      assert(bloom(id) >= nShared,
+        s"doc $id flagged ${bloom(id)} < exact $nShared")
+    }
+    // false positives bounded: at fpp=0.01 the flagged population
+    // shouldn't balloon (generous 2x + 10-doc slack vs exact)
+    assert(bloom.size <= exact.size * 2 + 10,
+      s"bloom flagged ${bloom.size} docs vs exact ${exact.size}")
+  }
+
+  test("deterministic shuffle: reproducible permutation, balanced shards") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = CorpusOps.deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "shard", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val b = CorpusOps.deterministicShuffle(docs, "doc_id")
+      .select("doc_id", "shard", "shuffle_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(a.sameElements(b), "shuffle must be byte-identical across runs")
+    assert(a.map(_._1).distinct.length == a.length, "must be a permutation")
+    // hash order must differ from id order (it's a shuffle, not a sort)
+    val keyOrderedIds = a.sortBy(_._3).map(_._1).toSeq
+    assert(keyOrderedIds != keyOrderedIds.sorted, "order not shuffled")
+    val shardCounts = a.groupBy(_._2).map(_._2.length)
+    assert(shardCounts.size == 8 && shardCounts.min > a.length / 16,
+      s"shards unbalanced: $shardCounts")
+  }
 }

@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoop"), p.take(4000))
   }
 
+  test("cluster assignment is map-only: zero exchanges in the corpus pass") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val p = SimilaritySearch.clusterAssign(emb)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"assignment must be a pure map over the scan:\n$p")
+  }
+
   test("candidate-pair operators never plan a cartesian product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
@@ -82,6 +90,9 @@ class PlanAuditSpec extends SparkSpecBase {
       "prefix" -> Dedup.prefixJaccardPairs(docs, threshold = 0.6),
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
       "spans" -> Dedup.duplicateSpans(docs),
+      "canonical" -> Dedup.canonicalDocs(docs),
+      "bloom" -> CorpusOps.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)),
       "lsh" -> SimilaritySearch.lshTopK(
         emb.filter(col("vec_id") < 5), emb, 3, 64))
     plans.foreach { case (name, df) =>
