@@ -56,19 +56,98 @@ object Engine {
         // v1 catalog rejects REPLACE TABLE AS SELECT → drop-then-create.
         spark.sql(s"DROP TABLE IF EXISTS $name")
         query(spark, s"CREATE TABLE $name $rest")
+      case CreateMacroRe(orReplace, name, params, table, body) =>
+        Macros.define(name, params, body, table != null, orReplace != null)
+        spark.emptyDataFrame
+      case DropMacroRe(ifExists, name) =>
+        Macros.drop(name, ifExists != null)
+        spark.emptyDataFrame
+      case CreateSequenceRe(orReplace, ifNotExists, name, tail) =>
+        val t = if (tail == null) "" else tail
+        val start = SeqStartRe.findFirstMatchIn(t).map(_.group(1).toLong)
+        val inc = SeqIncRe.findFirstMatchIn(t).map(_.group(1).toLong)
+        Sequences.create(name, start.getOrElse(1L), inc.getOrElse(1L),
+          orReplace != null, ifNotExists != null)
+        spark.emptyDataFrame
+      case DropSequenceRe(ifExists, name) =>
+        Sequences.drop(name, ifExists != null)
+        spark.emptyDataFrame
+      case PragmaRe(body) => pragma(spark, body)
       case _ =>
-        val r = SqlRewrites.rewriteFull(sql)
+        val r = SqlRewrites.rewriteFull(Macros.expand(sql))
         r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
     }
   }
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
+  private val CreateMacroRe =
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:FUNCTION|MACRO)\\s+" +
+      "([\\w\"]+)\\s*\\(([^)]*)\\)\\s*AS\\s+(TABLE\\s+)?(.+?);?\\s*\\z").r
+  private val DropMacroRe =
+    "(?is)\\A\\s*DROP\\s+(?:FUNCTION|MACRO)\\s+(?:TABLE\\s+)?(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
+  private val CreateSequenceRe =
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)((?:\\s+\\w+.*?)?)\\s*;?\\s*\\z").r
+  private val SeqStartRe = "(?i)START\\s+(?:WITH\\s+)?(-?\\d+)".r
+  private val SeqIncRe = "(?i)INCREMENT\\s+(?:BY\\s+)?(-?\\d+)".r
+  private val DropSequenceRe =
+    "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
+  private val PragmaRe =
+    "(?is)\\A\\s*(?:PRAGMA|CALL)\\s+(\\w+(?:\\s*\\([^)]*\\))?)\\s*;?\\s*\\z".r
   private val AttachRe =
     "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
   private val DetachRe =
     "(?is)\\A\\s*DETACH\\s+(?:DATABASE\\s+)?(\\w+)\\s*;?\\s*\\z".r
   private val CreateOrReplaceRe =
     "(?is)\\A\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+([\\w.]+)\\s+(.+?);?\\s*\\z".r
+
+  /** DuckDB `PRAGMA name` / `PRAGMA name('arg')` / `CALL pragma_name(...)`
+    * (delegated surface — psql and the DuckDB shell both issue these;
+    * forwarded verbatim at cpp:52). The introspection pragmas every
+    * client library touches: version, show_tables, table_info,
+    * database_list, plus a graft-native `sequences` listing. Catalog
+    * listings materialize driver-side — they are metadata-sized by
+    * construction (same posture as PgCatalogShim).
+    */
+  def pragma(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    val PragmaCallRe = "(?s)\\A(\\w+)\\s*(?:\\((.*)\\))?\\z".r
+    body.trim match {
+      case PragmaCallRe(rawName, argOrNull) =>
+        val name = rawName.toLowerCase.stripPrefix("pragma_")
+        def arg: String = {
+          val a = Option(argOrNull).map(_.trim).getOrElse("")
+          require(a.nonEmpty, s"PRAGMA $name requires an argument")
+          a.stripPrefix("'").stripSuffix("'")
+        }
+        name match {
+          case "version" =>
+            // the reference pins DuckDB v1.1.1; source_id carries the
+            // actual engine underneath
+            Seq(("v1.1.1 (graft)", s"spark-${spark.version}"))
+              .toDF("library_version", "source_id")
+          case "show_tables" =>
+            spark.catalog.listTables().collect().map(_.name).sorted.toSeq
+              .toDF("name")
+          case "database_list" =>
+            spark.catalog.listDatabases().collect().sortBy(_.name)
+              .zipWithIndex
+              .map { case (d, i) => (i, d.name, d.locationUri) }.toSeq
+              .toDF("seq", "name", "file")
+          case "table_info" =>
+            spark.table(arg).schema.fields.zipWithIndex.map { case (f, i) =>
+              (i, f.name, f.dataType.sql, !f.nullable,
+                null.asInstanceOf[String], false)
+            }.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
+          case "sequences" =>
+            Sequences.list().toDF("name", "next_value", "increment_by")
+          case _ =>
+            // CALL of an injected TVF (generate_series, read_* ...):
+            // run it as a FROM-position relation
+            query(spark, s"SELECT * FROM ${body.trim}")
+        }
+    }
+  }
 
   /** DuckDB `ATTACH 'file.db' [AS alias]` — persistent second database
     * (reference README.md:8 "start persisting data"; forwarded

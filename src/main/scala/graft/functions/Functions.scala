@@ -38,6 +38,16 @@ object Functions {
         (s: String, fmt: String) =>
           if (s == null || fmt == null) null
           else StrfTime.parse(s, fmt))
+      // DuckDB sequence functions over the engine-global registry
+      // (Sequences.scala documents the serial-oracle scale posture).
+      // Nondeterministic: each evaluation advances/reads live state, so
+      // Catalyst must not fold, dedup, or reorder calls.
+      spark.udf.register("nextval",
+        org.apache.spark.sql.functions.udf((name: String) => Sequences.next(name))
+          .asNondeterministic())
+      spark.udf.register("currval",
+        org.apache.spark.sql.functions.udf((name: String) => Sequences.curr(name))
+          .asNondeterministic())
       // DuckDB-named aliases over Spark builtins (len, list_*, ...)
       DuckAliases.registerAll(spark)
       spark.conf.set(marker, "true")

@@ -361,14 +361,15 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   private def returnsRows(sql: String): Boolean = {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     Set("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC",
-      "EXPLAIN", "FROM", "SUMMARIZE").contains(head)
+      "EXPLAIN", "FROM", "SUMMARIZE", "PRAGMA", "CALL").contains(head)
   }
 
   private def commandTag(sql: String, rows: Long): String = {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     head match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" |
-           "DESC" | "EXPLAIN" | "FROM" | "SUMMARIZE" => s"SELECT $rows"
+           "DESC" | "EXPLAIN" | "FROM" | "SUMMARIZE" | "PRAGMA" | "CALL" =>
+        s"SELECT $rows"
       case "INSERT" => s"INSERT 0 $rows"
       case "UPDATE" => s"UPDATE $rows"
       case "DELETE" => s"DELETE $rows"

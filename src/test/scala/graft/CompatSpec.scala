@@ -179,4 +179,83 @@ class CompatSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
     assert(got == Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
   }
+
+  test("PRAGMA version / show_tables / table_info / database_list / CALL") {
+    Tables.registerAll(spark, sfDir)
+    val v = Engine.query(spark, "PRAGMA version").collect().head
+    assert(v.getString(0).contains("v1.1.1"), v.toString)
+    val tables = Engine.query(spark, "PRAGMA show_tables")
+      .collect().map(_.getString(0))
+    assert(tables.contains("nation") && tables.contains("documents"),
+      tables.mkString(","))
+    val ti = Engine.query(spark, "PRAGMA table_info('nation')").collect()
+    assert(ti.map(_.getString(1)).toSeq ==
+      Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(ti.head.getInt(0) == 0 && ti.head.getString(2) == "INT")
+    // CALL form of the same pragma TVF
+    val ci = Engine.query(spark, "CALL pragma_table_info('region')").collect()
+    assert(ci.length == 2 && ci.map(_.getString(1)).toSeq ==
+      Seq("r_regionkey", "r_name"))
+    val dbs = Engine.query(spark, "PRAGMA database_list").collect()
+    assert(dbs.exists(_.getString(1) == "default"))
+  }
+
+  test("CREATE MACRO: scalar, defaults, named args, TABLE, nesting, replace") {
+    Engine.query(spark, "CREATE MACRO add1(a, b := 10) AS a + b + 1")
+    val r = Engine.query(spark,
+      "SELECT add1(5) AS x, add1(2, 3) AS y, add1(2, b := 7) AS z").collect().head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((16, 6, 10)), r.toString)
+    // TABLE macro in FROM position
+    Tables.registerAll(spark, sfDir)
+    Engine.query(spark,
+      "CREATE MACRO topn(n) AS TABLE SELECT n_name FROM nation ORDER BY n_nationkey LIMIT n")
+    val names = Engine.query(spark, "SELECT * FROM topn(3)").collect()
+    assert(names.length == 3, names.mkString(","))
+    // nested macros expand through the fixpoint
+    Engine.query(spark, "CREATE MACRO sq(x) AS x * x")
+    Engine.query(spark, "CREATE MACRO hyp(a, b) AS sqrt(sq(a) + sq(b))")
+    assert(Engine.query(spark, "SELECT hyp(3, 4) AS h")
+      .collect().head.getDouble(0) == 5.0)
+    // OR REPLACE rebinds; a param named like a string constant is safe
+    Engine.query(spark, "CREATE OR REPLACE MACRO add1(a) AS concat('a=', a)")
+    assert(Engine.query(spark, "SELECT add1(2) AS s")
+      .collect().head.getString(0) == "a=2")
+    // qualified name is NOT a macro call
+    assert(SqlRewrites.rewrite("SELECT 1") != null) // engine still sane
+    Engine.query(spark, "DROP MACRO add1")
+    Engine.query(spark, "DROP MACRO topn")
+    Engine.query(spark, "DROP MACRO hyp")
+    Engine.query(spark, "DROP MACRO sq")
+    intercept[IllegalArgumentException] {
+      Engine.query(spark, "DROP MACRO add1")
+    }
+  }
+
+  test("CREATE SEQUENCE / nextval / currval / PRAGMA sequences") {
+    Engine.query(spark, "CREATE SEQUENCE cs_seq START 5 INCREMENT 2")
+    val r = Engine.query(spark,
+      "SELECT nextval('cs_seq') AS a, nextval('cs_seq') AS b").collect().head
+    // two distinct draws (order across an expression list is not
+    // promised, but both values come from {5, 7})
+    assert(Set(r.getLong(0), r.getLong(1)) == Set(5L, 7L), r.toString)
+    assert(Engine.query(spark, "SELECT currval('cs_seq') AS c")
+      .collect().head.getLong(0) == 7L)
+    // per-row advancement over a relation: 3 rows → 3 consecutive values
+    Engine.query(spark, "CREATE SEQUENCE rows_seq")
+    val vals = Engine.query(spark,
+      "SELECT nextval('rows_seq') AS v FROM generate_series(1, 3)")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L), vals.mkString(","))
+    val listed = Engine.query(spark, "PRAGMA sequences").collect()
+      .map(r2 => r2.getString(0) -> (r2.getLong(1), r2.getLong(2))).toMap
+    assert(listed("cs_seq") == ((9L, 2L)) && listed("rows_seq") == ((4L, 1L)),
+      listed.toString)
+    Engine.query(spark, "DROP SEQUENCE cs_seq")
+    Engine.query(spark, "DROP SEQUENCE rows_seq")
+    // nextval of a dropped sequence fails (wrapped by Spark's UDF layer)
+    val ex = intercept[Throwable] {
+      Engine.query(spark, "SELECT nextval('cs_seq') AS x").collect()
+    }
+    assert(ex.getMessage.contains("cs_seq"), ex.getMessage)
+  }
 }

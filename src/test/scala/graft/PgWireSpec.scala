@@ -599,6 +599,30 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("PRAGMA / CREATE MACRO / CREATE SEQUENCE over the wire") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    val (vc, vr, _, ve) = c.query("PRAGMA version")
+    assert(ve.isEmpty && vc == Seq("library_version", "source_id") &&
+      vr.head.head.get.contains("v1.1.1"), (vc, vr, ve))
+    val (_, tr, _, te) = c.query("PRAGMA table_info('nation')")
+    assert(te.isEmpty && tr.map(_(1).get) ==
+      Seq("n_nationkey", "n_name", "n_regionkey"), (tr, te))
+    val (_, _, _, me) = c.query(
+      "CREATE MACRO wire_twice(x) AS x + x")
+    assert(me.isEmpty, me)
+    val (_, mr, _, me2) = c.query("SELECT wire_twice(21) AS v")
+    assert(me2.isEmpty && mr == Seq(Seq(Some("42"))), (mr, me2))
+    val (_, _, _, se) = c.query("CREATE SEQUENCE wire_seq START 100")
+    assert(se.isEmpty, se)
+    val (_, sr, _, se2) = c.query("SELECT nextval('wire_seq') AS v")
+    assert(se2.isEmpty && sr == Seq(Seq(Some("100"))), (sr, se2))
+    c.query("DROP MACRO wire_twice")
+    c.query("DROP SEQUENCE wire_seq")
+    c.close()
+  }
+
   test("SHOW pg session variables (pgjdbc connect probes)") {
     val (_, port) = server
     val c = new Client(port)
