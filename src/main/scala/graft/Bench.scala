@@ -55,7 +55,17 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // localCheckpoint()ed RDDs stay pinned in the block manager for
+        // the session's lifetime; 138 queries × 2 passes of the
+        // checkpoint-heavy dedup/pipeline family pile up gigabytes and
+        // the eviction/GC pressure taxes every LATER query (measured:
+        // ~35% on the dedup family at sf0.1). Each bench query is a
+        // standalone workload — drop retained blocks between queries,
+        // outside the timed window.
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+        name -> t
       }
       (times, failed.toSet)
     }
