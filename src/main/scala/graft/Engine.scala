@@ -73,6 +73,10 @@ object Engine {
         Sequences.drop(name, ifExists != null)
         spark.emptyDataFrame
       case PragmaRe(body) => pragma(spark, body)
+      case PivotStmtRe(target, onCol, using, groupByOpt) =>
+        pivotStmt(spark, target, onCol, using, Option(groupByOpt))
+      case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
+        unpivotStmt(spark, target, onCols, nameCol, valueCol)
       case _ =>
         val r = SqlRewrites.rewriteFull(Macros.expand(sql))
         r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
@@ -94,6 +98,68 @@ object Engine {
     "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val PragmaRe =
     "(?is)\\A\\s*(?:PRAGMA|CALL)\\s+(\\w+(?:\\s*\\([^)]*\\))?)\\s*;?\\s*\\z".r
+  private val PivotStmtRe =
+    ("(?is)\\A\\s*PIVOT\\s+(\\w+|\\(.+?\\))\\s+ON\\s+(\\w+)\\s+" +
+      "USING\\s+(.+?)(?:\\s+GROUP\\s+BY\\s+(.+?))?\\s*;?\\s*\\z").r
+  private val UnpivotStmtRe =
+    ("(?is)\\A\\s*UNPIVOT\\s+(\\w+|\\(.+?\\))\\s+ON\\s+(.+?)\\s+" +
+      "INTO\\s+NAME\\s+(\\w+)\\s+VALUE\\s+(\\w+)\\s*;?\\s*\\z").r
+
+  /** resolve a statement target: bare table/view name or (subquery). */
+  private def target(spark: SparkSession, t: String): DataFrame = {
+    val s = t.trim
+    if (s.startsWith("(")) query(spark, s.stripPrefix("(").stripSuffix(")"))
+    else spark.table(s)
+  }
+
+  /** DuckDB's dynamic `PIVOT <t> ON <col> USING <agg> [GROUP BY ...]`
+    * statement — unlike the SQL-standard `PIVOT (... FOR ... IN (...))`
+    * subclause (already supported natively), the dynamic form
+    * DISCOVERS the distinct pivot values. Spark's `pivot(col)` does
+    * exactly that discovery (one distinct driver-side collect, capped
+    * by spark.sql.pivotMaxValues — the same enum-materialization
+    * DuckDB performs when it binds the statement). Without GROUP BY,
+    * DuckDB groups on every remaining column; we mirror that: all
+    * columns except the pivot column and columns referenced by the
+    * aggregate.
+    */
+  def pivotStmt(spark: SparkSession, tgt: String, onCol: String,
+      using: String, groupBy: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = target(spark, tgt)
+    val usingLc = using.toLowerCase
+    val groupCols = groupBy match {
+      case Some(g) => SqlRewrites.splitTop(g).map(_.trim)
+      case None => base.columns.toSeq.filterNot(c =>
+        c.equalsIgnoreCase(onCol) ||
+          usingLc.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c.toLowerCase)}\\b.*"))
+    }
+    base.groupBy(groupCols.map(col): _*).pivot(onCol).agg(expr(using))
+  }
+
+  /** DuckDB's dynamic `UNPIVOT <t> ON c1, c2 … INTO NAME n VALUE v`
+    * statement → Spark's native unpivot (melt). DuckDB coerces the
+    * stacked values to a common type; Spark requires one, so numeric
+    * mixtures are cast to double up front (string mixtures pass
+    * through).
+    */
+  def unpivotStmt(spark: SparkSession, tgt: String, onCols: String,
+      nameCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.NumericType
+    val base = target(spark, tgt)
+    val vals = SqlRewrites.splitTop(onCols).map(_.trim)
+    val fieldType = base.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val allNumeric = vals.forall(v =>
+      fieldType.get(v.toLowerCase).exists(_.isInstanceOf[NumericType]))
+    val prepared = if (allNumeric)
+      vals.foldLeft(base)((df, v) => df.withColumn(v, col(v).cast("double")))
+    else base
+    val ids = prepared.columns.toSeq
+      .filterNot(c => vals.exists(_.equalsIgnoreCase(c)))
+    prepared.unpivot(ids.map(col).toArray, vals.map(col).toArray,
+      nameCol, valueCol)
+  }
   private val AttachRe =
     "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
   private val DetachRe =

@@ -75,4 +75,54 @@ object Ranking {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** TF-IDF retrieval — the classic weighting BM25 refined (kept as
+    * its own operator because public pipelines use it for cheap
+    * lexical features and as the dense-retrieval baseline): score(d) =
+    * Σ_t∈query ln(1 + tf(t,d)) · ln(N / df(t)), length-normalized by
+    * the document's token count. Same plan skeleton as [[bm25TopK]] —
+    * posting build with the term filter pushed into the explode,
+    * broadcast df and corpus stats, decimal-exact score accumulation —
+    * so every shuffle stays keyed by doc or term at 100 TB.
+    *
+    * Deterministic: per-(doc,term) contributions round to 8 dp before
+    * the exact decimal sum, so partial-aggregation order cannot
+    * perturb the result (oracle-checkable).
+    */
+  def tfidfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int = 15): DataFrame = {
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+      .localCheckpoint(eager = false) // stats scan + posting build share it
+
+    val stats = base.agg(count(lit(1)).cast("double").as("n"))
+
+    val posts = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    val dfreq = posts.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val contrib = round(
+      log(lit(1.0) + col("tf")) * log(col("n") / col("df")) / col("dl"), 8)
+
+    posts
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.cast("decimal(20,10)").as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("c")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -239,6 +239,8 @@ object SqlRewrites {
   }
 
   /** split on top-level commas (outside parens/strings). */
+  def splitTop(s: String): Seq[String] = splitTopLevel(s)
+
   private def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val out = Seq.newBuilder[String]; val cur = new StringBuilder
     var depth = 0; var inS = false

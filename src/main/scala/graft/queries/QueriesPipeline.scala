@@ -226,6 +226,11 @@ object QueriesPipeline {
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("vector", "spark", "merge"), k = 15)
     }),
+    // TF-IDF retrieval (oracle-checked; same posting-list skeleton).
+    "q_text_tfidf" -> ((s, dir) => {
+      Ranking.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("vector", "spark", "merge"), k = 15)
+    }),
     // Gopher-style repetition filters (oracle-checked).
     "q_text_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionFeatures(t(s, dir, "documents"), "doc_id", "text")
@@ -764,6 +769,28 @@ object QueriesPipeline {
         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |  FROM reach GROUP BY a)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |posts AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('vector', 'spark', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM posts GROUP BY term)
+        |SELECT doc_id,
+        |  round(CAST(sum(CAST(round(ln(1.0 + tf) * ln(n / df) / dl, 8)
+        |    AS DECIMAL(20,10))) AS DOUBLE), 6) AS score
+        |FROM posts JOIN dfreq USING (term), stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
     "q_text_bm25" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -231,6 +231,34 @@ class CompatSpec extends SparkSpecBase {
     }
   }
 
+  test("dynamic PIVOT / UNPIVOT statements discover values") {
+    Tables.registerAll(spark, sfDir)
+    // dynamic PIVOT: values of o_orderstatus discovered, not listed
+    val piv = Engine.query(spark,
+      "PIVOT (SELECT o_orderpriority AS priority, o_orderstatus AS st FROM orders) " +
+        "ON st USING count(*) GROUP BY priority")
+    val expl = Engine.query(spark,
+      """SELECT * FROM (SELECT o_orderpriority AS priority, o_orderstatus AS st
+        |  FROM orders) PIVOT (count(*) FOR st IN ('F', 'O', 'P'))""".stripMargin)
+    assert(piv.columns.sorted.toSeq == expl.columns.sorted.toSeq,
+      s"${piv.columns.toSeq} vs ${expl.columns.toSeq}")
+    val a = piv.orderBy(col("priority")).collect().map(_.toSeq).toSeq
+    val b = expl.orderBy(col("priority")).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // implicit GROUP BY = all remaining columns
+    val piv2 = Engine.query(spark,
+      "PIVOT (SELECT o_orderpriority AS priority, o_orderstatus AS st FROM orders) " +
+        "ON st USING count(*)")
+    assert(piv2.columns.contains("priority") && piv2.count() == a.length)
+    // dynamic UNPIVOT: numeric value columns coerce to double
+    val unp = Engine.query(spark,
+      "UNPIVOT (SELECT o_orderkey, o_totalprice, o_custkey FROM orders " +
+        "LIMIT 2) ON o_totalprice, o_custkey INTO NAME metric VALUE v")
+    assert(unp.columns.toSeq == Seq("o_orderkey", "metric", "v"))
+    assert(unp.count() == 4)
+    assert(unp.schema("v").dataType.typeName == "double")
+  }
+
   test("CREATE SEQUENCE / nextval / currval / PRAGMA sequences") {
     Engine.query(spark, "CREATE SEQUENCE cs_seq START 5 INCREMENT 2")
     val r = Engine.query(spark,
