@@ -73,6 +73,17 @@ object Engine {
         Sequences.drop(name, ifExists != null)
         spark.emptyDataFrame
       case PragmaRe(body) => pragma(spark, body)
+      case ExportDbRe(path, fmtOrNull) =>
+        exportDatabase(spark, path,
+          Option(fmtOrNull).map(_.toLowerCase).getOrElse("csv"))
+      case ImportDbRe(path) => importDatabase(spark, path)
+      case MaintenanceRe(_) =>
+        // CHECKPOINT flushes DuckDB's WAL, VACUUM/ANALYZE refresh its
+        // storage/stats — none has a Spark analogue beyond success
+        // (tables are immutable parquet; stats come from AQE runtime
+        // statistics). Accepted so wire clients' maintenance scripts
+        // run unchanged.
+        spark.emptyDataFrame
       case PivotStmtRe(target, onCol, using, groupByOpt) =>
         pivotStmt(spark, target, onCol, using, Option(groupByOpt))
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
@@ -98,6 +109,13 @@ object Engine {
     "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val PragmaRe =
     "(?is)\\A\\s*(?:PRAGMA|CALL)\\s+(\\w+(?:\\s*\\([^)]*\\))?)\\s*;?\\s*\\z".r
+  private val ExportDbRe =
+    ("(?is)\\A\\s*EXPORT\\s+DATABASE\\s+'([^']+)'" +
+      "(?:\\s*\\(\\s*FORMAT\\s+'?(\\w+)'?\\s*\\))?\\s*;?\\s*\\z").r
+  private val ImportDbRe =
+    "(?is)\\A\\s*IMPORT\\s+DATABASE\\s+'([^']+)'\\s*;?\\s*\\z".r
+  private val MaintenanceRe =
+    "(?is)\\A\\s*(CHECKPOINT|VACUUM(?:\\s+ANALYZE)?|ANALYZE)\\s*;?\\s*\\z".r
   private val PivotStmtRe =
     ("(?is)\\A\\s*PIVOT\\s+(\\w+|\\(.+?\\))\\s+ON\\s+(\\w+)\\s+" +
       "USING\\s+(.+?)(?:\\s+GROUP\\s+BY\\s+(.+?))?\\s*;?\\s*\\z").r
@@ -213,6 +231,71 @@ object Engine {
             query(spark, s"SELECT * FROM ${body.trim}")
         }
     }
+  }
+
+  /** DuckDB `EXPORT DATABASE 'dir' [(FORMAT PARQUET|CSV)]` (delegated
+    * surface; README's persistence walkthrough pairs it with ATTACH).
+    * Every durable table of the CURRENT database is written under the
+    * directory — one subdirectory per table via the ordinary
+    * DataFrame writers (distributed, partitioned; not a single-file
+    * driver funnel) — plus `schema.sql` (CREATE TABLE statements) and
+    * `load.sql` (COPY statements), the same companion files DuckDB
+    * emits, so either engine can re-load the export. Temp views are
+    * session state, not database content — excluded, as in DuckDB.
+    */
+  def exportDatabase(spark: SparkSession, path: String,
+      format: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    require(format == "csv" || format == "parquet",
+      s"EXPORT DATABASE: unsupported format '$format'")
+    val dir = Paths.get(path).toAbsolutePath
+    Files.createDirectories(dir)
+    val cat = spark.sessionState.catalog
+    val db = cat.getCurrentDatabase
+    val tables = cat.externalCatalog.listTables(db).sorted
+    val schemaSql = new StringBuilder
+    val loadSql = new StringBuilder
+    tables.foreach { t =>
+      val df = spark.table(s"`$db`.`$t`")
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      schemaSql ++= s"CREATE TABLE $t ($cols);\n"
+      loadSql ++= s"COPY $t FROM '${dir.resolve(t)}' ($format);\n"
+      val w = df.write.mode("overwrite")
+      (if (format == "csv") w.option("header", "true") else w)
+        .format(format).save(dir.resolve(t).toString)
+    }
+    Files.writeString(dir.resolve("schema.sql"), schemaSql.toString)
+    Files.writeString(dir.resolve("load.sql"), loadSql.toString)
+    spark.emptyDataFrame
+  }
+
+  /** DuckDB `IMPORT DATABASE 'dir'` — re-register an exported
+    * directory into the CURRENT database. Parquet subdirs become
+    * external tables in place (zero copy); csv exports are read with
+    * the exported header. Written to round-trip [[exportDatabase]]
+    * and DuckDB's own parquet exports alike.
+    */
+  def importDatabase(spark: SparkSession, path: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(path).toAbsolutePath
+    require(Files.isDirectory(dir), s"IMPORT DATABASE: no directory $path")
+    val sub = Files.list(dir).iterator()
+    while (sub.hasNext) {
+      val p = sub.next()
+      if (Files.isDirectory(p)) {
+        val t = p.getFileName.toString
+        val isParquet = Files.list(p).toArray
+          .exists(_.toString.endsWith(".parquet"))
+        spark.sql(s"DROP TABLE IF EXISTS `$t`")
+        if (isParquet)
+          spark.sql(s"CREATE TABLE `$t` USING parquet LOCATION '$p'")
+        else
+          spark.sql(s"CREATE TABLE `$t` USING csv " +
+            s"OPTIONS (header 'true', inferSchema 'true', path '$p')")
+      }
+    }
+    spark.emptyDataFrame
   }
 
   /** DuckDB `ATTACH 'file.db' [AS alias]` — persistent second database

@@ -37,6 +37,34 @@ class AttachSpec extends SparkSpecBase {
     Engine.query(spark, "DETACH DATABASE att2")
   }
 
+  test("EXPORT DATABASE round-trips through IMPORT (parquet + csv)") {
+    Engine.query(spark,
+      "CREATE OR REPLACE TABLE exp_kv AS SELECT 1 AS k, 'a' AS v " +
+        "UNION ALL SELECT 2, 'b'")
+    for (fmt <- Seq("PARQUET", "CSV")) {
+      val dir = Files.createTempDirectory(s"graft-export-$fmt").toString
+      Engine.query(spark, s"EXPORT DATABASE '$dir' (FORMAT $fmt)")
+      // DuckDB-compatible companion files
+      assert(Files.readString(Paths.get(dir, "schema.sql"))
+        .contains("CREATE TABLE exp_kv"), fmt)
+      assert(Files.readString(Paths.get(dir, "load.sql"))
+        .contains("COPY exp_kv FROM"), fmt)
+      assert(Files.isDirectory(Paths.get(dir, "exp_kv")), fmt)
+      // drop, then import back into the current database
+      Engine.query(spark, "DROP TABLE exp_kv")
+      Engine.query(spark, s"IMPORT DATABASE '$dir'")
+      val rows = Engine.query(spark,
+        "SELECT k, v FROM exp_kv ORDER BY k").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(rows == Seq((1, "a"), (2, "b")), s"$fmt: $rows")
+    }
+    Engine.query(spark, "DROP TABLE exp_kv")
+    // maintenance statements are accepted no-ops
+    Engine.query(spark, "CHECKPOINT")
+    Engine.query(spark, "VACUUM")
+    Engine.query(spark, "ANALYZE")
+  }
+
   test("ATTACH ':memory:' and alias defaulting from the path stem") {
     Engine.query(spark, "ATTACH ':memory:' AS scratch")
     Engine.query(spark,
