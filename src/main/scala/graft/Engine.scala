@@ -84,6 +84,13 @@ object Engine {
         // statistics). Accepted so wire clients' maintenance scripts
         // run unchanged.
         spark.emptyDataFrame
+      case InstallLoadRe(_, _) =>
+        // `LOAD duckdb_pgwire` is the reference's own entry statement
+        // (README.md:48); INSTALL fetches an extension first. graft
+        // preregisters its whole surface at session build
+        // (Functions.registerAll + GraftExtensions), so both succeed
+        // as no-ops and the reference's documented startup runs as-is.
+        spark.emptyDataFrame
       case PivotStmtRe(target, onCol, using, groupByOpt) =>
         pivotStmt(spark, target, onCol, using, Option(groupByOpt))
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
@@ -116,6 +123,8 @@ object Engine {
     "(?is)\\A\\s*IMPORT\\s+DATABASE\\s+'([^']+)'\\s*;?\\s*\\z".r
   private val MaintenanceRe =
     "(?is)\\A\\s*(CHECKPOINT|VACUUM(?:\\s+ANALYZE)?|ANALYZE)\\s*;?\\s*\\z".r
+  private val InstallLoadRe =
+    "(?is)\\A\\s*(?:FORCE\\s+)?(INSTALL|LOAD)\\s+'?([\\w./-]+)'?\\s*;?\\s*\\z".r
   private val PivotStmtRe =
     ("(?is)\\A\\s*PIVOT\\s+(\\w+|\\(.+?\\))\\s+ON\\s+(\\w+)\\s+" +
       "USING\\s+(.+?)(?:\\s+GROUP\\s+BY\\s+(.+?))?\\s*;?\\s*\\z").r

@@ -63,6 +63,9 @@ class AttachSpec extends SparkSpecBase {
     Engine.query(spark, "CHECKPOINT")
     Engine.query(spark, "VACUUM")
     Engine.query(spark, "ANALYZE")
+    // the reference's own documented startup (README.md:48) succeeds
+    Engine.query(spark, "INSTALL duckdb_pgwire")
+    Engine.query(spark, "load duckdb_pgwire")
   }
 
   test("ATTACH ':memory:' and alias defaulting from the path stem") {

@@ -107,6 +107,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("PII redaction + quality model gate a stream, batch-identical") {
+    // the round-4 map-only operators (regex redaction, logistic
+    // scoring) compose into a streaming ingest filter with zero
+    // changes — the declaration is the contract, batch or stream
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val data = (0L until 50L).map(i =>
+      (i, s"doc $i contact me me me at user$i@example.com ok"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(data: _*)
+    def gate(df: org.apache.spark.sql.DataFrame) = {
+      val scored = TextAnalysis.qualityModel(df, "doc_id", "text")
+        .select(col("doc_id"), col("model_score"))
+      CorpusOps.redactPii(df).join(scored, "doc_id")
+        .filter(col("n_emails") > 0)
+        .select(col("doc_id"), col("clean_text"), col("model_score"))
+    }
+    val q = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("pii_stream")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = gate(data.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.size == 50)
+    assert(streamed.forall(_(1).asInstanceOf[String].contains("<EMAIL>")))
+  }
+
   test("watermark drops data later than 30 minutes (append mode)") {
     val s = spark
     import s.implicits._
