@@ -432,6 +432,78 @@ object Dedup {
         count(lit(1)).as("n_members"))
   }
 
+  /** Duplicate-span REMOVAL — the transform half of exact-substring
+    * deduplication (Lee et al. 2021 "Deduplicating Training Data Makes
+    * Language Models Better", public): every word span of `spanWords`
+    * that occurs in ≥2 documents is cut from all of them, and each
+    * document's text is rebuilt from its surviving tokens.
+    * [[duplicateSpans]] is the detection signal; this produces the
+    * cleaned corpus.
+    *
+    * Plan shape at 100 TB — nothing pairwise anywhere:
+    *  1. tokens with positions: per-row posexplode (map-only);
+    *  2. spans via k-1 `lead()`s over a doc-keyed window (the span
+    *     text never materializes — spans travel as xxhash64 keys);
+    *  3. span df: one hash aggregate keyed by span hash;
+    *  4. covered positions: dup spans joined back (span-hash keyed),
+    *     exploded to ≤ spanWords positions each, doc-keyed distinct;
+    *  5. rebuild: left-anti join tokens vs covered + one doc-keyed
+    *     aggregate ordering tokens by position.
+    * Every shuffle is keyed by doc or span hash, AQE-splittable; all
+    * arithmetic is integer/string — deterministic, fully
+    * oracle-checkable (the oracle replays the span strings
+    * themselves; xxhash64 only compresses the join key).
+    *
+    * @return one row per input document: (doc_id, clean_text,
+    *         n_tokens, n_removed) — clean_text '' when everything was
+    *         duplicated away.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanWords: Int = 5): DataFrame = {
+    require(spanWords >= 2)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val toks = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .localCheckpoint(eager = false) // span build + rebuild share it
+
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spanTail = (1 until spanWords).map(i => lead(col("w"), i).over(byDoc))
+    val spans = toks
+      .withColumn("h",
+        xxhash64(concat_ws(" ", (col("w") +: spanTail): _*)))
+      .withColumn("last", spanTail.last)
+      .filter(col("last").isNotNull) // only full-width spans
+      .select(col("doc_id"), col("pos").as("start"), col("h"))
+      .localCheckpoint(eager = false) // df count + join-back share it
+
+    val dup = spans.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dw"))
+      .filter(col("dw") >= 2)
+      .select(col("h"))
+
+    val covered = spans.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (spanWords - 1)))
+          .as("pos"))
+      .distinct()
+
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          s => s.getField("w"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+
+    base.select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanWords: Int = 5): DataFrame = {
     val g = withHashedShingles(

@@ -259,6 +259,12 @@ object QueriesPipeline {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars"))
         .orderBy(col("source"))
     }),
+    // Duplicate-span REMOVAL: rebuild every doc without cross-doc
+    // 5-gram spans (Lee et al. transform; oracle replays span strings).
+    "q_dedup_despan" -> ((s, dir) => {
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), spanWords = 5)
+        .orderBy(col("doc_id"))
+    }),
     // Canonical doc per near-dup cluster: keep the best-quality
     // member, not the arbitrary first (oracle replays the recursive
     // closure + the quality formula + the ranking).
@@ -327,6 +333,42 @@ object QueriesPipeline {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_despan" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |      i -> struct_pack(pos := i - 1, w := words[i]))) AS u
+        |    FROM w)),
+        |spans AS (
+        |  SELECT doc_id, u.start AS start, u.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |      i -> struct_pack(start := i - 1,
+        |        span := words[i]||' '||words[i+1]||' '||words[i+2]||' '||
+        |                words[i+3]||' '||words[i+4]))) AS u
+        |    FROM w WHERE len(words) >= 5)),
+        |dup AS (
+        |  SELECT span FROM (
+        |    SELECT span, count(DISTINCT doc_id) AS dw FROM spans GROUP BY span)
+        |  WHERE dw >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, u AS pos FROM (
+        |    SELECT s.doc_id, unnest(range(s.start, s.start + 5)) AS u
+        |    FROM spans s JOIN dup USING (span))),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.w FROM tok t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+        |    AS n_removed
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_canonical" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id, lang, n_chars,

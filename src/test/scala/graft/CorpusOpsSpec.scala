@@ -167,6 +167,25 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(got == Seq((1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 0L)))
   }
 
+  test("duplicate-span removal cuts exactly the shared tokens, rebuilds order") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"$shared zeta eta"),
+      (2L, s"prefix words here $shared"),
+      (3L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, spanWords = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "zeta eta", 7L, 5L),           // shared prefix removed
+      (2L, "prefix words here", 8L, 5L),  // shared suffix removed
+      (3L, "totally different content with no overlap at all", 8L, 0L)))
+  }
+
   test("bloom decontamination: no false negatives vs exact, bounded over-flag") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") >= 20)

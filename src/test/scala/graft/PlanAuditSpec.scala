@@ -90,6 +90,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "prefix" -> Dedup.prefixJaccardPairs(docs, threshold = 0.6),
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
       "spans" -> Dedup.duplicateSpans(docs),
+      "despan" -> Dedup.removeDuplicateSpans(docs),
       "canonical" -> Dedup.canonicalDocs(docs),
       "bloom" -> CorpusOps.bloomDecontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)),
