@@ -84,6 +84,16 @@ object Engine {
         // statistics). Accepted so wire clients' maintenance scripts
         // run unchanged.
         spark.emptyDataFrame
+      case CreateIndexRe(uniqueOrNull, _) =>
+        // DuckDB builds ART indexes; Spark has no secondary index — a
+        // plain CREATE INDEX is a performance hint, accepted as a
+        // no-op. A UNIQUE index is a CONSTRAINT (it would change
+        // semantics silently), so it is rejected loudly.
+        if (uniqueOrNull != null) throw new IllegalArgumentException(
+          "CREATE UNIQUE INDEX: uniqueness constraints are not enforced; " +
+            "use exact dedup (Dedup.exact) or a distinct aggregation")
+        spark.emptyDataFrame
+      case DropIndexRe(_) => spark.emptyDataFrame
       case InstallLoadRe(_, _) =>
         // `LOAD duckdb_pgwire` is the reference's own entry statement
         // (README.md:48); INSTALL fetches an extension first. graft
@@ -125,6 +135,11 @@ object Engine {
     "(?is)\\A\\s*(CHECKPOINT|VACUUM(?:\\s+ANALYZE)?|ANALYZE)\\s*;?\\s*\\z".r
   private val InstallLoadRe =
     "(?is)\\A\\s*(?:FORCE\\s+)?(INSTALL|LOAD)\\s+'?([\\w./-]+)'?\\s*;?\\s*\\z".r
+  private val CreateIndexRe =
+    ("(?is)\\A\\s*CREATE\\s+(UNIQUE\\s+)?INDEX\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(\\w+\\s+ON\\s+[\\w.]+\\s*\\([^)]*\\))\\s*;?\\s*\\z").r
+  private val DropIndexRe =
+    "(?is)\\A\\s*DROP\\s+INDEX\\s+(?:IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*\\z".r
   private val PivotStmtRe =
     ("(?is)\\A\\s*PIVOT\\s+(\\w+|\\(.+?\\))\\s+ON\\s+(\\w+)\\s+" +
       "USING\\s+(.+?)(?:\\s+GROUP\\s+BY\\s+(.+?))?\\s*;?\\s*\\z").r

@@ -184,6 +184,43 @@ object CorpusOps {
         md5(concat_ws(":", lit(seed), col(idCol)).cast("binary")))
   }
 
+  /** Source-level quality filtering — the domain/provenance gate of
+    * the public pipeline recipes (C4 / RefinedWeb filter whole domains
+    * whose aggregate quality is poor, on the theory that provenance
+    * predicts quality better than any per-document signal): aggregate
+    * each source's mean quality score, then keep documents whose
+    * SOURCE passes the bar.
+    *
+    * Scale shape: one source-keyed aggregate over the (tiny) per-source
+    * stats — sources number in the thousands at 100 TB, so the verdict
+    * table broadcasts — and the corpus-side filter is a broadcast
+    * semi-join, no corpus shuffle. The mean is decimal-exact over the
+    * 6-dp-rounded quality column, so the verdict is engine-portable.
+    *
+    * @return per-source report: (source, n_docs, avg_quality, kept).
+    */
+  def sourceQualityReport(docs: DataFrame, minAvgQuality: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    TextAnalysis.qualityFeatures(docs, textCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("quality").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_quality"))
+      .withColumn("kept", col("avg_quality") >= minAvgQuality)
+  }
+
+  /** The corpus filtered by [[sourceQualityReport]]'s verdict —
+    * broadcast semi-join on the passing sources, map-side only.
+    */
+  def filterBySourceQuality(docs: DataFrame, minAvgQuality: Double,
+      sourceCol: String = "source"): DataFrame = {
+    val passing = sourceQualityReport(docs, minAvgQuality,
+        sourceCol = sourceCol)
+      .filter(col("kept")).select(col(sourceCol))
+    docs.join(broadcast(passing), Seq(sourceCol), "left_semi")
+  }
+
   /** Vocabulary build + out-of-vocabulary rate — tokenizer-training
     * prep: the corpus vocabulary is every token with frequency ≥
     * `minFreq`; each document's OOV rate is the fraction of its tokens

@@ -291,6 +291,12 @@ object QueriesPipeline {
         .select(col("doc_id"), col("shard"), col("shuffle_key"))
         .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
     }),
+    // Source-level quality gate (C4/RefinedWeb domain-filter shape).
+    "q_corpus_sourcequality" -> ((s, dir) => {
+      CorpusOps.sourceQualityReport(t(s, dir, "documents"),
+          minAvgQuality = 0.8)
+        .orderBy(col("source"))
+    }),
     // CCNet-style unigram log-prob (perplexity-proxy) scoring.
     "q_text_ppl" -> ((s, dir) => {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))
@@ -421,6 +427,24 @@ object QueriesPipeline {
         |  md5('41:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
         |FROM documents
         |ORDER BY shard, shuffle_key, doc_id""".stripMargin,
+    "q_corpus_sourcequality" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    round(
+        |      least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |      (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |            BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |      least((CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |        / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |      (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |        / greatest(length(text), 1)) * 0.1, 6) AS quality
+        |  FROM (SELECT source, text, string_split(text, ' ') AS words FROM documents))
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+        |    AS avg_quality,
+        |  round(CAST(sum(CAST(quality AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+        |    >= 0.8 AS kept
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "q_text_ppl" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(

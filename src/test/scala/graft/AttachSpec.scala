@@ -66,6 +66,12 @@ class AttachSpec extends SparkSpecBase {
     // the reference's own documented startup (README.md:48) succeeds
     Engine.query(spark, "INSTALL duckdb_pgwire")
     Engine.query(spark, "load duckdb_pgwire")
+    // CREATE INDEX is a hint (no-op); UNIQUE is a constraint (loud)
+    Engine.query(spark, "CREATE INDEX idx_k ON exp_tbl (k)")
+    Engine.query(spark, "DROP INDEX idx_k")
+    intercept[IllegalArgumentException] {
+      Engine.query(spark, "CREATE UNIQUE INDEX u_idx ON exp_tbl (k)")
+    }
   }
 
   test("ATTACH ':memory:' and alias defaulting from the path stem") {

@@ -186,6 +186,21 @@ class CorpusOpsSpec extends SparkSpecBase {
       (3L, "totally different content with no overlap at all", 8L, 0L)))
   }
 
+  test("source-quality gate: filtered corpus = docs of passing sources, broadcast semi-join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val report = CorpusOps.sourceQualityReport(docs, minAvgQuality = 0.8)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    val kept = CorpusOps.filterBySourceQuality(docs, minAvgQuality = 0.8)
+    val keptSources = kept.select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keptSources == report.filter(_._2).keySet)
+    assert(kept.count() ==
+      docs.filter(col("source").isin(keptSources.toSeq: _*)).count())
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      plan)
+  }
+
   test("bloom decontamination: no false negatives vs exact, bounded over-flag") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") >= 20)
