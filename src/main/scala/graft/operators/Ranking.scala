@@ -28,20 +28,20 @@ object Ranking {
 
   /** Per-(doc, term) BM25 contributions for `terms`, summed per doc
     * through an exact decimal accumulator (partial-aggregation order
-    * cannot perturb low bits — the float-sum trap), then top-k by
-    * score. Returns (doc_id, score) with score rounded to 6 decimals.
+    * cannot perturb low bits — the float-sum trap). Returns every
+    * matching doc's (doc_id, score), score rounded to 6 decimals;
+    * [[bm25TopK]] ranks and truncates, [[hybridRrfTopK]] rank-fuses.
     *
     * Corpus stats (N, avgdl) ride along as a broadcast single-row
     * crossJoin — never a driver-side collect.
     */
-  def bm25TopK(
+  def bm25Scores(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       terms: Seq[String],
       k1: Double = 1.2,
-      b: Double = 0.75,
-      k: Int = 15): DataFrame = {
+      b: Double = 0.75): DataFrame = {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -72,7 +72,66 @@ object Ranking {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("c").cast("decimal(30,15)")).cast("double"), 6)
         .as("score"))
+  }
+
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      k: Int = 15): DataFrame =
+    bm25Scores(docs, idCol, textCol, terms, k1, b)
       .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    * public): fuse the BM25 lexical ranking with a cosine vector
+    * ranking as Σ 1/(rrfK + rank) over the lists a doc appears in —
+    * the standard way modern pipelines combine keyword and embedding
+    * search without score calibration.
+    *
+    * Shape: the lexical ranking covers MATCHING docs only (posting
+    * lists bound it), the dense ranking is one map-only cosine per
+    * corpus vector against a broadcast query vector; the rank windows
+    * run on those candidate sets, and at 100 TB the dense side swaps
+    * in an ANN candidate list ([[SimilaritySearch.lshTopK]]/ivf) to
+    * bound them further. Fusion is one full-outer join on doc id +
+    * integer-rank arithmetic — deterministic, oracle-checkable.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long,
+      k: Int = 15,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexRank = bm25Scores(docs, "doc_id", "text", terms)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+
+    val qe = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val vecRank = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id").as("doc_id"),
+        GraftFunctions.arrayCosineSimilarity(col("embedding"), col("qe"))
+          .as("cos"))
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+
+    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (col("lex_rank") + rrfK), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rank") + rrfK), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -226,6 +226,15 @@ object QueriesPipeline {
       Ranking.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("vector", "spark", "merge"), k = 15)
     }),
+    // Hybrid retrieval: BM25 + cosine ranks fused by RRF (oracle
+    // replays both rankings and the fusion arithmetic).
+    "q_text_hybrid" -> ((s, dir) => {
+      Ranking.hybridRrfTopK(t(s, dir, "documents"), t(s, dir, "embeddings"),
+          terms = Seq("vector", "spark", "merge"), queryVecId = 7L, k = 15)
+        .select(col("doc_id"), col("rrf"),
+          col("lex_rank").cast("bigint").as("lex_rank"),
+          col("vec_rank").cast("bigint").as("vec_rank"))
+    }),
     // TF-IDF retrieval (oracle-checked; same posting-list skeleton).
     "q_text_tfidf" -> ((s, dir) => {
       Ranking.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
@@ -835,6 +844,46 @@ object QueriesPipeline {
         |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |  FROM reach GROUP BY a)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_hybrid" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '')) AS DOUBLE) AS dl,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      t -> t <> '') AS toks
+        |  FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+        |posts AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |  WHERE term IN ('vector', 'spark', 'merge')
+        |  GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+        |          FROM posts GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(
+        |      ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * (1.2 + 1) /
+        |        (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl))
+        |      AS DECIMAL(30,15))) AS DOUBLE), 6) AS score
+        |  FROM posts p JOIN dfreq f ON p.term = f.term CROSS JOIN stats s
+        |  GROUP BY doc_id),
+        |lex AS (SELECT doc_id,
+        |          row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |        FROM bm),
+        |vec AS (SELECT v.vec_id AS doc_id,
+        |          row_number() OVER (ORDER BY
+        |            list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |              CAST(q.qe AS DOUBLE[])) DESC, v.vec_id) AS vec_rank
+        |        FROM embeddings v,
+        |          (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) q
+        |        WHERE v.vec_id <> 7)
+        |SELECT doc_id,
+        |  round(coalesce(1.0 / (lex_rank + 60), 0.0) +
+        |        coalesce(1.0 / (vec_rank + 60), 0.0), 6) AS rrf,
+        |  lex_rank, vec_rank
+        |FROM lex FULL OUTER JOIN vec USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
     "q_text_tfidf" ->
       """WITH d AS (
         |  SELECT doc_id,
