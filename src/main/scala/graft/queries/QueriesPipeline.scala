@@ -274,6 +274,28 @@ object QueriesPipeline {
       Dedup.removeDuplicateSpans(t(s, dir, "documents"), spanWords = 5)
         .orderBy(col("doc_id"))
     }),
+    // Round-4 refinement composite: the NEW operators composed into
+    // one DAG — provenance gate -> duplicate-span removal -> logistic
+    // quality filter on the CLEANED text -> hash split -> accounting.
+    // The oracle replays every stage in SQL.
+    "q_pipeline_refine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = CorpusOps.filterBySourceQuality(docs, minAvgQuality = 0.8)
+      val despanned = Dedup.removeDuplicateSpans(gated)
+        .localCheckpoint(eager = false) // scored join + accounting share it
+      val scored = TextAnalysis.qualityModel(despanned, "doc_id", "clean_text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("model_score"))
+      val kept = despanned.join(scored, "doc_id")
+      CorpusOps.hashSplit(kept, "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") - col("n_removed")).as("kept_tokens"),
+          sum(col("n_removed")).as("removed_tokens"),
+          round(sum(col("model_score").cast("decimal(20,10)")).cast("double") /
+            count(lit(1)), 6).as("avg_score"))
+        .orderBy(col("split"))
+    }),
     // Canonical doc per near-dup cluster: keep the best-quality
     // member, not the arbitrary first (oracle replays the recursive
     // closure + the quality formula + the ranking).
@@ -348,6 +370,91 @@ object QueriesPipeline {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_pipeline_refine" ->
+      """WITH srcq AS (
+        |  SELECT source,
+        |    round(CAST(sum(CAST(q AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS aq
+        |  FROM (
+        |    SELECT source,
+        |      round(
+        |        least(CAST(len(words) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+        |        (CASE WHEN CAST(length(text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1)
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END) * 0.3 +
+        |        least((CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |          / greatest(len(words), 1)) * 4, 1.0) * 0.2 +
+        |        (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |          / greatest(length(text), 1)) * 0.1, 6) AS q
+        |    FROM (SELECT source, text, string_split(text, ' ') AS words FROM documents))
+        |  GROUP BY source),
+        |gated AS (
+        |  SELECT d.* FROM documents d JOIN srcq ON d.source = srcq.source
+        |  WHERE srcq.aq >= 0.8),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM gated),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |      i -> struct_pack(pos := i - 1, w := words[i]))) AS u
+        |    FROM w)),
+        |spans AS (
+        |  SELECT doc_id, u.start AS start, u.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |      i -> struct_pack(start := i - 1,
+        |        span := words[i]||' '||words[i+1]||' '||words[i+2]||' '||
+        |                words[i+3]||' '||words[i+4]))) AS u
+        |    FROM w WHERE len(words) >= 5)),
+        |dup AS (
+        |  SELECT span FROM (
+        |    SELECT span, count(DISTINCT doc_id) AS dw FROM spans GROUP BY span)
+        |  WHERE dw >= 2),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, u AS pos FROM (
+        |    SELECT s.doc_id, unnest(range(s.start, s.start + 5)) AS u
+        |    FROM spans s JOIN dup USING (span))),
+        |kept_tok AS (
+        |  SELECT t.doc_id, t.pos, t.w FROM tok t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept_tok GROUP BY doc_id),
+        |despanned AS (
+        |  SELECT g.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |    CAST(len(string_split(g.text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(g.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+        |      AS n_removed
+        |  FROM gated g LEFT JOIN rebuilt r USING (doc_id)),
+        |feat AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    round(CAST(length(clean_text) - length(regexp_replace(clean_text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(clean_text), 1), 6) AS punct_ratio,
+        |    round(CAST(len(list_filter(words, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / greatest(len(words), 1), 6) AS stopword_ratio,
+        |    round(CAST(length(clean_text) - len(words) + 1 AS DOUBLE) / greatest(len(words), 1), 6) AS avg_word_len
+        |  FROM (SELECT doc_id, clean_text, string_split(clean_text, ' ') AS words
+        |        FROM despanned)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(1.0 / (1.0 + exp(-(
+        |      -2.0 + least(CAST(n_words AS DOUBLE), 60.0) * 0.05 +
+        |      stopword_ratio * 5.0 - punct_ratio * 8.0 +
+        |      CASE WHEN avg_word_len BETWEEN 3.0 AND 10.0 THEN 0.5 ELSE -0.5 END))), 6)
+        |      AS model_score
+        |  FROM feat),
+        |final AS (
+        |  SELECT d.doc_id, d.n_tokens, d.n_removed, s.model_score,
+        |    CASE WHEN ((d.doc_id % 1000003) * 40503 + 29) % 100 < 90 THEN 'train'
+        |         WHEN ((d.doc_id % 1000003) * 40503 + 29) % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM despanned d JOIN scored s USING (doc_id)
+        |  WHERE s.model_score >= 0.5)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_tokens - n_removed) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
+        |  round(CAST(sum(CAST(model_score AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
+        |    AS avg_score
+        |FROM final GROUP BY split ORDER BY split""".stripMargin,
     "q_dedup_despan" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |tok AS (

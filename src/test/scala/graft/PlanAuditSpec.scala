@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkSpecBase {
       !p.contains("BroadcastNestedLoop"), p.take(4000))
   }
 
+  test("q_pipeline_refine: the round-4 composite stays cartesian-free") {
+    val df = q("q_pipeline_refine")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p.take(4000))
+  }
+
   test("cluster assignment is map-only: zero exchanges in the corpus pass") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val p = SimilaritySearch.clusterAssign(emb)
