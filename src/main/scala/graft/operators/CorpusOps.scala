@@ -221,6 +221,29 @@ object CorpusOps {
     docs.join(broadcast(passing), Seq(sourceCol), "left_semi")
   }
 
+  /** Per-source document cap — RefinedWeb-style domain capping: no
+    * source may contribute more than `cap` documents, and WHICH
+    * documents survive is decided by a seeded hash order, not arrival
+    * order, so the cap is an unbiased deterministic sample of the
+    * source (arrival order correlates with crawl batches — exactly
+    * the bias a cap must not inherit).
+    *
+    * Scale: one ranking window partitioned by source (partition =
+    * source size, AQE-splittable via the same pre-split guidance as
+    * [[packByBudget]]); the hash key is computed map-side.
+    */
+  def capPerSource(df: DataFrame, idCol: String, cap: Int,
+      sourceCol: String = "source", seed: Int = 53): DataFrame = {
+    require(cap > 0)
+    df.withColumn("__capkey",
+        md5(concat_ws(":", lit(seed), col(idCol)).cast("binary")))
+      .withColumn("__caprank", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__capkey"), col(idCol))))
+      .filter(col("__caprank") <= cap)
+      .drop("__capkey", "__caprank")
+  }
+
   /** Vocabulary build + out-of-vocabulary rate — tokenizer-training
     * prep: the corpus vocabulary is every token with frequency ≥
     * `minFreq`; each document's OOV rate is the fraction of its tokens

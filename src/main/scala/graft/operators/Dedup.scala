@@ -461,28 +461,76 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanWords: Int = 5): DataFrame = {
     require(spanWords >= 2)
+    val (base, toks) = tokensWithPos(docs, idCol, textCol)
+    val spans = spansWithPos(toks, spanWords)
+      .localCheckpoint(eager = false) // df count + join-back share it
+    val dup = spans.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dw"))
+      .filter(col("dw") >= 2)
+      .select(col("h"))
+    rebuildWithout(base, toks, spans.join(dup, "h"), spanWords)
+  }
+
+  /** Surgical decontamination — cut only the OVERLAPPING spans,
+    * instead of dropping whole documents ([[CorpusOps
+    * .contaminationReport]] flags; this repairs): every corpus span
+    * that also occurs in the evaluation set is removed and the text
+    * rebuilt, so a single leaked benchmark sentence no longer costs
+    * the entire document. Same machinery as [[removeDuplicateSpans]];
+    * the span blocklist comes from the (small) eval side and rides a
+    * BROADCAST join — the corpus never shuffles for matching, only
+    * for the doc-keyed rebuild.
+    */
+  def removeContaminatedSpans(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      spanWords: Int = 5): DataFrame = {
+    require(spanWords >= 2)
+    val (base, toks) = tokensWithPos(corpus, idCol, textCol)
+    val spans = spansWithPos(toks, spanWords)
+    val (_, evalToks) = tokensWithPos(evalDocs, idCol, textCol)
+    val evalSpans = spansWithPos(evalToks, spanWords)
+      .select(col("h")).distinct()
+    rebuildWithout(base, toks, spans.join(broadcast(evalSpans), "h"),
+      spanWords)
+  }
+
+  /** (base docs with word arrays, tokens with positions) — shared by
+    * the span-removal family; toks is lazily checkpointed because the
+    * span build and the rebuild both read it.
+    */
+  private def tokensWithPos(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("ws"))
     val toks = base
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .localCheckpoint(eager = false) // span build + rebuild share it
+      .localCheckpoint(eager = false)
+    (base, toks)
+  }
 
+  /** (doc_id, start, h): every full-width span as an xxhash64 key,
+    * built from `spanWords - 1` leads over a doc-keyed window — the
+    * span text never materializes.
+    */
+  private def spansWithPos(toks: DataFrame, spanWords: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spanTail = (1 until spanWords).map(i => lead(col("w"), i).over(byDoc))
-    val spans = toks
+    toks
       .withColumn("h",
         xxhash64(concat_ws(" ", (col("w") +: spanTail): _*)))
       .withColumn("last", spanTail.last)
       .filter(col("last").isNotNull) // only full-width spans
       .select(col("doc_id"), col("pos").as("start"), col("h"))
-      .localCheckpoint(eager = false) // df count + join-back share it
+  }
 
-    val dup = spans.select(col("doc_id"), col("h")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("dw"))
-      .filter(col("dw") >= 2)
-      .select(col("h"))
-
-    val covered = spans.join(dup, "h")
+  /** Rebuild every document without the tokens covered by
+    * `flaggedSpans` (doc_id, start, …): explode each flagged span to
+    * its covered positions, anti-join the tokens, re-assemble in
+    * position order. One row per input doc, '' when nothing survives.
+    */
+  private def rebuildWithout(base: DataFrame, toks: DataFrame,
+      flaggedSpans: DataFrame, spanWords: Int): DataFrame = {
+    val covered = flaggedSpans
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (spanWords - 1)))
           .as("pos"))

@@ -296,6 +296,24 @@ object QueriesPipeline {
             count(lit(1)), 6).as("avg_score"))
         .orderBy(col("split"))
     }),
+    // Surgical decontamination: cut eval-overlapping 5-gram spans,
+    // keep the repaired documents (vs q_decontaminate's doc flags).
+    "q_decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+          spanWords = 5)
+        .filter(col("n_removed") > 0) // repaired docs only
+        .orderBy(col("doc_id"))
+    }),
+    // Per-source document cap (RefinedWeb-style domain capping) —
+    // seeded-hash survivor choice; accounting per source.
+    "q_corpus_cap" -> ((s, dir) => {
+      CorpusOps.capPerSource(t(s, dir, "documents"), "doc_id", cap = 15)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
+    }),
     // Canonical doc per near-dup cluster: keep the best-quality
     // member, not the arbitrary first (oracle replays the recursive
     // closure + the quality formula + the ranking).
@@ -455,6 +473,56 @@ object QueriesPipeline {
         |  round(CAST(sum(CAST(model_score AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
         |    AS avg_score
         |FROM final GROUP BY split ORDER BY split""".stripMargin,
+    "q_decontaminate_spans" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+        |tok AS (
+        |  SELECT doc_id, u.pos AS pos, u.w AS w FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) + 1),
+        |      i -> struct_pack(pos := i - 1, w := words[i]))) AS u
+        |    FROM w)),
+        |spans AS (
+        |  SELECT doc_id, u.start AS start, u.span AS span FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(words) - 3),
+        |      i -> struct_pack(start := i - 1,
+        |        span := words[i]||' '||words[i+1]||' '||words[i+2]||' '||
+        |                words[i+3]||' '||words[i+4]))) AS u
+        |    FROM w WHERE len(words) >= 5)),
+        |evspans AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(words) - 3),
+        |    i -> words[i]||' '||words[i+1]||' '||words[i+2]||' '||
+        |         words[i+3]||' '||words[i+4])) AS span
+        |  FROM (SELECT string_split(text, ' ') AS words FROM documents
+        |        WHERE doc_id < 20)
+        |  WHERE len(words) >= 5),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, u AS pos FROM (
+        |    SELECT s.doc_id, unnest(range(s.start, s.start + 5)) AS u
+        |    FROM spans s JOIN evspans USING (span))),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.w FROM tok t
+        |  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |rebuilt AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT c.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(c.text, ' ')) - coalesce(r.n_kept, 0) AS BIGINT)
+        |      AS n_removed
+        |  FROM corpus c LEFT JOIN rebuilt r USING (doc_id))
+        |WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
+    "q_corpus_cap" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('53:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 GROUP BY source ORDER BY source""".stripMargin,
     "q_dedup_despan" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |tok AS (

@@ -201,6 +201,45 @@ class CorpusOpsSpec extends SparkSpecBase {
       plan)
   }
 
+  test("surgical decontamination cuts only eval-overlapping spans") {
+    val s = spark
+    import s.implicits._
+    val leak = "alpha beta gamma delta epsilon"
+    val evalDocs = Seq((1L, s"benchmark question $leak answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, s"intro $leak outro words"),
+      (101L, "completely clean document with no leaked content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(corpus, evalDocs, spanWords = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (100L, "intro outro words", 5L),
+      (101L, "completely clean document with no leaked content here", 0L)))
+  }
+
+  test("per-source cap: bound respected, survivors deterministic and unbiased") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val capped = CorpusOps.capPerSource(docs, "doc_id", cap = 10)
+    val bySource = capped.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ <= 10), bySource.toString)
+    // sources under the cap keep everything
+    val natural = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    natural.foreach { case (src, n) =>
+      assert(bySource(src) == math.min(n, 10L), s"$src: $n -> ${bySource(src)}")
+    }
+    // deterministic across runs
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusOps.capPerSource(docs, "doc_id", cap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // hash order, not id order: survivors are not simply the lowest ids
+    assert(ids1 != docs.select("doc_id").collect().map(_.getLong(0))
+      .sorted.take(ids1.size).toSet)
+  }
+
   test("bloom decontamination: no false negatives vs exact, bounded over-flag") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") >= 20)

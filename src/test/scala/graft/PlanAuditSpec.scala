@@ -99,6 +99,8 @@ class PlanAuditSpec extends SparkSpecBase {
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
       "spans" -> Dedup.duplicateSpans(docs),
       "despan" -> Dedup.removeDuplicateSpans(docs),
+      "decontam-spans" -> Dedup.removeContaminatedSpans(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)),
       "canonical" -> Dedup.canonicalDocs(docs),
       "bloom" -> CorpusOps.bloomDecontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)),
