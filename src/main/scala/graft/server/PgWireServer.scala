@@ -361,14 +361,16 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   private def returnsRows(sql: String): Boolean = {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     Set("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC",
-      "EXPLAIN", "FROM", "SUMMARIZE", "PRAGMA", "CALL").contains(head)
+      "EXPLAIN", "FROM", "SUMMARIZE", "PRAGMA", "CALL", "PIVOT",
+      "UNPIVOT").contains(head)
   }
 
   private def commandTag(sql: String, rows: Long): String = {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     head match {
       case "SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" | "DESCRIBE" |
-           "DESC" | "EXPLAIN" | "FROM" | "SUMMARIZE" | "PRAGMA" | "CALL" =>
+           "DESC" | "EXPLAIN" | "FROM" | "SUMMARIZE" | "PRAGMA" | "CALL" |
+           "PIVOT" | "UNPIVOT" =>
         s"SELECT $rows"
       case "INSERT" => s"INSERT 0 $rows"
       case "UPDATE" => s"UPDATE $rows"

@@ -620,6 +620,10 @@ class PgWireSpec extends SparkSpecBase {
     assert(se2.isEmpty && sr == Seq(Seq(Some("100"))), (sr, se2))
     c.query("DROP MACRO wire_twice")
     c.query("DROP SEQUENCE wire_seq")
+    // dynamic PIVOT returns rows over the wire
+    val (pc, pr, _, pe) = c.query(
+      "PIVOT (SELECT r_name, 1 AS one FROM region) ON r_name USING count(*)")
+    assert(pe.isEmpty && pr.length == 1 && pc.length >= 3, (pc, pr, pe))
     c.close()
   }
 
