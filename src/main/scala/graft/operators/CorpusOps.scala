@@ -83,6 +83,36 @@ object CorpusOps {
       .drop("p")
   }
 
+  /** Mixture epoch plan — the budgeting step of data mixing (public
+    * recipe shape: temperature-derived source weights over a fixed
+    * training-token budget, with the per-source repeat factor
+    * "epochs" = target tokens / available tokens; >1 means the source
+    * repeats, the regime the data-constrained scaling literature
+    * reasons about). Pure planning arithmetic over per-source
+    * aggregates: one source-keyed hash aggregate (tiny result) plus a
+    * broadcast single-row total — deterministic via 6-dp rounding +
+    * exact decimal weight normalization, so the plan table is
+    * oracle-checkable and identical on any engine.
+    *
+    * @return (source, n_docs, toks, weight, target_toks, epochs)
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, tokensCol: String,
+      temperature: Double, budget: Long): DataFrame = {
+    require(temperature > 0 && budget > 0)
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("toks"))
+    val pw = round(pow(col("toks"), lit(1.0 / temperature)), 6)
+      .cast("decimal(30,10)")
+    val tot = counts.agg(sum(pw).as("sw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("toks"),
+        round((pw / col("sw")).cast("double"), 6).as("weight"))
+      .withColumn("target_toks",
+        round(col("weight") * budget).cast("bigint"))
+      .withColumn("epochs",
+        round(col("target_toks").cast("double") / col("toks"), 4))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at
     * least one word n-gram with an evaluation set (the standard
     * n-gram-overlap contamination check from the published LM

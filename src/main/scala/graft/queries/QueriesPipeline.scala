@@ -306,6 +306,13 @@ object QueriesPipeline {
         .filter(col("n_removed") > 0) // repaired docs only
         .orderBy(col("doc_id"))
     }),
+    // Mixture epoch plan: temperature weights over a token budget,
+    // per-source repeat factors (data-constrained mixing arithmetic).
+    "q_corpus_epochs" -> ((s, dir) => {
+      CorpusOps.epochPlan(t(s, dir, "documents"), "source", "n_chars",
+          temperature = 2.0, budget = 1000000L)
+        .orderBy(col("source"))
+    }),
     // Per-source document cap (RefinedWeb-style domain capping) —
     // seeded-hash survivor choice; accounting per source.
     "q_corpus_cap" -> ((s, dir) => {
@@ -514,6 +521,24 @@ object QueriesPipeline {
         |      AS n_removed
         |  FROM corpus c LEFT JOIN rebuilt r USING (doc_id))
         |WHERE n_removed > 0 ORDER BY doc_id""".stripMargin,
+    "q_corpus_epochs" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT sum(CAST(round(pow(toks, 0.5), 6) AS DECIMAL(30,10))) AS sw
+        |  FROM c),
+        |w AS (
+        |  SELECT source, n_docs, toks,
+        |    round(CAST(CAST(round(pow(toks, 0.5), 6) AS DECIMAL(30,10)) / sw
+        |      AS DOUBLE), 6) AS weight
+        |  FROM c, t)
+        |SELECT source, n_docs, toks, weight,
+        |  CAST(round(weight * 1000000) AS BIGINT) AS target_toks,
+        |  round(CAST(CAST(round(weight * 1000000) AS BIGINT) AS DOUBLE) / toks, 4)
+        |    AS epochs
+        |FROM w ORDER BY source""".stripMargin,
     "q_corpus_cap" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS chars
