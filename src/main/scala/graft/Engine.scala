@@ -113,8 +113,10 @@ object Engine {
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
   private val CreateMacroRe =
+    // the param list matches lazily up to the first ")  AS" so default
+    // values may themselves contain calls: m(a, b := least(1, 2)) AS …
     ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:FUNCTION|MACRO)\\s+" +
-      "([\\w\"]+)\\s*\\(([^)]*)\\)\\s*AS\\s+(TABLE\\s+)?(.+?);?\\s*\\z").r
+      "([\\w\"]+)\\s*\\((.*?)\\)\\s*AS\\s+(TABLE\\s+)?(.+?);?\\s*\\z").r
   private val DropMacroRe =
     "(?is)\\A\\s*DROP\\s+(?:FUNCTION|MACRO)\\s+(?:TABLE\\s+)?(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val CreateSequenceRe =
@@ -169,12 +171,17 @@ object Engine {
       using: String, groupBy: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val base = target(spark, tgt)
-    val usingLc = using.toLowerCase
+    // implicit-group derivation: exclude the pivot column and columns
+    // the aggregate READS — identified as bare identifiers in the
+    // USING text that are NOT function calls (an identifier followed
+    // by '(' is a function name, so a column that happens to share a
+    // function's name stays in the grouping keys)
+    val usedIdents = "(?i)\\b([a-z_][a-z0-9_]*)\\b(?!\\s*\\()".r
+      .findAllMatchIn(using.toLowerCase).map(_.group(1)).toSet
     val groupCols = groupBy match {
       case Some(g) => SqlRewrites.splitTop(g).map(_.trim)
       case None => base.columns.toSeq.filterNot(c =>
-        c.equalsIgnoreCase(onCol) ||
-          usingLc.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(c.toLowerCase)}\\b.*"))
+        c.equalsIgnoreCase(onCol) || usedIdents.contains(c.toLowerCase))
     }
     base.groupBy(groupCols.map(col): _*).pivot(onCol).agg(expr(using))
   }
@@ -201,6 +208,9 @@ object Engine {
       .filterNot(c => vals.exists(_.equalsIgnoreCase(c)))
     prepared.unpivot(ids.map(col).toArray, vals.map(col).toArray,
       nameCol, valueCol)
+      // DuckDB's UNPIVOT excludes NULL values by default (Spark's
+      // unpivot is the INCLUDE NULLS form)
+      .filter(col(valueCol).isNotNull)
   }
   private val AttachRe =
     "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
@@ -302,23 +312,36 @@ object Engine {
     */
   def importDatabase(spark: SparkSession, path: String): DataFrame = {
     import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val dir = Paths.get(path).toAbsolutePath
     require(Files.isDirectory(dir), s"IMPORT DATABASE: no directory $path")
-    val sub = Files.list(dir).iterator()
-    while (sub.hasNext) {
-      val p = sub.next()
-      if (Files.isDirectory(p)) {
-        val t = p.getFileName.toString
-        val isParquet = Files.list(p).toArray
-          .exists(_.toString.endsWith(".parquet"))
-        spark.sql(s"DROP TABLE IF EXISTS `$t`")
-        if (isParquet)
-          spark.sql(s"CREATE TABLE `$t` USING parquet LOCATION '$p'")
-        else
-          spark.sql(s"CREATE TABLE `$t` USING csv " +
-            s"OPTIONS (header 'true', inferSchema 'true', path '$p')")
-      }
+    def register(t: String, p: java.nio.file.Path, parquet: Boolean): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      if (parquet)
+        spark.sql(s"CREATE TABLE `$t` USING parquet LOCATION '$p'")
+      else
+        spark.sql(s"CREATE TABLE `$t` USING csv " +
+          s"OPTIONS (header 'true', inferSchema 'true', path '$p')")
     }
+    val listing = Files.list(dir)
+    try {
+      listing.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        if (Files.isDirectory(p)) {
+          // graft's own export layout: one writer directory per table
+          val entries = Files.list(p)
+          val isParquet =
+            try entries.iterator().asScala.exists(_.toString.endsWith(".parquet"))
+            finally entries.close()
+          register(name, p, isParquet)
+        } else if (name.endsWith(".parquet") || name.endsWith(".csv")) {
+          // DuckDB's own export layout: flat <table>.parquet / .csv
+          // files next to schema.sql
+          register(name.replaceAll("\\.(parquet|csv)$", ""), p,
+            name.endsWith(".parquet"))
+        }
+      }
+    } finally listing.close()
     spark.emptyDataFrame
   }
 
@@ -354,15 +377,16 @@ object Engine {
       Files.createDirectories(dir)
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$alias` LOCATION '$dir'")
       // Re-register persisted tables: any subdir is a parquet table.
-      val sub = Files.list(dir).iterator()
-      while (sub.hasNext) {
-        val p = sub.next()
-        if (Files.isDirectory(p)) {
-          val t = p.getFileName.toString
-          if (!spark.catalog.tableExists(s"`$alias`.`$t`"))
-            spark.sql(s"CREATE TABLE `$alias`.`$t` USING parquet LOCATION '$p'")
+      val listing = Files.list(dir)
+      try {
+        listing.iterator().forEachRemaining { p =>
+          if (Files.isDirectory(p)) {
+            val t = p.getFileName.toString
+            if (!spark.catalog.tableExists(s"`$alias`.`$t`"))
+              spark.sql(s"CREATE TABLE `$alias`.`$t` USING parquet LOCATION '$p'")
+          }
         }
-      }
+      } finally listing.close()
     }
     spark.emptyDataFrame
   }

@@ -182,6 +182,7 @@ object CorpusOps {
       n: Int = 5, fpp: Double = 1e-4): DataFrame = {
     val evalGrams = docGrams(evalDocs, idCol, textCol, n)
       .select(col("gram")).distinct()
+      .localCheckpoint(eager = false) // count() + bloom build share it
     // expectedNumItems needs a driver-side count of the (small) eval
     // side only; the corpus side stays lazy and distributed.
     val expected = math.max(evalGrams.count(), 1L)
@@ -230,7 +231,7 @@ object CorpusOps {
     * @return per-source report: (source, n_docs, avg_quality, kept).
     */
   def sourceQualityReport(docs: DataFrame, minAvgQuality: Double,
-      idCol: String = "doc_id", textCol: String = "text",
+      textCol: String = "text",
       sourceCol: String = "source"): DataFrame = {
     TextAnalysis.qualityFeatures(docs, textCol)
       .groupBy(col(sourceCol))

@@ -126,6 +126,9 @@ object Macros {
     if (positional.size + named.size != args.size)
       throw new IllegalArgumentException(
         s"macro $name: positional args must precede named args")
+    val unknown = named.keySet.diff(m.params.toSet)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"macro $name has no parameter ${unknown.mkString(", ")}")
     val binding = m.params.zipWithIndex.map { case (p, idx) =>
       val v = if (idx < positional.size) positional(idx)
         else named.getOrElse(p, m.defaults.getOrElse(p,
@@ -172,13 +175,19 @@ object Macros {
   private def isIdentTail(c: Char): Boolean =
     Character.isJavaIdentifierPart(c) // letters, digits, _
 
-  /** index just past the closing quote (handles '' doubling). */
+  /** index just past the closing quote — handles both escape dialects
+    * a literal can arrive in: pg-style `''` doubling AND Spark's
+    * default backslash escapes (`\'`), since the expanded text is
+    * parsed by Spark.
+    */
   private def skipQuoted(s: String, open: Int): Int = {
     val q = s.charAt(open)
     var i = open + 1
     while (i < s.length) {
-      if (s.charAt(i) == q) {
-        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2 // escaped
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) i += 2 // backslash escape
+      else if (c == q) {
+        if (i + 1 < s.length && s.charAt(i + 1) == q) i += 2 // '' doubling
         else return i + 1
       } else i += 1
     }

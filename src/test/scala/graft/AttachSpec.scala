@@ -74,6 +74,28 @@ class AttachSpec extends SparkSpecBase {
     }
   }
 
+  test("IMPORT DATABASE reads DuckDB's flat-file export layout") {
+    // DuckDB's EXPORT DATABASE writes flat <table>.parquet files next
+    // to schema.sql — not per-table directories
+    val dir = Files.createTempDirectory("graft-flat-import")
+    val s = spark
+    import s.implicits._
+    Seq((1, "x"), (2, "y")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("__tmp").toString)
+    val part = Files.list(dir.resolve("__tmp")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve("flat_kv.parquet"))
+    Files.writeString(dir.resolve("schema.sql"),
+      "CREATE TABLE flat_kv (k INTEGER, v VARCHAR);\n")
+    Engine.query(spark, s"IMPORT DATABASE '$dir'")
+    val rows = Engine.query(spark,
+      "SELECT k, v FROM flat_kv ORDER BY k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "x"), (2, "y")))
+    Engine.query(spark, "DROP TABLE flat_kv")
+  }
+
   test("ATTACH ':memory:' and alias defaulting from the path stem") {
     Engine.query(spark, "ATTACH ':memory:' AS scratch")
     Engine.query(spark,

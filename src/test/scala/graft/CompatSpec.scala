@@ -259,6 +259,39 @@ class CompatSpec extends SparkSpecBase {
     assert(unp.schema("v").dataType.typeName == "double")
   }
 
+  test("PIVOT/UNPIVOT/MACRO DuckDB edge semantics (review regressions)") {
+    val s = spark
+    import s.implicits._
+    // UNPIVOT excludes NULL values, like DuckDB (not Spark's default)
+    Seq((1, Some(5), None: Option[Int]))
+      .toDF("k", "a", "b").createOrReplaceTempView("unpv_t")
+    val rows = Engine.query(spark,
+      "UNPIVOT unpv_t ON a, b INTO NAME n VALUE v").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "a", rows.toSeq)
+    // a column sharing an aggregate FUNCTION's name stays a group key
+    Seq(("g1", "F", 1L), ("g2", "O", 2L))
+      .toDF("sum", "st", "x").createOrReplaceTempView("pvt_t")
+    val piv = Engine.query(spark, "PIVOT pvt_t ON st USING count(*)")
+    assert(piv.columns.contains("sum") && piv.count() == 2, piv.columns.toSeq)
+    // macro: unknown named arg is a loud binder error, not a silent default
+    Engine.query(spark, "CREATE MACRO edge_m(a, b := 10) AS a + b")
+    val err = intercept[IllegalArgumentException] {
+      Engine.query(spark, "SELECT edge_m(2, c := 7) AS v")
+    }
+    assert(err.getMessage.contains("no parameter"), err.getMessage)
+    // macro default values may contain calls (balanced parens)
+    Engine.query(spark,
+      "CREATE MACRO edge_d(a, b := least(1, 2)) AS a + b")
+    assert(Engine.query(spark, "SELECT edge_d(5) AS v")
+      .collect().head.getInt(0) == 6)
+    // backslash-escaped quote inside a literal doesn't derail expansion
+    val esc = Engine.query(spark,
+      "SELECT 'it\\'s', edge_d(1) AS v").collect().head
+    assert(esc.getString(0) == "it's" && esc.getInt(1) == 2)
+    Engine.query(spark, "DROP MACRO edge_m")
+    Engine.query(spark, "DROP MACRO edge_d")
+  }
+
   test("CREATE SEQUENCE / nextval / currval / PRAGMA sequences") {
     Engine.query(spark, "CREATE SEQUENCE cs_seq START 5 INCREMENT 2")
     val r = Engine.query(spark,
