@@ -132,6 +132,47 @@ class PropertySpec extends SparkSpecBase {
     }
   }
 
+  test("duplicate-span removal agrees with a brute-force reference on random corpora") {
+    val s = spark
+    import s.implicits._
+    val k = 3
+    // tiny vocabulary forces cross-doc span collisions
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(1, 9).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val corpus = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+    def brute(docs: Seq[(Long, String)]): Map[Long, (String, Long, Long)] = {
+      val words = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val spans = words.view.mapValues { ws =>
+        if (ws.length < k) Seq.empty
+        else (0 to ws.length - k).map(i => i -> ws.slice(i, i + k).mkString(" "))
+      }.toMap
+      val df = spans.toSeq
+        .flatMap { case (id, sp) => sp.map(_._2).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.map { case (id, _) =>
+        val ws = words(id)
+        val covered = spans(id).collect {
+          case (i, sp) if df.getOrElse(sp, 0) >= 2 => i until i + k
+        }.flatten.toSet
+        val kept = ws.indices.filterNot(covered).map(ws)
+        id -> (kept.mkString(" "), ws.length.toLong,
+          (ws.length - kept.size).toLong)
+      }.toMap
+    }
+
+    holds(Prop.forAll(corpus) { docs =>
+      val got = Dedup.removeDuplicateSpans(
+          docs.toDF("doc_id", "text"), spanWords = k)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      got == brute(docs)
+    }, cases = 30)
+  }
+
   test("DataFrame and SQL paths agree for arbitrary pushed filters") {
     val s = spark
     Tables.registerAll(s, sfDir)
