@@ -82,6 +82,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       .option("header", "true").option("inferSchema", "true").csv(p))
     injectReader("read_json")(p => active.read.json(p))
 
+    // DuckDB metadata TVFs (`SELECT * FROM duckdb_tables()` etc.) —
+    // the introspection surface DB tools/UIs query through the wire
+    // (delegated engine surface, forwarded verbatim at cpp:52). Each
+    // snapshots the ACTIVE session's catalog at resolution time into
+    // a local relation — metadata-sized by construction.
+    def injectMeta(name: String)(
+        mk: org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (_: Seq[Expression]) => mk(active).queryExecution.analyzed))
+    injectMeta("duckdb_databases") { sp =>
+      import sp.implicits._
+      sp.catalog.listDatabases().collect().map(_.name).sorted.toSeq
+        .toDF("database_name")
+    }
+    injectMeta("duckdb_tables") { sp =>
+      import sp.implicits._
+      sp.catalog.listTables().collect().toSeq
+        .map(t => (Option(t.database).getOrElse("memory"), "main", t.name,
+          t.tableType == "TEMPORARY",
+          sp.table(t.name).schema.fields.length))
+        .sortBy(_._3)
+        .toDF("database_name", "schema_name", "table_name", "temporary",
+          "column_count")
+    }
+    injectMeta("duckdb_columns") { sp =>
+      import sp.implicits._
+      sp.catalog.listTables().collect().toSeq.sortBy(_.name)
+        .flatMap { t =>
+          sp.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
+            (Option(t.database).getOrElse("memory"), "main", t.name,
+              f.name, i, f.dataType.sql)
+          }
+        }
+        .toDF("database_name", "schema_name", "table_name", "column_name",
+          "column_index", "data_type")
+    }
+    injectMeta("duckdb_settings") { sp =>
+      import sp.implicits._
+      sp.conf.getAll.toSeq.filter(_._1.startsWith("spark.sql."))
+        .sortBy(_._1)
+        .toDF("name", "value")
+    }
+    injectMeta("duckdb_functions") { sp =>
+      import sp.implicits._
+      sp.catalog.listFunctions().collect().map(_.name).sorted.toSeq
+        .toDF("function_name")
+    }
+
     // dialect pre-pass at the parser seam: plain spark.sql(...) gets
     // QUALIFY / JSON arrows / pg type aliases / star EXCLUDE
     ext.injectParser((_, delegate) => new GraftParser(delegate))

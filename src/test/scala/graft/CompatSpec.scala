@@ -259,6 +259,28 @@ class CompatSpec extends SparkSpecBase {
     assert(unp.schema("v").dataType.typeName == "double")
   }
 
+  test("duckdb_* metadata TVFs snapshot the session catalog") {
+    Tables.registerAll(spark, sfDir)
+    val tables = Engine.query(spark,
+      "SELECT table_name, column_count FROM duckdb_tables() " +
+        "WHERE table_name = 'nation'").collect()
+    assert(tables.length == 1 && tables.head.getInt(1) == 3, tables.toSeq)
+    val cols = Engine.query(spark,
+      "SELECT column_name, data_type FROM duckdb_columns() " +
+        "WHERE table_name = 'region' ORDER BY column_index").collect()
+    assert(cols.map(_.getString(0)).toSeq == Seq("r_regionkey", "r_name"))
+    val dbs = Engine.query(spark,
+      "SELECT count(*) AS n FROM duckdb_databases()").collect()
+    assert(dbs.head.getLong(0) >= 1)
+    val setting = Engine.query(spark,
+      "SELECT value FROM duckdb_settings() " +
+        "WHERE name = 'spark.sql.session.timeZone'").collect()
+    assert(setting.head.getString(0) == "UTC", setting.toSeq)
+    val fns = Engine.query(spark,
+      "SELECT count(*) AS n FROM duckdb_functions()").collect()
+    assert(fns.head.getLong(0) > 100)
+  }
+
   test("PIVOT/UNPIVOT/MACRO DuckDB edge semantics (review regressions)") {
     val s = spark
     import s.implicits._
