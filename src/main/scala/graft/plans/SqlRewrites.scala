@@ -45,6 +45,12 @@ object SqlRewrites {
     */
   private val barePathTable =
     """(?i)\b(from|join)\s+'([^']+?\.(parquet|pq|csv|tsv|csv\.gz|tsv\.gz|json|jsonl|ndjson))'""".r
+
+  /** `information_schema.tables` / `.columns` relations (standard SQL
+    * introspection; DuckDB serves them natively, ORMs probe them).
+    */
+  private val infoSchemaTables = "(?i)\\binformation_schema\\.tables\\b".r
+  private val infoSchemaColumns = "(?i)\\binformation_schema\\.columns\\b".r
   private def readerFor(ext: String): String = ext.toLowerCase match {
     case "parquet" | "pq" => "read_parquet"
     case "json" | "jsonl" | "ndjson" => "read_json"
@@ -458,8 +464,24 @@ object SqlRewrites {
         java.util.regex.Matcher.quoteReplacement(
           s"$kw (SELECT explode(sequence($args)) AS $alias)")
       })
-    val s1a = if (!has("'")) s1 else
-      barePathTable.replaceAllIn(s1, m => {
+    // information_schema (ORMs / SQL tools probe it; DuckDB serves it
+    // natively) lowered onto the duckdb_* metadata TVFs with the
+    // standard column names
+    val s1is = if (!has("information_schema")) s1 else
+      infoSchemaTables.replaceAllIn(
+        infoSchemaColumns.replaceAllIn(s1, java.util.regex.Matcher
+          .quoteReplacement(
+            "(SELECT database_name AS table_catalog, " +
+              "schema_name AS table_schema, table_name, column_name, " +
+              "column_index + 1 AS ordinal_position, data_type " +
+              "FROM duckdb_columns())")),
+        java.util.regex.Matcher.quoteReplacement(
+          "(SELECT database_name AS table_catalog, " +
+            "schema_name AS table_schema, table_name, " +
+            "CASE WHEN temporary THEN 'LOCAL TEMPORARY' " +
+            "ELSE 'BASE TABLE' END AS table_type FROM duckdb_tables())"))
+    val s1a = if (!has("'")) s1is else
+      barePathTable.replaceAllIn(s1is, m => {
         val kw = m.group(1); val path = m.group(2); val ext = m.group(3)
         java.util.regex.Matcher.quoteReplacement(
           s"$kw ${readerFor(ext)}('$path')")

@@ -281,6 +281,19 @@ class CompatSpec extends SparkSpecBase {
     assert(fns.head.getLong(0) > 100)
   }
 
+  test("information_schema.tables/columns lower onto the metadata TVFs") {
+    Tables.registerAll(spark, sfDir)
+    val t = Engine.query(spark,
+      "SELECT table_name, table_type FROM information_schema.tables " +
+        "WHERE table_name = 'nation'").collect()
+    assert(t.length == 1 && t.head.getString(1) == "LOCAL TEMPORARY", t.toSeq)
+    val c = Engine.query(spark,
+      "SELECT column_name, ordinal_position FROM information_schema.columns " +
+        "WHERE table_name = 'region' ORDER BY ordinal_position").collect()
+    assert(c.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("r_regionkey", 1), ("r_name", 2)), c.toSeq)
+  }
+
   test("PIVOT/UNPIVOT/MACRO DuckDB edge semantics (review regressions)") {
     val s = spark
     import s.implicits._
