@@ -115,6 +115,9 @@ object Engine {
   private val CreateMacroRe =
     // the param list matches lazily up to the first ")  AS" so default
     // values may themselves contain calls: m(a, b := least(1, 2)) AS …
+    // Known limit: a STRING default containing the text ") AS " would
+    // split early — quote-aware splitting needs a real scanner, and no
+    // realistic macro default embeds that sequence.
     ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:FUNCTION|MACRO)\\s+" +
       "([\\w\"]+)\\s*\\((.*?)\\)\\s*AS\\s+(TABLE\\s+)?(.+?);?\\s*\\z").r
   private val DropMacroRe =
@@ -178,10 +181,16 @@ object Engine {
     // function's name stays in the grouping keys)
     val usedIdents = "(?i)\\b([a-z_][a-z0-9_]*)\\b(?!\\s*\\()".r
       .findAllMatchIn(using.toLowerCase).map(_.group(1)).toSet
+    val usingLc = using.toLowerCase
     val groupCols = groupBy match {
       case Some(g) => SqlRewrites.splitTop(g).map(_.trim)
       case None => base.columns.toSeq.filterNot(c =>
-        c.equalsIgnoreCase(onCol) || usedIdents.contains(c.toLowerCase))
+        c.equalsIgnoreCase(onCol) || usedIdents.contains(c.toLowerCase) ||
+          // non-identifier column names (quoted, with spaces) can't be
+          // found by the identifier lexer — fall back to a contains
+          // check for those only
+          (!c.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+            usingLc.contains(c.toLowerCase)))
     }
     base.groupBy(groupCols.map(col): _*).pivot(onCol).agg(expr(using))
   }

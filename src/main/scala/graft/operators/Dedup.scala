@@ -487,7 +487,9 @@ object Dedup {
     require(spanWords >= 2)
     val (base, toks) = tokensWithPos(corpus, idCol, textCol)
     val spans = spansWithPos(toks, spanWords)
-    val (_, evalToks) = tokensWithPos(evalDocs, idCol, textCol)
+    // eval tokens feed exactly one consumer — no checkpoint
+    val (_, evalToks) = tokensWithPos(evalDocs, idCol, textCol,
+      checkpoint = false)
     val evalSpans = spansWithPos(evalToks, spanWords)
       .select(col("h")).distinct()
     rebuildWithout(base, toks, spans.join(broadcast(evalSpans), "h"),
@@ -499,13 +501,12 @@ object Dedup {
     * span build and the rebuild both read it.
     */
   private def tokensWithPos(docs: DataFrame, idCol: String,
-      textCol: String): (DataFrame, DataFrame) = {
+      textCol: String, checkpoint: Boolean = true): (DataFrame, DataFrame) = {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("ws"))
-    val toks = base
+    val raw = base
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .localCheckpoint(eager = false)
-    (base, toks)
+    (base, if (checkpoint) raw.localCheckpoint(eager = false) else raw)
   }
 
   /** (doc_id, start, h): every full-width span as an xxhash64 key,

@@ -98,12 +98,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       sp.catalog.listDatabases().collect().map(_.name).sorted.toSeq
         .toDF("database_name")
     }
+    // per-table schema lookup that NEVER fails the listing: a dangling
+    // view (base table dropped) must not break introspection — DuckDB's
+    // duckdb_tables() lists what the catalog has, errors or not
+    def safeFields(sp: org.apache.spark.sql.SparkSession, name: String) =
+      scala.util.Try(sp.table(name).schema.fields).getOrElse(Array.empty)
     injectMeta("duckdb_tables") { sp =>
       import sp.implicits._
       sp.catalog.listTables().collect().toSeq
         .map(t => (Option(t.database).getOrElse("memory"), "main", t.name,
-          t.tableType == "TEMPORARY",
-          sp.table(t.name).schema.fields.length))
+          t.tableType == "TEMPORARY", safeFields(sp, t.name).length))
         .sortBy(_._3)
         .toDF("database_name", "schema_name", "table_name", "temporary",
           "column_count")
@@ -112,7 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       import sp.implicits._
       sp.catalog.listTables().collect().toSeq.sortBy(_.name)
         .flatMap { t =>
-          sp.table(t.name).schema.fields.zipWithIndex.map { case (f, i) =>
+          safeFields(sp, t.name).zipWithIndex.map { case (f, i) =>
             (Option(t.database).getOrElse("memory"), "main", t.name,
               f.name, i, f.dataType.sql)
           }

@@ -129,6 +129,10 @@ object Macros {
     val unknown = named.keySet.diff(m.params.toSet)
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"macro $name has no parameter ${unknown.mkString(", ")}")
+    val doublyBound = m.params.take(positional.size).filter(named.contains)
+    if (doublyBound.nonEmpty) throw new IllegalArgumentException(
+      s"macro $name: parameter ${doublyBound.mkString(", ")} bound both " +
+        "positionally and by name")
     val binding = m.params.zipWithIndex.map { case (p, idx) =>
       val v = if (idx < positional.size) positional(idx)
         else named.getOrElse(p, m.defaults.getOrElse(p,

@@ -49,8 +49,12 @@ object SqlRewrites {
   /** `information_schema.tables` / `.columns` relations (standard SQL
     * introspection; DuckDB serves them natively, ORMs probe them).
     */
-  private val infoSchemaTables = "(?i)\\binformation_schema\\.tables\\b".r
-  private val infoSchemaColumns = "(?i)\\binformation_schema\\.columns\\b".r
+  // anchored on FROM/JOIN (captured and re-emitted) so the rewrite
+  // cannot fire inside string literals or on qualified column refs
+  private val infoSchemaTables =
+    "(?i)\\b(from|join)\\s+information_schema\\.tables\\b".r
+  private val infoSchemaColumns =
+    "(?i)\\b(from|join)\\s+information_schema\\.columns\\b".r
   private def readerFor(ext: String): String = ext.toLowerCase match {
     case "parquet" | "pq" => "read_parquet"
     case "json" | "jsonl" | "ndjson" => "read_json"
@@ -469,14 +473,14 @@ object SqlRewrites {
     // standard column names
     val s1is = if (!has("information_schema")) s1 else
       infoSchemaTables.replaceAllIn(
-        infoSchemaColumns.replaceAllIn(s1, java.util.regex.Matcher
-          .quoteReplacement(
-            "(SELECT database_name AS table_catalog, " +
+        infoSchemaColumns.replaceAllIn(s1, m =>
+          java.util.regex.Matcher.quoteReplacement(
+            m.group(1) + " (SELECT database_name AS table_catalog, " +
               "schema_name AS table_schema, table_name, column_name, " +
               "column_index + 1 AS ordinal_position, data_type " +
               "FROM duckdb_columns())")),
-        java.util.regex.Matcher.quoteReplacement(
-          "(SELECT database_name AS table_catalog, " +
+        m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + " (SELECT database_name AS table_catalog, " +
             "schema_name AS table_schema, table_name, " +
             "CASE WHEN temporary THEN 'LOCAL TEMPORARY' " +
             "ELSE 'BASE TABLE' END AS table_type FROM duckdb_tables())"))

@@ -78,13 +78,18 @@ class AttachSpec extends SparkSpecBase {
     // DuckDB's EXPORT DATABASE writes flat <table>.parquet files next
     // to schema.sql — not per-table directories
     val dir = Files.createTempDirectory("graft-flat-import")
+    // staging dir OUTSIDE the import dir: IMPORT scans everything under
+    // its path, and a leftover staging subdir would register as a table
+    val stage = Files.createTempDirectory("graft-flat-stage")
     val s = spark
     import s.implicits._
     Seq((1, "x"), (2, "y")).toDF("k", "v").coalesce(1)
-      .write.mode("overwrite").parquet(dir.resolve("__tmp").toString)
-    val part = Files.list(dir.resolve("__tmp")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .find(_.toString.endsWith(".parquet")).get
+      .write.mode("overwrite").parquet(stage.toString)
+    val listing = Files.list(stage)
+    val part =
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      finally listing.close()
     Files.copy(part, dir.resolve("flat_kv.parquet"))
     Files.writeString(dir.resolve("schema.sql"),
       "CREATE TABLE flat_kv (k INTEGER, v VARCHAR);\n")

@@ -279,6 +279,16 @@ class CompatSpec extends SparkSpecBase {
     val fns = Engine.query(spark,
       "SELECT count(*) AS n FROM duckdb_functions()").collect()
     assert(fns.head.getLong(0) > 100)
+    // a dangling view must not break the listing (DuckDB never fails)
+    Engine.query(spark, "CREATE OR REPLACE TABLE mtvf_base AS SELECT 1 AS x")
+    spark.sql("CREATE OR REPLACE TEMP VIEW mtvf_dangle AS " +
+      "SELECT * FROM mtvf_base")
+    Engine.query(spark, "DROP TABLE mtvf_base")
+    val listed = Engine.query(spark,
+      "SELECT table_name FROM duckdb_tables()").collect()
+      .map(_.getString(0))
+    assert(listed.contains("mtvf_dangle") && listed.contains("nation"))
+    spark.catalog.dropTempView("mtvf_dangle")
   }
 
   test("information_schema.tables/columns lower onto the metadata TVFs") {
@@ -314,6 +324,11 @@ class CompatSpec extends SparkSpecBase {
       Engine.query(spark, "SELECT edge_m(2, c := 7) AS v")
     }
     assert(err.getMessage.contains("no parameter"), err.getMessage)
+    // a parameter bound both positionally and by name is a loud error
+    val dup = intercept[IllegalArgumentException] {
+      Engine.query(spark, "SELECT edge_m(2, a := 7) AS v")
+    }
+    assert(dup.getMessage.contains("bound both"), dup.getMessage)
     // macro default values may contain calls (balanced parens)
     Engine.query(spark,
       "CREATE MACRO edge_d(a, b := least(1, 2)) AS a + b")
