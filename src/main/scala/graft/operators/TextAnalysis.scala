@@ -225,6 +225,33 @@ object TextAnalysis {
             nTri, 6)).as("dup_trigram_frac"))
   }
 
+  /** Per-group top terms — the corpus-statistics report every
+    * pipeline writes (vocabulary drift, language sanity checks,
+    * stopword balance): the `k` most frequent tokens within each
+    * group (language, source, …), rank ties broken lexically so the
+    * report is deterministic and oracle-checkable.
+    *
+    * Scale: one (group, token)-keyed hash aggregate with map-side
+    * combine (exactly the frequent tokens collapse hardest), then a
+    * rank window whose partitions are groups — the aggregate output,
+    * not the corpus.
+    */
+  def topTerms(docs: DataFrame, groupCol: String, textCol: String,
+      k: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("grp"),
+        explode(Ranking.tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("n").desc, col("tok"))))
+      .filter(col("rk") <= k)
+      .withColumnRenamed("grp", groupCol)
+      .select(col(groupCol), col("rk"), col("tok"), col("n"))
+  }
+
   /** Polynomial rolling-hash fingerprint of the normalized text,
     * mod 2^31-1 (keeps the ANSI-mode fold inside long range).
     */

@@ -353,6 +353,11 @@ object QueriesPipeline {
           minAvgQuality = 0.8)
         .orderBy(col("source"))
     }),
+    // Per-language top terms (corpus statistics report).
+    "q_text_topterms" -> ((s, dir) => {
+      TextAnalysis.topTerms(t(s, dir, "documents"), "lang", "text", k = 5)
+        .orderBy(col("lang"), col("rk"))
+    }),
     // CCNet-style unigram log-prob (perplexity-proxy) scoring.
     "q_text_ppl" -> ((s, dir) => {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"))
@@ -654,6 +659,17 @@ object QueriesPipeline {
         |  round(CAST(sum(CAST(quality AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6)
         |    >= 0.8 AS kept
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q_text_topterms" ->
+      """SELECT lang, rk, tok, n FROM (
+        |  SELECT lang, tok, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, tok) AS rk
+        |  FROM (
+        |    SELECT lang, unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+        |    FROM documents)
+        |  GROUP BY lang, tok)
+        |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "q_text_ppl" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(
