@@ -92,13 +92,20 @@ object Ranking {
     * the standard way modern pipelines combine keyword and embedding
     * search without score calibration.
     *
-    * Shape: the lexical ranking covers MATCHING docs only (posting
-    * lists bound it), the dense ranking is one map-only cosine per
-    * corpus vector against a broadcast query vector; the rank windows
-    * run on those candidate sets, and at 100 TB the dense side swaps
-    * in an ANN candidate list ([[SimilaritySearch.lshTopK]]/ivf) to
-    * bound them further. Fusion is one full-outer join on doc id +
-    * integer-rank arithmetic — deterministic, oracle-checkable.
+    * Shape: both rankings are truncated to a top-`candidateM`
+    * candidate list BEFORE any rank window runs — `orderBy().limit(M)`
+    * fuses to `TakeOrderedAndProject` (parallel per-partition partial
+    * top-M + driver merge of M-row heaps), so the unpartitioned
+    * `row_number` window only ever sees ≤ M rows regardless of corpus
+    * size. Ranking inside the truncated list equals the global rank
+    * for every surviving row because the truncation uses the same
+    * total order (score desc, id) — and fusing top-M candidate LISTS
+    * is exactly how RRF is defined, not an approximation. The lexical
+    * side is additionally bounded by matching postings; the dense side
+    * is one map-only cosine per vector against a broadcast query
+    * vector (swap in [[SimilaritySearch.lshTopK]]/ivf to avoid even
+    * the linear scan). Fusion is one join on doc id + integer-rank
+    * arithmetic — deterministic, oracle-checkable.
     */
   def hybridRrfTopK(
       docs: DataFrame,
@@ -106,9 +113,12 @@ object Ranking {
       terms: Seq[String],
       queryVecId: Long,
       k: Int = 15,
-      rrfK: Int = 60): DataFrame = {
+      rrfK: Int = 60,
+      candidateM: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lexRank = bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(candidateM)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
@@ -120,6 +130,8 @@ object Ranking {
       .select(col("vec_id").as("doc_id"),
         GraftFunctions.arrayCosineSimilarity(col("embedding"), col("qe"))
           .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(candidateM)
       .withColumn("vec_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))

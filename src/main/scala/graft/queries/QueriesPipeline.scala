@@ -1086,14 +1086,14 @@ object QueriesPipeline {
         |  GROUP BY doc_id),
         |lex AS (SELECT doc_id,
         |          row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
-        |        FROM bm),
+        |        FROM bm QUALIFY lex_rank <= 1000),
         |vec AS (SELECT v.vec_id AS doc_id,
         |          row_number() OVER (ORDER BY
         |            list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
         |              CAST(q.qe AS DOUBLE[])) DESC, v.vec_id) AS vec_rank
         |        FROM embeddings v,
         |          (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) q
-        |        WHERE v.vec_id <> 7)
+        |        WHERE v.vec_id <> 7 QUALIFY vec_rank <= 1000)
         |SELECT doc_id,
         |  round(coalesce(1.0 / (lex_rank + 60), 0.0) +
         |        coalesce(1.0 / (vec_rank + 60), 0.0), 6) AS rrf,

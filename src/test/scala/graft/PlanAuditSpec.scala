@@ -88,6 +88,50 @@ class PlanAuditSpec extends SparkSpecBase {
       s"assignment must be a pure map over the scan:\n$p")
   }
 
+  test("corpus-wide: every unpartitioned window is limit-bounded") {
+    // An `OVER (ORDER BY …)` window with no PARTITION BY funnels its
+    // whole input into a single task — the one plan shape that cannot
+    // survive a 100× scale-up. The gate sweeps EVERY corpus query and
+    // requires each unpartitioned WindowExec to be fed from a bounded
+    // subtree: a GlobalLimit/TakeOrderedAndProject (top-M candidate
+    // truncation, as in hybridRrfTopK) or a WindowGroupLimit (Spark's
+    // rank-filter pushdown, which keeps per-partition top-k before the
+    // single-partition exchange). Exemptions are global-order frames
+    // whose semantics DuckDB also runs single-stream (parity by
+    // design); the scalable alternative is RelationalOps.runningAgg.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.{CollectLimitExec, GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case q: QueryStageExec => nodes(q.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def bounded(p: SparkPlan): Boolean = nodes(p).exists {
+      case _: GlobalLimitExec | _: CollectLimitExec | _: LocalLimitExec => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: WindowGroupLimitExec => true
+      case _ => false
+    }
+    val exempt = Set("q_window_frames_range") // global RANGE frame: DuckDB parity
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val bad = nodes(df.queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) =>
+            s"$name: ${w.simpleStringWithNodeId()}"
+        }
+        // iterative builders localCheckpoint; don't let blocks pile up
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        bad
+      }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
+  }
+
   test("candidate-pair operators never plan a cartesian product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
