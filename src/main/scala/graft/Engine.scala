@@ -130,7 +130,7 @@ object Engine {
   private val DropSequenceRe =
     "(?is)\\A\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val PragmaRe =
-    "(?is)\\A\\s*(?:PRAGMA|CALL)\\s+(\\w+(?:\\s*\\([^)]*\\))?)\\s*;?\\s*\\z".r
+    "(?is)\\A\\s*(?:PRAGMA|CALL)\\s+(\\w+(?:\\s*\\([^)]*\\)|\\s*=\\s*[^;]+?)?)\\s*;?\\s*\\z".r
   private val ExportDbRe =
     ("(?is)\\A\\s*EXPORT\\s+DATABASE\\s+'([^']+)'" +
       "(?:\\s*\\(\\s*FORMAT\\s+'?(\\w+)'?\\s*\\))?\\s*;?\\s*\\z").r
@@ -236,10 +236,29 @@ object Engine {
     * listings materialize driver-side — they are metadata-sized by
     * construction (same posture as PgCatalogShim).
     */
+  /** DuckDB setting pragmas a client may assign (`PRAGMA threads=4`,
+    * `PRAGMA memory_limit='2GB'`) or invoke no-arg. Resource knobs are
+    * cluster-managed in Spark, so they are accepted as no-ops — the
+    * same posture as the SET surface; anything else errors loudly
+    * rather than silently reading a same-named table.
+    */
+  private val SettingPragmas = Set(
+    "threads", "memory_limit", "max_memory", "temp_directory",
+    "default_order", "default_null_order", "enable_progress_bar",
+    "disable_progress_bar", "enable_object_cache", "disable_object_cache",
+    "enable_profiling", "disable_profiling", "profiling_output",
+    "wal_autocheckpoint", "checkpoint_threshold", "enable_verification",
+    "disable_verification", "force_compression", "explain_output")
+
   def pragma(spark: SparkSession, body: String): DataFrame = {
     import spark.implicits._
+    val PragmaAssignRe = "(?s)\\A(\\w+)\\s*=\\s*(.+)\\z".r
     val PragmaCallRe = "(?s)\\A(\\w+)\\s*(?:\\((.*)\\))?\\z".r
     body.trim match {
+      case PragmaAssignRe(rawName, _) =>
+        require(SettingPragmas.contains(rawName.toLowerCase),
+          s"unrecognized pragma '$rawName'")
+        spark.emptyDataFrame
       case PragmaCallRe(rawName, argOrNull) =>
         val name = rawName.toLowerCase.stripPrefix("pragma_")
         def arg: String = {
@@ -268,10 +287,16 @@ object Engine {
             }.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
           case "sequences" =>
             Sequences.list().toDF("name", "next_value", "increment_by")
-          case _ =>
+          case _ if argOrNull != null =>
             // CALL of an injected TVF (generate_series, read_* ...):
             // run it as a FROM-position relation
             query(spark, s"SELECT * FROM ${body.trim}")
+          case _ if SettingPragmas.contains(name) =>
+            spark.emptyDataFrame // bare toggle form: PRAGMA enable_profiling
+          case _ =>
+            // a bare unknown pragma must NOT fall into the TVF path —
+            // that would silently select from a same-named table
+            throw new IllegalArgumentException(s"unrecognized pragma '$name'")
         }
     }
   }
@@ -303,7 +328,13 @@ object Engine {
       val cols = df.schema.fields
         .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
       schemaSql ++= s"CREATE TABLE $t ($cols);\n"
-      loadSql ++= s"COPY $t FROM '${dir.resolve(t)}' ($format);\n"
+      // each table is a Spark writer DIRECTORY (part-* files plus
+      // _SUCCESS/.crc markers); a glob over the data extension is what
+      // DuckDB's COPY FROM can actually load back
+      loadSql ++= (if (format == "csv")
+        s"COPY $t FROM '${dir.resolve(t)}/*.csv' (FORMAT CSV, HEADER);\n"
+      else
+        s"COPY $t FROM '${dir.resolve(t)}/*.parquet' (FORMAT PARQUET);\n")
       val w = df.write.mode("overwrite")
       (if (format == "csv") w.option("header", "true") else w)
         .format(format).save(dir.resolve(t).toString)

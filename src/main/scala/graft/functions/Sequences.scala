@@ -19,11 +19,12 @@ import java.util.concurrent.atomic.AtomicLong
   * atomic per sequence. That is exactly DuckDB's semantic (single
   * node, serialized), and it is fine for the wire-server use case
   * (DDL ids, small inserts). It is NOT the way to number 100 TB of
-  * rows: a distributed pipeline should take one `nextval` per
-  * PARTITION as a block base (fetch-and-add of `rows-per-partition`)
-  * and add a local offset — the standard block-allocation recipe —
-  * or use `zipWithIndex`/`row_number`. The UDF evaluates on the
-  * driver-side executor threads of local mode; on a multi-JVM
+  * rows: for that, [[assignIds]] implements the standard block-
+  * allocation recipe — the DRIVER grants each partition one
+  * contiguous block ([[nextBlock]], a single fetch-and-add per
+  * partition) and executors add a local offset, so no per-row call
+  * ever crosses the driver boundary. The per-row UDF form evaluates
+  * on the driver-side executor threads of local mode; on a multi-JVM
   * cluster each executor would hold its own copy, so the UDF form is
   * deliberately not the distributed path.
   */
@@ -57,12 +58,78 @@ object Sequences {
   }
 
   def next(name: String): Long = {
-    val s = seqs.get(norm(name))
+    val k = norm(name)
+    val s = seqs.get(k)
     if (s == null)
       throw new IllegalArgumentException(s"sequence $name does not exist")
-    val v = s.counter.getAndAdd(s.increment)
-    lastVal.put(norm(name), v)
-    v
+    // counter bump and currval update must be one atomic step: two
+    // interleaving connections could otherwise leave currval reporting
+    // a value that was never the last one issued
+    s.synchronized {
+      val v = s.counter.getAndAdd(s.increment)
+      lastVal.put(k, v)
+      v
+    }
+  }
+
+  /** Draw a contiguous block of `n` values in ONE fetch-and-add: the
+    * base is returned; the caller owns base, base+inc, …,
+    * base+(n-1)·inc. This is the distributed-numbering primitive —
+    * the driver grants each partition a block sized to its row count
+    * and rows add a local offset (see [[assignIds]]), so `nextval`
+    * semantics survive a 1000-executor INSERT..SELECT without a
+    * per-row serial oracle. Gap-tolerant like PostgreSQL CACHE:
+    * undershooting a grant burns ids, never reuses them.
+    */
+  def nextBlock(name: String, n: Long): Long = {
+    require(n > 0, s"block size must be positive, got $n")
+    val k = norm(name)
+    val s = seqs.get(k)
+    if (s == null)
+      throw new IllegalArgumentException(s"sequence $name does not exist")
+    s.synchronized {
+      val base = s.counter.getAndAdd(s.increment * n)
+      lastVal.put(k, base + s.increment * (n - 1))
+      base
+    }
+  }
+
+  /** Append a sequence-numbered id column via driver-granted blocks:
+    * one job counts rows per partition, the driver draws one
+    * contiguous block per partition ([[nextBlock]]), and a second
+    * map-only pass adds the local offset — ids are unique, block-
+    * contiguous within a partition, and monotonic in (partition,
+    * row) order. The input is pinned with a localCheckpoint so both
+    * passes see identical partition contents (a re-evaluated
+    * nondeterministic source could otherwise overflow its grant).
+    */
+  def assignIds(df: org.apache.spark.sql.DataFrame, name: String,
+      outCol: String = "id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val k = norm(name)
+    val s = seqs.get(k)
+    if (s == null)
+      throw new IllegalArgumentException(s"sequence $name does not exist")
+    val inc = s.increment
+    val pinned = df.localCheckpoint(eager = false)
+    val rdd = pinned.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)),
+        preservesPartitioning = true)
+      .collect().sortBy(_._1).map(_._2)
+    val bases = counts.map(n => if (n == 0) 0L else nextBlock(name, n))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val base = bases(i)
+      var off = 0L
+      it.map { r =>
+        val v = base + off * inc
+        off += 1
+        Row.fromSeq(r.toSeq :+ v)
+      }
+    }
+    df.sparkSession.createDataFrame(out,
+      df.schema.add(outCol, LongType, nullable = false))
   }
 
   def curr(name: String): Long = {

@@ -62,18 +62,45 @@ object SimilaritySearch {
       numClusters: Int = 16,
       nprobe: Int = 4,
       kmeansIters: Int = 2,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
 
     // one materialization: every Lloyd iteration and the final index
     // read this instead of re-scanning the source
     val corpusCk = corpus.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false)
 
-    // deterministic seeding: the first numClusters vectors by id
-    val centroids: Array[Array[Double]] = corpusCk
-      .orderBy(col("vec_id")).limit(numClusters)
+    // Seeding: a seeded-hash draw of an 8× candidate pool (TakeOrdered
+    // over xxhash64(id, seed) — deterministic, fully parallel, no
+    // corpus-order bias the way first-N-by-id seeding has), then a
+    // driver-side greedy farthest-point (k-center) pass over that tiny
+    // pool so the chosen seeds SPREAD: a plain uniform draw lands
+    // multiple seeds in dense regions and recall@3 drops ~0.25 on the
+    // test corpus; greedy spreading restores it. Pool is ≤ 8·k rows —
+    // trivially driver-sized at any corpus scale.
+    val pool: Array[Array[Double]] = corpusCk
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(numClusters * 8)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      1.0 - dot / math.sqrt(na * nb + 1e-30)
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    val minDist = pool.map(cosDist(_, pool.head))
+    while (chosen.size < math.min(numClusters, pool.length)) {
+      val far = minDist.zipWithIndex.maxBy(_._1)._2
+      chosen += pool(far)
+      var i = 0
+      while (i < pool.length) {
+        val d = cosDist(pool(i), pool(far))
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    val centroids: Array[Array[Double]] = chosen.toArray
 
     // fused native argmax over a centroid snapshot — one codegen'd
     // pass per row (the composable transform+array_sort form ran
@@ -145,12 +172,18 @@ object SimilaritySearch {
     * downstream per-cluster accounting is an ordinary hash aggregate.
     */
   def clusterAssign(corpus: DataFrame, numClusters: Int = 8): DataFrame = {
-    val centroids: Array[Array[Float]] = corpus
+    val seeds = corpus
       .orderBy(col("vec_id")).limit(numClusters)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray)
+      .select(col("vec_id").cast("long"), col("embedding")).collect()
+    val seedIds: Seq[Long] = seeds.map(_.getLong(0)).toSeq
+    val centroids: Array[Array[Float]] =
+      seeds.map(_.getSeq[Float](1).toArray)
+    // the label is the centroid's actual vec_id, not its position in
+    // the collected array — corpora with 1-based or sparse ids would
+    // otherwise get silently different labels than documented
     corpus.select(col("vec_id"),
-      element_at(NearestCentroids(col("embedding"), centroids, 1), 1)
+      element_at(typedLit(seedIds),
+        element_at(NearestCentroids(col("embedding"), centroids, 1), 1) + 1)
         .as("cluster"))
   }
 

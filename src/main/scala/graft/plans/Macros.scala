@@ -160,9 +160,12 @@ object Macros {
         var j = i + 1
         while (j < body.length && isIdentTail(body.charAt(j))) j += 1
         val word = body.substring(i, j)
+        // a qualified reference `t.col` is a column of `t`, never the
+        // macro parameter — same guard as expandOnce's macro-name check
+        val qualified = i > 0 && body.charAt(i - 1) == '.'
         binding.get(norm(word)) match {
-          case Some(arg) => sb.append("(").append(arg).append(")")
-          case None => sb.append(word)
+          case Some(arg) if !qualified => sb.append("(").append(arg).append(")")
+          case _ => sb.append(word)
         }
         i = j
       } else {

@@ -84,10 +84,14 @@ object QueriesPipeline {
     // IVF ANN (rows-only: k-means float averaging is engine-specific;
     // recall bound asserted in AnnSpec).
     "q_ann_ivf" -> ((s, dir) => {
+      // nprobe 12/16: the synthetic embeddings are isotropic (no
+      // cluster structure), so recall ≥ 0.9 honestly requires a high
+      // probe fraction here; AnnSpec also gates nprobe=4 ≥ 0.9 on a
+      // clustered corpus — the operating point real embeddings get.
       val emb = t(s, dir, "embeddings")
       SimilaritySearch.ivfTopK(
           emb.filter(col("vec_id") < 5), emb, k = 3,
-          numClusters = 16, nprobe = 6, kmeansIters = 2)
+          numClusters = 16, nprobe = 12, kmeansIters = 2)
         .orderBy(col("query_id"), col("rk"))
     }),
     // Quality scoring (oracle-checked; formula mirrored in SQL).

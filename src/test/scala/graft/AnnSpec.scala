@@ -20,7 +20,13 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.75, s"recall@3 = $recall")
   }
 
-  test("IVF ANN achieves reasonable recall@3 vs brute force") {
+  test("IVF ANN achieves recall@3 >= 0.9 on the isotropic test corpus") {
+    // the synthetic embeddings carry NO cluster structure (pairwise
+    // cos ~ 0, flat eigenspectrum), so a coarse quantizer needs a high
+    // probe fraction here — 12/16 cells. The earlier 0.95-at-nprobe-6
+    // figure was a seeding artifact: first-N-by-id seeds WERE the
+    // query vectors. The clustered-corpus test below gates the real
+    // ANN operating point (low probe fraction).
     val emb = Tables.load(spark, sfDir, "embeddings")
     val queries = emb.filter(col("vec_id") < 20)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -28,11 +34,40 @@ class AnnSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
     val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, 3,
-      numClusters = 16, nprobe = 6, kmeansIters = 2))
+      numClusters = 16, nprobe = 12, kmeansIters = 2))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall@3 = $recall")
     // every query returns exactly k candidates
     assert(ivf.groupBy(_._1).forall(_._2.size == 3))
+  }
+
+  test("IVF ANN: recall@3 >= 0.9 at nprobe=4/16 on a clustered corpus") {
+    // deterministic clustered fixture: 16 seeded Gaussian centers,
+    // 480 points = center(i % 16) + small noise — the structure real
+    // embedding corpora have and the isotropic table lacks. Here the
+    // coarse quantizer earns its keep: 4 of 16 cells probed (25% of
+    // the corpus scanned) still clears 0.9 recall.
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val dims = 64
+    val centers = Array.fill(16)(Array.fill(dims)(rng.nextGaussian()))
+    val rows = (0 until 480).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(v => (v + 0.25 * rng.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
+    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, 3,
+      numClusters = 16, nprobe = 4, kmeansIters = 2))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"clustered IVF recall@3 = $recall")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   test("LSH is deterministic across runs (seeded planes)") {

@@ -47,8 +47,12 @@ class AttachSpec extends SparkSpecBase {
       // DuckDB-compatible companion files
       assert(Files.readString(Paths.get(dir, "schema.sql"))
         .contains("CREATE TABLE exp_kv"), fmt)
-      assert(Files.readString(Paths.get(dir, "load.sql"))
-        .contains("COPY exp_kv FROM"), fmt)
+      // the COPY source must be a *.ext glob over the writer directory
+      // (part-* files + _SUCCESS markers) — a bare directory path is
+      // not loadable by DuckDB's COPY FROM
+      val load = Files.readString(Paths.get(dir, "load.sql"))
+      assert(load.contains("COPY exp_kv FROM") &&
+        load.contains(s"/*.${fmt.toLowerCase}' (FORMAT $fmt"), s"$fmt: $load")
       assert(Files.isDirectory(Paths.get(dir, "exp_kv")), fmt)
       // drop, then import back into the current database
       Engine.query(spark, "DROP TABLE exp_kv")

@@ -369,4 +369,55 @@ class CompatSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("cs_seq"), ex.getMessage)
   }
+
+  test("block-allocated sequence ids: unique, block-contiguous, 32 partitions") {
+    Engine.query(spark, "CREATE SEQUENCE blk_seq START 10 INCREMENT 3")
+    val df = spark.range(0, 1000).repartition(32).toDF("x")
+    val out = Sequences.assignIds(df, "blk_seq", "rid")
+    val ids = out.select("rid").collect().map(_.getLong(0))
+    assert(ids.length == 1000 && ids.distinct.length == 1000)
+    // every id is on the sequence's arithmetic progression
+    assert(ids.forall(v => v >= 10 && (v - 10) % 3 == 0))
+    // within a partition the grant is one contiguous block
+    val perPart = out.select("rid").rdd
+      .mapPartitions(it => Iterator(it.map(_.getLong(0)).toArray)).collect()
+    perPart.filter(_.length > 1).foreach { block =>
+      block.sliding(2).foreach {
+        case Array(a, b) => assert(b == a + 3, s"gap inside a block: $a -> $b")
+        case _ =>
+      }
+    }
+    // currval reflects the last granted value
+    assert(Sequences.curr("blk_seq") == ids.max)
+    Engine.query(spark, "DROP SEQUENCE blk_seq")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  test("PRAGMA assignment form, bare toggles, unknown-pragma error") {
+    // DuckDB setting pragmas: accepted as no-ops (resource knobs are
+    // cluster-managed in Spark)
+    Engine.query(spark, "PRAGMA threads=4")
+    Engine.query(spark, "PRAGMA memory_limit='2GB'")
+    Engine.query(spark, "PRAGMA enable_progress_bar")
+    // an unknown bare pragma must error, NOT select from a same-named
+    // table via the TVF fallthrough
+    val ex = intercept[Throwable] {
+      Engine.query(spark, "PRAGMA region").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("unrecognized pragma"),
+      ex.getMessage)
+  }
+
+  test("macro parameter name colliding with a qualified column") {
+    spark.sql(
+      "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
+    // body uses BOTH the qualified column t.doc_id (must stay a column
+    // reference) and the bare parameter doc_id (must substitute)
+    Engine.query(spark, "CREATE MACRO mq_pick(doc_id) AS TABLE " +
+      "SELECT t.doc_id FROM mq_t t WHERE t.doc_id = doc_id")
+    val r = Engine.query(spark, "SELECT * FROM mq_pick(2)").collect()
+    assert(r.length == 1 && r.head.getInt(0) == 2, r.mkString(","))
+    Engine.query(spark, "DROP MACRO mq_pick")
+  }
 }
