@@ -59,4 +59,61 @@ object ScaleOps {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Scalable cumulative sum over a GLOBAL order — the semantics of
+    * `sum(v) OVER (ORDER BY k)` without the single-partition
+    * WindowExec that window form plans (the one shape that cannot
+    * survive a 100× scale-up; see PlanAuditSpec's corpus gate).
+    *
+    * Two passes over a range-partitioned layout:
+    *   1. range-partition by the order key (equal keys stay in one
+    *      partition, so RANGE-frame peer semantics hold), pin the
+    *      assignment, and aggregate ONE decimal total per partition —
+    *      a numPartitions-row collect;
+    *   2. turn those totals into exclusive prefix offsets on the
+    *      driver, ship them back as a broadcast-small literal map,
+    *      and add each partition's offset to its LOCAL running sum
+    *      (an ordinary PARTITION BY __pid window).
+    * Every shuffle is the range exchange; the only driver traffic is
+    * one row per partition. This is the training-order shuffle /
+    * pack-by-budget primitive at 100 TB.
+    *
+    * Exactness: partials and offsets accumulate in decimal(38,6), so
+    * partition boundaries cannot perturb low bits vs the one-stream
+    * oracle. Ties share the cumulative total (RANGE frame), matching
+    * `OVER (ORDER BY …)` default framing in both Spark and DuckDB.
+    */
+  def runningSum(df: DataFrame, orderCols: Seq[String], valueCol: String,
+      outCol: String = "run_sum"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = orderCols.map(col)
+    // pin the partition assignment: both the totals pass and the final
+    // pass must see identical contents per __pid
+    val parts = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val totals = parts.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("decimal(38,6)")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> Option(r.getDecimal(1))
+        .fold(BigDecimal(0))(BigDecimal(_)))
+      .sortBy(_._1)
+    // exclusive prefix: partition i's offset is the sum of totals 0..i-1
+    val offsets: Map[Int, String] = totals
+      .scanLeft(-1 -> BigDecimal(0)) { case ((_, acc), (pid, t)) =>
+        pid -> (acc + t)
+      }
+      .sliding(2).collect { case Array((_, prev), (pid, _)) => pid -> prev }
+      .map { case (pid, off) => pid -> off.underlying.toPlainString }
+      .toMap
+    val off = coalesce(
+      element_at(typedLit(offsets), col("__pid")).cast("decimal(38,6)"),
+      lit(0).cast("decimal(38,6)"))
+    val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    parts
+      .withColumn(outCol,
+        (off + sum(col(valueCol).cast("decimal(38,6)")).over(w))
+          .cast("decimal(38,6)"))
+      .drop("__pid")
+  }
 }

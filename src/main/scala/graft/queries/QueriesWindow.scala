@@ -71,6 +71,18 @@ object QueriesWindow {
           count(lit(1)).over(w).as("n_in_range"))
         .orderBy(col("o_orderkey"))
     }),
+    // GLOBAL-order cumulative sum via the two-pass range-partitioned
+    // operator — same semantics as `sum(v) OVER (ORDER BY k)` but no
+    // single-partition WindowExec anywhere in the plan (the oracle IS
+    // the one-stream window form; PlanAuditSpec gates the plan shape).
+    "q_running_global" -> ((s, dir) => {
+      ScaleOps.runningSum(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          Seq("o_orderkey"), "o_totalprice")
+        .select(col("o_orderkey"),
+          col("run_sum").cast("double").as("run_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
     // Running totals over the whole history (cumulative frame).
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_orderstatus"))
@@ -129,6 +141,11 @@ object QueriesWindow {
         |WINDOW w AS (ORDER BY o_totalprice
         |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_running_global" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    OVER (ORDER BY o_orderkey) AS DOUBLE) AS run_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderstatus, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE) AS run_sum,
