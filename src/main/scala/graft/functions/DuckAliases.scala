@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ArrayType, MapType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, MapType, StringType, TimestampType}
 
 /** DuckDB-named function aliases over Spark's own expressions — the
   * delegated-surface names a wire client actually types (reference
@@ -39,8 +39,7 @@ object DuckAliases {
     alias("list_reverse_sort")(e => SortArray(e.head, Literal(false)))
     alias("list_unique")(e => Size(ArrayDistinct(e.head), false))
     alias("array_to_string")(e => ArrayJoin(e(0), e(1), None))
-    alias("list_slice")(e =>
-      Slice(e(0), e(1), Add(Subtract(e(2), e(1)), Literal(1))))
+    alias("list_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
     alias("regexp_matches")(e => RLike(e(0), e(1)))
     alias("range") {
       case Seq(stop) =>
@@ -55,6 +54,129 @@ object DuckAliases {
     alias("string_split")(e => StringSplit(e(0), quoteIfLiteral(e(1)), Literal(-1)))
     alias("str_split")(e => StringSplit(e(0), quoteIfLiteral(e(1)), Literal(-1)))
     alias("string_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
+    alias("str_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
+    alias("regexp_split_to_array")(e => StringSplit(e(0), e(1), Literal(-1)))
+
+    // ---- long-tail sweep: the v1.1.1 vocabulary a pgwire client
+    // actually sends (each a native expression, codegen-visible) ----
+    alias("list_value")(e => CreateArray(e))
+    alias("list_pack")(e => CreateArray(e))
+    alias("array_length")(e => Size(e.head, legacySizeOfNull = false))
+    alias("list_concat")(e => Concat(e))
+    alias("array_concat")(e => Concat(e))
+    alias("list_append")(e => Concat(Seq(e(0), CreateArray(Seq(e(1))))))
+    alias("array_append")(e => Concat(Seq(e(0), CreateArray(Seq(e(1))))))
+    alias("list_prepend")(e => Concat(Seq(CreateArray(Seq(e(0))), e(1))))
+    alias("array_prepend")(e => Concat(Seq(CreateArray(Seq(e(0))), e(1))))
+    // DuckDB list_position returns 0 when absent (probed v1.0/v1.1),
+    // exactly ArrayPosition's contract
+    alias("list_position")(e => ArrayPosition(e(0), e(1)))
+    alias("list_indexof")(e => ArrayPosition(e(0), e(1)))
+    // 1-based, negative-from-end, NULL out of bounds (never ANSI-error)
+    alias("list_extract")(e => ElementAt(e(0), e(1), None, failOnError = false))
+    alias("list_element")(e => ElementAt(e(0), e(1), None, failOnError = false))
+    alias("array_extract")(e => ElementAt(e(0), e(1), None, failOnError = false))
+    alias("list_min")(e => ArrayMin(e.head))
+    alias("list_max")(e => ArrayMax(e.head))
+    alias("list_sum")(e => listSum(e.head))
+    alias("list_avg")(e =>
+      Divide(listSum(e.head), Cast(listCount(e.head), DoubleType)))
+    alias("list_count")(e => listCount(e.head))
+    alias("array_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
+    alias("strpos")(e => StringInstr(e(0), e(1)))
+    alias("starts_with")(e => StartsWith(e(0), e(1)))
+    alias("ends_with")(e => EndsWith(e(0), e(1)))
+    alias("suffix")(e => EndsWith(e(0), e(1)))
+    // epoch(ts) is DOUBLE seconds in DuckDB (probed); epoch_ms BIGINT
+    alias("epoch")(e =>
+      Divide(Cast(UnixMicros(Cast(e.head, TimestampType)), DoubleType),
+        Literal(1e6)))
+    alias("epoch_ms")(e => UnixMillis(Cast(e.head, TimestampType)))
+    // DuckDB's 3-arg date_diff counts BOUNDARY CROSSINGS; date_sub
+    // counts COMPLETE intervals (java-until semantics = Spark's
+    // timestampdiff). Spark's parser special-cases the bare names
+    // (AstBuilder builds TimestampDiff directly, never consulting the
+    // registry), so SqlRewrites renames the quoted-string-unit form —
+    // the DuckDB spelling — to these duck_-prefixed registry entries;
+    // Spark's own identifier-unit and 2-arg forms pass through
+    // untouched.
+    alias("duck_date_diff")(e => dateDiffBoundary(e(0), e(1), e(2)))
+    alias("duck_datediff")(e => dateDiffBoundary(e(0), e(1), e(2)))
+    alias("duck_date_sub")(e =>
+      TimestampDiff(partName(e(0)),
+        Cast(e(1), TimestampType), Cast(e(2), TimestampType)))
+    alias("duck_datesub")(e =>
+      TimestampDiff(partName(e(0)),
+        Cast(e(1), TimestampType), Cast(e(2), TimestampType)))
+  }
+
+  private def partName(p: Expression): String = p match {
+    case Literal(s, StringType) => String.valueOf(s).toUpperCase
+    case other => throw new IllegalArgumentException(
+      s"date part must be a literal string, got $other")
+  }
+
+  /** DuckDB `date_diff(part, a, b)`: the number of PART boundaries
+    * crossed between a and b (signed). year/month via calendar field
+    * arithmetic; day via the date difference; hour/minute/second via
+    * truncated epoch quotients (boundaries are epoch-aligned in the
+    * UTC session zone).
+    */
+  private def dateDiffBoundary(p: Expression, a: Expression, b: Expression): Expression =
+    partName(p) match {
+      case "YEAR" => Subtract(Year(b), Year(a))
+      case "MONTH" =>
+        Subtract(
+          Add(Multiply(Year(b), Literal(12)), Month(b)),
+          Add(Multiply(Year(a), Literal(12)), Month(a)))
+      case "DAY" => DateDiff(Cast(b, DateType), Cast(a, DateType))
+      case part @ ("HOUR" | "MINUTE" | "SECOND") =>
+        val k = part match {
+          case "HOUR" => 3600L; case "MINUTE" => 60L; case _ => 1L
+        }
+        def bucket(e: Expression) =
+          Floor(Divide(
+            Cast(UnixSeconds(Cast(e, TimestampType)), DoubleType),
+            Literal(k.toDouble)))
+        Subtract(bucket(b), bucket(a))
+      case other => throw new IllegalArgumentException(
+        s"date_diff: unsupported part '$other'")
+    }
+
+  /** Null-skipping fold to a double sum (DuckDB list_sum ignores
+    * NULL elements).
+    */
+  private def listSum(l: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("s"))
+    ArrayAggregate(l, Literal(0.0),
+      LambdaFunction(
+        If(IsNull(x), acc, Add(acc, Cast(x, DoubleType))), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** Count of non-NULL elements (DuckDB list_count). */
+  private def listCount(l: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    Size(ArrayFilter(l, LambdaFunction(IsNotNull(x), Seq(x))),
+      legacySizeOfNull = false)
+  }
+
+  /** DuckDB inclusive-bounds slice with negative-from-end indexing:
+    * array_slice([1,2,3,4], -2, -1) = [3,4].
+    */
+  private def inclusiveSlice(l: Expression, a: Expression, b: Expression): Expression = {
+    val sz = Size(l, legacySizeOfNull = false)
+    def norm(i: Expression) = {
+      val ii = Cast(i, IntegerType)
+      If(GreaterThanOrEqual(ii, Literal(0)), ii,
+        Add(Add(sz, ii), Literal(1)))
+    }
+    val start = norm(a)
+    val end = norm(b)
+    val len = Greatest(Seq(Literal(0), Add(Subtract(end, start), Literal(1))))
+    Slice(l, start, len)
   }
 
   private def quoteIfLiteral(sep: Expression): Expression = sep match {

@@ -26,6 +26,12 @@ object SqlRewrites {
   private val genSeries =
     """(?i)(from|join)\s+generate_series\s*\(([^()]*)\)(\s+(?:as\s+)?(\w+))?""".r
 
+  /** DuckDB 3-arg date functions with a QUOTED unit — the spelling
+    * Spark's parser special-cases away from the registry.
+    */
+  private val duckDateFn =
+    """(?i)\b(date_diff|datediff|date_sub|datesub)\s*\(\s*'""".r
+
   private val pgTypeAliases = Map(
     "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
@@ -454,7 +460,17 @@ object SqlRewrites {
     // unchanged: a pattern can only match if its literal anchor occurs.
     val low = sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
-    val sr0 = if (has("temp")) rewriteCreateTemp(sql) else sql
+    // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser
+    // special-cases those names (builds TimestampDiff in AstBuilder,
+    // bypassing the function registry), so the DuckDB spelling is
+    // renamed to duck_-prefixed registry functions. Fires ONLY when
+    // the first argument is a string literal — Spark's identifier-unit
+    // and 2-arg forms are untouched.
+    val sqlD = if (!has("date_diff") && !has("datediff") &&
+        !has("date_sub") && !has("datesub")) sql
+      else duckDateFn.replaceAllIn(sql,
+        m => s"duck_${m.group(1).toLowerCase}('")
+    val sr0 = if (has("temp")) rewriteCreateTemp(sqlD) else sqlD
     val sr = if (has("replace")) rewriteStarReplace(sr0) else sr0
     val s0 = if (has("asof")) rewriteAsofJoin(sr) else sr
     // the ASOF interval rewrite adds a helper column that `SELECT *`

@@ -101,6 +101,54 @@ object QueriesSugar {
         |    AS first3,
         |  regexp_matches(text, 'query') AS has_q
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Long-tail DuckDB list/string vocabulary (round-5 sweep): the
+    // fold family (list_sum/avg/count), append/prepend/extract/
+    // position, inclusive negative-index slicing, regexp_split_to_
+    // array, strpos, starts/ends_with — identical statement in both
+    // engines, hash-checked 1:1 like q_duckdb_funcs.
+    "q_duckdb_funcs2" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS sum_len,
+        |  round(list_avg(list_transform(string_split(text, ' '),
+        |    w -> len(w))), 6) AS avg_len,
+        |  CAST(list_min(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS min_len,
+        |  CAST(list_max(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS max_len,
+        |  CAST(list_count(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(list_position(string_split(text, ' '), 'the') AS BIGINT)
+        |    AS pos_the,
+        |  list_extract(string_split(text, ' '), 2) AS tok2,
+        |  list_extract(string_split(text, ' '), -1) AS tok_last,
+        |  array_to_string(array_slice(string_split(text, ' '), -2, -1), '_')
+        |    AS last2,
+        |  array_to_string(list_append(list_prepend('<',
+        |    list_value(lower(left(text, 1)))), '>'), '') AS wrapped,
+        |  CAST(len(regexp_split_to_array(text, '[aeiou]+')) AS BIGINT)
+        |    AS n_vruns,
+        |  CAST(strpos(text, 'data') AS BIGINT) AS p_data,
+        |  starts_with(text, 'The') AS st,
+        |  ends_with(text, '.') AS en
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Long-tail DuckDB date vocabulary: 3-arg date_diff (boundary
+    // crossings) vs 3-arg date_sub (complete intervals), epoch/
+    // epoch_ms — identical statement in both engines.
+    "q_duckdb_dates" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_day,
+        |  CAST(date_diff('month', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_month,
+        |  CAST(date_diff('year', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_year,
+        |  CAST(date_sub('month', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS ds_month,
+        |  CAST(date_sub('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS ds_day,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
+        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
     // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
     // the reader TVFs; exercises both FROM and JOIN positions.
     "q_read_barepath" -> ((s, dir) => sql(s, dir,
@@ -167,6 +215,46 @@ object QueriesSugar {
         |    AS first3,
         |  regexp_matches(text, 'query') AS has_q
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_funcs2" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS sum_len,
+        |  round(list_avg(list_transform(string_split(text, ' '),
+        |    w -> len(w))), 6) AS avg_len,
+        |  CAST(list_min(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS min_len,
+        |  CAST(list_max(list_transform(string_split(text, ' '),
+        |    w -> len(w))) AS BIGINT) AS max_len,
+        |  CAST(list_count(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(list_position(string_split(text, ' '), 'the') AS BIGINT)
+        |    AS pos_the,
+        |  list_extract(string_split(text, ' '), 2) AS tok2,
+        |  list_extract(string_split(text, ' '), -1) AS tok_last,
+        |  array_to_string(array_slice(string_split(text, ' '), -2, -1), '_')
+        |    AS last2,
+        |  array_to_string(list_append(list_prepend('<',
+        |    list_value(lower(left(text, 1)))), '>'), '') AS wrapped,
+        |  CAST(len(regexp_split_to_array(text, '[aeiou]+')) AS BIGINT)
+        |    AS n_vruns,
+        |  CAST(strpos(text, 'data') AS BIGINT) AS p_data,
+        |  starts_with(text, 'The') AS st,
+        |  ends_with(text, '.') AS en
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_dates" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_day,
+        |  CAST(date_diff('month', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_month,
+        |  CAST(date_diff('year', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS dd_year,
+        |  CAST(date_sub('month', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS ds_month,
+        |  CAST(date_sub('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
+        |    AS ds_day,
+        |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
+        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
