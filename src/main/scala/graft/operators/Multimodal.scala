@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, batch feature extraction via
   * mapPartitions.
   *
-  * The Spark-side plumbing — schema, partitioning, batch shape — is
-  * real and tested; the actual byte decoder is STUBBED with a
-  * deterministic fake (this container has no image/audio codecs; see
-  * [[StubDecoder.decode]] for the seam a real codec would fill).
+  * The image path is REAL as of round 5: [[attachImages]] synthesizes
+  * deterministic PNGs (pixel content derived from document columns)
+  * and [[extractImageFeatures]] decodes them with `javax.imageio`
+  * (JDK built-in — PNG/BMP need no external codec), one reader reused
+  * per partition. The oracle replays the pixel formulas on the stored
+  * columns, so the encode→decode→measure loop is hash-checked end to
+  * end. [[StubDecoder]] remains the seam for codecs the JDK lacks
+  * (JPEG works too, but video/audio would slot in here).
   */
 object Multimodal {
 
@@ -61,6 +65,109 @@ object Multimodal {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       Row(docId, n, first, frames, rounded)
     }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("mean_luma", DoubleType)))
+
+  /** Synthesize a deterministic PNG per document: width/height/gray
+    * levels are pure functions of (doc_id, n_chars), the top half is
+    * gray `g = doc_id % 256` and the bottom half `(g + 64) % 256` —
+    * so the DECODED dimensions and mean luma are SQL-expressible from
+    * the stored columns and the whole encode→decode loop is
+    * oracle-checkable. PNG is lossless, so pixel values survive
+    * exactly.
+    */
+  def attachImages(docs: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val w = 1 + (nChars % 16).toInt
+      val h = 1 + (docId % 12).toInt
+      val g = (docId % 256).toInt
+      val g2 = (g + 64) % 256
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val v = if (y < (h + 1) / 2) g else g2
+        val rgb = (v << 16) | (v << 8) | v
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    docs.select(
+      col("doc_id"),
+      mk(col("doc_id"), col("n_chars").cast("long")).as("media"),
+      struct(
+        lit("image/png").as("media_type"),
+        col("n_chars").cast("long").as("declared_len")).as("meta"))
+  }
+
+  /** Sniff the container from magic bytes — the dispatch a mixed
+    * media column needs before choosing a reader.
+    */
+  def imageFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else throw new IllegalArgumentException(
+      s"unsupported image container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
+
+  /** REAL image decode via `javax.imageio`: dimensions + mean luma,
+    * with ONE ImageReader per (partition, format) reused across rows —
+    * the amortized-init batch shape a production codec needs; only the
+    * input stream resets per row.
+    *
+    * Luma uses integer Rec.601 weights (299·R + 587·G + 114·B, summed
+    * as a Long, divided by 1000·n at the end with exact decimal
+    * rounding) so gray pixels contribute their gray level EXACTLY and
+    * the oracle's rational arithmetic matches bit for bit.
+    */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
+      def reader(fmt: String) = readers.getOrElseUpdate(fmt,
+        javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
+      val out = it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val rd = reader(imageFormat(bytes))
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        rd.setInput(iis)
+        val img = rd.read(0)
+        iis.close()
+        val w = img.getWidth
+        val h = img.getHeight
+        var s = 0L // Σ (299R + 587G + 114B) over pixels, exact
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val mean = new java.math.BigDecimal(s)
+          .divide(java.math.BigDecimal.valueOf(1000L * n), 6,
+            java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        Row(id, w, h, n, mean)
+      }
+      out ++ { readers.values.foreach(_.dispose()); Iterator.empty }
+    }
+    spark.createDataFrame(rdd, imageFeatureSchema)
   }
 
   /** Expression-level frame sampling: every `stride`-th fixed-size

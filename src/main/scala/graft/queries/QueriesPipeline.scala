@@ -380,7 +380,17 @@ object QueriesPipeline {
         .orderBy(col("vec_id"))
     }),
     // Multimodal: binary column + mapPartitions batch decode (stub).
+    // REAL image decode (round 5): synthesized deterministic PNGs →
+    // javax.imageio decode (partition-reused reader) → dimensions +
+    // integer-Rec.601 mean luma; the oracle replays the pixel
+    // formulas on the stored columns, closing the encode→decode loop.
     "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractImageFeatures(
+          s, Multimodal.attachImages(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+    // Generic opaque-byte stats path (the non-image media shape).
+    "q_multimodal_bytes" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
@@ -1193,6 +1203,20 @@ object QueriesPipeline {
         |    ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS sampled_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
+      // replays attachImages' pixel formulas on the stored columns:
+      // the Spark side must get the SAME numbers back out of the
+      // actual PNG bytes via javax.imageio
+      """SELECT doc_id,
+        |  CAST(1 + n_chars % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 12 AS INT) AS height,
+        |  CAST((1 + n_chars % 16) * (1 + doc_id % 12) AS BIGINT) AS n_pixels,
+        |  round((
+        |    floor((1 + doc_id % 12 + 1) / 2.0) * (doc_id % 256) +
+        |    ((1 + doc_id % 12) - floor((1 + doc_id % 12 + 1) / 2.0)) *
+        |      ((doc_id % 256 + 64) % 256)
+        |  ) / (1 + doc_id % 12), 6) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_bytes" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  ascii(substr(text, 1, 1)) AS first_byte,

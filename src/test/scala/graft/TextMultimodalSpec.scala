@@ -105,4 +105,48 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(one.getInt(2) == (bytes(0) & 0xff))
     assert(one.getLong(3) == bytes.length / 32)
   }
+
+  test("multimodal: javax.imageio decodes golden PNG and BMP exactly") {
+    // hand-built 2×1 image: pure red + pure blue. Integer Rec.601:
+    // (299·255 + 114·255) / (1000·2) = 105315/2000 = 52.6575
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000)
+    img.setRGB(1, 0, 0x0000ff)
+    for (fmt <- Seq("png", "bmp")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val bytes = bos.toByteArray
+      assert(Multimodal.imageFormat(bytes) == fmt)
+      val s = spark
+      import s.implicits._
+      val media = Seq((7L, bytes)).toDF("doc_id", "media")
+      val r = Multimodal.extractImageFeatures(spark, media).collect().head
+      assert(r.getLong(0) == 7L && r.getInt(1) == 2 && r.getInt(2) == 1 &&
+        r.getLong(3) == 2L, r.toString)
+      assert(r.getDouble(4) == 52.6575, s"$fmt mean_luma = ${r.getDouble(4)}")
+    }
+  }
+
+  test("multimodal: synthesized corpus round-trips encode -> decode") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(24)
+    val feats = Multimodal.extractImageFeatures(
+      spark, Multimodal.attachImages(docs)).collect()
+    val cols = docs.select(col("doc_id").cast("long"),
+      col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val w = 1 + (cols(id) % 16).toInt
+      val h = 1 + (id % 12).toInt
+      val g = (id % 256).toInt
+      val g2 = (g + 64) % 256
+      val nTop = (h + 1) / 2
+      val expect = (BigDecimal(nTop * g + (h - nTop) * g2) / BigDecimal(h))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getInt(1) == w && r.getInt(2) == h, r.toString)
+      assert(r.getDouble(4) == expect.toDouble,
+        s"doc $id: ${r.getDouble(4)} != $expect")
+    }
+  }
 }
