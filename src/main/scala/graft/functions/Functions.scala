@@ -24,20 +24,47 @@ object Functions {
         (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           ArrayCosineSimilarity(exprs(0), exprs(1)),
         "built-in")
-      // typed Aggregator registered as a SQL UDAF
-      spark.udf.register("geomean",
+      // geomean as a NATIVE rewrite — exp(avg(ln(x))) — so the whole
+      // aggregation stays inside codegen'd HashAggregate. The typed
+      // Aggregator it replaced stays registered as geomean_udaf: it is
+      // the documented extension seam for aggregations that DON'T
+      // decompose into builtins (and its spec pins the two agreeing).
+      spark.udf.register("geomean_udaf",
         org.apache.spark.sql.functions.udaf(GeometricMean))
-      // DuckDB/pg strftime/strptime with C-style % formats (Spark's
-      // date_format speaks Java patterns — translate).
-      spark.udf.register("strftime",
-        (ts: java.sql.Timestamp, fmt: String) =>
-          if (ts == null || fmt == null) null
-          else ts.toLocalDateTime.format(
-            java.time.format.DateTimeFormatter.ofPattern(StrfTime.toJava(fmt))))
-      spark.udf.register("strptime",
-        (s: String, fmt: String) =>
-          if (s == null || fmt == null) null
-          else StrfTime.parse(s, fmt))
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{Exp, Log}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "geomean",
+          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+            Exp(Average(Log(exprs.head)).toAggregateExpression()),
+          "built-in")
+      }
+      // DuckDB/pg strftime/strptime with C-style % formats, compiled
+      // to Spark's NATIVE datetime expressions at plan build (the
+      // pattern translates once; no ScalaUDF, no per-row parse).
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, DateFormatClass, Expression, Literal, ParseToTimestamp}
+        import org.apache.spark.sql.types.{StringType, TimestampType}
+        def litFmt(e: Expression, fn: String): String = e match {
+          case Literal(s, _: StringType) if s != null =>
+            StrfTime.toJava(s.toString)
+          case other => throw new IllegalArgumentException(
+            s"$fn: the format must be a string literal, got $other")
+        }
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "strftime",
+          (e: Seq[Expression]) =>
+            DateFormatClass(Cast(e(0), TimestampType),
+              Literal(litFmt(e(1), "strftime"))),
+          "built-in")
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "strptime",
+          (e: Seq[Expression]) =>
+            ParseToTimestamp(e(0),
+              Some(Literal(litFmt(e(1), "strptime"))), TimestampType),
+          "built-in")
+      }
       // DuckDB sequence functions over the engine-global registry
       // (Sequences.scala documents the serial-oracle scale posture).
       // Nondeterministic: each evaluation advances/reads live state, so

@@ -409,6 +409,14 @@ class CompatSpec extends SparkSpecBase {
       ex.getMessage)
   }
 
+  test("geomean: native exp(avg(ln)) rewrite agrees with the typed Aggregator") {
+    val r = Engine.query(spark,
+      """SELECT round(geomean(x), 9) AS native, round(geomean_udaf(x), 9) AS udaf
+        |FROM VALUES (2.0), (8.0), (4.0) AS t(x)""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 4.0, r.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")

@@ -32,6 +32,7 @@ class ExtensionsSpec extends SparkSpecBase {
     assert(sig == 16)
   }
 
+
   test("generate_series is a real table function (inclusive, stepped)") {
     val rows = ext.sql("SELECT * FROM generate_series(0, 10)")
     assert(rows.columns.toSeq == Seq("generate_series"))

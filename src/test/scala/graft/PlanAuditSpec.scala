@@ -88,6 +88,17 @@ class PlanAuditSpec extends SparkSpecBase {
       s"assignment must be a pure map over the scan:\n$p")
   }
 
+  test("q_strftime / q_agg_geomean run native — no ScalaUDF in the plan") {
+    // strftime/strptime compile to DateFormatClass/ParseToTimestamp at
+    // build; geomean rewrites to exp(avg(ln)) — all codegen'd. A UDF
+    // reappearing here silently exits whole-stage codegen.
+    for (name <- Seq("q_strftime", "q_agg_geomean")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("pythonudf"),
+        s"$name plans a UDF:\n${p.take(3000)}")
+    }
+  }
+
   test("corpus-wide: every unpartitioned window is limit-bounded") {
     // An `OVER (ORDER BY …)` window with no PARTITION BY funnels its
     // whole input into a single task — the one plan shape that cannot
