@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Machine-checkable bounds for the spec-gated (no-SQL-oracle) corpus
+  * rows. The DuckDB oracle cannot replay seeded-hash / engine-RNG
+  * constructs, so those seven queries are bounded by QUANTIFIED
+  * invariants instead — recall/precision/superset/agreement — each
+  * mirrored from the scalatest suite that gates it. This main emits
+  * them as one JSON file (`SPECGATES_r{N}.json`) so "140 oracle + 7
+  * bounded" is verifiable end-to-end by the driver, not split across
+  * test output.
+  *
+  * Usage: runMain graft.SpecGates <sfDir> <outFile>
+  */
+object SpecGates {
+
+  private case class Gate(query: String, metric: String, value: Double,
+      op: String, bound: Double) {
+    def pass: Boolean = op match {
+      case ">=" => value >= bound
+      case "<=" => value <= bound
+      case "==" => value == bound
+    }
+    def json: String =
+      s"""  "$query/$metric": {"query": "$query", "metric": "$metric", """ +
+        s""""value": $value, "op": "$op", "bound": $bound, "pass": $pass}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "SPECGATES.json"
+    val spark = Engine.session("local[32]")
+    def unpersist(): Unit = spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val gates = scala.collection.mutable.ArrayBuffer.empty[Gate]
+
+    // ANN recall@3 vs the exact brute-force baseline (AnnSpec bounds)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val queries = emb.filter(col("vec_id") < 20)
+    val exactAnn = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
+    val lsh = pairs(SimilaritySearch.lshTopK(queries, emb, 3, dims = 64,
+      bands = 16, bitsPerBand = 4))
+    gates += Gate("q_ann_lsh", "recall_at_3",
+      lsh.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.75)
+    val ivf = pairs(SimilaritySearch.ivfTopK(queries, emb, 3,
+      numClusters = 16, nprobe = 12, kmeansIters = 2))
+    gates += Gate("q_ann_ivf", "recall_at_3",
+      ivf.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.9)
+    unpersist()
+
+    // MinHash LSH vs the ORACLE-BACKED exact ngram operator (DedupSpec)
+    val exactPairs = Dedup.ngramJaccardPairs(
+        docs.withColumn("lang", lit("x")), shingleSize = 3,
+        maxCharDiff = Int.MaxValue, threshold = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    gates += Gate("q_dedup_minhash", "recall_j0.5",
+      if (exactPairs.isEmpty) 1.0
+      else mh.intersect(exactPairs).size.toDouble / exactPairs.size, ">=", 0.9)
+    gates += Gate("q_dedup_minhash", "precision",
+      if (mh.isEmpty) 1.0
+      else mh.intersect(exactPairs).size.toDouble / mh.size, ">=", 1.0)
+    unpersist()
+
+    // SimHash pigeonhole: byte-identical copies MUST pair (DedupSpec)
+    val base = docs.limit(50)
+    val copies = base
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val shPairs = Dedup.simhashNearDups(base.unionByName(copies),
+        "doc_id", "text", maxHamming = 0)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val shExpected = base.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    gates += Gate("q_dedup_simhash", "exact_copy_recall",
+      shExpected.intersect(shPairs).size.toDouble / shExpected.size, "==", 1.0)
+    unpersist()
+
+    // Bloom decontamination is one-sided: zero false negatives vs the
+    // exact report, over-flagging bounded (CorpusOpsSpec)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val exactContam = CorpusOps.contaminationReport(corpus, evalSet, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = CorpusOps.bloomDecontaminate(corpus, evalSet, n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val falseNeg = exactContam.count { case (id, n) =>
+      !bloom.contains(id) || bloom(id) < n }
+    gates += Gate("q_decontaminate_bloom", "false_negatives",
+      falseNeg.toDouble, "==", 0.0)
+    gates += Gate("q_decontaminate_bloom", "overflag_ratio",
+      if (exactContam.isEmpty) 1.0
+      else bloom.size.toDouble / exactContam.size, "<=", 2.0)
+    unpersist()
+
+    // Bernoulli sample: realized fraction near the 10% target. At
+    // sf0.01 (~60k rows) the binomial sd is ~0.12%, so ±2% is a >10σ
+    // envelope — a real RNG defect, not noise, is what would trip it.
+    val total = li.count().toDouble
+    val sampled = li.sample(withReplacement = false, 0.1, seed = 42).count()
+    gates += Gate("q_sample", "abs_fraction_error",
+      math.abs(sampled / total - 0.1), "<=", 0.02)
+
+    // HLL approx_count_distinct within 5% of exact (CompatSpec)
+    val exactD = li.select(countDistinct(col("l_partkey")))
+      .collect()(0).getLong(0)
+    val approxD = li.select(approx_count_distinct(col("l_partkey")))
+      .collect()(0).getLong(0)
+    gates += Gate("q_agg_approx_distinct", "relative_error",
+      math.abs(approxD - exactD).toDouble / exactD, "<=", 0.05)
+
+    val body = gates.map(_.json).mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body + "\n")
+    println(s"[specgates] wrote $out: " +
+      s"${gates.count(_.pass)}/${gates.size} gates pass")
+    gates.filterNot(_.pass).foreach(g =>
+      println(s"[specgates] FAIL ${g.query} ${g.metric} = ${g.value} " +
+        s"(want ${g.op} ${g.bound})"))
+    if (gates.exists(!_.pass)) sys.exit(1)
+  }
+}
