@@ -29,7 +29,8 @@ object Bench {
     "q_dedup_cluster", "q_ann_bruteforce", "q_ann_ivf", "q_ann_lsh",
     "q_text_bm25", "q_text_langid", "q_text_repetition",
     "q_pipeline_full", "q_pipeline_refine", "q_dedup_despan",
-    "q_dedup_canonical", "q_text_hybrid")
+    "q_dedup_canonical", "q_text_hybrid", "q_running_global",
+    "q_multimodal_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
