@@ -553,6 +553,50 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * public): bucket the corpus into embedding clusters, then drop
+    * any item whose cosine to a LOWER-ID item of the same cluster
+    * clears the threshold — one survivor per semantic near-dup set,
+    * chosen deterministically (min id), exactly the published recipe
+    * (they keep one item per intra-cluster dup group; low-id is our
+    * deterministic stand-in for their keep rule).
+    *
+    * Scale shape: this is the whole point of the clustering step —
+    * the quadratic pair join runs WITHIN clusters only (an equi-join
+    * keyed by cluster id, AQE-skew-splittable), so the cost is
+    * Σ|cluster|² instead of |corpus|²; at 100 TB you raise
+    * numClusters to keep cluster sizes bounded. Candidate pairs carry
+    * ids + cosine only. Cosine is rounded to 6 dp BEFORE the
+    * threshold compare so the decision is oracle-stable across
+    * engines (same posture as [[embeddingNearDups]]).
+    *
+    * Returns every input id with its cluster, the max rounded cosine
+    * to a lower-id cluster-mate (null when alone), and the keep flag.
+    */
+  def semanticDedup(
+      emb: DataFrame,
+      numClusters: Int = 8,
+      threshold: Double = 0.7): DataFrame = {
+    val assigned = SimilaritySearch.clusterAssign(emb, numClusters)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+    val a = vecs.select(col("vec_id"), col("embedding").as("ea"),
+      col("cluster"))
+    val b = vecs.select(col("vec_id").as("id_lo"),
+      col("embedding").as("eb"), col("cluster"))
+    val pairMax = a.join(b, Seq("cluster"))
+      .filter(col("id_lo") < col("vec_id"))
+      .select(col("vec_id"), col("cluster"),
+        round(GraftFunctions.arrayCosineSimilarity(col("ea"), col("eb")), 6)
+          .as("c"))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(max(col("c")).as("max_cos_lower"))
+    assigned
+      .join(pairMax.drop("cluster"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("max_cos_lower"),
+        (coalesce(col("max_cos_lower"), lit(-2.0)) < threshold).as("is_kept"))
+  }
+
   def duplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanWords: Int = 5): DataFrame = {
     val g = withHashedShingles(

@@ -66,6 +66,14 @@ object QueriesPipeline {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("id1"), col("id2"))
     }),
+    // SemDeDup-style semantic dedup: cluster-scoped near-dup drop,
+    // deterministic min-id survivor (oracle replays assignment +
+    // within-cluster max-cosine + keep rule).
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"),
+          numClusters = 8, threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
     // Brute-force cosine top-k (oracle-checked).
     "q_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -812,6 +820,29 @@ object QueriesPipeline {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE c >= 0.4 ORDER BY id1, id2""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce
+        |           FROM embeddings WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cluster, embedding FROM (
+        |    SELECT v.vec_id, c.cid AS cluster, v.embedding,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+        |          CAST(c.ce AS DOUBLE[])) DESC, c.cid) AS rk
+        |    FROM embeddings v CROSS JOIN c)
+        |  WHERE rk = 1),
+        |pm AS (
+        |  SELECT a.vec_id,
+        |    max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6)) AS max_cos_lower
+        |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+        |    AND b.vec_id < a.vec_id
+        |  GROUP BY a.vec_id)
+        |SELECT asg.vec_id, CAST(asg.cluster AS BIGINT) AS cluster,
+        |  pm.max_cos_lower,
+        |  coalesce(pm.max_cos_lower, -2.0) < 0.35 AS is_kept
+        |FROM asg LEFT JOIN pm ON asg.vec_id = pm.vec_id
+        |ORDER BY asg.vec_id""".stripMargin,
     "q_ann_bruteforce" ->
       """SELECT query_id, rk, cand_id, round(sim, 6) AS cos FROM (
         |  SELECT q.vec_id AS query_id, cand.vec_id AS cand_id,
