@@ -147,6 +147,54 @@ object Ranking {
       .limit(k)
   }
 
+  /** [[hybridRrfTopK]] with the dense side fed by sign-LSH ANN
+    * candidates instead of the exact cosine scan — the form the
+    * docstring above points at for 100 TB: the corpus is never
+    * linearly scored; LSH buckets propose ≤ `candidateM` candidates
+    * and their rank order (exact cosine WITHIN the candidate set)
+    * feeds the same RRF fusion. Approximate by construction (LSH
+    * recall bounds in AnnSpec/SPECGATES), so gated by an overlap spec
+    * against the exact hybrid rather than a hash oracle.
+    */
+  def hybridRrfTopKAnn(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long,
+      k: Int = 15,
+      rrfK: Int = 60,
+      candidateM: Int = 200,
+      dims: Int = 64,
+      bands: Int = 16,
+      bitsPerBand: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexRank = bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(candidateM)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+
+    // many short bands: on weakly-clustered embeddings the recall of
+    // the candidate stage is what the fusion quality rides on
+    val vecRank = SimilaritySearch.lshTopK(
+        embeddings.filter(col("vec_id") === queryVecId),
+        embeddings.filter(col("vec_id") =!= queryVecId),
+        k = candidateM, dims = dims, bands = bands,
+        bitsPerBand = bitsPerBand)
+      .select(col("cand_id").as("doc_id"), col("rk").as("vec_rank"))
+
+    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          coalesce(lit(1.0) / (col("lex_rank") + rrfK), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rank") + rrfK), lit(0.0)), 6)
+          .as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** TF-IDF retrieval — the classic weighting BM25 refined (kept as
     * its own operator because public pipelines use it for cheap
     * lexical features and as the dense-retrieval baseline): score(d) =

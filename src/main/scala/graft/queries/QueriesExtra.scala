@@ -28,6 +28,13 @@ object QueriesExtra {
           size(col("embedding")).as("dims"))
         .orderBy(col("vec_id"))
     }),
+    // Int8 scalar quantization of the embedding column (4× ANN index
+    // memory lever) — deterministic double arithmetic, element-for-
+    // element oracle replay incl. per-vector reconstruction MSE.
+    "q_embed_quantize" -> ((s, dir) => {
+      SimilaritySearch.quantizeInt8(t(s, dir, "embeddings"))
+        .orderBy(col("vec_id"))
+    }),
     // PIVOT — DataFrame-API relational pivot with pinned value set
     // (no second pass to discover values: scale posture).
     "q_pivot" -> ((s, dir) => {
@@ -160,6 +167,19 @@ object QueriesExtra {
         |  round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 6) AS comp_sum,
         |  len(embedding) AS dims
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> abs(v))) / 127.0, 1e-12) AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, round(sc, 9) AS scale,
+        |  list_transform(e, v -> CAST(round(v / sc) AS INT)) AS q,
+        |  round(list_reduce(list_transform(e,
+        |    v -> (v - CAST(round(v / sc) AS INT) * sc) *
+        |         (v - CAST(round(v / sc) AS INT) * sc)),
+        |    (a, b) -> a + b) / len(e), 10) AS recon_mse
+        |FROM s ORDER BY vec_id""".stripMargin,
     "q_pivot" ->
       """SELECT * FROM (SELECT o_orderpriority AS priority, o_orderstatus AS st
         |               FROM orders)

@@ -109,6 +109,24 @@ class GraphRankingSpec extends SparkSpecBase {
     assert(scores(5L) > scores(1L))
   }
 
+  test("ANN-fed hybrid RRF overlaps the exact hybrid's top-k") {
+    // the dense side comes from LSH candidates instead of the exact
+    // cosine scan; fusion and the lexical side are identical, so the
+    // top-k should largely agree (LSH recall bounds in AnnSpec) —
+    // and the lexical-only hits agree exactly.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val terms = Seq("vector", "spark", "merge")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Ranking.hybridRrfTopK(docs, emb, terms, 7L, k = 15))
+    val ann = ids(Ranking.hybridRrfTopKAnn(docs, emb, terms, 7L, k = 15))
+    val overlap = ann.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"overlap@15 = $overlap ($ann vs $exact)")
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   test("repetition features: constructed repeats") {
     val s = spark
     import s.implicits._
