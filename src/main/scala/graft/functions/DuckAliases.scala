@@ -83,6 +83,42 @@ object DuckAliases {
       Divide(listSum(e.head), Cast(listCount(e.head), DoubleType)))
     alias("list_count")(e => listCount(e.head))
     alias("array_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
+    // list_reduce has no explicit zero: the first element seeds the
+    // fold over the rest (errors on empty lists in DuckDB too — here
+    // the seed is just NULL)
+    alias("list_reduce") { e =>
+      val l = e(0)
+      val merge = e(1) match {
+        case f: LambdaFunction => f
+        case other => throw new IllegalArgumentException(
+          s"list_reduce expects a lambda, got $other")
+      }
+      val fin = UnresolvedNamedLambdaVariable(Seq("s"))
+      val rest = Slice(l, Literal(2),
+        Greatest(Seq(Literal(0),
+          Subtract(Size(l, legacySizeOfNull = false), Literal(1)))))
+      ArrayAggregate(rest, ElementAt(l, Literal(1), None, failOnError = false),
+        merge, LambdaFunction(fin, Seq(fin)))
+    }
+    // list_aggregate(l, 'fname') — the generic form DuckDB rewrites
+    // its list_sum/min/max/count sugar onto
+    alias("list_aggregate") { e =>
+      val fname = e(1) match {
+        case Literal(s, _) if s != null => String.valueOf(s).toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: function name must be a literal, got $other")
+      }
+      fname match {
+        case "sum" => listSum(e.head)
+        case "avg" | "mean" =>
+          Divide(listSum(e.head), Cast(listCount(e.head), DoubleType))
+        case "min" => ArrayMin(e.head)
+        case "max" => ArrayMax(e.head)
+        case "count" => listCount(e.head)
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate: unsupported function '$other'")
+      }
+    }
     alias("strpos")(e => StringInstr(e(0), e(1)))
     alias("starts_with")(e => StartsWith(e(0), e(1)))
     alias("ends_with")(e => EndsWith(e(0), e(1)))

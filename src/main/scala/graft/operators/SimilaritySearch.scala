@@ -216,6 +216,53 @@ object SimilaritySearch {
         col("q"), col("recon_mse"))
   }
 
+  /** Top-k retrieval over the INT8-QUANTIZED corpus with exact
+    * rerank — the memory-bound search path [[quantizeInt8]] exists
+    * for: candidates are scored on the int8 codes (cosine is
+    * scale-invariant, so the per-vector scale cancels and the cheap
+    * integer-code cosine IS the approximate score), the top
+    * `rerankFactor`·k per query are joined back to the float vectors,
+    * and the final k are exact. At 100 TB the quantized index is the
+    * only thing resident; floats are touched for ≤ rerankFactor·k
+    * rows per query.
+    */
+  def bruteForceTopKQuantized(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerankFactor: Int = 4): DataFrame = {
+    val codes = quantizeInt8(corpus)
+      .select(col("vec_id").as("cand_id"),
+        transform(col("q"), _.cast("float")).as("cq"))
+    val qcodes = quantizeInt8(queries)
+      .select(col("vec_id").as("query_id"),
+        transform(col("q"), _.cast("float")).as("qq"))
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("cand_id"))
+    val cands = codes.join(broadcast(qcodes),
+        col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qq"), col("cq")).as("acos"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= k * rerankFactor)
+      .select(col("query_id"), col("cand_id"))
+    val ce = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cands
+      .join(broadcast(qe), "query_id")
+      .join(ce, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Sign-LSH bucketed ANN: `bands` signatures of `bitsPerBand` random
     * hyperplane sign bits; candidates share any band bucket; exact
     * cosine rerank keeps top-k. Recall/latency trade via bands ×

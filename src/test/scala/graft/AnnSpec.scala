@@ -70,6 +70,18 @@ class AnnSpec extends SparkSpecBase {
       .foreach(_.unpersist(blocking = false))
   }
 
+  test("quantized search + exact rerank: recall@3 >= 0.95 vs float brute force") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
+    val quant = pairs(SimilaritySearch.bruteForceTopKQuantized(queries, emb, 3))
+    val recall = quant.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"quantized recall@3 = $recall")
+  }
+
   test("LSH is deterministic across runs (seeded planes)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
