@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Explode, Expression, ExpressionInfo, Literal, Sequence}
+import org.apache.spark.sql.catalyst.expressions.{Alias, EqualTo, Explode, Expression, ExpressionInfo, Literal, Sequence}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan, OneRowRelation, Project}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -76,11 +76,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           read(pathArg(exprs, name)).queryExecution.analyzed))
     def active = org.apache.spark.sql.SparkSession.active
     injectReader("read_parquet")(p => active.read.parquet(p))
-    injectReader("read_csv_auto")(p => active.read
-      .option("header", "true").option("inferSchema", "true").csv(p))
-    injectReader("read_csv")(p => active.read
-      .option("header", "true").option("inferSchema", "true").csv(p))
     injectReader("read_json")(p => active.read.json(p))
+
+    // read_csv[_auto] accept DuckDB's named options (`delim='|'`,
+    // `header=false`, ...). Spark's parser sees `name=value` as an
+    // EqualTo predicate over an unresolved column — exactly enough
+    // structure to lift into reader options. Unknown names error
+    // loudly rather than silently mis-parse someone's data file.
+    def csvReader(name: String): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (exprs: Seq[Expression]) => {
+          val path = pathArg(exprs, name)
+          var opts = Map("header" -> "true", "inferSchema" -> "true")
+          exprs.drop(1).foreach {
+            case org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression(
+                key, Literal(v, _)) =>
+              val value = String.valueOf(v)
+              key.toLowerCase match {
+                case "delim" | "sep" => opts += "sep" -> value
+                case "header" => opts += "header" -> value
+                case "quote" => opts += "quote" -> value
+                case "escape" => opts += "escape" -> value
+                case "nullstr" => opts += "nullValue" -> value
+                case "dateformat" => opts += "dateFormat" -> value
+                case "timestampformat" => opts += "timestampFormat" -> value
+                case "compression" => opts += "compression" -> value
+                case "ignore_errors" if value == "true" =>
+                  opts += "mode" -> "DROPMALFORMED"
+                case "all_varchar" if value == "true" =>
+                  opts += "inferSchema" -> "false"
+                case "sample_size" | "auto_detect" => // sampling knobs: n/a
+                case other => throw new IllegalArgumentException(
+                  s"$name: unsupported option '$other'")
+              }
+            case other => throw new IllegalArgumentException(
+              s"$name: expected name=value options, got $other")
+          }
+          active.read.options(opts).csv(path).queryExecution.analyzed
+        }))
+    csvReader("read_csv")
+    csvReader("read_csv_auto")
 
     // DuckDB metadata TVFs (`SELECT * FROM duckdb_tables()` etc.) —
     // the introspection surface DB tools/UIs query through the wire

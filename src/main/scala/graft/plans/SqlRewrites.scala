@@ -32,6 +32,14 @@ object SqlRewrites {
   private val duckDateFn =
     """(?i)\b(date_diff|datediff|date_sub|datesub)\s*\(\s*'""".r
 
+  /** DuckDB reader options (`read_csv('f', delim='|')`): `name=value`
+    * must become Spark's named-argument form `name => value`, because
+    * a TVF argument containing an unresolved column (which is how
+    * `delim=...` parses) fails analysis before the builder ever runs.
+    */
+  private val csvCall = """(?i)\b(read_csv(?:_auto)?)\s*\(([^()]*)\)""".r
+  private val csvNamedArg = """([(,]\s*)(\w+)\s*=(?![=>])""".r
+
   private val pgTypeAliases = Map(
     "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
@@ -470,7 +478,13 @@ object SqlRewrites {
         !has("date_sub") && !has("datesub")) sql
       else duckDateFn.replaceAllIn(sql,
         m => s"duck_${m.group(1).toLowerCase}('")
-    val sr0 = if (has("temp")) rewriteCreateTemp(sqlD) else sqlD
+    val sqlC = if (!has("read_csv")) sqlD
+      else csvCall.replaceAllIn(sqlD, m => {
+        val body = csvNamedArg.replaceAllIn("(" + m.group(2) + ")",
+          bm => bm.group(1) + bm.group(2) + " => ").stripPrefix("(").stripSuffix(")")
+        java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}($body)")
+      })
+    val sr0 = if (has("temp")) rewriteCreateTemp(sqlC) else sqlC
     val sr = if (has("replace")) rewriteStarReplace(sr0) else sr0
     val s0 = if (has("asof")) rewriteAsofJoin(sr) else sr
     // the ASOF interval rewrite adds a helper column that `SELECT *`

@@ -409,6 +409,24 @@ class CompatSpec extends SparkSpecBase {
       ex.getMessage)
   }
 
+  test("read_csv named options: delim / header / nullstr") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvopt")
+    val f = dir.resolve("t.csv")
+    java.nio.file.Files.writeString(f, "1|alpha|NA\n2|beta|x\n")
+    val rows = Engine.query(spark,
+      s"SELECT * FROM read_csv('$f', delim='|', header=false, nullstr='NA') ORDER BY 1")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getInt(0) == 1 && rows(0).getString(1) == "alpha" &&
+      rows(0).isNullAt(2), rows(0).toString)
+    assert(rows(1).getString(2) == "x")
+    // unknown option errors loudly instead of silently mis-reading
+    val ex = intercept[Throwable] {
+      Engine.query(spark, s"SELECT * FROM read_csv('$f', bogus='1')").collect()
+    }
+    assert(ex.getMessage.contains("unsupported option"), ex.getMessage)
+  }
+
   test("geomean: native exp(avg(ln)) rewrite agrees with the typed Aggregator") {
     val r = Engine.query(spark,
       """SELECT round(geomean(x), 9) AS native, round(geomean_udaf(x), 9) AS udaf
