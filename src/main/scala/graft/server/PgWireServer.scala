@@ -519,6 +519,13 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   private val copyToStdoutRe =
     """(?is)^COPY\s+(\(.*\)|[\w.]+)\s+TO\s+STDOUT\s*(?:WITH\s*)?(.*?)\s*;?\s*$""".r
 
+  /** DELIMITER 'c' parsed from the RAW options text — matching on the
+    * uppercased copy would corrupt lowercase delimiter characters.
+    */
+  private def copyDelim(optsRaw: String): Option[String] =
+    """(?i)DELIMITER\s+'(.)'""".r.findFirstMatchIn(
+      Option(optsRaw).getOrElse("")).map(_.group(1))
+
   private def copyStatement(sql: String): Option[Long] = sql.trim match {
     case copyToStdoutRe(src, optsRaw) =>
       // psql `\copy t to file` path: CopyOutResponse, one CopyData per
@@ -532,7 +539,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       val opts = Option(optsRaw).getOrElse("").toUpperCase
       val csv = opts.contains("CSV")
       val header = opts.contains("HEADER")
-      val delim = if (csv) "," else "\t"
+      val delim = copyDelim(optsRaw).getOrElse(if (csv) "," else "\t")
       val fields = df.schema.fields
       w.int8(0).int16(fields.length)
       fields.foreach(_ => w.int16(0))
@@ -574,6 +581,8 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       val n = df.count()
       df.write.mode("overwrite")
         .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
+        .option("sep", if (fmt == "csv")
+          copyDelim(optsOrNull).getOrElse(",") else ",")
         .format(fmt).save(path)
       Some(n)
     case copyFromFileRe(table, path, optsRaw) =>
@@ -595,6 +604,7 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         case "json" => session.read.schema(schema).json(path)
         case "csv" => session.read.schema(schema)
           .option("header", opts.contains("HEADER").toString)
+          .option("sep", copyDelim(optsRaw).getOrElse(","))
           .csv(path)
       }
       Some(loadInto(table, df))
@@ -604,8 +614,8 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       copyIn = Some(CopyIn(table,
         csv = opts.contains("CSV"),
         header = opts.contains("HEADER"),
-        delim = """DELIMITER\s+'(.)'""".r.findFirstMatchIn(opts)
-          .map(_.group(1)).getOrElse(if (opts.contains("CSV")) "," else "\t"),
+        delim = copyDelim(optsRaw)
+          .getOrElse(if (opts.contains("CSV")) "," else "\t"),
         buf = new java.io.ByteArrayOutputStream()))
       // CopyInResponse: overall text format, per-column text format
       w.int8(0).int16(schema.length)

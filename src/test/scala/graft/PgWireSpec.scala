@@ -503,6 +503,35 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("COPY TO/FROM honors a custom DELIMITER (lowercase chars intact)") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    val dir = java.nio.file.Files.createTempDirectory("graft-copydelim").toString
+    c.query("CREATE TABLE copy_dl (r_regionkey BIGINT, r_name STRING)")
+    val (_, _, t1, e1) = c.query(
+      s"COPY (SELECT * FROM region) TO '$dir/psv' (FORMAT CSV, HEADER, DELIMITER '|')")
+    assert(e1.isEmpty, e1); assert(t1.head == "COPY 5")
+    // the written file really is pipe-separated
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/psv"))
+      .iterator()
+    var sample = ""
+    while (part.hasNext && sample.isEmpty) {
+      val p = part.next()
+      if (p.toString.endsWith(".csv"))
+        sample = java.nio.file.Files.readAllLines(p).get(0)
+    }
+    assert(sample.contains("|"), s"expected pipe-separated header: $sample")
+    val (_, _, t2, e2) = c.query(
+      s"COPY copy_dl FROM '$dir/psv' (FORMAT CSV, HEADER, DELIMITER '|')")
+    assert(e2.isEmpty, e2); assert(t2.head == "COPY 5")
+    val (_, rows, _, _) = c.query(
+      "SELECT r_name FROM copy_dl WHERE r_regionkey = 0")
+    assert(rows == Seq(Seq(Some("AFRICA"))), rows.toString)
+    c.query("DROP TABLE copy_dl")
+    c.close()
+  }
+
   test("adversarial values survive the wire: huge strings, wide rows, controls") {
     val (_, port) = server
     val c = new Client(port)
