@@ -62,21 +62,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // reference forwards verbatim at cpp:52). Each resolves at
     // analysis time to the DataFrame reader's plan, so Catalyst sees
     // an ordinary relation (pushdown/pruning apply as usual).
-    def pathArg(exprs: Seq[Expression], fn: String): String = exprs match {
-      case Seq(Literal(v, _), _*) if v != null => v.toString
-      case _ => throw new IllegalArgumentException(
-        s"$fn(path): path must be a string literal")
-    }
+    // DuckDB readers take one path, a glob (hadoop handles those
+    // natively), or a LIST of paths: read_parquet(['a', 'b']).
+    def pathArgs(exprs: Seq[Expression], fn: String): Seq[String] =
+      exprs.headOption match {
+        case Some(Literal(v, _)) if v != null => Seq(v.toString)
+        case Some(arr: org.apache.spark.sql.catalyst.expressions.CreateArray)
+            if arr.children.nonEmpty && arr.children.forall {
+              case Literal(v, _) => v != null
+              case _ => false
+            } =>
+          arr.children.map { case Literal(v, _) => v.toString }
+        case _ => throw new IllegalArgumentException(
+          s"$fn(path): path must be a string literal or a list of them")
+      }
+    def pathArg(exprs: Seq[Expression], fn: String): String =
+      pathArgs(exprs, fn).head
     def injectReader(name: String)(
-        read: String => org.apache.spark.sql.DataFrame): Unit =
+        read: Seq[String] => org.apache.spark.sql.DataFrame): Unit =
       ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name),
         (exprs: Seq[Expression]) =>
-          read(pathArg(exprs, name)).queryExecution.analyzed))
+          read(pathArgs(exprs, name)).queryExecution.analyzed))
     def active = org.apache.spark.sql.SparkSession.active
-    injectReader("read_parquet")(p => active.read.parquet(p))
-    injectReader("read_json")(p => active.read.json(p))
+    injectReader("read_parquet")(p => active.read.parquet(p: _*))
+    injectReader("read_json")(p => active.read.json(p: _*))
 
     // read_csv[_auto] accept DuckDB's named options (`delim='|'`,
     // `header=false`, ...). Spark's parser sees `name=value` as an
@@ -88,7 +99,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name),
         (exprs: Seq[Expression]) => {
-          val path = pathArg(exprs, name)
+          val paths = pathArgs(exprs, name)
           var opts = Map("header" -> "true", "inferSchema" -> "true")
           exprs.drop(1).foreach {
             case org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression(
@@ -114,7 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             case other => throw new IllegalArgumentException(
               s"$name: expected name=value options, got $other")
           }
-          active.read.options(opts).csv(path).queryExecution.analyzed
+          active.read.options(opts).csv(paths: _*).queryExecution.analyzed
         }))
     csvReader("read_csv")
     csvReader("read_csv_auto")

@@ -40,6 +40,12 @@ object SqlRewrites {
   private val csvCall = """(?i)\b(read_csv(?:_auto)?)\s*\(([^()]*)\)""".r
   private val csvNamedArg = """([(,]\s*)(\w+)\s*=(?![=>])""".r
 
+  /** DuckDB list-of-paths literal (`read_parquet(['a','b'])`) —
+    * `[...]` is not Spark syntax; lower it to `array(...)`.
+    */
+  private val readerListArg =
+    """(?i)\b(read_(?:parquet|csv(?:_auto)?|json))\s*\(\s*\[([^\]]*)\]""".r
+
   private val pgTypeAliases = Map(
     "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
@@ -478,8 +484,12 @@ object SqlRewrites {
         !has("date_sub") && !has("datesub")) sql
       else duckDateFn.replaceAllIn(sql,
         m => s"duck_${m.group(1).toLowerCase}('")
-    val sqlC = if (!has("read_csv")) sqlD
-      else csvCall.replaceAllIn(sqlD, m => {
+    val sqlL = if (!has("read_")) sqlD
+      else readerListArg.replaceAllIn(sqlD, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}(array(${m.group(2)})"))
+    val sqlC = if (!has("read_csv")) sqlL
+      else csvCall.replaceAllIn(sqlL, m => {
         val body = csvNamedArg.replaceAllIn("(" + m.group(2) + ")",
           bm => bm.group(1) + bm.group(2) + " => ").stripPrefix("(").stripSuffix(")")
         java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}($body)")

@@ -427,6 +427,18 @@ class CompatSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("unsupported option"), ex.getMessage)
   }
 
+  test("read_parquet accepts a LIST of paths and glob patterns") {
+    val p = s"$sfDir/region.parquet"
+    val two = Engine.query(spark,
+      s"SELECT count(*) AS n FROM read_parquet(['$p', '$p'])")
+      .collect().head.getLong(0)
+    assert(two == 10L, s"two copies of region = $two")
+    val glob = Engine.query(spark,
+      s"SELECT count(*) AS n FROM read_parquet('$sfDir/regio*.parquet')")
+      .collect().head.getLong(0)
+    assert(glob == 5L, s"glob = $glob")
+  }
+
   test("geomean: native exp(avg(ln)) rewrite agrees with the typed Aggregator") {
     val r = Engine.query(spark,
       """SELECT round(geomean(x), 9) AS native, round(geomean_udaf(x), 9) AS udaf
