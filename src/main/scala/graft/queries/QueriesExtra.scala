@@ -30,9 +30,12 @@ object QueriesExtra {
     }),
     // Int8 scalar quantization of the embedding column (4× ANN index
     // memory lever) — deterministic double arithmetic, element-for-
-    // element oracle replay incl. per-vector reconstruction MSE.
+    // element oracle replay incl. per-vector reconstruction MSE. The
+    // q INT[] cell is serialized via to_json on BOTH engines (the
+    // round-1 array-cell convention) so the driver harness can sort it.
     "q_embed_quantize" -> ((s, dir) => {
       SimilaritySearch.quantizeInt8(t(s, dir, "embeddings"))
+        .withColumn("q", to_json(col("q")))
         .orderBy(col("vec_id"))
     }),
     // PIVOT — DataFrame-API relational pivot with pinned value set
@@ -174,7 +177,7 @@ object QueriesExtra {
         |      v -> abs(v))) / 127.0, 1e-12) AS sc
         |  FROM embeddings)
         |SELECT vec_id, round(sc, 9) AS scale,
-        |  list_transform(e, v -> CAST(round(v / sc) AS INT)) AS q,
+        |  to_json(list_transform(e, v -> CAST(round(v / sc) AS INT))) AS q,
         |  round(list_reduce(list_transform(e,
         |    v -> (v - CAST(round(v / sc) AS INT) * sc) *
         |         (v - CAST(round(v / sc) AS INT) * sc)),
