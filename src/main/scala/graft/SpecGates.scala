@@ -4,12 +4,13 @@ import org.apache.spark.sql.functions._
 
 /** Machine-checkable bounds for the spec-gated (no-SQL-oracle) corpus
   * rows. The DuckDB oracle cannot replay seeded-hash / engine-RNG
-  * constructs, so those seven queries are bounded by QUANTIFIED
-  * invariants instead — recall/precision/superset/agreement — each
-  * mirrored from the scalatest suite that gates it. This main emits
-  * them as one JSON file (`SPECGATES_r{N}.json`) so "140 oracle + 7
-  * bounded" is verifiable end-to-end by the driver, not split across
-  * test output.
+  * constructs, so those queries are bounded by QUANTIFIED invariants
+  * instead — recall/precision/superset/agreement — each mirrored from
+  * the scalatest suite that gates it (incl. quantized-rerank recall
+  * and ANN-hybrid overlap, which previously lived only in scalatest).
+  * This main emits them as one JSON file (`SPECGATES_r{N}.json`) so
+  * every spec-gated operator is verifiable end-to-end by the driver,
+  * not split across test output.
   *
   * Usage: runMain graft.SpecGates <sfDir> <outFile>
   */
@@ -17,14 +18,19 @@ object SpecGates {
 
   private case class Gate(query: String, metric: String, value: Double,
       op: String, bound: Double) {
-    def pass: Boolean = op match {
+    def pass: Boolean = java.lang.Double.isFinite(value) && (op match {
       case ">=" => value >= bound
       case "<=" => value <= bound
       case "==" => value == bound
-    }
-    def json: String =
+    })
+    // NaN/Infinity are not valid JSON tokens — a non-finite value (e.g.
+    // a 0/0 recall on an empty baseline) serializes as null and FAILS
+    // the gate rather than corrupting the artifact.
+    def json: String = {
+      val v = if (java.lang.Double.isFinite(value)) value.toString else "null"
       s"""  "$query/$metric": {"query": "$query", "metric": "$metric", """ +
-        s""""value": $value, "op": "$op", "bound": $bound, "pass": $pass}"""
+        s""""value": $v, "op": "$op", "bound": $bound, "pass": $pass}"""
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -45,6 +51,7 @@ object SpecGates {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val queries = emb.filter(col("vec_id") < 20)
     val exactAnn = pairs(SimilaritySearch.bruteForceTopK(queries, emb, 3))
+    require(exactAnn.nonEmpty, s"specgates: empty brute-force baseline at $sfDir")
     val lsh = pairs(SimilaritySearch.lshTopK(queries, emb, 3, dims = 64,
       bands = 16, bitsPerBand = 4))
     gates += Gate("q_ann_lsh", "recall_at_3",
@@ -53,6 +60,26 @@ object SpecGates {
       numClusters = 16, nprobe = 12, kmeansIters = 2))
     gates += Gate("q_ann_ivf", "recall_at_3",
       ivf.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.9)
+    // Quantized search + exact rerank vs the same float baseline
+    // (AnnSpec "quantized search + exact rerank" bound)
+    val quant = pairs(SimilaritySearch.bruteForceTopKQuantized(queries, emb, 3))
+    gates += Gate("q_embed_quantize", "rerank_recall_at_3",
+      quant.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.95)
+    unpersist()
+
+    // ANN-fed hybrid RRF overlaps the exact hybrid's top-k
+    // (GraphRankingSpec "ANN-fed hybrid RRF" bound)
+    locally {
+      val terms = Seq("vector", "spark", "merge")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val exactHybrid = ids(Ranking.hybridRrfTopK(docs, emb, terms, 7L, k = 15))
+      require(exactHybrid.nonEmpty, s"specgates: empty hybrid baseline at $sfDir")
+      val annHybrid = ids(Ranking.hybridRrfTopKAnn(docs, emb, terms, 7L, k = 15))
+      gates += Gate("q_text_hybrid_ann", "overlap_at_15",
+        annHybrid.intersect(exactHybrid).size.toDouble / exactHybrid.size,
+        ">=", 0.6)
+    }
     unpersist()
 
     // MinHash LSH vs the ORACLE-BACKED exact ngram operator (DedupSpec)

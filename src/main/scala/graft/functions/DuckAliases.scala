@@ -180,16 +180,18 @@ object DuckAliases {
     }
 
   /** Null-skipping fold to a double sum (DuckDB list_sum ignores
-    * NULL elements).
+    * NULL elements). Empty and all-NULL lists yield NULL, not 0.0
+    * (probed v1.0) — gated on the non-NULL element count.
     */
   private def listSum(l: Expression): Expression = {
     val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
     val x = UnresolvedNamedLambdaVariable(Seq("x"))
     val fin = UnresolvedNamedLambdaVariable(Seq("s"))
-    ArrayAggregate(l, Literal(0.0),
+    val fold = ArrayAggregate(l, Literal(0.0),
       LambdaFunction(
         If(IsNull(x), acc, Add(acc, Cast(x, DoubleType))), Seq(acc, x)),
       LambdaFunction(fin, Seq(fin)))
+    If(EqualTo(listCount(l), Literal(0)), Literal(null, DoubleType), fold)
   }
 
   /** Count of non-NULL elements (DuckDB list_count). */
@@ -199,8 +201,13 @@ object DuckAliases {
       legacySizeOfNull = false)
   }
 
-  /** DuckDB inclusive-bounds slice with negative-from-end indexing:
-    * array_slice([1,2,3,4], -2, -1) = [3,4].
+  /** DuckDB inclusive-bounds slice with negative-from-end indexing
+    * AND out-of-range clamping (probed v1.0):
+    * array_slice([1,2,3,4], -2, -1) = [3,4];
+    * list_slice([1,2,3], -5, -1) = [1,2,3];
+    * list_slice([1,2,3], 5, 9) = []. Unclamped normalized bounds
+    * would either hit Spark Slice's ANSI "indices start at 1" error
+    * (normalized 0) or be reinterpreted as from-the-end (negative).
     */
   private def inclusiveSlice(l: Expression, a: Expression, b: Expression): Expression = {
     val sz = Size(l, legacySizeOfNull = false)
@@ -209,8 +216,9 @@ object DuckAliases {
       If(GreaterThanOrEqual(ii, Literal(0)), ii,
         Add(Add(sz, ii), Literal(1)))
     }
-    val start = norm(a)
-    val end = norm(b)
+    // clamp into [1, sz]; a start past the end yields len <= 0 -> []
+    val start = Greatest(Seq(Literal(1), norm(a)))
+    val end = Least(Seq(sz, norm(b)))
     val len = Greatest(Seq(Literal(0), Add(Subtract(end, start), Literal(1))))
     Slice(l, start, len)
   }

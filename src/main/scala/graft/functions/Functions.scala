@@ -32,12 +32,23 @@ object Functions {
       spark.udf.register("geomean_udaf",
         org.apache.spark.sql.functions.udaf(GeometricMean))
       locally {
-        import org.apache.spark.sql.catalyst.expressions.{Exp, Log}
+        import org.apache.spark.sql.catalyst.expressions._
         import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+        import org.apache.spark.sql.types.DoubleType
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           "geomean",
-          (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-            Exp(Average(Log(exprs.head)).toAggregateExpression()),
+          (exprs: Seq[Expression]) => {
+            // Spark's Log returns NULL for x <= 0, which Average would
+            // silently SKIP — diverging from the UDAF (math.log: 0 ->
+            // -Inf -> geomean 0.0; negative -> NaN). Pin the same
+            // behavior here; NULL inputs still skip like any aggregate.
+            val x = Cast(exprs.head, DoubleType)
+            val lnLike = If(IsNull(x), Literal(null, DoubleType),
+              If(GreaterThan(x, Literal(0.0)), Log(x),
+                If(EqualTo(x, Literal(0.0)),
+                  Literal(Double.NegativeInfinity), Literal(Double.NaN))))
+            Exp(Average(lnLike).toAggregateExpression())
+          },
           "built-in")
       }
       // DuckDB/pg strftime/strptime with C-style % formats, compiled

@@ -83,6 +83,7 @@ object SimilaritySearch {
       .limit(numClusters * 8)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(pool.nonEmpty, "ivfTopK: empty corpus")
     def cosDist(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }

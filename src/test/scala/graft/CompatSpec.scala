@@ -445,6 +445,46 @@ class CompatSpec extends SparkSpecBase {
         |FROM VALUES (2.0), (8.0), (4.0) AS t(x)""".stripMargin)
       .collect().head
     assert(r.getDouble(0) == 4.0 && r.getDouble(1) == 4.0, r.toString)
+    // off the positive domain the two must STILL agree (advisor r5):
+    // a zero input drives the mean log to -Inf -> geomean 0.0 — the
+    // naive rewrite's NULL-dropping Log would return 8.0 here
+    val z = Engine.query(spark,
+      """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
+        |FROM VALUES (0.0), (8.0) AS t(x)""".stripMargin).collect().head
+    assert(z.getDouble(0) == 0.0 && z.getDouble(1) == 0.0, z.toString)
+    val n = Engine.query(spark,
+      """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
+        |FROM VALUES (-2.0), (8.0) AS t(x)""".stripMargin).collect().head
+    assert(n.getDouble(0).isNaN && n.getDouble(1).isNaN, n.toString)
+    // NULLs still skip like any aggregate
+    val sk = Engine.query(spark,
+      """SELECT geomean(x) AS native
+        |FROM VALUES (CAST(NULL AS DOUBLE)), (4.0) AS t(x)""".stripMargin)
+      .collect().head
+    assert(sk.getDouble(0) == 4.0, sk.toString)
+  }
+
+  test("list_slice/list_sum DuckDB edge semantics (advisor r5)") {
+    // out-of-range bounds clamp (DuckDB v1.0 probed):
+    // list_slice([1,2,3],-5,-1)=[1,2,3]; [5,9]->[]; [2,99]->[2,3]
+    val r = Engine.query(spark,
+      """SELECT list_slice(l, -5, -1) AS a, list_slice(l, 5, 9) AS b,
+        |  list_slice(l, 2, 99) AS c, list_slice(l, -99, 2) AS d
+        |FROM VALUES (array(1, 2, 3)) AS t(l)""".stripMargin).collect().head
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3), s"a=${r.getSeq[Int](0)}")
+    assert(r.getSeq[Int](1) == Seq(), s"b=${r.getSeq[Int](1)}")
+    assert(r.getSeq[Int](2) == Seq(2, 3), s"c=${r.getSeq[Int](2)}")
+    assert(r.getSeq[Int](3) == Seq(1, 2), s"d=${r.getSeq[Int](3)}")
+    // list_sum of empty / all-NULL lists is NULL, not 0.0; list_avg too
+    val s2 = Engine.query(spark,
+      """SELECT list_sum(CAST(array() AS ARRAY<DOUBLE>)) AS e,
+        |  list_sum(array(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))) AS an,
+        |  list_sum(array(1.5, CAST(NULL AS DOUBLE), 2.5)) AS s,
+        |  list_avg(CAST(array() AS ARRAY<DOUBLE>)) AS av
+        |FROM VALUES (1) AS t(x)""".stripMargin).collect().head
+    assert(s2.isNullAt(0) && s2.isNullAt(1), s2.toString)
+    assert(s2.getDouble(2) == 4.0, s2.toString)
+    assert(s2.isNullAt(3), s2.toString)
   }
 
   test("macro parameter name colliding with a qualified column") {
