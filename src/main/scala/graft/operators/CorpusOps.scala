@@ -187,10 +187,27 @@ object CorpusOps {
     // side only; the corpus side stays lazy and distributed.
     val expected = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+    // The probe is Spark's NATIVE BloomFilterMightContain (the same
+    // expression its runtime row-level filtering injects), so the
+    // corpus-wide pass stays inside whole-stage codegen — a ScalaUDF
+    // here forced a codegen boundary on every probed row. The
+    // serialized bitset rides the plan as a binary literal; Spark
+    // broadcasts task binaries, so executors receive it once per
+    // stage, like the explicit Broadcast it replaces.
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = {
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.types.BinaryType
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), ColumnBridge.expression(col("gram"))))
+    }
     docGrams(corpus, idCol, textCol, n)
-      .filter(mightContain(col("gram")))
+      .filter(probe)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged"))
   }

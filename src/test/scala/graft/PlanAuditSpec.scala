@@ -99,6 +99,18 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom decontamination probes natively — no ScalaUDF in the plan") {
+    // the corpus-wide probe is Spark's BloomFilterMightContain; a
+    // ScalaUDF here breaks whole-stage codegen on the widest scan of
+    // the whole decontamination pass.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = CorpusOps.bloomDecontaminate(
+        docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), s"bloom probe plans a UDF:\n${p.take(3000)}")
+    assert(p.contains("might_contain"), s"expected native bloom probe:\n${p.take(3000)}")
+  }
+
   test("corpus-wide: every unpartitioned window is limit-bounded") {
     // An `OVER (ORDER BY …)` window with no PARTITION BY funnels its
     // whole input into a single task — the one plan shape that cannot
