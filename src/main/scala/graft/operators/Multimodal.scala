@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * The image path is REAL as of round 5: [[attachImages]] synthesizes
   * deterministic PNGs (pixel content derived from document columns)
   * and [[extractImageFeatures]] decodes them with `javax.imageio`
-  * (JDK built-in — PNG/BMP need no external codec), one reader reused
-  * per partition. The oracle replays the pixel formulas on the stored
-  * columns, so the encode→decode→measure loop is hash-checked end to
-  * end. [[StubDecoder]] remains the seam for codecs the JDK lacks
-  * (JPEG works too, but video/audio would slot in here).
+  * (JDK built-in — PNG/BMP/JPEG/GIF need no external codec), one
+  * reader reused per (partition, format). Round 7 adds JPEG + GIF:
+  * [[attachImagesMixed]] emits a mixed-container corpus and the
+  * magic-byte sniff dispatches the reader. The oracle replays the
+  * pixel formulas on the stored columns, so the
+  * encode→decode→measure loop is hash-checked end to end.
+  * [[StubDecoder]] remains the seam for codecs the JDK lacks
+  * (video/audio would slot in here).
   */
 object Multimodal {
 
@@ -74,6 +77,52 @@ object Multimodal {
     StructField("n_pixels", LongType),
     StructField("mean_luma", DoubleType)))
 
+  /** Two-band grayscale test pattern: top half gray `g`, bottom half
+    * `(g + 64) % 256` — the shape whose decoded mean luma is
+    * SQL-expressible from (doc_id, n_chars).
+    */
+  private def bandedRgbImage(w: Int, h: Int, g: Int): java.awt.image.BufferedImage = {
+    val g2 = (g + 64) % 256
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val v = if (y < (h + 1) / 2) g else g2
+      val rgb = (v << 16) | (v << 8) | v
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  /** Uniform-gray grayscale JPEG at compression quality 1.0. With an
+    * all-ones quantization table a constant block's DCT is DC-only, so
+    * the decode is raster-exact for every gray level (probed over all
+    * 256 levels × 6 sizes) — which is what lets a LOSSY container
+    * carry an exact oracle.
+    */
+  def encodeJpegGray(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.getRaster.setSample(x, y, 0, g); x += 1 }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
   /** Synthesize a deterministic PNG per document: width/height/gray
     * levels are pure functions of (doc_id, n_chars), the top half is
     * gray `g = doc_id % 256` and the bottom half `(g + 64) % 256` —
@@ -87,19 +136,8 @@ object Multimodal {
       val w = 1 + (nChars % 16).toInt
       val h = 1 + (docId % 12).toInt
       val g = (docId % 256).toInt
-      val g2 = (g + 64) % 256
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < h) {
-        val v = if (y < (h + 1) / 2) g else g2
-        val rgb = (v << 16) | (v << 8) | v
-        var x = 0
-        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.write(bandedRgbImage(w, h, g), "png", bos)
       bos.toByteArray
     }
     docs.select(
@@ -110,6 +148,56 @@ object Multimodal {
         col("n_chars").cast("long").as("declared_len")).as("meta"))
   }
 
+  /** Non-interlaced GIF encode. MODE_DISABLED is load-bearing: the
+    * JDK's GIF writer interlaces by default and its reader mis-orders
+    * interlaced rows for images under ~5 rows tall (probed: 4×4 rows
+    * come back permuted), which would scramble the bottom band.
+    * Non-interlaced round-trips exactly for all 256 gray pairs × 9
+    * sizes.
+    */
+  def encodeGif(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val p = wr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  /** Mixed-container corpus: `doc_id % 3` picks PNG / JPEG / GIF, the
+    * dispatch shape a real crawl's media column has. PNG and GIF carry
+    * the two-band pattern (both lossless here — the GIF palette holds
+    * the 2 grays exactly); JPEG is uniform gray via [[encodeJpegGray]]
+    * so the lossy container still decodes to formula-exact pixels.
+    */
+  def attachImagesMixed(docs: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long, nChars: Long) =>
+      val w = 1 + (nChars % 16).toInt
+      val h = 1 + (docId % 12).toInt
+      val g = (docId % 256).toInt
+      (docId % 3).toInt match {
+        case 1 => encodeJpegGray(w, h, g)
+        case 2 => encodeGif(bandedRgbImage(w, h, g))
+        case _ =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(bandedRgbImage(w, h, g), "png", bos)
+          bos.toByteArray
+      }
+    }
+    val mime = expr(
+      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' " +
+        "WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END")
+    docs.select(
+      col("doc_id"),
+      mk(col("doc_id"), col("n_chars").cast("long")).as("media"),
+      struct(
+        mime.as("media_type"),
+        col("n_chars").cast("long").as("declared_len")).as("meta"))
+  }
+
   /** Sniff the container from magic bytes — the dispatch a mixed
     * media column needs before choosing a reader.
     */
@@ -117,20 +205,34 @@ object Multimodal {
     if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 &&
         bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') "png"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8') "gif"
     else throw new IllegalArgumentException(
       s"unsupported image container (${bytes.take(4).map(b => f"$b%02x").mkString(" ")})")
 
-  /** REAL image decode via `javax.imageio`: dimensions + mean luma,
-    * with ONE ImageReader per (partition, format) reused across rows —
-    * the amortized-init batch shape a production codec needs; only the
-    * input stream resets per row.
+  val imageFeatureFmtSchema: StructType = StructType(
+    StructField("doc_id", LongType) +:
+      StructField("fmt", StringType) +: imageFeatureSchema.fields.drop(1))
+
+  /** REAL image decode via `javax.imageio`: container sniff →
+    * dimensions + mean luma, with ONE ImageReader per (partition,
+    * format) reused across rows — the amortized-init batch shape a
+    * production codec needs; only the input stream resets per row.
     *
     * Luma uses integer Rec.601 weights (299·R + 587·G + 114·B, summed
     * as a Long, divided by 1000·n at the end with exact decimal
     * rounding) so gray pixels contribute their gray level EXACTLY and
     * the oracle's rational arithmetic matches bit for bit.
+    *
+    * TYPE_BYTE_GRAY decodes (grayscale JPEG) read the raster band
+    * directly: `getRGB` on a gray image applies the ICC gray→sRGB
+    * transform (gray 1 → rgb 13), which would silently break luma
+    * exactness. Indexed rasters (GIF) do go through `getRGB` — there
+    * the single band holds palette indices, not gray levels.
     */
-  def extractImageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+  def extractImageFeaturesWithFormat(spark: SparkSession, media: DataFrame): DataFrame = {
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
       val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
       def reader(fmt: String) = readers.getOrElseUpdate(fmt,
@@ -138,7 +240,8 @@ object Multimodal {
       val out = it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val rd = reader(imageFormat(bytes))
+        val fmt = imageFormat(bytes)
+        val rd = reader(fmt)
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
         rd.setInput(iis)
@@ -147,13 +250,18 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         var s = 0L // Σ (299R + 587G + 114B) over pixels, exact
+        val grayDirect =
+          img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
-            s += 299L * ((rgb >> 16) & 0xff) +
-              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            if (grayDirect) s += 1000L * img.getRaster.getSample(x, y, 0)
+            else {
+              val rgb = img.getRGB(x, y)
+              s += 299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            }
             x += 1
           }
           y += 1
@@ -163,12 +271,18 @@ object Multimodal {
           .divide(java.math.BigDecimal.valueOf(1000L * n), 6,
             java.math.RoundingMode.HALF_UP)
           .doubleValue()
-        Row(id, w, h, n, mean)
+        Row(id, fmt, w, h, n, mean)
       }
       out ++ { readers.values.foreach(_.dispose()); Iterator.empty }
     }
-    spark.createDataFrame(rdd, imageFeatureSchema)
+    spark.createDataFrame(rdd, imageFeatureFmtSchema)
   }
+
+  /** [[extractImageFeaturesWithFormat]] minus the sniffed container
+    * column (the single-format corpus shape).
+    */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame): DataFrame =
+    extractImageFeaturesWithFormat(spark, media).drop("fmt")
 
   /** Expression-level frame sampling: every `stride`-th fixed-size
     * byte window of the media column, as pure SQL expressions —

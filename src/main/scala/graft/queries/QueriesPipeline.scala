@@ -397,6 +397,17 @@ object QueriesPipeline {
           s, Multimodal.attachImages(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
+    // Mixed-container decode (round 7): doc_id % 3 picks PNG / JPEG /
+    // GIF; the magic-byte sniff dispatches per-(partition, format)
+    // readers. JPEG rows are uniform gray at quality 1.0 (raster-exact
+    // — see Multimodal.encodeJpegGray), so all three containers decode
+    // to formula-replayable pixels and the oracle hash-checks the
+    // whole sniff→decode→measure loop.
+    "q_multimodal_mixed" -> ((s, dir) => {
+      Multimodal.extractImageFeaturesWithFormat(
+          s, Multimodal.attachImagesMixed(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
     // Generic opaque-byte stats path (the non-image media shape).
     "q_multimodal_bytes" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -1246,6 +1257,23 @@ object QueriesPipeline {
         |    ((1 + doc_id % 12) - floor((1 + doc_id % 12 + 1) / 2.0)) *
         |      ((doc_id % 256 + 64) % 256)
         |  ) / (1 + doc_id % 12), 6) AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_mixed" ->
+      // per-container pixel-formula replay: two-band mean for the
+      // lossless PNG/GIF rows, the uniform gray level for the
+      // quality-1.0 JPEG rows
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
+        |  CAST(1 + n_chars % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 12 AS INT) AS height,
+        |  CAST((1 + n_chars % 16) * (1 + doc_id % 12) AS BIGINT) AS n_pixels,
+        |  CASE WHEN doc_id % 3 = 1 THEN round(CAST(doc_id % 256 AS DOUBLE), 6)
+        |    ELSE round((
+        |      floor((1 + doc_id % 12 + 1) / 2.0) * (doc_id % 256) +
+        |      ((1 + doc_id % 12) - floor((1 + doc_id % 12 + 1) / 2.0)) *
+        |        ((doc_id % 256 + 64) % 256)
+        |    ) / (1 + doc_id % 12), 6) END AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id,

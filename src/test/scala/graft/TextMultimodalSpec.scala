@@ -106,14 +106,15 @@ class TextMultimodalSpec extends SparkSpecBase {
     assert(one.getLong(3) == bytes.length / 32)
   }
 
-  test("multimodal: javax.imageio decodes golden PNG and BMP exactly") {
+  test("multimodal: javax.imageio decodes golden PNG, BMP and GIF exactly") {
     // hand-built 2×1 image: pure red + pure blue. Integer Rec.601:
     // (299·255 + 114·255) / (1000·2) = 105315/2000 = 52.6575
+    // GIF rides the same golden: 2 colors fit its palette exactly.
     val img = new java.awt.image.BufferedImage(
       2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
     img.setRGB(0, 0, 0xff0000)
     img.setRGB(1, 0, 0x0000ff)
-    for (fmt <- Seq("png", "bmp")) {
+    for (fmt <- Seq("png", "bmp", "gif")) {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, fmt, bos)
       val bytes = bos.toByteArray
@@ -125,6 +126,55 @@ class TextMultimodalSpec extends SparkSpecBase {
       assert(r.getLong(0) == 7L && r.getInt(1) == 2 && r.getInt(2) == 1 &&
         r.getLong(3) == 2L, r.toString)
       assert(r.getDouble(4) == 52.6575, s"$fmt mean_luma = ${r.getDouble(4)}")
+    }
+  }
+
+  test("multimodal: quality-1.0 grayscale JPEG decodes raster-exact for every gray level") {
+    // the property the JPEG oracle rests on: a uniform TYPE_BYTE_GRAY
+    // image at compression quality 1.0 round-trips every gray level
+    // exactly (constant DCT blocks + all-ones quant table), and the
+    // decoder must read the raster band — getRGB's ICC gray→sRGB
+    // transform maps gray 1 to rgb 13 and would poison the luma.
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 256).map { g =>
+      ((g + 1000).toLong, Multimodal.encodeJpegGray(1 + g % 16, 1 + g % 12, g))
+    }
+    assert(rows.forall(r => Multimodal.imageFormat(r._2) == "jpeg"))
+    val feats = Multimodal.extractImageFeatures(
+        spark, rows.toDF("doc_id", "media"))
+      .orderBy("doc_id").collect()
+    feats.zipWithIndex.foreach { case (r, g) =>
+      assert(r.getInt(1) == 1 + g % 16 && r.getInt(2) == 1 + g % 12, r.toString)
+      assert(r.getDouble(4) == g.toDouble, s"gray $g decoded as ${r.getDouble(4)}")
+    }
+  }
+
+  test("multimodal: mixed PNG/JPEG/GIF corpus sniffs and round-trips per container") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(24)
+    val feats = Multimodal.extractImageFeaturesWithFormat(
+      spark, Multimodal.attachImagesMixed(docs)).collect()
+    val cols = docs.select(col("doc_id").cast("long"),
+      col("n_chars").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats.map(_.getString(1)).toSet == Set("png", "jpeg", "gif"))
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = Seq("png", "jpeg", "gif")((id % 3).toInt)
+      val w = 1 + (cols(id) % 16).toInt
+      val h = 1 + (id % 12).toInt
+      val g = (id % 256).toInt
+      val expect =
+        if (fmt == "jpeg") BigDecimal(g)
+        else {
+          val nTop = (h + 1) / 2
+          (BigDecimal(nTop * g + (h - nTop) * ((g + 64) % 256)) / BigDecimal(h))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
+      assert(r.getString(1) == fmt, r.toString)
+      assert(r.getInt(2) == w && r.getInt(3) == h, r.toString)
+      assert(r.getDouble(5) == expect.toDouble,
+        s"doc $id ($fmt): ${r.getDouble(5)} != $expect")
     }
   }
 
