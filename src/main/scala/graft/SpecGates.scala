@@ -65,6 +65,12 @@ object SpecGates {
     val quant = pairs(SimilaritySearch.bruteForceTopKQuantized(queries, emb, 3))
     gates += Gate("q_embed_quantize", "rerank_recall_at_3",
       quant.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.95)
+    // IVF-bucketed quantized search: candidate generation via cluster
+    // probe, scoring on int8 codes, exact rerank (AnnSpec bound)
+    val qivf = pairs(SimilaritySearch.quantizedIvfTopK(queries, emb, 3,
+      numClusters = 16, nprobe = 14, kmeansIters = 2))
+    gates += Gate("q_ann_ivf_quantized", "recall_at_3",
+      qivf.intersect(exactAnn).size.toDouble / exactAnn.size, ">=", 0.95)
     unpersist()
 
     // ANN-fed hybrid RRF overlaps the exact hybrid's top-k

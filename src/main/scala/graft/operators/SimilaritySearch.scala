@@ -69,7 +69,44 @@ object SimilaritySearch {
     // read this instead of re-scanning the source
     val corpusCk = corpus.select(col("vec_id"), col("embedding"))
       .localCheckpoint(eager = false)
+    val centroids = ivfCentroids(corpusCk, numClusters, kmeansIters, dims, seed)
 
+    val index = corpusCk
+      .withColumn("cluster",
+        element_at(NearestCentroids(col("embedding"), centroids, 1), 1))
+      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+        col("cluster"))
+      .localCheckpoint(eager = false)
+
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(NearestCentroids(col("embedding"), centroids, nprobe))
+          .as("cluster"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    probes.join(index, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** k-means coarse-quantizer training shared by [[ivfTopK]] and
+    * [[quantizedIvfTopK]]: seeded-hash pool draw + greedy k-center
+    * spread, then `kmeansIters` Lloyd iterations. Returns the final
+    * centroid snapshot (a tiny driver-side literal fused into the
+    * codegen'd [[NearestCentroids]] argmax downstream).
+    */
+  private def ivfCentroids(
+      corpusCk: DataFrame,
+      numClusters: Int,
+      kmeansIters: Int,
+      dims: Int,
+      seed: Long): Array[Array[Float]] = {
     // Seeding: a seeded-hash draw of an 8× candidate pool (TakeOrdered
     // over xxhash64(id, seed) — deterministic, fully parallel, no
     // corpus-order bias the way first-N-by-id seeding has), then a
@@ -83,7 +120,7 @@ object SimilaritySearch {
       .limit(numClusters * 8)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(pool.nonEmpty, "ivfTopK: empty corpus")
+    require(pool.nonEmpty, "ivfCentroids: empty corpus")
     def cosDist(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -136,27 +173,7 @@ object SimilaritySearch {
           Array.tabulate(dims)(i => r.getDouble(i + 1))
       }
     }
-
-    val index = assigned(corpusCk)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
-        col("cluster"))
-      .localCheckpoint(eager = false)
-
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(NearestCentroids(col("embedding"), snap(), nprobe))
-          .as("cluster"))
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    probes.join(index, Seq("cluster"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"),
-        GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk"), col("cand_id"),
-        round(col("cos"), 6).as("cos"))
+    snap()
   }
 
   /** Embedding-space cluster assignment — topic bucketing for corpus
@@ -250,6 +267,82 @@ object SimilaritySearch {
       .filter(col("ark") <= k * rerankFactor)
       .select(col("query_id"), col("cand_id"))
     val ce = corpus.select(col("vec_id").as("cand_id"),
+      col("embedding").as("ce"))
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    cands
+      .join(broadcast(qe), "query_id")
+      .join(ce, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qe"), col("ce")).as("cos"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-bucketed quantized search — the 100 TB shape of
+    * [[bruteForceTopKQuantized]] (which scans every code per query by
+    * design, as the named brute-force baseline): candidate GENERATION
+    * is the IVF cluster probe, candidate SCORING runs on the int8
+    * codes, and only the top `rerankFactor`·k per query touch the
+    * float vectors for the exact rerank.
+    *
+    * Resident state at scale is the quantized index — (cluster, int8
+    * codes): ~68 B/vector instead of 256 B — and the per-query work is
+    * |corpus|·nprobe/numClusters code cosines, not a linear scan.
+    * Cosine is scale-invariant, so the float query scores directly
+    * against each candidate's codes (the per-vector scale cancels) and
+    * queries never need quantizing. One keyed shuffle (cluster join),
+    * two bounded windows, no cartesian anywhere.
+    */
+  def quantizedIvfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      numClusters: Int = 16,
+      nprobe: Int = 4,
+      rerankFactor: Int = 4,
+      kmeansIters: Int = 2,
+      dims: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val corpusCk = corpus.select(col("vec_id"), col("embedding"))
+      .localCheckpoint(eager = false)
+    val centroids = ivfCentroids(corpusCk, numClusters, kmeansIters, dims, seed)
+
+    // quantized index: cluster id + int8 codes, NO float embedding —
+    // this is the only corpus-wide resident state
+    val index = corpusCk
+      .withColumn("cluster",
+        element_at(NearestCentroids(col("embedding"), centroids, 1), 1))
+      .withColumn("scale", greatest(
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0,
+        lit(1e-12)))
+      .select(col("vec_id").as("cand_id"), col("cluster"),
+        transform(col("embedding"),
+          v => round(v.cast("double") / col("scale")).cast("float")).as("cq"))
+      .localCheckpoint(eager = false)
+
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(NearestCentroids(col("embedding"), centroids, nprobe))
+          .as("cluster"))
+
+    // approx scores on codes; each candidate lives in exactly one
+    // cluster, so (query, cand) pairs are unique — no distinct needed
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("cand_id"))
+    val cands = probes.join(index, Seq("cluster"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        GraftFunctions.arrayCosineSimilarity(col("qe"), col("cq")).as("acos"))
+      .withColumn("ark", row_number().over(wApprox))
+      .filter(col("ark") <= k * rerankFactor)
+      .select(col("query_id"), col("cand_id"))
+
+    val qe = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val ce = corpusCk.select(col("vec_id").as("cand_id"),
       col("embedding").as("ce"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id"))

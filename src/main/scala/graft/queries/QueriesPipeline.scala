@@ -102,6 +102,17 @@ object QueriesPipeline {
           numClusters = 16, nprobe = 12, kmeansIters = 2)
         .orderBy(col("query_id"), col("rk"))
     }),
+    // IVF-bucketed quantized search (round 7): int8 code scoring over
+    // cluster-probed candidates + exact float rerank — the 100 TB
+    // shape of the quantized path (rows-only: seeded k-means; recall
+    // ≥ 0.95 vs float brute force gated in AnnSpec + SpecGates).
+    "q_ann_ivf_quantized" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      SimilaritySearch.quantizedIvfTopK(
+          emb.filter(col("vec_id") < 5), emb, k = 3,
+          numClusters = 16, nprobe = 14, rerankFactor = 4, kmeansIters = 2)
+        .orderBy(col("query_id"), col("rk"))
+    }),
     // Quality scoring (oracle-checked; formula mirrored in SQL).
     "q_text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")

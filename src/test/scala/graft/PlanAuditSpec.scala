@@ -173,7 +173,9 @@ class PlanAuditSpec extends SparkSpecBase {
       "bloom" -> CorpusOps.bloomDecontaminate(
         docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20)),
       "lsh" -> SimilaritySearch.lshTopK(
-        emb.filter(col("vec_id") < 5), emb, 3, 64))
+        emb.filter(col("vec_id") < 5), emb, 3, 64),
+      "quantized-ivf" -> SimilaritySearch.quantizedIvfTopK(
+        emb.filter(col("vec_id") < 5), emb, 3))
     plans.foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
