@@ -10,10 +10,12 @@ import java.util.concurrent.atomic.AtomicLong
   *
   * Engine-global registry, like DuckDB's: a sequence is a catalog
   * object shared by every connection, and `nextval` on any connection
-  * advances the same counter. `currval` returns the last value THIS
-  * JVM handed out for the sequence (DuckDB scopes currval per
-  * connection; the single-engine shape matches our shared-session
-  * model the same way the shared temp-view catalog does).
+  * advances the same counter. `currval` is scoped PER SESSION like
+  * DuckDB's (round 7): each wire connection sees only the last value
+  * its own `nextval` calls drew, carried as a scope key — the
+  * connection handler sets a Spark local property (task-side reads via
+  * TaskContext) plus a driver-side ThreadLocal, and library callers
+  * without a scope share the engine scope "".
   *
   * Scale honesty: `nextval` is an inherently serial oracle — one
   * atomic per sequence. That is exactly DuckDB's semantic (single
@@ -33,7 +35,37 @@ object Sequences {
   private final case class SeqDef(counter: AtomicLong, increment: Long)
 
   private val seqs = new ConcurrentHashMap[String, SeqDef]()
+  // keyed by scope + SEP + sequence: one currval slot per (session,
+  // sequence), DuckDB's scoping
   private val lastVal = new ConcurrentHashMap[String, java.lang.Long]()
+  private val SEP = "\u0000" // can appear in neither scope nor name
+
+  /** Spark local-property key the wire server sets per connection;
+    * task-side nextval/currval UDF calls read it via TaskContext.
+    */
+  val ScopeProp = "graft.sequence.scope"
+
+  // driver-side fallback for UDF evaluation outside a task (constant
+  // folding, local relations): the connection handler thread sets this
+  // once — each connection owns its thread for its whole lifetime
+  private val threadScope = new ThreadLocal[String] {
+    override def initialValue(): String = ""
+  }
+
+  def setThreadScope(scope: String): Unit = threadScope.set(scope)
+
+  /** Resolve the calling session's scope: inside a task, the local
+    * property the submitting (connection) thread carried; on the
+    * driver, the handler thread's own ThreadLocal; else the engine
+    * scope "".
+    */
+  def callerScope(): String = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      val p = tc.getLocalProperty(ScopeProp)
+      if (p != null) p else ""
+    } else threadScope.get()
+  }
 
   private def norm(name: String): String =
     name.toLowerCase.stripPrefix("\"").stripSuffix("\"")
@@ -46,7 +78,7 @@ object Sequences {
       throw new IllegalArgumentException(s"sequence $name already exists")
     if (!seqs.containsKey(k) || orReplace) {
       seqs.put(k, SeqDef(new AtomicLong(start), increment))
-      lastVal.remove(k)
+      clearLastVal(k)
     }
   }
 
@@ -54,20 +86,26 @@ object Sequences {
     val k = norm(name)
     if (seqs.remove(k) == null && !ifExists)
       throw new IllegalArgumentException(s"sequence $name does not exist")
-    lastVal.remove(k)
+    clearLastVal(k)
   }
 
-  def next(name: String): Long = {
+  // a dropped/replaced sequence forgets currval in EVERY session
+  private def clearLastVal(k: String): Unit =
+    lastVal.keySet.removeIf(_.endsWith(SEP + k))
+
+  def next(name: String): Long = next(name, callerScope())
+
+  def next(name: String, scope: String): Long = {
     val k = norm(name)
     val s = seqs.get(k)
     if (s == null)
       throw new IllegalArgumentException(s"sequence $name does not exist")
     // counter bump and currval update must be one atomic step: two
-    // interleaving connections could otherwise leave currval reporting
-    // a value that was never the last one issued
+    // interleaving connections could otherwise leave a session's
+    // currval reporting a value it never drew
     s.synchronized {
       val v = s.counter.getAndAdd(s.increment)
-      lastVal.put(k, v)
+      lastVal.put(scope + SEP + k, v)
       v
     }
   }
@@ -89,7 +127,7 @@ object Sequences {
       throw new IllegalArgumentException(s"sequence $name does not exist")
     s.synchronized {
       val base = s.counter.getAndAdd(s.increment * n)
-      lastVal.put(k, base + s.increment * (n - 1))
+      lastVal.put(callerScope() + SEP + k, base + s.increment * (n - 1))
       base
     }
   }
@@ -132,13 +170,15 @@ object Sequences {
       df.schema.add(outCol, LongType, nullable = false))
   }
 
-  def curr(name: String): Long = {
+  def curr(name: String): Long = curr(name, callerScope())
+
+  def curr(name: String, scope: String): Long = {
     val k = norm(name)
     if (!seqs.containsKey(k))
       throw new IllegalArgumentException(s"sequence $name does not exist")
-    val v = lastVal.get(k)
+    val v = lastVal.get(scope + SEP + k)
     if (v == null) throw new IllegalStateException(
-      s"currval of $name before nextval in this engine")
+      s"currval of $name before nextval in this session")
     v
   }
 

@@ -92,6 +92,12 @@ final class PgWireServer(root: SparkSession, port: Int = 15432,
       val group = s"pgwire-$pid"
       session.sparkContext.setJobGroup(group, s"pgwire connection $pid",
         interruptOnCancel = true)
+      // per-connection currval scope (DuckDB semantics): tasks read the
+      // local property via TaskContext, driver-side evaluation falls
+      // back to this thread's ThreadLocal — both are this thread, which
+      // the connection owns for its lifetime
+      session.sparkContext.setLocalProperty(graft.Sequences.ScopeProp, group)
+      graft.Sequences.setThreadScope(group)
       cancelKeys.put((pid, secret), group)
       val conn = new ConnectionHandler(session, w)
       var open = true

@@ -656,6 +656,36 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("currval is scoped per connection (DuckDB semantics)") {
+    val (_, port) = server
+    val c1 = new Client(port)
+    val c2 = new Client(port)
+    c1.startup(); c2.startup()
+    val (_, _, _, ce) = c1.query("CREATE SEQUENCE conn_seq START 10")
+    assert(ce.isEmpty, ce)
+    // interleave: c1 draws 10, c2 draws 11, c1 draws 12 — each
+    // connection's currval is the last value IT drew, not the
+    // engine-global last
+    assert(c1.query("SELECT nextval('conn_seq') AS v")._2 ==
+      Seq(Seq(Some("10"))))
+    assert(c2.query("SELECT nextval('conn_seq') AS v")._2 ==
+      Seq(Seq(Some("11"))))
+    assert(c1.query("SELECT nextval('conn_seq') AS v")._2 ==
+      Seq(Seq(Some("12"))))
+    assert(c1.query("SELECT currval('conn_seq') AS c")._2 ==
+      Seq(Seq(Some("12"))))
+    assert(c2.query("SELECT currval('conn_seq') AS c")._2 ==
+      Seq(Seq(Some("11"))))
+    // a third connection that never called nextval gets the DuckDB
+    // error, even though the engine has handed out values
+    val c3 = new Client(port)
+    c3.startup()
+    val (_, _, _, e3) = c3.query("SELECT currval('conn_seq') AS c")
+    assert(e3.exists(_._2.contains("before nextval")), e3)
+    c1.query("DROP SEQUENCE conn_seq")
+    c1.close(); c2.close(); c3.close()
+  }
+
   test("SHOW pg session variables (pgjdbc connect probes)") {
     val (_, port) = server
     val c = new Client(port)
