@@ -220,7 +220,12 @@ object DuckAliases {
     val start = Greatest(Seq(Literal(1), norm(a)))
     val end = Least(Seq(sz, norm(b)))
     val len = Greatest(Seq(Literal(0), Add(Subtract(end, start), Literal(1))))
-    Slice(l, start, len)
+    // a NULL bound means a NULL slice (probed on DuckDB 1.0; Greatest/
+    // Least SKIP nulls, so the clamp alone would silently treat NULL
+    // as an open bound). Slice is null-intolerant, so a nulled start
+    // propagates without needing the array type at build time.
+    val anyNullBound = Or(IsNull(Cast(a, IntegerType)), IsNull(Cast(b, IntegerType)))
+    Slice(l, If(anyNullBound, Literal(null, IntegerType), start), len)
   }
 
   private def quoteIfLiteral(sep: Expression): Expression = sep match {

@@ -30,7 +30,8 @@ object Functions {
       // the documented extension seam for aggregations that DON'T
       // decompose into builtins (and its spec pins the two agreeing).
       spark.udf.register("geomean_udaf",
-        org.apache.spark.sql.functions.udaf(GeometricMean))
+        org.apache.spark.sql.functions.udaf(GeometricMean,
+          org.apache.spark.sql.Encoders.DOUBLE))
       locally {
         import org.apache.spark.sql.catalyst.expressions._
         import org.apache.spark.sql.catalyst.expressions.aggregate.Average

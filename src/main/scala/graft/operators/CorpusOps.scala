@@ -194,20 +194,34 @@ object CorpusOps {
     // serialized bitset rides the plan as a binary literal; Spark
     // broadcasts task binaries, so executors receive it once per
     // stage, like the explicit Broadcast it replaces.
+    //
+    // Driver-memory ceiling (advisor r6): a plan-resident Literal is
+    // copied through plan transforms and pinned by the driver's plan
+    // references for the query's lifetime — fine at the default sizes
+    // (a 10^6-gram eval suite at fpp=1e-4 is ~2.4 MB) but not at the
+    // documented 10^8-gram extreme (~240 MB). Above a 64 MB threshold
+    // the probe falls back to an explicit releasable Broadcast + UDF:
+    // one codegen boundary on the probe column, in exchange for not
+    // holding a quarter-GB literal in every plan copy.
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val probe = {
-      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      import org.apache.spark.sql.types.BinaryType
-      ColumnBridge.column(BloomFilterMightContain(
-        Literal(bytes, BinaryType), ColumnBridge.expression(col("gram"))))
-    }
-    docGrams(corpus, idCol, textCol, n)
-      .filter(probe)
+    val grams = docGrams(corpus, idCol, textCol, n)
+    val probed =
+      if (bytes.length <= (64 << 20)) {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.types.BinaryType
+        grams.filter(ColumnBridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType), ColumnBridge.expression(col("gram")))))
+      } else {
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((g: Long) => bc.value.mightContainLong(g))
+        grams.filter(mightContain(col("gram")))
+      }
+    probed
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_flagged"))
   }

@@ -456,12 +456,25 @@ class CompatSpec extends SparkSpecBase {
       """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
         |FROM VALUES (-2.0), (8.0) AS t(x)""".stripMargin).collect().head
     assert(n.getDouble(0).isNaN && n.getDouble(1).isNaN, n.toString)
-    // NULLs still skip like any aggregate
+    // NULLs skip like any aggregate — on BOTH paths (the UDAF needs a
+    // boxed input for that; a primitive input saw NULL rows as 0.0)
     val sk = Engine.query(spark,
-      """SELECT geomean(x) AS native
+      """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
         |FROM VALUES (CAST(NULL AS DOUBLE)), (4.0) AS t(x)""".stripMargin)
       .collect().head
-    assert(sk.getDouble(0) == 4.0, sk.toString)
+    assert(sk.getDouble(0) == 4.0 && sk.getDouble(1) == 4.0, sk.toString)
+    // empty / all-NULL group -> NULL on BOTH paths (advisor r6; probed
+    // DuckDB 1.0: geomean over zero rows and over all-NULLs is NULL)
+    val eg = Engine.query(spark,
+      """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
+        |FROM VALUES (CAST(NULL AS DOUBLE)), (CAST(NULL AS DOUBLE)) AS t(x)"""
+        .stripMargin).collect().head
+    assert(eg.isNullAt(0) && eg.isNullAt(1), eg.toString)
+    val zr = Engine.query(spark,
+      """SELECT geomean(x) AS native, geomean_udaf(x) AS udaf
+        |FROM (SELECT CAST(1.0 AS DOUBLE) AS x WHERE 1 = 0)""".stripMargin)
+      .collect().head
+    assert(zr.isNullAt(0) && zr.isNullAt(1), zr.toString)
   }
 
   test("list_slice/list_sum DuckDB edge semantics (advisor r5)") {
@@ -475,6 +488,14 @@ class CompatSpec extends SparkSpecBase {
     assert(r.getSeq[Int](1) == Seq(), s"b=${r.getSeq[Int](1)}")
     assert(r.getSeq[Int](2) == Seq(2, 3), s"c=${r.getSeq[Int](2)}")
     assert(r.getSeq[Int](3) == Seq(1, 2), s"d=${r.getSeq[Int](3)}")
+    // a NULL bound yields a NULL slice, not an open bound (advisor r6;
+    // probed DuckDB 1.0: list_slice(l, NULL, 2) / (l, 1, NULL) -> NULL)
+    val nb = Engine.query(spark,
+      """SELECT list_slice(l, CAST(NULL AS INT), 2) AS nb,
+        |  list_slice(l, 1, CAST(NULL AS INT)) AS ne,
+        |  list_slice(l, CAST(NULL AS INT), CAST(NULL AS INT)) AS nn
+        |FROM VALUES (array(1, 2, 3)) AS t(l)""".stripMargin).collect().head
+    assert(nb.isNullAt(0) && nb.isNullAt(1) && nb.isNullAt(2), nb.toString)
     // list_sum of empty / all-NULL lists is NULL, not 0.0; list_avg too
     val s2 = Engine.query(spark,
       """SELECT list_sum(CAST(array() AS ARRAY<DOUBLE>)) AS e,
