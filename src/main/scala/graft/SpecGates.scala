@@ -106,6 +106,33 @@ object SpecGates {
       else mh.intersect(exactPairs).size.toDouble / mh.size, ">=", 1.0)
     unpersist()
 
+    // Banded embedding near-dup recovers engineered near-copies
+    // (cos ≈ 0.93 noised twins (0.05/dim on unit vectors)) — the quantified-recall contract of
+    // the 100 TB high-threshold path (DedupSpec twin)
+    locally {
+      val sp = spark
+      import sp.implicits._
+      val base = emb.limit(200).select(col("vec_id"), col("embedding"),
+        col("label")).collect()
+      val rng = new scala.util.Random(11)
+      val rows = base.flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1)
+        val lab = r.getInt(2)
+        val noised = v.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+        Seq((id, v, lab), (id + 1000000L, noised, lab))
+      }.toSeq
+      val twin = rows.toDF("vec_id", "embedding", "label")
+      val found = Dedup.bandedEmbeddingNearDups(twin, threshold = 0.85)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = base.map(r =>
+        (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+      gates += Gate("q_dedup_embedding_lsh", "noised_copy_recall",
+        found.intersect(expected).size.toDouble / expected.size, ">=", 0.9)
+    }
+    unpersist()
+
     // SimHash pigeonhole: byte-identical copies MUST pair (DedupSpec)
     val base = docs.limit(50)
     val copies = base

@@ -380,6 +380,56 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Sign-LSH banded embedding near-dup — the 100 TB path for HIGH
+    * thresholds, where [[embeddingNearDups]]'s complete grid cannot
+    * prune in high dimensions (the round-7 sf0.1→sf1 curve measured it
+    * at 27.9× for 10× rows: a 64-d unit vector's projection onto one
+    * direction concentrates within ±3/√64 ≈ ±0.38, while completeness
+    * forces the cell width to 2·chord(t) = 0.89 at t=0.9 — every
+    * vector lands in the same cell and candidates go quadratic).
+    *
+    * Same contract as [[minhashNearDups]]: probabilistic candidates
+    * (bands × bitsPerBand sign bits over seeded hyperplanes, pairs
+    * sharing any band bucket), exact cosine verify, quantified recall
+    * instead of completeness — SpecGates bounds recall vs the exact
+    * operator. Defaults tuned for t ≈ 0.9 (sign agreement p = 1-θ/π =
+    * 0.856): P(band) = 0.856¹² = 0.15, recall over 24 bands = 0.98,
+    * while a random isotropic pair survives ≈ 24·0.5¹² = 0.6% of the
+    * time — candidates stay ~linear with corpus growth at constant
+    * dup density (measured: see BENCH_NOTES round 7).
+    *
+    * Scale shape: ids-only banded buckets (one shuffle), skinny
+    * candidate pairs, embeddings joined back only for the verify — the
+    * exact shape of [[SimilaritySearch.lshTopK]].
+    */
+  def bandedEmbeddingNearDups(
+      emb: DataFrame,
+      threshold: Double = 0.9,
+      dims: Int = 64,
+      bands: Int = 24,
+      bitsPerBand: Int = 12,
+      seed: Long = 7L): DataFrame = {
+    val planes = SimilaritySearch.hyperplanes(bands * bitsPerBand, dims, seed)
+    def signature(idAs: String, labAs: String, bbAs: String): DataFrame =
+      emb.select(col("vec_id").as(idAs), col("label").as(labAs),
+          posexplode(SignLshBuckets(col("embedding"), planes, bitsPerBand)))
+        .select(col(idAs), col(labAs),
+          struct(col("pos").as("band"), col("col").as("bucket")).as(bbAs))
+    val a = signature("id1", "lab1", "bb1")
+    val b = signature("id2", "lab2", "bb2")
+    val cand = a.join(b, col("bb1") === col("bb2") &&
+        col("lab1") === col("lab2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    cand.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"),
+        round(GraftFunctions.arrayCosineSimilarity(col("e1"), col("e2")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Cross-document duplicate-span report — the exact-substring dedup
     * signal from Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"), reduced to fixed-width word windows:

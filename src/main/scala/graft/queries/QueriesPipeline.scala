@@ -66,6 +66,13 @@ object QueriesPipeline {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
         .orderBy(col("id1"), col("id2"))
     }),
+    // Sign-LSH banded embedding near-dup (round 7) — the 100 TB path
+    // for high thresholds where the complete grid cannot prune in 64-d
+    // (rows-only: seeded hyperplanes; recall gated in SpecGates).
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      Dedup.bandedEmbeddingNearDups(t(s, dir, "embeddings"), threshold = 0.9)
+        .orderBy(col("id1"), col("id2"))
+    }),
     // SemDeDup-style semantic dedup: cluster-scoped near-dup drop,
     // deterministic min-id survivor (oracle replays assignment +
     // within-cluster max-cosine + keep rule).

@@ -121,4 +121,30 @@ class DedupSpec extends SparkSpecBase {
       assert(math.abs(cos - dot / (n1 * n2)) < 1e-5)
     }
   }
+
+  test("banded embedding near-dup recovers noised twins (recall >= 0.9), no false cosines") {
+    // the 100 TB high-threshold path: probabilistic candidates, exact
+    // verify. Engineered twins at cos ~0.93 (noise scale 0.05 on unit-norm vectors) must be
+    // recovered; every reported pair's cosine is exact-verified so
+    // precision is 1.0 by construction — assert the verify holds.
+    val sp = spark
+    import sp.implicits._
+    val base = Tables.load(spark, sfDir, "embeddings").limit(200)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+    val rng = new scala.util.Random(11)
+    val rows = base.flatMap { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1)
+      val lab = r.getInt(2)
+      val noised = v.map(x => x + 0.05f * rng.nextGaussian().toFloat)
+      Seq((id, v, lab), (id + 1000000L, noised, lab))
+    }.toSeq
+    val twin = rows.toDF("vec_id", "embedding", "label")
+    val got = Dedup.bandedEmbeddingNearDups(twin, threshold = 0.85).collect()
+    assert(got.forall(_.getDouble(2) >= 0.85))
+    val found = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = base.map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val recall = found.intersect(expected).size.toDouble / expected.size
+    assert(recall >= 0.9, s"banded embedding recall = $recall")
+  }
 }
