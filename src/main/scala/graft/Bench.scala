@@ -30,7 +30,8 @@ object Bench {
     "q_text_bm25", "q_text_langid", "q_text_repetition",
     "q_pipeline_full", "q_pipeline_refine", "q_dedup_despan",
     "q_dedup_canonical", "q_text_hybrid", "q_running_global",
-    "q_multimodal_features")
+    "q_multimodal_features", "q_dedup_embedding_lsh",
+    "q_ann_ivf_quantized", "q_multimodal_mixed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
