@@ -59,6 +59,53 @@ object DuckAliases {
 
     // ---- long-tail sweep: the v1.1.1 vocabulary a pgwire client
     // actually sends (each a native expression, codegen-visible) ----
+    // ---- string-distance / normalization family (r7; native
+    // expressions in StringDistances.scala, DuckDB 1.0 semantics
+    // probed + pinned in CompatSpec) ----
+    alias("damerau_levenshtein")(e => DamerauLevenshtein(e(0), e(1)))
+    alias("hamming")(e => HammingDistance(e(0), e(1)))
+    alias("mismatches")(e => HammingDistance(e(0), e(1)))
+    alias("jaccard")(e => JaccardChars(e(0), e(1)))
+    alias("jaro_similarity")(e => JaroSimilarity(e(0), e(1)))
+    alias("jaro_winkler_similarity")(e => JaroWinklerSimilarity(e(0), e(1)))
+    alias("strip_accents")(e => StripAccents(e.head))
+    alias("nfc_normalize")(e => NfcNormalize(e.head))
+    // unicode/ord: codepoint of the first char, -1 on '' (Spark's
+    // ascii returns 0 there); a NULL input short-circuits through If's
+    // null-predicate-as-false into Ascii(NULL) = NULL
+    def unicodeExpr(s: Expression): Expression =
+      If(EqualTo(Length(s), Literal(0)), Literal(-1), Ascii(s))
+    alias("unicode")(e => unicodeExpr(e.head))
+    alias("ord")(e => unicodeExpr(e.head))
+    alias("to_hex")(e => Hex(e.head))
+    alias("from_hex")(e => Unhex(e.head))
+    // to_base(n, base[, min_len]) — Conv renders uppercase like DuckDB
+    alias("to_base") {
+      case Seq(n, b) => Conv(Cast(n, StringType), Literal(10), b)
+      case Seq(n, b, len) =>
+        StringLPad(Conv(Cast(n, StringType), Literal(10), b), len, Literal("0"))
+    }
+    // DuckDB fmt-style format('{} {}', ...) → format_string('%s %s')
+    // over string-cast args; a NULL argument nulls the whole result
+    // (Spark's format_string would print the literal text "null")
+    def nullGuard(args: Seq[Expression], out: Expression): Expression = {
+      val anyNull = args.map(IsNull(_): Expression)
+        .reduceOption(Or).getOrElse(Literal(false))
+      If(anyNull, Literal(null, StringType), out)
+    }
+    alias("format") { e =>
+      val fmt = e.head match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"format: the template must be a string literal, got $other")
+      }
+      require(!fmt.matches(".*\\{[^}]+\\}.*"),
+        "format: only positional {} placeholders are supported")
+      val jfmt = fmt.replace("%", "%%").replace("{}", "%s")
+      val args = e.tail.map(a => Cast(a, StringType))
+      nullGuard(e.tail, FormatString(Literal(jfmt) +: args: _*))
+    }
+    alias("printf")(e => nullGuard(e.tail, FormatString(e: _*)))
     alias("list_value")(e => CreateArray(e))
     alias("list_pack")(e => CreateArray(e))
     alias("array_length")(e => Size(e.head, legacySizeOfNull = false))

@@ -131,6 +131,30 @@ object QueriesSugar {
         |  starts_with(text, 'The') AS st,
         |  ends_with(text, '.') AS en
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // String-distance / normalization vocabulary (round-7 sweep):
+    // levenshtein, damerau_levenshtein, hamming, char-set jaccard,
+    // jaro(_winkler)_similarity, strip_accents, nfc_normalize,
+    // unicode, to_hex/to_base, fmt-style format + printf — identical
+    // statement in both engines, hash-checked 1:1.
+    "q_duckdb_funcs3" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  CAST(levenshtein(left(text, 20), 'the quick brown fox') AS BIGINT)
+        |    AS lev,
+        |  CAST(damerau_levenshtein(left(text, 12), lower(left(text, 12)))
+        |    AS BIGINT) AS dl,
+        |  CAST(hamming(left(text, 8), upper(left(text, 8))) AS BIGINT) AS ham,
+        |  round(jaccard(left(text, 30), 'etaoin shrdlu'), 6) AS jac,
+        |  round(jaro_similarity(left(text, 15), 'the quick brown'), 6) AS js,
+        |  round(jaro_winkler_similarity(left(text, 15), left(text, 10)), 6)
+        |    AS jw,
+        |  strip_accents(left(text, 10)) AS sa,
+        |  nfc_normalize(left(text, 6)) AS nfc,
+        |  CAST(unicode(text) AS INT) AS uc,
+        |  to_hex(doc_id) AS hx,
+        |  to_base(doc_id + 1, 2) AS b2,
+        |  format('{}:{}', doc_id, lang) AS fmt,
+        |  printf('%d/%s', doc_id, source) AS pf
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Long-tail DuckDB date vocabulary: 3-arg date_diff (boundary
     // crossings) vs 3-arg date_sub (complete intervals), epoch/
     // epoch_ms — identical statement in both engines.
@@ -239,6 +263,25 @@ object QueriesSugar {
         |  CAST(strpos(text, 'data') AS BIGINT) AS p_data,
         |  starts_with(text, 'The') AS st,
         |  ends_with(text, '.') AS en
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_funcs3" ->
+      """SELECT doc_id,
+        |  CAST(levenshtein(left(text, 20), 'the quick brown fox') AS BIGINT)
+        |    AS lev,
+        |  CAST(damerau_levenshtein(left(text, 12), lower(left(text, 12)))
+        |    AS BIGINT) AS dl,
+        |  CAST(hamming(left(text, 8), upper(left(text, 8))) AS BIGINT) AS ham,
+        |  round(jaccard(left(text, 30), 'etaoin shrdlu'), 6) AS jac,
+        |  round(jaro_similarity(left(text, 15), 'the quick brown'), 6) AS js,
+        |  round(jaro_winkler_similarity(left(text, 15), left(text, 10)), 6)
+        |    AS jw,
+        |  strip_accents(left(text, 10)) AS sa,
+        |  nfc_normalize(left(text, 6)) AS nfc,
+        |  CAST(unicode(text) AS INT) AS uc,
+        |  to_hex(doc_id) AS hx,
+        |  to_base(doc_id + 1, 2) AS b2,
+        |  format('{}:{}', doc_id, lang) AS fmt,
+        |  printf('%d/%s', doc_id, source) AS pf
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_dates" ->
       """SELECT o_orderkey,

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType, StringType}
 
 /** Bridge into `private[sql]` Spark internals needed by graft's native
   * Catalyst expressions (Column↔Expression conversion, the
@@ -15,4 +15,6 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   val floatArrayBinaryInput: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
+  val stringBinaryInput: Seq[AbstractDataType] = Seq(StringType, StringType)
+  val stringUnaryInput: Seq[AbstractDataType] = Seq(StringType)
 }

@@ -508,6 +508,63 @@ class CompatSpec extends SparkSpecBase {
     assert(s2.isNullAt(3), s2.toString)
   }
 
+  test("string-distance family DuckDB edge semantics (r7, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT damerau_levenshtein('ca', 'abc') AS dl1,
+        |  damerau_levenshtein('a cat', 'a abct') AS dl2,
+        |  damerau_levenshtein('', 'abc') AS dl3,
+        |  damerau_levenshtein('ab', 'ba') AS dl4,
+        |  damerau_levenshtein('abcdef', 'abcfad') AS dl5,
+        |  hamming('abc', 'abd') AS h1, mismatches('abc', 'abd') AS h2,
+        |  jaccard('duck', 'luck') AS j1, jaccard('AA', 'aa') AS j2,
+        |  jaccard('abc', 'cba') AS j3,
+        |  jaro_winkler_similarity('martha', 'marhta') AS jw1,
+        |  jaro_winkler_similarity('dwayne', 'duane') AS jw2,
+        |  jaro_winkler_similarity('DIXON', 'DICKSONX') AS jw3,
+        |  jaro_winkler_similarity('aXXXXX', 'aYYYYY') AS jw4,
+        |  jaro_winkler_similarity('', '') AS jw5,
+        |  strip_accents('café naïve') AS sa1, strip_accents('ßøé') AS sa2,
+        |  length(nfc_normalize('é')) AS nfc1,
+        |  unicode('') AS u1, unicode('€x') AS u2,
+        |  to_hex(-1) AS th""".stripMargin).collect().head
+    // true (unrestricted) Damerau: a transposition may be edited over
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 3 &&
+      r.getInt(3) == 1 && r.getInt(4) == 3, r.toString)
+    assert(r.getInt(5) == 1 && r.getInt(6) == 1, r.toString)
+    assert(r.getDouble(7) == 0.6 && r.getDouble(8) == 0.0 &&
+      r.getDouble(9) == 1.0, r.toString)
+    assert(r.getDouble(10) == 0.9611111111111111, r.toString)
+    assert(r.getDouble(11) == 0.8400000000000001, r.toString)
+    assert(r.getDouble(12) == 0.8133333333333332, r.toString)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(r.getDouble(13) == 0.4444444444444444, r.toString)
+    assert(r.getDouble(14) == 0.0, r.toString)
+    assert(r.getString(15) == "cafe naive", r.toString)
+    assert(r.getString(16) == "ßøe", r.toString) // ø and ß survive NFD
+    assert(r.getInt(17) == 1, r.toString) // e + combining acute → é
+    assert(r.getInt(18) == -1 && r.getInt(19) == 8364, r.toString)
+    assert(r.getString(20) == "FFFFFFFFFFFFFFFF", r.toString)
+    // hamming errors on unequal/empty, jaccard on empty — loud, like
+    // DuckDB, not a silent NULL
+    intercept[Exception] {
+      Engine.query(spark, "SELECT hamming('ab', 'abc') AS x").collect()
+    }
+    intercept[Exception] {
+      Engine.query(spark, "SELECT jaccard('a', '') AS x").collect()
+    }
+    // format/printf: a NULL argument nulls the result (Spark's own
+    // format_string would print the text "null")
+    val f = Engine.query(spark,
+      """SELECT format('{}|{}', 1.5, CAST(NULL AS INT)) AS f1,
+        |  printf('%s', CAST(NULL AS STRING)) AS f2,
+        |  format('{}', DATE '2024-01-02') AS f3,
+        |  format('{} + {} = {}', 1, 2, 3) AS f4,
+        |  printf('%d-%s', 7, 'x') AS f5""".stripMargin).collect().head
+    assert(f.isNullAt(0) && f.isNullAt(1), f.toString)
+    assert(f.getString(2) == "2024-01-02", f.toString)
+    assert(f.getString(3) == "1 + 2 = 3" && f.getString(4) == "7-x", f.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
