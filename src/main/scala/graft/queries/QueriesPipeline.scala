@@ -426,6 +426,16 @@ object QueriesPipeline {
           s, Multimodal.attachImagesMixed(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
+    // Multi-frame container decode + keyframe sampling (round 7):
+    // animated GIFs with 1 + doc_id % 5 frames, frame f uniform gray
+    // (doc_id%256 + 17f) % 256; the decoder counts frames and reads
+    // only every 2nd one — the video-pipeline shape, oracle-replayed
+    // from the stored columns (frame count AND sampled-mean luma).
+    "q_multimodal_video" -> ((s, dir) => {
+      Multimodal.extractVideoFeatures(
+          s, Multimodal.attachAnimatedGifs(t(s, dir, "documents")), stride = 2)
+        .orderBy(col("doc_id"))
+    }),
     // Generic opaque-byte stats path (the non-image media shape).
     "q_multimodal_bytes" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -1292,6 +1302,21 @@ object QueriesPipeline {
         |      ((1 + doc_id % 12) - floor((1 + doc_id % 12 + 1) / 2.0)) *
         |        ((doc_id % 256 + 64) % 256)
         |    ) / (1 + doc_id % 12), 6) END AS mean_luma
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_video" ->
+      // frames sampled at stride 2 over 1 + doc_id%5 frames:
+      // {0} / {0} / {0,2} / {0,2} / {0,2,4}; frame f's uniform gray is
+      // (doc_id%256 + 17f) % 256
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 5 AS INT) AS n_frames,
+        |  CAST((doc_id % 5 + 2) // 2 AS INT) AS n_sampled,
+        |  CASE WHEN doc_id % 5 IN (0, 1)
+        |      THEN round(CAST(doc_id % 256 AS DOUBLE), 6)
+        |    WHEN doc_id % 5 IN (2, 3)
+        |      THEN round((doc_id % 256 + (doc_id % 256 + 34) % 256) / 2.0, 6)
+        |    ELSE round((doc_id % 256 + (doc_id % 256 + 34) % 256 +
+        |      (doc_id % 256 + 68) % 256) / 3.0, 6)
+        |  END AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id,

@@ -150,6 +150,25 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal: animated GIF frame count + strided sampling round-trip") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val feats = Multimodal.extractVideoFeatures(
+      spark, Multimodal.attachAnimatedGifs(docs), stride = 2).collect()
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val n = 1 + (id % 5).toInt
+      val g = (id % 256).toInt
+      val sampledF = 0 until n by 2
+      assert(r.getInt(1) == n, r.toString)
+      assert(r.getInt(2) == sampledF.size, r.toString)
+      val expect = (BigDecimal(sampledF.map(f => (g + 17 * f) % 256).sum) /
+        BigDecimal(sampledF.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(3) == expect.toDouble,
+        s"doc $id: ${r.getDouble(3)} != $expect")
+    }
+  }
+
   test("multimodal: mixed PNG/JPEG/GIF corpus sniffs and round-trips per container") {
     val docs = Tables.load(spark, sfDir, "documents").limit(24)
     val feats = Multimodal.extractImageFeaturesWithFormat(
