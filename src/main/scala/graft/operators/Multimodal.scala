@@ -397,6 +397,94 @@ object Multimodal {
     spark.createDataFrame(rdd, videoFeatureSchema)
   }
 
+  /** PCM16 mono WAV encode via `javax.sound.sampled` (JDK built-in —
+    * the audio modality needs no external codec either; probed: 137
+    * formula samples round-trip bit-exact).
+    */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = (samples(i) >> 8).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a deterministic PCM16 WAV per document:
+    * `100 + doc_id % 50` samples, sample `i` =
+    * `(doc_id·31 + i·17) % 2001 − 1000` — count and amplitude stats
+    * are pure functions of doc_id, so the encode→decode→measure loop
+    * is oracle-checkable (WAV is lossless; samples survive exactly).
+    */
+  def attachAudio(docs: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long) =>
+      val n = 100 + (docId % 50).toInt
+      encodeWavPcm16(Array.tabulate(n)(i =>
+        ((docId * 31 + i * 17L) % 2001 - 1000).toShort))
+    }
+    docs.select(
+      col("doc_id"),
+      mk(col("doc_id")).as("media"),
+      struct(
+        lit("audio/wav").as("media_type"),
+        (lit(100) + col("doc_id") % 50).cast("long").as("declared_len"))
+        .as("meta"))
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("mean_abs", DoubleType),
+    StructField("peak", IntegerType)))
+
+  /** REAL audio decode: parse the WAV container with `AudioSystem`,
+    * read the PCM16 frames, and compute amplitude features (mean
+    * absolute sample, peak) with exact integer accumulation. Same
+    * batch shape as the image path — decode state per partition, one
+    * stream reset per row.
+    */
+  def extractAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected PCM16 mono, got $fmt")
+        val buf = ais.readAllBytes()
+        ais.close()
+        val n = buf.length / 2
+        var s = 0L // Σ |sample|, exact
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val v = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+          val a = math.abs(v)
+          s += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        val mean = new java.math.BigDecimal(s)
+          .divide(java.math.BigDecimal.valueOf(n.toLong), 6,
+            java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        Row(id, fmt.getSampleRate.toInt, n, mean, peak)
+      }
+    }
+    spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
   /** Expression-level frame sampling: every `stride`-th fixed-size
     * byte window of the media column, as pure SQL expressions —
     * substring() on binary is codegen'd, so sampling never leaves

@@ -436,6 +436,14 @@ object QueriesPipeline {
           s, Multimodal.attachAnimatedGifs(t(s, dir, "documents")), stride = 2)
         .orderBy(col("doc_id"))
     }),
+    // REAL audio decode (round 7): deterministic PCM16 WAVs →
+    // javax.sound.sampled parse → amplitude features; the oracle
+    // replays the sample formula over generate_series.
+    "q_multimodal_audio" -> ((s, dir) => {
+      Multimodal.extractAudioFeatures(
+          s, Multimodal.attachAudio(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
     // Generic opaque-byte stats path (the non-image media shape).
     "q_multimodal_bytes" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -1318,6 +1326,19 @@ object QueriesPipeline {
         |      (doc_id % 256 + 68) % 256) / 3.0, 6)
         |  END AS mean_luma
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio" ->
+      // sample i of doc d is (d*31 + i*17) % 2001 - 1000 over
+      // n = 100 + d%50 samples; series is uncorrelated (DuckDB 1.0
+      // lacks lateral generate_series params) and bounded by the
+      // theta join
+      """SELECT d.doc_id,
+        |  8000 AS sample_rate,
+        |  CAST(100 + d.doc_id % 50 AS INT) AS n_samples,
+        |  round(avg(abs((d.doc_id*31 + s.i*17) % 2001 - 1000)), 6) AS mean_abs,
+        |  CAST(max(abs((d.doc_id*31 + s.i*17) % 2001 - 1000)) AS INT) AS peak
+        |FROM documents d
+        |JOIN generate_series(0, 148) s(i) ON s.i < 100 + d.doc_id % 50
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

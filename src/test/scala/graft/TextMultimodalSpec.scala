@@ -169,6 +169,23 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal: WAV PCM16 audio decode round-trips amplitude features") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val feats = Multimodal.extractAudioFeatures(
+      spark, Multimodal.attachAudio(docs)).collect()
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val n = 100 + (id % 50).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 17L) % 2001 - 1000)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == n, r.toString)
+      val expect = (BigDecimal(samples.map(math.abs).sum) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(3) == expect.toDouble,
+        s"doc $id: ${r.getDouble(3)} != $expect")
+      assert(r.getInt(4) == samples.map(math.abs).max.toInt, r.toString)
+    }
+  }
+
   test("multimodal: mixed PNG/JPEG/GIF corpus sniffs and round-trips per container") {
     val docs = Tables.load(spark, sfDir, "documents").limit(24)
     val feats = Multimodal.extractImageFeaturesWithFormat(
