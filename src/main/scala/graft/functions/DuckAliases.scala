@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, MapType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, LongType, MapType, StringType, TimestampType}
 
 /** DuckDB-named function aliases over Spark's own expressions — the
   * delegated-surface names a wire client actually types (reference
@@ -106,6 +106,89 @@ object DuckAliases {
       nullGuard(e.tail, FormatString(Literal(jfmt) +: args: _*))
     }
     alias("printf")(e => nullGuard(e.tail, FormatString(e: _*)))
+    // ---- vector math on plain lists (r7): DuckDB's list_* vector
+    // family over arbitrary numeric lists, composed from codegen'd
+    // HOFs (the float-array fast path stays ArrayCosineSimilarity) ----
+    def dvar(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+    def dsum(arr: Expression): Expression = {
+      val acc = dvar("vacc"); val v = dvar("vv"); val fin = dvar("vfin")
+      ArrayAggregate(arr, Literal(0.0d),
+        LambdaFunction(Add(acc, v), Seq(acc, v)),
+        LambdaFunction(fin, Seq(fin)))
+    }
+    def zipMul(a: Expression, b: Expression): Expression = {
+      val x = dvar("vx"); val y = dvar("vy")
+      ZipWith(a, b, LambdaFunction(
+        Multiply(Cast(x, DoubleType), Cast(y, DoubleType)), Seq(x, y)))
+    }
+    def sq(a: Expression): Expression = {
+      val x = dvar("vq")
+      ArrayTransform(a, LambdaFunction(
+        Multiply(Cast(x, DoubleType), Cast(x, DoubleType)), Seq(x)))
+    }
+    def listDot(a: Expression, b: Expression): Expression = dsum(zipMul(a, b))
+    alias("list_dot_product")(e => listDot(e(0), e(1)))
+    alias("list_inner_product")(e => listDot(e(0), e(1)))
+    alias("list_cosine_similarity")(e =>
+      Divide(listDot(e(0), e(1)),
+        Multiply(Sqrt(dsum(sq(e(0)))), Sqrt(dsum(sq(e(1)))))))
+    alias("list_distance") { e =>
+      val x = dvar("vdx"); val y = dvar("vdy")
+      Sqrt(dsum(ZipWith(e(0), e(1), LambdaFunction(
+        Multiply(Subtract(Cast(x, DoubleType), Cast(y, DoubleType)),
+          Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y)))))
+    }
+    // list_select(l, idxs): 1-based gather; list_where(l, mask): keep
+    // where true (an (elem, idx) filter lambda — no null sentinel)
+    alias("list_select") { e =>
+      val i = dvar("vi")
+      ArrayTransform(e(1), LambdaFunction(
+        ElementAt(e(0), Cast(i, IntegerType), None, failOnError = false),
+        Seq(i)))
+    }
+    alias("list_where") { e =>
+      val x = dvar("vwx"); val i = dvar("vwi")
+      ArrayFilter(e(0), LambdaFunction(
+        EqualTo(ElementAt(e(1), Add(Cast(i, IntegerType), Literal(1)), None,
+          failOnError = false), Literal(true)), Seq(x, i)))
+    }
+    alias("list_zip")(e => ArraysZip(e))
+    alias("list_reverse")(e => Reverse(e.head))
+    // ---- numeric long-tail (r7) ----
+    alias("greatest_common_divisor")(e =>
+      GcdExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
+    alias("gcd")(e => GcdExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
+    alias("least_common_multiple")(e =>
+      LcmExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
+    alias("lcm")(e => LcmExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
+    alias("cot")(e => Divide(Cos(Cast(e.head, DoubleType)),
+      Sin(Cast(e.head, DoubleType))))
+    alias("isinf")(e =>
+      EqualTo(Abs(Cast(e.head, DoubleType)),
+        Literal(Double.PositiveInfinity)))
+    alias("isfinite")(e => And(
+      Not(IsNaN(Cast(e.head, DoubleType))),
+      LessThan(Abs(Cast(e.head, DoubleType)),
+        Literal(Double.PositiveInfinity))))
+    alias("signbit")(e => LessThan(Cast(e.head, DoubleType), Literal(0.0d)))
+    // even: round away from zero to the next even (probed: 2.0→2,
+    // 2.5→4, -0.5→-2)
+    alias("even") { e =>
+      val x = Cast(e.head, DoubleType)
+      val mag = Multiply(Cast(Ceil(Divide(Abs(x), Literal(2.0d))), DoubleType),
+        Literal(2.0d))
+      If(GreaterThanOrEqual(x, Literal(0.0d)), mag, UnaryMinus(mag))
+    }
+    alias("bar")(e => BarExpr(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+      Cast(e(2), DoubleType), Cast(e(3), DoubleType)))
+    // ---- date-name long-tail (r7) ----
+    alias("monthname")(e =>
+      new DateFormatClass(Cast(e.head, TimestampType), Literal("MMMM")))
+    alias("dayname")(e =>
+      new DateFormatClass(Cast(e.head, TimestampType), Literal("EEEE")))
+    alias("week")(e => WeekOfYear(e.head))
+    alias("yearweek")(e =>
+      Add(Multiply(YearOfWeek(e.head), Literal(100)), WeekOfYear(e.head)))
     alias("list_value")(e => CreateArray(e))
     alias("list_pack")(e => CreateArray(e))
     alias("array_length")(e => Size(e.head, legacySizeOfNull = false))

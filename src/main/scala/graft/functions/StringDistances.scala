@@ -1,9 +1,10 @@
 package graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DuckDB's string-distance / normalization vocabulary as native
@@ -247,4 +248,79 @@ case class NfcNormalize(child: Expression) extends StringUnaryOp {
     StringOps.nfcNormalize(a.asInstanceOf[UTF8String])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Integer/bar helpers for the numeric long-tail (same static-call
+  * codegen shape as [[StringOps]]).
+  */
+object NumOps {
+  def gcd(a: Long, b: Long): Long = {
+    var x = math.abs(a); var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+
+  def lcm(a: Long, b: Long): Long =
+    if (a == 0 || b == 0) 0L else math.abs(a / gcd(a, b) * b)
+
+  /** DuckDB `bar(x, min, max, width)`: a unicode bar of FLOORED
+    * `width`·frac eighth-blocks (probed: bar(1,0,3,10) = '███▎' — 26
+    * eighths, floored, not 27 rounded), and a zero bar renders as
+    * `width` spaces (probed).
+    */
+  def bar(x: Double, min: Double, max: Double, width: Double): UTF8String = {
+    val frac = math.max(0.0, math.min(1.0, (x - min) / (max - min)))
+    val eighths = math.floor(frac * width * 8).toInt
+    if (eighths == 0)
+      return UTF8String.fromString(" " * math.floor(width).toInt)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < eighths / 8) { sb.append('█'); i += 1 }
+    val rem = eighths % 8
+    if (rem > 0) sb.append((0x2590 - rem).toChar) // ▏..▉ are U+2589-258F
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class GcdExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = ColumnBridge.longBinaryInput
+  override def dataType: DataType = LongType
+  override def prettyName: String = "greatest_common_divisor"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NumOps.gcd(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.NumOps.gcd($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class LcmExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = ColumnBridge.longBinaryInput
+  override def dataType: DataType = LongType
+  override def prettyName: String = "least_common_multiple"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NumOps.lcm(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.NumOps.lcm($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** DuckDB `bar` — a display helper, not a hot-path function, so
+  * CodegenFallback keeps it one eval call.
+  */
+case class BarExpr(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = ColumnBridge.doubleQuadInput
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bar"
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    NumOps.bar(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
 }

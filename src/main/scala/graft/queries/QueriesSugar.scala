@@ -155,6 +155,39 @@ object QueriesSugar {
         |  format('{}:{}', doc_id, lang) AS fmt,
         |  printf('%d/%s', doc_id, source) AS pf
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Vector/list math, numeric and date-name long tail (round 7):
+    // list_dot_product / list_cosine_similarity / list_distance /
+    // list_select, gcd/lcm, cot, isfinite/isinf, signbit, even,
+    // monthname/dayname, week/yearweek — identical statement in both
+    // engines, hash-checked 1:1.
+    "q_duckdb_funcs4" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  round(list_dot_product(
+        |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0, CAST(n_chars % 5 AS DOUBLE)),
+        |    list_value(1.5, CAST(doc_id % 3 AS DOUBLE), 2.0)), 6) AS dot,
+        |  round(list_cosine_similarity(
+        |    list_value(1.0 + doc_id % 7, 2.0, 3.0 + n_chars % 5),
+        |    list_value(1.5, 1.0 + doc_id % 3, 2.0)), 6) AS lcos,
+        |  round(list_distance(
+        |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0),
+        |    list_value(1.0, CAST(n_chars % 5 AS DOUBLE))), 6) AS ldist,
+        |  list_select(string_split(text, ' '), list_value(3, 1, 1)) AS sel,
+        |  greatest_common_divisor(doc_id + 12, 18) AS g,
+        |  least_common_multiple(1 + doc_id % 6, 4) AS l,
+        |  round(cot(1.0 + doc_id % 3), 6) AS ct,
+        |  isfinite(CAST(doc_id AS DOUBLE)) AS fin,
+        |  isinf(1e308 * (1 + doc_id % 2) * 10) AS inf,
+        |  signbit(2.5 - doc_id % 4) AS sb,
+        |  even(CAST(doc_id % 9 AS DOUBLE) / 2) AS ev,
+        |  monthname(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS mn,
+        |  dayname(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS dn,
+        |  CAST(week(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS wk,
+        |  CAST(yearweek(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS yw
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Long-tail DuckDB date vocabulary: 3-arg date_diff (boundary
     // crossings) vs 3-arg date_sub (complete intervals), epoch/
     // epoch_ms — identical statement in both engines.
@@ -282,6 +315,34 @@ object QueriesSugar {
         |  to_base(doc_id + 1, 2) AS b2,
         |  format('{}:{}', doc_id, lang) AS fmt,
         |  printf('%d/%s', doc_id, source) AS pf
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_funcs4" ->
+      """SELECT doc_id,
+        |  round(list_dot_product(
+        |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0, CAST(n_chars % 5 AS DOUBLE)),
+        |    list_value(1.5, CAST(doc_id % 3 AS DOUBLE), 2.0)), 6) AS dot,
+        |  round(list_cosine_similarity(
+        |    list_value(1.0 + doc_id % 7, 2.0, 3.0 + n_chars % 5),
+        |    list_value(1.5, 1.0 + doc_id % 3, 2.0)), 6) AS lcos,
+        |  round(list_distance(
+        |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0),
+        |    list_value(1.0, CAST(n_chars % 5 AS DOUBLE))), 6) AS ldist,
+        |  list_select(string_split(text, ' '), list_value(3, 1, 1)) AS sel,
+        |  greatest_common_divisor(doc_id + 12, 18) AS g,
+        |  least_common_multiple(1 + doc_id % 6, 4) AS l,
+        |  round(cot(1.0 + doc_id % 3), 6) AS ct,
+        |  isfinite(CAST(doc_id AS DOUBLE)) AS fin,
+        |  isinf(1e308 * (1 + doc_id % 2) * 10) AS inf,
+        |  signbit(2.5 - doc_id % 4) AS sb,
+        |  even(CAST(doc_id % 9 AS DOUBLE) / 2) AS ev,
+        |  monthname(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS mn,
+        |  dayname(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS dn,
+        |  CAST(week(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS wk,
+        |  CAST(yearweek(make_date(2024, CAST(1 + doc_id % 12 AS INT),
+        |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS yw
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_dates" ->
       """SELECT o_orderkey,

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graftbridge
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, FloatType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DoubleType, FloatType, LongType, StringType}
 
 /** Bridge into `private[sql]` Spark internals needed by graft's native
   * Catalyst expressions (Column↔Expression conversion, the
@@ -17,4 +17,7 @@ object ColumnBridge {
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   val stringBinaryInput: Seq[AbstractDataType] = Seq(StringType, StringType)
   val stringUnaryInput: Seq[AbstractDataType] = Seq(StringType)
+  val longBinaryInput: Seq[AbstractDataType] = Seq(LongType, LongType)
+  val doubleQuadInput: Seq[AbstractDataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
 }

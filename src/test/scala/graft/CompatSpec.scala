@@ -565,6 +565,46 @@ class CompatSpec extends SparkSpecBase {
     assert(f.getString(3) == "1 + 2 = 3" && f.getString(4) == "7-x", f.toString)
   }
 
+  test("vector/numeric/bar long-tail edge semantics (r7, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT bar(3, 0, 5, 10) AS b1, bar(1, 0, 3, 10) AS b2,
+        |  bar(2, 0, 5, 10) AS b3, bar(4.7, 0, 5, 10) AS b4,
+        |  bar(0, 0, 5, 10) AS b5,
+        |  even(-2.5) AS e1, even(-0.5) AS e2, even(2.0) AS e3,
+        |  list_where(list_value(10, 20, 30),
+        |    list_value(true, false, true)) AS lw,
+        |  list_select(list_value(10, 20, 30), list_value(3, 1, 1)) AS ls,
+        |  signbit(-0.0) AS sb0,
+        |  greatest_common_divisor(-12, 18) AS g,
+        |  least_common_multiple(0, 4) AS l0,
+        |  round(list_distance(list_value(0.0, 0.0),
+        |    list_value(3.0, 4.0)), 6) AS ld,
+        |  round(list_inner_product(list_value(1.0, 2.0),
+        |    list_value(3.0, 4.0)), 6) AS ip,
+        |  list_reverse(list_value(1, 2, 3)) AS lr""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "██████", r.toString)
+    assert(r.getString(1) == "███▎", r.toString) // FLOORED eighths
+    assert(r.getString(2) == "████", r.toString)
+    assert(r.getString(3) == "█████████▍", r.toString)
+    assert(r.getString(4) == " " * 10, r.toString) // zero bar = spaces
+    assert(r.getDouble(5) == -4.0 && r.getDouble(6) == -2.0 &&
+      r.getDouble(7) == 2.0, r.toString) // round AWAY to even
+    assert(r.getSeq[Int](8) == Seq(10, 30), r.toString)
+    assert(r.getSeq[Int](9) == Seq(30, 10, 10), r.toString)
+    assert(!r.getBoolean(10), r.toString) // DuckDB: signbit(-0.0) false
+    assert(r.getLong(11) == 6L && r.getLong(12) == 0L, r.toString)
+    assert(r.getDouble(13) == 5.0 && r.getDouble(14) == 11.0, r.toString)
+    assert(r.getSeq[Int](15) == Seq(3, 2, 1), r.toString)
+    // list_zip pads the shorter list with NULLs (struct field naming
+    // is engine-specific, so value-check here, not in the oracle)
+    val z = Engine.query(spark,
+      "SELECT list_zip(list_value(1, 2), list_value(30, 40, 50)) AS z")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(z.length == 3 && z(2).isNullAt(0) && z(2).getInt(1) == 50,
+      z.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
