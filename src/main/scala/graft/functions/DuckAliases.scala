@@ -181,6 +181,29 @@ object DuckAliases {
     }
     alias("bar")(e => BarExpr(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
       Cast(e(2), DoubleType), Cast(e(3), DoubleType)))
+    // time_bucket(width, ts): origin-aligned flooring — DuckDB's
+    // origin is 2000-01-03 00:00 UTC (a Monday; probed — it makes
+    // week buckets Monday-aligned and everything else epoch-like)
+    alias("time_bucket") { e =>
+      val micros = e.head match {
+        case Literal(i: org.apache.spark.unsafe.types.CalendarInterval,
+            org.apache.spark.sql.types.CalendarIntervalType) =>
+          require(i.months == 0, "time_bucket: month buckets unsupported")
+          i.days * 86400000000L + i.microseconds
+        case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) => v
+        case other => throw new IllegalArgumentException(
+          s"time_bucket: the bucket width must be an interval literal, got $other")
+      }
+      require(micros > 0 && micros % 1000000L == 0,
+        "time_bucket: width must be a positive whole-second interval")
+      val secs = micros / 1000000L
+      val origin = 946857600L
+      val off = Subtract(UnixSeconds(Cast(e(1), TimestampType)), Literal(origin))
+      // Floor over a double division: exact for |secs| < 2^53 and
+      // correct (toward -inf) for pre-origin timestamps
+      val buckets = Floor(Divide(Cast(off, DoubleType), Literal(secs.toDouble)))
+      SecondsToTimestamp(Add(Multiply(buckets, Literal(secs)), Literal(origin)))
+    }
     // ---- date-name long-tail (r7) ----
     alias("monthname")(e =>
       new DateFormatClass(Cast(e.head, TimestampType), Literal("MMMM")))

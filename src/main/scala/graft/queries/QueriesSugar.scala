@@ -204,7 +204,9 @@ object QueriesSugar {
         |  CAST(date_sub('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
         |    AS ds_day,
         |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
-        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms
+        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms,
+        |  time_bucket(INTERVAL '3 days', CAST(o_orderdate AS TIMESTAMP)) AS tb,
+        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
     // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
     // the reader TVFs; exercises both FROM and JOIN positions.
@@ -357,7 +359,9 @@ object QueriesSugar {
         |  CAST(date_sub('day', DATE '1995-06-15', o_orderdate) AS BIGINT)
         |    AS ds_day,
         |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
-        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms
+        |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms,
+        |  time_bucket(INTERVAL '3 days', CAST(o_orderdate AS TIMESTAMP)) AS tb,
+        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,

@@ -605,6 +605,25 @@ class CompatSpec extends SparkSpecBase {
       z.toString)
   }
 
+  test("time_bucket origin alignment (r7, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT CAST(time_bucket(INTERVAL '1 week',
+        |    TIMESTAMP '2024-01-05 10:00:00') AS STRING) AS wk,
+        |  CAST(time_bucket(INTERVAL '3 days',
+        |    TIMESTAMP '2024-01-05 10:00:00') AS STRING) AS d3,
+        |  CAST(time_bucket(INTERVAL '90 seconds',
+        |    TIMESTAMP '2024-01-01 00:02:00') AS STRING) AS s90,
+        |  CAST(time_bucket(INTERVAL '15 minutes',
+        |    TIMESTAMP '1969-12-31 23:50:00') AS STRING) AS pre
+        |""".stripMargin).collect().head
+    // Monday-aligned weeks prove the 2000-01-03 origin; the pre-epoch
+    // row proves flooring (not truncation toward zero)
+    assert(r.getString(0) == "2024-01-01 00:00:00", r.toString)
+    assert(r.getString(1) == "2024-01-03 00:00:00", r.toString)
+    assert(r.getString(2) == "2024-01-01 00:01:30", r.toString)
+    assert(r.getString(3) == "1969-12-31 23:45:00", r.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
