@@ -135,20 +135,31 @@ object Dedup {
   def simhash32(text: Column): Column =
     SimHash32(transform(split(text, " "), t => xxhash64(t)))
 
-  /** [[simhash32]] with the token-hash array materialized through its
-    * own projection (the fused native [[SimHash32]] walks it once; an
-    * earlier 32-aggregate formulation walked it 32× through
-    * interpreted HOF machinery).
+  /** 64-bit SimHash (Manku et al. 2007) — the fingerprint the
+    * near-dup pigeonhole banding uses at scale.
+    */
+  def simhash64(text: Column): Column =
+    SimHash64(transform(split(text, " "), t => xxhash64(t)))
+
+  /** [[simhash64]] with the token-hash array materialized through its
+    * own projection (the fused native [[SimHash32]] expression walks
+    * it once; an earlier per-bit-aggregate formulation walked it
+    * bit-count times through interpreted HOF machinery).
     */
   def withSimhash(df: DataFrame, textCol: String, out: String): DataFrame = {
     df.withColumn("__th", transform(split(col(textCol), " "), t => xxhash64(t)))
-      .withColumn(out, SimHash32(col("__th")))
+      .withColumn(out, SimHash64(col("__th")))
       .drop("__th")
   }
 
-  /** SimHash near-dup pairs: band the 32-bit fingerprint into four
-    * 8-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical
     * chunk), bucket-join, verify with bit_count(xor) <= maxHamming.
+    *
+    * 64/16 instead of the earlier 32/8 is the scale fix (r7): an
+    * 8-bit chunk collides on random pairs at 1/256, a quadratic
+    * candidate floor that measured 12.3× wall at 10× rows; 16-bit
+    * chunks collide at 1/65536 (measured 2.1× — see BENCH_NOTES).
     */
   def simhashNearDups(
       df: DataFrame,
@@ -158,11 +169,11 @@ object Dedup {
     val withSim = withSimhash(df.select(col(idCol).as("id"), col(textCol)),
         textCol, "sim")
       .select(col("id"), col("sim"))
-      .localCheckpoint(eager = false) // 32 per-bit votes per row — compute once
-    // chunk b = bits [8b, 8b+8)
+      .localCheckpoint(eager = false) // 64 per-bit votes per row — compute once
+    // chunk b = bits [16b, 16b+16)
     val bucketed = withSim.select(col("id"), col("sim"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sim"), b * 8).bitwiseAND(255).as("chunk"))): _*))
+        shiftright(col("sim"), b * 16).bitwiseAND(65535).as("chunk"))): _*))
         .as("bucket"))
     val a = bucketed.select(col("bucket").as("bk1"), col("id").as("id1"),
       col("sim").as("s1"))

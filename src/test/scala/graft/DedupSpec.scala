@@ -57,10 +57,15 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sims(1L) == sims(2L))
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 6)
+    // the near-dup operator bands the 64-bit fingerprint — check its
+    // pairs against the same-width hamming
+    val sims64 = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims64(1L) == sims64(2L))
     val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxHamming = 3)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
-    assert(!pairs.contains((1L, 4L)) || java.lang.Long.bitCount(sims(1L) ^ sims(4L)) <= 3)
+    assert(!pairs.contains((1L, 4L)) || java.lang.Long.bitCount(sims64(1L) ^ sims64(4L)) <= 3)
   }
 
   test("simhash: exact duplicates are always found (recall 1.0 on copies)") {

@@ -173,6 +173,44 @@ class PropertySpec extends SparkSpecBase {
     }, cases = 30)
   }
 
+  test("string-distance invariants hold for arbitrary ASCII strings") {
+    // driver-side properties over the shared static bodies (the same
+    // code both interpreted and codegen'd paths call)
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val word = Gen.choose(0, 24)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val pair = for { a <- word; b <- word } yield (a, b)
+    holds(Prop.forAll(pair) { case (a, b) =>
+      val d = StringOps.damerau(u8(a), u8(b))
+      val sym = StringOps.damerau(u8(b), u8(a))
+      // symmetry, identity, and the standard bounds:
+      // |len diff| <= DL <= max len, and DL <= levenshtein
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b)
+      d == sym && (a != b || d == 0) && (a == b || d > 0) &&
+        d >= math.abs(a.length - b.length) &&
+        d <= math.max(a.length, b.length) && d <= lev
+    }, cases = 300)
+    holds(Prop.forAll(pair) { case (a, b) =>
+      val j = StringOps.jaro(u8(a), u8(b))
+      val jw = StringOps.jaroWinkler(u8(a), u8(b))
+      // range, symmetry, winkler dominance, exact-match fixpoint
+      j >= 0.0 && j <= 1.0 && jw >= j && jw <= 1.0 &&
+        j == StringOps.jaro(u8(b), u8(a)) &&
+        (a.isEmpty || a != b || j == 1.0)
+    }, cases = 300)
+    val longs = for {
+      a <- Gen.chooseNum(-1000L, 1000L); b <- Gen.chooseNum(-1000L, 1000L)
+    } yield (a, b)
+    holds(Prop.forAll(longs) { case (a, b) =>
+      val g = NumOps.gcd(a, b)
+      // divides both, nonnegative, symmetric; lcm·gcd = |a·b|
+      g >= 0 && (a == 0 || a % g == 0) && (b == 0 || b % g == 0) &&
+        g == NumOps.gcd(b, a) &&
+        (a == 0 || b == 0 || NumOps.lcm(a, b) * g == math.abs(a * b))
+    }, cases = 300)
+  }
+
   test("DataFrame and SQL paths agree for arbitrary pushed filters") {
     val s = spark
     Tables.registerAll(s, sfDir)
