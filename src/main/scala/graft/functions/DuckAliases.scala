@@ -154,6 +154,19 @@ object DuckAliases {
     }
     alias("list_zip")(e => ArraysZip(e))
     alias("list_reverse")(e => Reverse(e.head))
+    // list_grade_up: 1-based indices that would sort the list
+    // ascending, ties in original order (probed: [2,2,1] -> [3,1,2])
+    // — sort (value, idx) pairs (struct compare is field-by-field, so
+    // the idx column makes the sort stable), then project the idx
+    alias("list_grade_up") { e =>
+      val p = UnresolvedNamedLambdaVariable(Seq("vgp"))
+      ArrayTransform(
+        new SortArray(ArraysZip(Seq(e.head,
+          new Sequence(Literal(1), Size(e.head, legacySizeOfNull = false))))),
+        LambdaFunction(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            p, Literal("1")), Seq(p)))
+    }
     // ---- numeric long-tail (r7) ----
     alias("greatest_common_divisor")(e =>
       GcdExpr(Cast(e(0), LongType), Cast(e(1), LongType)))

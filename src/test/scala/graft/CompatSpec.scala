@@ -596,6 +596,13 @@ class CompatSpec extends SparkSpecBase {
     assert(r.getLong(11) == 6L && r.getLong(12) == 0L, r.toString)
     assert(r.getDouble(13) == 5.0 && r.getDouble(14) == 11.0, r.toString)
     assert(r.getSeq[Int](15) == Seq(3, 2, 1), r.toString)
+    // grade_up: 1-based sort indices, stable on ties (probed)
+    val gu = Engine.query(spark,
+      """SELECT list_grade_up(list_value(30, 10, 20)) AS g1,
+        |  list_grade_up(list_value(2, 2, 1)) AS g2""".stripMargin)
+      .collect().head
+    assert(gu.getSeq[Int](0) == Seq(2, 3, 1), gu.toString)
+    assert(gu.getSeq[Int](1) == Seq(3, 1, 2), gu.toString)
     // list_zip pads the shorter list with NULLs (struct field naming
     // is engine-specific, so value-check here, not in the oracle)
     val z = Engine.query(spark,
