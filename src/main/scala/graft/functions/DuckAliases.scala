@@ -167,6 +167,23 @@ object DuckAliases {
           org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
             p, Literal("1")), Seq(p)))
     }
+    // ---- aggregate-name long-tail (r7): DuckDB names over Spark's
+    // native aggregate functions (the registry hands the analyzer the
+    // AggregateFunction; it wraps the AggregateExpression itself).
+    // favg/fsum are DuckDB's Kahan-compensated forms — mapped to the
+    // plain Average/Sum (the compensation is a precision seam, not a
+    // semantic one; graft's decimal-accumulation convention covers the
+    // exactness-critical paths instead) ----
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, MaxBy, MinBy, Product, Sum}
+    alias("arg_min")(e => MinBy(e(0), e(1)))
+    alias("argmin")(e => MinBy(e(0), e(1)))
+    alias("arg_max")(e => MaxBy(e(0), e(1)))
+    alias("argmax")(e => MaxBy(e(0), e(1)))
+    alias("product")(e => Product(Cast(e.head, DoubleType)))
+    alias("favg")(e => Average(Cast(e.head, DoubleType)))
+    alias("fsum")(e => Sum(Cast(e.head, DoubleType)))
+    alias("sumkahan")(e => Sum(Cast(e.head, DoubleType)))
+    alias("kahan_sum")(e => Sum(Cast(e.head, DoubleType)))
     // ---- numeric long-tail (r7) ----
     alias("greatest_common_divisor")(e =>
       GcdExpr(Cast(e(0), LongType), Cast(e(1), LongType)))

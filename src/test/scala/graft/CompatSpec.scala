@@ -612,6 +612,21 @@ class CompatSpec extends SparkSpecBase {
       z.toString)
   }
 
+  test("aggregate-name aliases: arg_min/arg_max/product/favg/fsum (r7)") {
+    val r = Engine.query(spark,
+      """SELECT arg_min(x, y) AS amn, arg_max(x, y) AS amx,
+        |  argmin(x, y) AS amn2, argmax(x, y) AS amx2,
+        |  round(product(y), 6) AS pr, round(favg(y), 6) AS fa,
+        |  round(fsum(y), 6) AS fs
+        |FROM VALUES ('a', 3.0), ('b', 1.0), ('c', 7.0) AS t(x, y)"""
+        .stripMargin).collect().head
+    assert(r.getString(0) == "b" && r.getString(1) == "c", r.toString)
+    assert(r.getString(2) == "b" && r.getString(3) == "c", r.toString)
+    assert(r.getDouble(4) == 21.0, r.toString)
+    assert(r.getDouble(5) == 3.666667, r.toString)
+    assert(r.getDouble(6) == 11.0, r.toString)
+  }
+
   test("time_bucket origin alignment (r7, probed 1.0)") {
     val r = Engine.query(spark,
       """SELECT CAST(time_bucket(INTERVAL '1 week',
