@@ -79,11 +79,17 @@ object DuckAliases {
     alias("ord")(e => unicodeExpr(e.head))
     alias("to_hex")(e => Hex(e.head))
     alias("from_hex")(e => Unhex(e.head))
-    // to_base(n, base[, min_len]) — Conv renders uppercase like DuckDB
+    // to_base(n, base[, min_len]) — Conv renders uppercase like
+    // DuckDB; a negative input ERRORS like DuckDB (Conv would return
+    // the unsigned two's-complement string)
+    def toBasePos(n: Expression, b: Expression): Expression =
+      If(GreaterThanOrEqual(Cast(n, LongType), Literal(0L)),
+        Conv(Cast(n, StringType), Literal(10), b),
+        Cast(RaiseError(Literal(
+          "'to_base' number must be greater than or equal to 0")), StringType))
     alias("to_base") {
-      case Seq(n, b) => Conv(Cast(n, StringType), Literal(10), b)
-      case Seq(n, b, len) =>
-        StringLPad(Conv(Cast(n, StringType), Literal(10), b), len, Literal("0"))
+      case Seq(n, b) => toBasePos(n, b)
+      case Seq(n, b, len) => StringLPad(toBasePos(n, b), len, Literal("0"))
     }
     // DuckDB fmt-style format('{} {}', ...) → format_string('%s %s')
     // over string-cast args; a NULL argument nulls the whole result
@@ -99,9 +105,13 @@ object DuckAliases {
         case other => throw new IllegalArgumentException(
           s"format: the template must be a string literal, got $other")
       }
-      require(!fmt.matches(".*\\{[^}]+\\}.*"),
+      // {{ / }} are literal-brace escapes (DuckDB fmt): shelter them
+      // before the {} -> %s rewrite, restore after
+      val sheltered = fmt.replace("{{", "\u0001").replace("}}", "\u0002")
+      require(!sheltered.matches(".*\\{[^}]+\\}.*"),
         "format: only positional {} placeholders are supported")
-      val jfmt = fmt.replace("%", "%%").replace("{}", "%s")
+      val jfmt = sheltered.replace("%", "%%").replace("{}", "%s")
+        .replace("\u0001", "{").replace("\u0002", "}")
       val args = e.tail.map(a => Cast(a, StringType))
       nullGuard(e.tail, FormatString(Literal(jfmt) +: args: _*))
     }
@@ -126,17 +136,28 @@ object DuckAliases {
       ArrayTransform(a, LambdaFunction(
         Multiply(Cast(x, DoubleType), Cast(x, DoubleType)), Seq(x)))
     }
-    def listDot(a: Expression, b: Expression): Expression = dsum(zipMul(a, b))
+    // unequal dimensions ERROR like DuckDB (ZipWith would silently
+    // null-pad); zero-norm cosine is -1.0 (probed — not NULL)
+    def sameDims(a: Expression, b: Expression, out: Expression): Expression =
+      If(EqualTo(Size(a, legacySizeOfNull = false),
+          Size(b, legacySizeOfNull = false)), out,
+        Cast(RaiseError(Literal("list dimensions must be equal")), DoubleType))
+    def listDot(a: Expression, b: Expression): Expression =
+      sameDims(a, b, dsum(zipMul(a, b)))
     alias("list_dot_product")(e => listDot(e(0), e(1)))
     alias("list_inner_product")(e => listDot(e(0), e(1)))
-    alias("list_cosine_similarity")(e =>
-      Divide(listDot(e(0), e(1)),
-        Multiply(Sqrt(dsum(sq(e(0)))), Sqrt(dsum(sq(e(1)))))))
+    alias("list_cosine_similarity") { e =>
+      val norms = Multiply(Sqrt(dsum(sq(e(0)))), Sqrt(dsum(sq(e(1)))))
+      sameDims(e(0), e(1),
+        If(EqualTo(norms, Literal(0.0d)), Literal(-1.0d),
+          Divide(dsum(zipMul(e(0), e(1))), norms)))
+    }
     alias("list_distance") { e =>
       val x = dvar("vdx"); val y = dvar("vdy")
-      Sqrt(dsum(ZipWith(e(0), e(1), LambdaFunction(
-        Multiply(Subtract(Cast(x, DoubleType), Cast(y, DoubleType)),
-          Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y)))))
+      sameDims(e(0), e(1),
+        Sqrt(dsum(ZipWith(e(0), e(1), LambdaFunction(
+          Multiply(Subtract(Cast(x, DoubleType), Cast(y, DoubleType)),
+            Subtract(Cast(x, DoubleType), Cast(y, DoubleType))), Seq(x, y))))))
     }
     // list_select(l, idxs): 1-based gather; list_where(l, mask): keep
     // where true (an (elem, idx) filter lambda — no null sentinel)
@@ -155,17 +176,31 @@ object DuckAliases {
     alias("list_zip")(e => ArraysZip(e))
     alias("list_reverse")(e => Reverse(e.head))
     // list_grade_up: 1-based indices that would sort the list
-    // ascending, ties in original order (probed: [2,2,1] -> [3,1,2])
-    // — sort (value, idx) pairs (struct compare is field-by-field, so
-    // the idx column makes the sort stable), then project the idx
+    // ascending, ties in original order (probed: [2,2,1] -> [3,1,2]),
+    // NULL elements LAST (DuckDB; Spark's struct sort is nulls-first,
+    // so the sort key leads with an is-null flag), empty list -> []
+    // (a bare Sequence(1,0) would count DOWN and zip phantom rows)
     alias("list_grade_up") { e =>
       val p = UnresolvedNamedLambdaVariable(Seq("vgp"))
-      ArrayTransform(
-        new SortArray(ArraysZip(Seq(e.head,
+      val keyed = {
+        val n = dvar("vgn"); val x = dvar("vgx")
+        ZipWith(
+          ArrayTransform(e.head, {
+            val v = dvar("vgv"); LambdaFunction(IsNull(v), Seq(v))
+          }),
+          e.head, LambdaFunction(CreateStruct(Seq(n, x)), Seq(n, x)))
+      }
+      val graded = ArrayTransform(
+        new SortArray(ArraysZip(Seq(keyed,
           new Sequence(Literal(1), Size(e.head, legacySizeOfNull = false))))),
         LambdaFunction(
           org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
             p, Literal("1")), Seq(p)))
+      If(EqualTo(Size(e.head, legacySizeOfNull = false), Literal(0)),
+        ArrayTransform(e.head, {
+          val z = dvar("vgz"); LambdaFunction(Literal(1), Seq(z))
+        }),
+        graded)
     }
     // ---- aggregate-name long-tail (r7): DuckDB names over Spark's
     // native aggregate functions (the registry hands the analyzer the
@@ -191,8 +226,16 @@ object DuckAliases {
     alias("least_common_multiple")(e =>
       LcmExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
     alias("lcm")(e => LcmExpr(Cast(e(0), LongType), Cast(e(1), LongType)))
-    alias("cot")(e => Divide(Cos(Cast(e.head, DoubleType)),
-      Sin(Cast(e.head, DoubleType))))
+    // cot(x) = cos/sin; x with sin(x) == 0 ERRORS like DuckDB (the
+    // division would be NULL/ANSI-error depending on mode)
+    alias("cot") { e =>
+      val x = Cast(e.head, DoubleType)
+      If(EqualTo(Sin(x), Literal(0.0d)),
+        Cast(RaiseError(Literal(
+          "input value is out of range for numeric function cotangent")),
+          DoubleType),
+        Divide(Cos(x), Sin(x)))
+    }
     alias("isinf")(e =>
       EqualTo(Abs(Cast(e.head, DoubleType)),
         Literal(Double.PositiveInfinity)))

@@ -254,14 +254,18 @@ case class NfcNormalize(child: Expression) extends StringUnaryOp {
   * codegen shape as [[StringOps]]).
   */
 object NumOps {
+  // absExact/multiplyExact: Long.MinValue inputs and lcm overflow
+  // ERROR loudly like DuckDB ('Overflow on abs' / 'lcm value is out
+  // of range', probed) instead of silently wrapping
   def gcd(a: Long, b: Long): Long = {
-    var x = math.abs(a); var y = math.abs(b)
+    var x = Math.absExact(a); var y = Math.absExact(b)
     while (y != 0) { val t = x % y; x = y; y = t }
     x
   }
 
   def lcm(a: Long, b: Long): Long =
-    if (a == 0 || b == 0) 0L else math.abs(a / gcd(a, b) * b)
+    if (a == 0 || b == 0) 0L
+    else Math.absExact(Math.multiplyExact(a / gcd(a, b), b))
 
   /** DuckDB `bar(x, min, max, width)`: a unicode bar of FLOORED
     * `width`·frac eighth-blocks (probed: bar(1,0,3,10) = '███▎' — 26

@@ -421,13 +421,19 @@ object Dedup {
       bitsPerBand: Int = 12,
       seed: Long = 7L): DataFrame = {
     val planes = SimilaritySearch.hyperplanes(bands * bitsPerBand, dims, seed)
-    def signature(idAs: String, labAs: String, bbAs: String): DataFrame =
-      emb.select(col("vec_id").as(idAs), col("label").as(labAs),
-          posexplode(SignLshBuckets(col("embedding"), planes, bitsPerBand)))
-        .select(col(idAs), col(labAs),
-          struct(col("pos").as("band"), col("col").as("bucket")).as(bbAs))
-    val a = signature("id1", "lab1", "bb1")
-    val b = signature("id2", "lab2", "bb2")
+    // materialize the signatures ONCE: both sides of the self-join
+    // read this (the bands×bitsPerBand hyperplane projection per row
+    // is the dominant map cost — same rule as minhashNearDups'
+    // withSig / embeddingNearDups' keyed checkpoints)
+    val sig = emb.select(col("vec_id").as("id"), col("label"),
+        posexplode(SignLshBuckets(col("embedding"), planes, bitsPerBand)))
+      .select(col("id"), col("label"),
+        struct(col("pos").as("band"), col("col").as("bucket")).as("bb"))
+      .localCheckpoint(eager = false)
+    val a = sig.select(col("id").as("id1"), col("label").as("lab1"),
+      col("bb").as("bb1"))
+    val b = sig.select(col("id").as("id2"), col("label").as("lab2"),
+      col("bb").as("bb2"))
     val cand = a.join(b, col("bb1") === col("bb2") &&
         col("lab1") === col("lab2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"))

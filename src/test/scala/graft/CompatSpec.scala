@@ -603,6 +603,35 @@ class CompatSpec extends SparkSpecBase {
       .collect().head
     assert(gu.getSeq[Int](0) == Seq(2, 3, 1), gu.toString)
     assert(gu.getSeq[Int](1) == Seq(3, 1, 2), gu.toString)
+    // review-pass pins (r7, all probed on 1.0): format brace escapes,
+    // grade_up empty/NULL-last, loud errors on cot(0) / negative
+    // to_base / gcd overflow / unequal vector dims, zero-norm cosine
+    val rp = Engine.query(spark,
+      """SELECT format('{} {{}}', 5) AS f1, format('{{}}') AS f2,
+        |  list_grade_up(CAST(array() AS ARRAY<INT>)) AS ge,
+        |  list_grade_up(list_value(2, CAST(NULL AS INT), 1)) AS gn,
+        |  round(list_cosine_similarity(list_value(0.0, 0.0),
+        |    list_value(1.0, 2.0)), 6) AS zc""".stripMargin).collect().head
+    assert(rp.getString(0) == "5 {}" && rp.getString(1) == "{}", rp.toString)
+    assert(rp.getSeq[Int](2) == Seq(), rp.toString)
+    assert(rp.getSeq[Int](3) == Seq(3, 1, 2), rp.toString) // NULL last
+    assert(rp.getDouble(4) == -1.0, rp.toString) // DuckDB zero-norm cos
+    intercept[Exception] {
+      Engine.query(spark, "SELECT cot(0) AS x").collect()
+    }
+    intercept[Exception] {
+      Engine.query(spark, "SELECT to_base(-5, 2) AS x").collect()
+    }
+    intercept[Exception] {
+      Engine.query(spark,
+        "SELECT greatest_common_divisor(-9223372036854775808, 2) AS x")
+        .collect()
+    }
+    intercept[Exception] {
+      Engine.query(spark,
+        "SELECT list_dot_product(list_value(1.0, 2.0), list_value(1.0)) AS x")
+        .collect()
+    }
     // list_zip pads the shorter list with NULLs (struct field naming
     // is engine-specific, so value-check here, not in the oracle)
     val z = Engine.query(spark,
