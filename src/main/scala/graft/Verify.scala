@@ -4,6 +4,16 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Atomic (pandas-hashable) types only: the driver's normalizer calls
+    * sort_values over every output column, so ARRAY/MAP/STRUCT columns are
+    * forbidden in oracle-compared results. */
+  def isDriverSortable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType  => false
+    case _: org.apache.spark.sql.types.MapType    => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _                                        => true
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val only = args.drop(2).toSet // optional dev-loop filter: run named queries only
@@ -20,8 +30,24 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // Guard: oracle-compared outputs must be atomic columns only.
+        // The driver's pandas normalizer sorts every column; an
+        // ARRAY/STRUCT/MAP column dies in sort_values ("unhashable type:
+        // numpy.ndarray") and turns a correct answer into a driver err
+        // (q_embed_quantize r6, q_duckdb_funcs4 r7). Serialize such
+        // columns with to_json/array_to_string in BOTH statements.
+        if (SparkEntry.oracleSql.contains(name)) {
+          val bad = df.schema.fields.collect {
+            case f if !Verify.isDriverSortable(f.dataType) => s"${f.name}:${f.dataType.simpleString}"
+          }
+          require(bad.isEmpty,
+            s"oracle-compared query '$name' has non-atomic output column(s) ${bad.mkString(", ")}; " +
+              "serialize with to_json/array_to_string in both the Spark query and the oracle SQL")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -82,11 +82,15 @@ object DuckAliases {
     // to_base(n, base[, min_len]) — Conv renders uppercase like
     // DuckDB; a negative input ERRORS like DuckDB (Conv would return
     // the unsigned two's-complement string)
+    // NULL input must NULL-propagate, not fall into the error branch: the
+    // If predicate GreaterThanOrEqual(NULL, 0) is NULL, which If treats as
+    // false — so test IsNull explicitly first (advisor r7).
     def toBasePos(n: Expression, b: Expression): Expression =
-      If(GreaterThanOrEqual(Cast(n, LongType), Literal(0L)),
-        Conv(Cast(n, StringType), Literal(10), b),
-        Cast(RaiseError(Literal(
-          "'to_base' number must be greater than or equal to 0")), StringType))
+      If(IsNull(Cast(n, LongType)), Literal(null, StringType),
+        If(GreaterThanOrEqual(Cast(n, LongType), Literal(0L)),
+          Conv(Cast(n, StringType), Literal(10), b),
+          Cast(RaiseError(Literal(
+            "'to_base' number must be greater than or equal to 0")), StringType)))
     alias("to_base") {
       case Seq(n, b) => toBasePos(n, b)
       case Seq(n, b, len) => StringLPad(toBasePos(n, b), len, Literal("0"))
@@ -137,11 +141,15 @@ object DuckAliases {
         Multiply(Cast(x, DoubleType), Cast(x, DoubleType)), Seq(x)))
     }
     // unequal dimensions ERROR like DuckDB (ZipWith would silently
-    // null-pad); zero-norm cosine is -1.0 (probed — not NULL)
+    // null-pad); zero-norm cosine is -1.0 (probed — not NULL). A NULL
+    // list NULL-propagates (probed: list_dot_product(NULL, [1.0]) is
+    // NULL) — without the IsNull arm, Size(NULL)=NULL makes the If
+    // predicate NULL → false → RaiseError on any NULL row (advisor r7).
     def sameDims(a: Expression, b: Expression, out: Expression): Expression =
-      If(EqualTo(Size(a, legacySizeOfNull = false),
-          Size(b, legacySizeOfNull = false)), out,
-        Cast(RaiseError(Literal("list dimensions must be equal")), DoubleType))
+      If(Or(IsNull(a), IsNull(b)), Literal(null, DoubleType),
+        If(EqualTo(Size(a, legacySizeOfNull = false),
+            Size(b, legacySizeOfNull = false)), out,
+          Cast(RaiseError(Literal("list dimensions must be equal")), DoubleType)))
     def listDot(a: Expression, b: Expression): Expression =
       sameDims(a, b, dsum(zipMul(a, b)))
     alias("list_dot_product")(e => listDot(e(0), e(1)))
@@ -243,7 +251,14 @@ object DuckAliases {
       Not(IsNaN(Cast(e.head, DoubleType))),
       LessThan(Abs(Cast(e.head, DoubleType)),
         Literal(Double.PositiveInfinity))))
-    alias("signbit")(e => LessThan(Cast(e.head, DoubleType), Literal(0.0d)))
+    // signbit tests the raw IEEE sign bit (probed: signbit(-1.0::DOUBLE *
+    // 0.0::DOUBLE) = true in DuckDB — negative zero counts; NULL → NULL;
+    // NaN → false). x<0 misses -0.0, and ANSI Divide errors on a zero
+    // divisor even for doubles, so read the sign off the string render:
+    // Spark prints -0.0/-Infinity with the sign and NaN without one.
+    alias("signbit") { e =>
+      StartsWith(Cast(Cast(e.head, DoubleType), StringType), Literal("-"))
+    }
     // even: round away from zero to the next even (probed: 2.0→2,
     // 2.5→4, -0.5→-2)
     alias("even") { e =>

@@ -171,7 +171,9 @@ object QueriesSugar {
         |  round(list_distance(
         |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0),
         |    list_value(1.0, CAST(n_chars % 5 AS DOUBLE))), 6) AS ldist,
-        |  list_select(string_split(text, ' '), list_value(3, 1, 1)) AS sel,
+        |  array_to_string(
+        |    list_select(string_split(text, ' '), list_value(3, 1, 1)), '|')
+        |    AS sel,
         |  greatest_common_divisor(doc_id + 12, 18) AS g,
         |  least_common_multiple(1 + doc_id % 6, 4) AS l,
         |  round(cot(1.0 + doc_id % 3), 6) AS ct,
@@ -329,7 +331,9 @@ object QueriesSugar {
         |  round(list_distance(
         |    list_value(CAST(doc_id % 7 AS DOUBLE), 2.0),
         |    list_value(1.0, CAST(n_chars % 5 AS DOUBLE))), 6) AS ldist,
-        |  list_select(string_split(text, ' '), list_value(3, 1, 1)) AS sel,
+        |  array_to_string(
+        |    list_select(string_split(text, ' '), list_value(3, 1, 1)), '|')
+        |    AS sel,
         |  greatest_common_divisor(doc_id + 12, 18) AS g,
         |  least_common_multiple(1 + doc_id % 6, 4) AS l,
         |  round(cot(1.0 + doc_id % 3), 6) AS ct,

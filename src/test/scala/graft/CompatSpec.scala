@@ -592,7 +592,23 @@ class CompatSpec extends SparkSpecBase {
       r.getDouble(7) == 2.0, r.toString) // round AWAY to even
     assert(r.getSeq[Int](8) == Seq(10, 30), r.toString)
     assert(r.getSeq[Int](9) == Seq(30, 10, 10), r.toString)
-    assert(!r.getBoolean(10), r.toString) // DuckDB: signbit(-0.0) false
+    assert(!r.getBoolean(10), r.toString) // literal -0.0 folds to +0.0 (decimal) in BOTH engines
+    // advisor r8 pins (probed on 1.0): a COMPUTED double -0.0 has its
+    // sign bit set (signbit true); NULL inputs NULL-propagate through
+    // signbit / to_base / the list_* vector family instead of erroring
+    val nl = Engine.query(spark,
+      """SELECT signbit(CAST(-1.0 AS DOUBLE) * CAST(0.0 AS DOUBLE)) AS sbz,
+        |  signbit(CAST(NULL AS DOUBLE)) AS sbn,
+        |  to_base(CAST(NULL AS BIGINT), 2) AS tbn,
+        |  to_base(CAST(NULL AS BIGINT), 2, 4) AS tbn3,
+        |  list_dot_product(CAST(NULL AS ARRAY<DOUBLE>),
+        |    list_value(1.0, 2.0)) AS dp,
+        |  list_cosine_similarity(list_value(1.0),
+        |    CAST(NULL AS ARRAY<DOUBLE>)) AS lc,
+        |  list_distance(CAST(NULL AS ARRAY<DOUBLE>),
+        |    CAST(NULL AS ARRAY<DOUBLE>)) AS ldn""".stripMargin).collect().head
+    assert(nl.getBoolean(0), nl.toString) // computed -0.0 → true
+    assert((1 to 6).forall(nl.isNullAt), nl.toString)
     assert(r.getLong(11) == 6L && r.getLong(12) == 0L, r.toString)
     assert(r.getDouble(13) == 5.0 && r.getDouble(14) == 11.0, r.toString)
     assert(r.getSeq[Int](15) == Seq(3, 2, 1), r.toString)
