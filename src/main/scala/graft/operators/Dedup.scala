@@ -326,12 +326,37 @@ object Dedup {
     * inherent: the OUTPUT of "all pairs at cosine ≥ 0.4" is itself
     * quadratic in the worst case, so no candidate scheme can beat it.
     */
+  /** Grid completeness stops paying above this cosine threshold in 64-d
+    * (measured round 7); [[embeddingNearDups]] routes to the banded path. */
+  private[graft] def dispatchesToBanded(threshold: Double, exact: Boolean): Boolean =
+    !exact && threshold >= 0.8
+
   def embeddingNearDups(
       emb: DataFrame,
       threshold: Double = 0.4,
       dims: Int = 64,
       numProjections: Int = 3,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      exact: Boolean = false): DataFrame = {
+    // High thresholds dispatch to the sign-LSH banded path: the round-7
+    // sf0.1→sf1 curve measured the complete grid at 27.9× wall for 10×
+    // rows at t=0.9 (cell width 2·chord(t)=0.89 exceeds the ±3/√64
+    // projection spread, so every vector shares a cell and the candidate
+    // join degenerates to label-scoped all-pairs). The grid stays the
+    // default where it prunes (loose thresholds — there the OUTPUT is
+    // quadratic anyway, so completeness costs nothing extra) and behind
+    // exact=true for completeness contracts / oracle rows.
+    if (dispatchesToBanded(threshold, exact)) {
+      // bitsPerBand sized so one band matches a threshold-pair with
+      // P ≈ 0.15 (sign agreement p = 1 - acos(t)/π): 24 bands then give
+      // recall 1-(1-.15)^24 ≈ 0.98. Reproduces the hand-tuned b=12 at
+      // t=0.9 and relaxes to b=8 at t=0.8.
+      val p = 1.0 - math.acos(math.min(threshold, 0.999999)) / math.Pi
+      val b = math.max(6, math.min(16,
+        math.round(math.log(0.15) / math.log(p)).toInt))
+      return bandedEmbeddingNearDups(emb, threshold, dims,
+        bands = 24, bitsPerBand = b, seed = seed)
+    }
     // chord length on the unit sphere at the cosine threshold
     val r = math.sqrt(math.max(0.0, 2.0 - 2.0 * threshold))
     val w = 2.0 * r * 1.000001 + 1e-12 // strictly > 2r → completeness

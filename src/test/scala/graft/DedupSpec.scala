@@ -127,6 +127,29 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("embeddingNearDups threshold-dispatch: banded at t>=0.8, grid when exact or loose") {
+    // the checkpointed plans are opaque (LogicalRDD), so the routing
+    // decision itself is the unit under test
+    assert(Dedup.dispatchesToBanded(0.9, exact = false))
+    assert(Dedup.dispatchesToBanded(0.8, exact = false))
+    assert(!Dedup.dispatchesToBanded(0.9, exact = true),
+      "exact=true must keep the complete grid")
+    assert(!Dedup.dispatchesToBanded(0.4, exact = false),
+      "loose thresholds keep the complete grid")
+    // dispatched and exact agree on an engineered high-cosine pair
+    val sp = spark
+    import sp.implicits._
+    val base = Array.tabulate(64)(i => (1.0f / 8.0f) * (if (i % 2 == 0) 1 else -1))
+    val twin = base.clone(); twin(0) = twin(0) * 0.9f
+    val tiny = Seq((1L, base.toSeq, 0), (2L, twin.toSeq, 0),
+      (3L, base.map(-_).toSeq, 0)).toDF("vec_id", "embedding", "label")
+    val dis = Dedup.embeddingNearDups(tiny, 0.9).collect()
+    val exa = Dedup.embeddingNearDups(tiny, 0.9, exact = true).collect()
+    assert(dis.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      exa.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(exa.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("banded embedding near-dup recovers noised twins (recall >= 0.9), no false cosines") {
     // the 100 TB high-threshold path: probabilistic candidates, exact
     // verify. Engineered twins at cos ~0.93 (noise scale 0.05 on unit-norm vectors) must be

@@ -164,6 +164,7 @@ class PlanAuditSpec extends SparkSpecBase {
       "ngram" -> Dedup.ngramJaccardPairs(docs),
       "prefix" -> Dedup.prefixJaccardPairs(docs, threshold = 0.6),
       "embed" -> Dedup.embeddingNearDups(emb, 0.9),
+      "embed-exact" -> Dedup.embeddingNearDups(emb, 0.9, exact = true),
       "embed-lsh" -> Dedup.bandedEmbeddingNearDups(emb, 0.9),
       "semantic" -> Dedup.semanticDedup(emb, 8, 0.35),
       "spans" -> Dedup.duplicateSpans(docs),
