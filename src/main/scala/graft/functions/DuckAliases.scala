@@ -269,28 +269,81 @@ object DuckAliases {
     }
     alias("bar")(e => BarExpr(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
       Cast(e(2), DoubleType), Cast(e(3), DoubleType)))
-    // time_bucket(width, ts): origin-aligned flooring — DuckDB's
-    // origin is 2000-01-03 00:00 UTC (a Monday; probed — it makes
-    // week buckets Monday-aligned and everything else epoch-like)
+    // time_bucket(width, ts[, origin | offset]): origin-aligned
+    // flooring — DuckDB's default origin is 2000-01-03 00:00 UTC for
+    // second widths (a Monday; probed — it makes week buckets
+    // Monday-aligned and everything else epoch-like) and 2000-01-01
+    // for month widths. All edge semantics probed on 1.0:
+    //  - month widths floor months-since-origin-month toward -inf
+    //    (3-month bucket of 1999-02 → 1999-01; 2-month of 1999-12-31
+    //    → 1999-11-01), and an explicit origin contributes ONLY its
+    //    year+month (origin DATE '2024-02-10' buckets to 2024-02-01,
+    //    not the 10th);
+    //  - an INTERVAL third arg is an offset: bucket(ts - off) + off
+    //    (1-month width, 10-day offset, 2024-03-17 → 2024-03-11).
     alias("time_bucket") { e =>
-      val micros = e.head match {
-        case Literal(i: org.apache.spark.unsafe.types.CalendarInterval,
+      import org.apache.spark.unsafe.types.CalendarInterval
+      // interval literal → (months, micros); exactly one family nonzero
+      def partsOf(ex: Expression, what: String): (Int, Long) = ex match {
+        case Literal(i: CalendarInterval,
             org.apache.spark.sql.types.CalendarIntervalType) =>
-          require(i.months == 0, "time_bucket: month buckets unsupported")
-          i.days * 86400000000L + i.microseconds
-        case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) => v
+          (i.months, i.days * 86400000000L + i.microseconds)
+        case Literal(v: Long, _: org.apache.spark.sql.types.DayTimeIntervalType) =>
+          (0, v)
+        case Literal(v: Int, _: org.apache.spark.sql.types.YearMonthIntervalType) =>
+          (v, 0L)
         case other => throw new IllegalArgumentException(
-          s"time_bucket: the bucket width must be an interval literal, got $other")
+          s"time_bucket: the $what must be an interval literal, got $other")
       }
-      require(micros > 0 && micros % 1000000L == 0,
-        "time_bucket: width must be a positive whole-second interval")
-      val secs = micros / 1000000L
-      val origin = 946857600L
-      val off = Subtract(UnixSeconds(Cast(e(1), TimestampType)), Literal(origin))
-      // Floor over a double division: exact for |secs| < 2^53 and
-      // correct (toward -inf) for pre-origin timestamps
-      val buckets = Floor(Divide(Cast(off, DoubleType), Literal(secs.toDouble)))
-      SecondsToTimestamp(Add(Multiply(buckets, Literal(secs)), Literal(origin)))
+      val (wMonths, wMicros) = partsOf(e.head, "bucket width")
+      require(wMonths == 0 || wMicros == 0,
+        "time_bucket: width must not mix month and day/time parts")
+      require(wMonths > 0 || (wMicros > 0 && wMicros % 1000000L == 0),
+        "time_bucket: width must be a positive whole-month or whole-second interval")
+      val secs = wMicros / 1000000L
+      // epoch-day of 2000-01-01, the month-width origin
+      val d20000101 = Literal(10957, DateType)
+      def secBucket(ts: Expression, originSecs: Expression): Expression = {
+        val off = Subtract(UnixSeconds(Cast(ts, TimestampType)), originSecs)
+        // Floor over a double division: exact for |secs| < 2^53 and
+        // correct (toward -inf) for pre-origin timestamps
+        val buckets = Floor(Divide(Cast(off, DoubleType), Literal(secs.toDouble)))
+        SecondsToTimestamp(Add(Multiply(buckets, Literal(secs)), originSecs))
+      }
+      def monthsSince2000(d: Expression): Expression =
+        Add(Multiply(Subtract(Year(d), Literal(2000)), Literal(12)),
+          Subtract(Month(d), Literal(1)))
+      def monBucket(ts: Expression, originMonths: Expression): Expression = {
+        val diff = Subtract(monthsSince2000(Cast(ts, DateType)), originMonths)
+        val b = Cast(Floor(Divide(Cast(diff, DoubleType),
+          Literal(wMonths.toDouble))), IntegerType)
+        Cast(AddMonths(d20000101,
+          Add(Multiply(b, Literal(wMonths)), originMonths)), TimestampType)
+      }
+      def bucket(ts: Expression, originSecs: Expression,
+          originMonths: Expression): Expression =
+        if (wMonths > 0) monBucket(ts, originMonths) else secBucket(ts, originSecs)
+      val defaults = (Literal(946857600L), Literal(0)) // 2000-01-03 / 2000-01
+      e match {
+        case Seq(_, ts) => bucket(ts, defaults._1, defaults._2)
+        case Seq(_, ts, off @ Literal(_,
+            org.apache.spark.sql.types.CalendarIntervalType |
+            _: org.apache.spark.sql.types.DayTimeIntervalType |
+            _: org.apache.spark.sql.types.YearMonthIntervalType)) =>
+          // offset form: bucket(ts - off) + off, calendar arithmetic
+          val (om, ou) = partsOf(off, "offset")
+          val days = (ou / 86400000000L).toInt
+          val us = ou % 86400000000L
+          def ivl(s: Int) = Literal(
+            new CalendarInterval(s * om, s * days, s * us),
+            org.apache.spark.sql.types.CalendarIntervalType)
+          TimestampAddInterval(
+            bucket(TimestampAddInterval(Cast(ts, TimestampType), ivl(-1)),
+              defaults._1, defaults._2), ivl(1))
+        case Seq(_, ts, origin) => // origin form (timestamp/date expr)
+          bucket(ts, UnixSeconds(Cast(origin, TimestampType)),
+            monthsSince2000(Cast(origin, DateType)))
+      }
     }
     // ---- date-name long-tail (r7) ----
     alias("monthname")(e =>

@@ -208,7 +208,15 @@ object QueriesSugar {
         |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
         |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms,
         |  time_bucket(INTERVAL '3 days', CAST(o_orderdate AS TIMESTAMP)) AS tb,
-        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw
+        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw,
+        |  CAST(time_bucket(INTERVAL '1 month', o_orderdate) AS DATE)
+        |    AS tb_mon,
+        |  CAST(time_bucket(INTERVAL '3 month', o_orderdate) AS DATE)
+        |    AS tb_qtr,
+        |  CAST(time_bucket(INTERVAL '2 month', o_orderdate,
+        |    DATE '1995-02-10') AS DATE) AS tb_morig,
+        |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
+        |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
     // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
     // the reader TVFs; exercises both FROM and JOIN positions.
@@ -365,7 +373,15 @@ object QueriesSugar {
         |  CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
         |  CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep_ms,
         |  time_bucket(INTERVAL '3 days', CAST(o_orderdate AS TIMESTAMP)) AS tb,
-        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw
+        |  time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP)) AS tw,
+        |  CAST(time_bucket(INTERVAL '1 month', o_orderdate) AS DATE)
+        |    AS tb_mon,
+        |  CAST(time_bucket(INTERVAL '3 month', o_orderdate) AS DATE)
+        |    AS tb_qtr,
+        |  CAST(time_bucket(INTERVAL '2 month', o_orderdate,
+        |    DATE '1995-02-10') AS DATE) AS tb_morig,
+        |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
+        |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
     "q_json_arrows" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,

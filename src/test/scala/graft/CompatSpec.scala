@@ -689,6 +689,38 @@ class CompatSpec extends SparkSpecBase {
     assert(r.getString(1) == "2024-01-03 00:00:00", r.toString)
     assert(r.getString(2) == "2024-01-01 00:01:30", r.toString)
     assert(r.getString(3) == "1969-12-31 23:45:00", r.toString)
+    // r8: month widths, explicit origins, interval offsets (probed 1.0)
+    val m = Engine.query(spark,
+      """SELECT CAST(time_bucket(INTERVAL '1 month',
+        |    TIMESTAMP '2024-03-17 10:30:00') AS STRING) AS m1,
+        |  CAST(time_bucket(INTERVAL '3 month',
+        |    TIMESTAMP '1999-02-17 10:30:00') AS STRING) AS m3,
+        |  CAST(time_bucket(INTERVAL '2 month',
+        |    TIMESTAMP '1999-12-31 23:59:59') AS STRING) AS m2,
+        |  CAST(time_bucket(INTERVAL '1 month',
+        |    TIMESTAMP '1969-05-17 10:30:00') AS STRING) AS mpre,
+        |  CAST(time_bucket(INTERVAL '1 year',
+        |    TIMESTAMP '2024-03-17 10:30:00') AS STRING) AS y1,
+        |  CAST(time_bucket(INTERVAL '2 month', DATE '2024-03-17',
+        |    DATE '2024-02-10') AS STRING) AS morig,
+        |  CAST(time_bucket(INTERVAL '7 day',
+        |    TIMESTAMP '2024-03-17 10:30:00',
+        |    TIMESTAMP '2000-01-05 00:00:00') AS STRING) AS sorig,
+        |  CAST(time_bucket(INTERVAL '7 day',
+        |    TIMESTAMP '2024-03-17 10:30:00', INTERVAL '2 day') AS STRING)
+        |    AS soff,
+        |  CAST(time_bucket(INTERVAL '1 month',
+        |    TIMESTAMP '2024-03-17 10:30:00', INTERVAL '10 day') AS STRING)
+        |    AS moff""".stripMargin).collect().head
+    assert(m.getString(0) == "2024-03-01 00:00:00", m.toString)
+    assert(m.getString(1) == "1999-01-01 00:00:00", m.toString) // floor toward -inf
+    assert(m.getString(2) == "1999-11-01 00:00:00", m.toString)
+    assert(m.getString(3) == "1969-05-01 00:00:00", m.toString) // pre-epoch
+    assert(m.getString(4) == "2024-01-01 00:00:00", m.toString)
+    assert(m.getString(5) == "2024-02-01 00:00:00", m.toString) // origin month only
+    assert(m.getString(6) == "2024-03-13 00:00:00", m.toString) // Wed-aligned weeks
+    assert(m.getString(7) == "2024-03-13 00:00:00", m.toString) // offset == origin shift
+    assert(m.getString(8) == "2024-03-11 00:00:00", m.toString) // bucket(ts-off)+off
   }
 
   test("macro parameter name colliding with a qualified column") {
