@@ -150,6 +150,46 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal: photographic JPEG (quality 0.8) decodes dims exact, mean luma within 1 gray") {
+    // the general lossy-decode gate: non-uniform content at quality
+    // < 1 exercises real quantization (unlike the raster-exact
+    // uniform-gray construction the oracle rides), so a reader
+    // regression can no longer hide behind the DC-only case. Smooth
+    // gradients + a diagonal ramp stand in for photographic content.
+    val w = 48; val h = 32
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var lumaSum = 0L // Σ (299R + 587G + 114B) of the SOURCE pixels
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 255) / (w - 1)
+      val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      lumaSum += 299L * r + 587L * g + 114L * b
+    }
+    val srcMean = lumaSum.toDouble / (1000.0 * w * h)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.8f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert(Multimodal.imageFormat(bytes) == "jpeg")
+    val s = spark
+    import s.implicits._
+    val feats = Multimodal.extractImageFeatures(
+      spark, Seq((42L, bytes)).toDF("doc_id", "media")).collect().head
+    assert(feats.getInt(1) == w && feats.getInt(2) == h &&
+      feats.getLong(3) == w.toLong * h, feats.toString)
+    val got = feats.getDouble(4)
+    assert(math.abs(got - srcMean) <= 1.0,
+      s"photographic JPEG mean luma drifted: decoded $got vs source $srcMean")
+  }
+
   test("multimodal: animated GIF frame count + strided sampling round-trip") {
     val docs = Tables.load(spark, sfDir, "documents").limit(20)
     val feats = Multimodal.extractVideoFeatures(
