@@ -439,6 +439,43 @@ object Multimodal {
         .as("meta"))
   }
 
+  /** Stereo PCM16 WAV encode: interleaved L/R frames, same container
+    * path as [[encodeWavPcm16]]. */
+  def encodeWavPcm16Stereo(left: Array[Short], right: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    require(left.length == right.length, "stereo channels must align")
+    val pcm = new Array[Byte](left.length * 4)
+    var i = 0
+    while (i < left.length) {
+      pcm(4 * i) = (left(i) & 0xff).toByte
+      pcm(4 * i + 1) = (left(i) >> 8).toByte
+      pcm(4 * i + 2) = (right(i) & 0xff).toByte
+      pcm(4 * i + 3) = (right(i) >> 8).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, left.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** 8-bit G.711 μ-law mono WAV encode (WAVE format code 7; the JDK
+    * writer supports it natively). `samples` are raw μ-law bytes. */
+  def encodeWavUlaw(samples: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      sampleRate, 8, 1, 1, sampleRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sample_rate", IntegerType),
@@ -483,6 +520,97 @@ object Multimodal {
       }
     }
     spark.createDataFrame(rdd, audioFeatureSchema)
+  }
+
+  /** Synthesize the round-8 mixed audio corpus: even doc_ids get a
+    * STEREO PCM16 WAV (left `(d·31 + i·17) % 2001 − 1000`, right
+    * `(d·13 + i·29) % 1601 − 800`, over `100 + d % 50` frames), odd
+    * doc_ids an 8-bit μ-law mono WAV (raw μ-law byte
+    * `(d·7 + i·11) % 256` over `80 + d % 40` frames) — everything a
+    * pure function of doc_id so the decode is oracle-replayable
+    * (μ-law expands by the fixed G.711 table, itself closed-form).
+    */
+  def attachAudio2(docs: DataFrame): DataFrame = {
+    val mk = udf { (docId: Long) =>
+      if (docId % 2 == 0) {
+        val n = 100 + (docId % 50).toInt
+        encodeWavPcm16Stereo(
+          Array.tabulate(n)(i => ((docId * 31 + i * 17L) % 2001 - 1000).toShort),
+          Array.tabulate(n)(i => ((docId * 13 + i * 29L) % 1601 - 800).toShort))
+      } else {
+        val n = 80 + (docId % 40).toInt
+        encodeWavUlaw(Array.tabulate(n)(i => ((docId * 7 + i * 11L) % 256).toByte))
+      }
+    }
+    docs.select(col("doc_id"), mk(col("doc_id")).as("media"))
+  }
+
+  val audioChannelFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("encoding", StringType),
+    StructField("n_channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("mean_abs_l", DoubleType),
+    StructField("peak_l", IntegerType),
+    StructField("mean_abs_r", DoubleType),
+    StructField("peak_r", IntegerType)))
+
+  /** Generalized audio decode: stereo and non-PCM encodings (G.711
+    * μ-law/A-law) via `AudioSystem`'s format conversion — the codec
+    * chain a real ingest needs (container parse → transcode to linear
+    * PCM16 → per-channel amplitude features). Mono rows carry NULL
+    * right-channel stats; exact integer accumulation as in
+    * [[extractAudioFeatures]]. The JDK μ-law expansion was probed
+    * against the G.711 closed form (((2m+33)·2^e − 33)·4 on the
+    * complemented byte) — identical for all 256 code points, which is
+    * what lets the oracle replay a transcoded decode arithmetically.
+    */
+  def extractAudioChannelFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val src = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val sf = src.getFormat
+        val enc = sf.getEncoding match {
+          case AudioFormat.Encoding.ULAW => "ulaw"
+          case AudioFormat.Encoding.ALAW => "alaw"
+          case _ => "pcm16"
+        }
+        val ch = sf.getChannels
+        val linear =
+          if (sf.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+              sf.getSampleSizeInBits == 16 && !sf.isBigEndian) src
+          else AudioSystem.getAudioInputStream(
+            new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, sf.getSampleRate,
+              16, ch, 2 * ch, sf.getSampleRate, false), src)
+        val buf = linear.readAllBytes()
+        linear.close(); src.close()
+        val frames = buf.length / (2 * ch)
+        var sL = 0L; var pL = 0; var sR = 0L; var pR = 0
+        var i = 0
+        while (i < frames) {
+          val o = i * 2 * ch
+          val l = math.abs(((buf(o) & 0xff) | (buf(o + 1) << 8)).toShort.toInt)
+          sL += l; if (l > pL) pL = l
+          if (ch > 1) {
+            val rv = math.abs(((buf(o + 2) & 0xff) | (buf(o + 3) << 8)).toShort.toInt)
+            sR += rv; if (rv > pR) pR = rv
+          }
+          i += 1
+        }
+        def mean(s: Long): Double = new java.math.BigDecimal(s)
+          .divide(java.math.BigDecimal.valueOf(frames.toLong), 6,
+            java.math.RoundingMode.HALF_UP)
+          .doubleValue()
+        Row(id, enc, ch, sf.getSampleRate.toInt, frames, mean(sL), pL,
+          if (ch > 1) mean(sR) else null, if (ch > 1) pR else null)
+      }
+    }
+    spark.createDataFrame(rdd, audioChannelFeatureSchema)
   }
 
   /** Expression-level frame sampling: every `stride`-th fixed-size

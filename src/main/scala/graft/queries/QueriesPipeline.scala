@@ -444,6 +444,15 @@ object QueriesPipeline {
           s, Multimodal.attachAudio(t(s, dir, "documents")))
         .orderBy(col("doc_id"))
     }),
+    // Audio beyond mono PCM16 (round 8): even docs stereo PCM16, odd
+    // docs 8-bit G.711 μ-law mono — container parse, transcode to
+    // linear PCM16, per-channel amplitude features; the oracle replays
+    // the sample formulas, expanding μ-law by its closed form.
+    "q_multimodal_audio2" -> ((s, dir) => {
+      Multimodal.extractAudioChannelFeatures(
+          s, Multimodal.attachAudio2(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
     // Generic opaque-byte stats path (the non-image media shape).
     "q_multimodal_bytes" -> ((s, dir) => {
       Multimodal.extractFeatures(s, Multimodal.attachMedia(t(s, dir, "documents")))
@@ -1338,6 +1347,40 @@ object QueriesPipeline {
         |  CAST(max(abs((d.doc_id*31 + s.i*17) % 2001 - 1000)) AS INT) AS peak
         |FROM documents d
         |JOIN generate_series(0, 148) s(i) ON s.i < 100 + d.doc_id % 50
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_multimodal_audio2" ->
+      // even docs: stereo PCM16, L_i = (d·31+i·17)%2001−1000, R_i =
+      // (d·13+i·29)%1601−800 over 100+d%50 frames; odd docs: μ-law
+      // byte u_i = (d·7+i·11)%256 over 80+d%40 frames, expanded by
+      // G.711: c = 255−u, |linear16| = ((2·(c%16)+33)·2^((c//16)%8)
+      // − 33)·4 (probed identical to the JDK codec for all 256 codes)
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'pcm16' ELSE 'ulaw' END AS encoding,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END AS INT)
+        |    AS n_channels,
+        |  8000 AS sample_rate,
+        |  CAST(CASE WHEN d.doc_id % 2 = 0 THEN 100 + d.doc_id % 50
+        |    ELSE 80 + d.doc_id % 40 END AS INT) AS n_frames,
+        |  round(avg(CASE WHEN d.doc_id % 2 = 0
+        |      THEN abs((d.doc_id*31 + s.i*17) % 2001 - 1000)
+        |      ELSE ((2 * ((255 - (d.doc_id*7 + s.i*11) % 256) % 16) + 33)
+        |        * CAST(power(2, ((255 - (d.doc_id*7 + s.i*11) % 256) // 16) % 8)
+        |          AS BIGINT) - 33) * 4
+        |    END), 6) AS mean_abs_l,
+        |  CAST(max(CASE WHEN d.doc_id % 2 = 0
+        |      THEN abs((d.doc_id*31 + s.i*17) % 2001 - 1000)
+        |      ELSE ((2 * ((255 - (d.doc_id*7 + s.i*11) % 256) % 16) + 33)
+        |        * CAST(power(2, ((255 - (d.doc_id*7 + s.i*11) % 256) // 16) % 8)
+        |          AS BIGINT) - 33) * 4
+        |    END) AS INT) AS peak_l,
+        |  round(avg(CASE WHEN d.doc_id % 2 = 0
+        |    THEN abs((d.doc_id*13 + s.i*29) % 1601 - 800) END), 6) AS mean_abs_r,
+        |  CAST(max(CASE WHEN d.doc_id % 2 = 0
+        |    THEN abs((d.doc_id*13 + s.i*29) % 1601 - 800) END) AS INT) AS peak_r
+        |FROM documents d
+        |JOIN generate_series(0, 149) s(i)
+        |  ON s.i < CASE WHEN d.doc_id % 2 = 0 THEN 100 + d.doc_id % 50
+        |    ELSE 80 + d.doc_id % 40 END
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id,

@@ -226,6 +226,55 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("multimodal: stereo PCM16 and mu-law WAV decode per-channel features") {
+    // G.711 μ-law expansion, closed form: the JDK codec was probed
+    // identical for all 256 code points
+    def ulawAbs(u: Int): Int = {
+      val c = 255 - u
+      ((2 * (c % 16) + 33) * (1 << ((c / 16) % 8)) - 33) * 4
+    }
+    // table pin: encode all 256 μ-law codes, decode through the JDK
+    // chain, and match the closed form exactly
+    val s = spark
+    import s.implicits._
+    val codes = Multimodal.encodeWavUlaw(Array.tabulate(256)(i => i.toByte))
+    val tab = Multimodal.extractAudioChannelFeatures(
+      spark, Seq((1L, codes)).toDF("doc_id", "media")).collect().head
+    assert(tab.getString(1) == "ulaw" && tab.getInt(2) == 1 &&
+      tab.getInt(4) == 256, tab.toString)
+    val expectAll = (0 until 256).map(ulawAbs)
+    assert(tab.getInt(6) == expectAll.max, tab.toString)
+    assert(tab.isNullAt(7) && tab.isNullAt(8), "mono must NULL right channel")
+    val meanAll = (BigDecimal(expectAll.sum) / 256)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(tab.getDouble(5) == meanAll.toDouble, tab.toString)
+    // corpus replay: even docs stereo PCM16, odd docs μ-law mono
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val feats = Multimodal.extractAudioChannelFeatures(
+      spark, Multimodal.attachAudio2(docs)).collect()
+    def m6(xs: Seq[Int]) = (BigDecimal(xs.map(_.toLong).sum) / xs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 2 == 0) {
+        val n = 100 + (id % 50).toInt
+        val l = (0 until n).map(i => math.abs((id * 31 + i * 17L) % 2001 - 1000).toInt)
+        val rt = (0 until n).map(i => math.abs((id * 13 + i * 29L) % 1601 - 800).toInt)
+        assert(r.getString(1) == "pcm16" && r.getInt(2) == 2 &&
+          r.getInt(3) == 8000 && r.getInt(4) == n, r.toString)
+        assert(r.getDouble(5) == m6(l) && r.getInt(6) == l.max, r.toString)
+        assert(r.getDouble(7) == m6(rt) && r.getInt(8) == rt.max, r.toString)
+      } else {
+        val n = 80 + (id % 40).toInt
+        val a = (0 until n).map(i => ulawAbs(((id * 7 + i * 11L) % 256).toInt))
+        assert(r.getString(1) == "ulaw" && r.getInt(2) == 1 &&
+          r.getInt(4) == n, r.toString)
+        assert(r.getDouble(5) == m6(a) && r.getInt(6) == a.max, r.toString)
+        assert(r.isNullAt(7) && r.isNullAt(8), r.toString)
+      }
+    }
+  }
+
   test("multimodal: mixed PNG/JPEG/GIF corpus sniffs and round-trips per container") {
     val docs = Tables.load(spark, sfDir, "documents").limit(24)
     val feats = Multimodal.extractImageFeaturesWithFormat(
