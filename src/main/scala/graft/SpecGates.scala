@@ -82,8 +82,13 @@ object SpecGates {
       val exactHybrid = ids(Ranking.hybridRrfTopK(docs, emb, terms, 7L, k = 15))
       require(exactHybrid.nonEmpty, s"specgates: empty hybrid baseline at $sfDir")
       val annHybrid = ids(Ranking.hybridRrfTopKAnn(docs, emb, terms, 7L, k = 15))
-      gates += Gate("q_text_hybrid_ann", "overlap_at_15",
+      gates += Gate("q_text_hybrid_ann_lsh", "overlap_at_15",
         annHybrid.intersect(exactHybrid).size.toDouble / exactHybrid.size,
+        ">=", 0.6)
+      // r8: the quantized-IVF dense side — what q_text_hybrid_ann runs
+      val ivfHybrid = ids(Ranking.hybridRrfTopKIvf(docs, emb, terms, 7L, k = 15))
+      gates += Gate("q_text_hybrid_ann", "overlap_at_15",
+        ivfHybrid.intersect(exactHybrid).size.toDouble / exactHybrid.size,
         ">=", 0.6)
     }
     unpersist()

@@ -167,14 +167,6 @@ object Ranking {
       dims: Int = 64,
       bands: Int = 16,
       bitsPerBand: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lexRank = bm25Scores(docs, "doc_id", "text", terms)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(candidateM)
-      .withColumn("lex_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("lex_rank"))
-
     // many short bands: on weakly-clustered embeddings the recall of
     // the candidate stage is what the fusion quality rides on
     val vecRank = SimilaritySearch.lshTopK(
@@ -183,7 +175,56 @@ object Ranking {
         k = candidateM, dims = dims, bands = bands,
         bitsPerBand = bitsPerBand)
       .select(col("cand_id").as("doc_id"), col("rk").as("vec_rank"))
+    rrfFuse(lexTopM(docs, terms, candidateM), vecRank, rrfK, k)
+  }
 
+  /** [[hybridRrfTopKAnn]] with the dense side fed by the IVF-bucketed
+    * quantized index ([[SimilaritySearch.quantizedIvfTopK]]) — the
+    * preferred 100 TB retrieval shape: the resident index is ~68 B per
+    * vector of int8 codes, per-query work is corpus·nprobe/numClusters
+    * code cosines plus a bounded float rerank, and the candidate rank
+    * order feeds the same RRF fusion. Gated by overlap vs the exact
+    * hybrid in SpecGates, like the LSH variant.
+    */
+  def hybridRrfTopKIvf(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      terms: Seq[String],
+      queryVecId: Long,
+      k: Int = 15,
+      rrfK: Int = 60,
+      candidateM: Int = 200,
+      numClusters: Int = 16,
+      nprobe: Int = 14,
+      rerankFactor: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
+    // quantizedIvfTopK already excludes query_id == cand_id
+    val vecRank = SimilaritySearch.quantizedIvfTopK(
+        embeddings.filter(col("vec_id") === queryVecId), embeddings,
+        k = candidateM, numClusters = numClusters, nprobe = nprobe,
+        rerankFactor = rerankFactor, kmeansIters = kmeansIters)
+      .select(col("cand_id").as("doc_id"), col("rk").as("vec_rank"))
+    rrfFuse(lexTopM(docs, terms, candidateM), vecRank, rrfK, k)
+  }
+
+  /** BM25 lexical side truncated to the top `candidateM`, ranked by
+    * the same (score desc, id) total order the docstring above argues
+    * makes list-truncation exact for RRF. */
+  private def lexTopM(docs: DataFrame, terms: Seq[String],
+      candidateM: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scores(docs, "doc_id", "text", terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(candidateM)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+  }
+
+  /** Reciprocal-rank fusion of a lexical and a dense candidate list:
+    * full-outer join on doc id + integer-rank arithmetic. */
+  private def rrfFuse(lexRank: DataFrame, vecRank: DataFrame,
+      rrfK: Int, k: Int): DataFrame =
     lexRank.join(vecRank, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         round(
@@ -193,7 +234,6 @@ object Ranking {
         col("lex_rank"), col("vec_rank"))
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** TF-IDF retrieval — the classic weighting BM25 refined (kept as
     * its own operator because public pipelines use it for cheap

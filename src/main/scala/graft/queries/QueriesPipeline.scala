@@ -265,6 +265,19 @@ object QueriesPipeline {
           col("lex_rank").cast("bigint").as("lex_rank"),
           col("vec_rank").cast("bigint").as("vec_rank"))
     }),
+    // ANN-fed hybrid over the quantized-IVF index (round 8) — the
+    // 100 TB retrieval default: dense candidates from int8 code
+    // scoring + bounded rerank, fused with BM25 by RRF. Approximate
+    // by construction → rows-only here; SpecGates bounds its top-15
+    // overlap vs the exact hybrid (≥ 0.6), AnnSpec/SpecGates bound
+    // the candidate stage's recall.
+    "q_text_hybrid_ann" -> ((s, dir) => {
+      Ranking.hybridRrfTopKIvf(t(s, dir, "documents"), t(s, dir, "embeddings"),
+          terms = Seq("vector", "spark", "merge"), queryVecId = 7L, k = 15)
+        .select(col("doc_id"), col("rrf"),
+          col("lex_rank").cast("bigint").as("lex_rank"),
+          col("vec_rank").cast("bigint").as("vec_rank"))
+    }),
     // TF-IDF retrieval (oracle-checked; same posting-list skeleton).
     "q_text_tfidf" -> ((s, dir) => {
       Ranking.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",

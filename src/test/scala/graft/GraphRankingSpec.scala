@@ -123,6 +123,10 @@ class GraphRankingSpec extends SparkSpecBase {
     val ann = ids(Ranking.hybridRrfTopKAnn(docs, emb, terms, 7L, k = 15))
     val overlap = ann.intersect(exact).size.toDouble / exact.size
     assert(overlap >= 0.6, s"overlap@15 = $overlap ($ann vs $exact)")
+    // the quantized-IVF dense side (the q_text_hybrid_ann default)
+    val ivf = ids(Ranking.hybridRrfTopKIvf(docs, emb, terms, 7L, k = 15))
+    val ivfOverlap = ivf.intersect(exact).size.toDouble / exact.size
+    assert(ivfOverlap >= 0.6, s"ivf overlap@15 = $ivfOverlap ($ivf vs $exact)")
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
   }
