@@ -21,7 +21,10 @@ artifact, not the engine. Construction:
   cross-replica cosines are ~0 for the isotropic vectors. vec_id
   offset k*10_000_000; only replica 0 keeps vec_id < 20 (ANN queries).
 
-Usage: python3 tools/gen_sf1.py [srcDir] [outDir]
+Usage: python3 tools/gen_sf1.py [srcDir] [outDir] [replicas]
+(replicas defaults to 10 = sf1; 100 = sf10 — the construction is
+parametric: every replica k uses its own "~k" word suffix and its own
+seeded signed permutation, so dup density is preserved at any scale.)
 """
 import sys
 import numpy as np
@@ -30,6 +33,7 @@ import pyarrow.parquet as pq
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 OFF = 10_000_000
 
 import os
@@ -43,7 +47,7 @@ lang = d.column("lang").to_pylist()
 source = d.column("source").to_pylist()
 
 ids, txts, langs, srcs, nchars = [], [], [], [], []
-for k in range(10):
+for k in range(REPLICAS):
     if k == 0:
         tk = text
     else:
@@ -72,7 +76,7 @@ label = np.asarray(e.column("label").to_pylist(), dtype=np.int32)
 dims = emb.shape[1]
 
 all_ids, all_vecs, all_labels = [], [], []
-for k in range(10):
+for k in range(REPLICAS):
     if k == 0:
         vk = emb
     else:
