@@ -62,8 +62,20 @@ object QueriesPipeline {
         .orderBy(col("id1"), col("id2"))
     }),
     // Embedding-cosine near-dups within label blocks (oracle-checked).
+    // t=0.4 keeps the complete shifted grid: at loose thresholds the
+    // OUTPUT is candidate-shaped anyway and completeness is the
+    // contract — this row is the exactness oracle for the family.
     "q_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy(col("id1"), col("id2"))
+    }),
+    // The DEFAULT high-threshold path (round 8): same public operator,
+    // t=0.9 — threshold-dispatch routes it to the banded sign-LSH plan
+    // (rows-only: probabilistic candidates; recall gated in SpecGates,
+    // grid/banded agreement in DedupSpec). Exists so the scale curve
+    // and the driver measure what a caller actually gets at scale.
+    "q_dedup_embedding_hi" -> ((s, dir) => {
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.9)
         .orderBy(col("id1"), col("id2"))
     }),
     // Sign-LSH banded embedding near-dup (round 7) — the 100 TB path
