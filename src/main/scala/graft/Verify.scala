@@ -27,6 +27,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracleSql is a def that concatenates many maps — build it once
+    val oracle = SparkEntry.oracleSql
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -38,7 +40,7 @@ object Verify {
         // numpy.ndarray") and turns a correct answer into a driver err
         // (q_embed_quantize r6, q_duckdb_funcs4 r7). Serialize such
         // columns with to_json/array_to_string in BOTH statements.
-        if (SparkEntry.oracleSql.contains(name)) {
+        if (oracle.contains(name)) {
           val bad = df.schema.fields.collect {
             case f if !Verify.isDriverSortable(f.dataType) => s"${f.name}:${f.dataType.simpleString}"
           }
@@ -68,7 +70,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -301,36 +301,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Embedding cosine near-dup pairs within a blocking key (label),
-    * using the native codegen'd cosine expression.
-    *
-    * Candidate generation is an EXACT-COMPLETE shifted-grid bucket
-    * join (not approximate LSH): unit-normalized vectors at cosine ≥ t
-    * sit within chord distance r = √(2−2t) of each other, so their
-    * projections onto any unit direction differ by at most r. A 1-D
-    * grid of cell width w > 2r, taken twice with a w/2 shift, is
-    * guaranteed to co-locate any two values at distance < w/2 in at
-    * least one of the two grids (a length-<w/2 interval contains at
-    * most one grid boundary of the interleaved pair). ANDing k
-    * projections over all 2^k shift combinations keeps that guarantee
-    * in k dimensions — so the bucket join provably produces a
-    * candidate superset and the exact cosine verify loses nothing:
-    * the result is identical to the all-pairs formulation, row for
-    * row, while the join is keyed by (label, cells) and therefore
-    * hash-partitionable and AQE-skew-splittable at 100 TB.
-    *
-    * Pruning power scales with the threshold: at near-dup thresholds
-    * (t → 1) w shrinks and the grid separates aggressively; at loose
-    * thresholds (t ≲ 0.5) w exceeds the unit-ball diameter and the
-    * candidate set degenerates toward per-label all-pairs — which is
-    * inherent: the OUTPUT of "all pairs at cosine ≥ 0.4" is itself
-    * quadratic in the worst case, so no candidate scheme can beat it.
-    */
   /** Grid completeness stops paying above this cosine threshold in 64-d
     * (measured round 7); [[embeddingNearDups]] routes to the banded path. */
   private[graft] def dispatchesToBanded(threshold: Double, exact: Boolean): Boolean =
     !exact && threshold >= 0.8
 
+  /** Embedding cosine near-dup pairs within a blocking key (label).
+    *
+    * CONTRACT DEPENDS ON THE THRESHOLD (round 8): at `threshold ≥ 0.8`
+    * the default dispatches to [[bandedEmbeddingNearDups]] — a
+    * PROBABILISTIC sign-LSH candidate stage (recall ≈ 0.98 by the band
+    * sizing, SpecGates-bounded ≥ 0.9; `numProjections` is not used on
+    * that path) with an exact cosine verify, because the complete grid
+    * below is measured quadratic there (27.9× wall for 10× rows at
+    * t=0.9, round-7 curve). Pass `exact = true` to force the complete
+    * grid at any threshold and recover the row-for-row completeness
+    * guarantee described next, at the measured quadratic cost in
+    * high-threshold high-dimension regimes.
+    *
+    * The grid path (loose thresholds, or `exact = true`) is an
+    * EXACT-COMPLETE shifted-grid bucket join (not approximate LSH):
+    * unit-normalized vectors at cosine ≥ t sit within chord distance
+    * r = √(2−2t) of each other, so their projections onto any unit
+    * direction differ by at most r. A 1-D grid of cell width w > 2r,
+    * taken twice with a w/2 shift, is guaranteed to co-locate any two
+    * values at distance < w/2 in at least one of the two grids (a
+    * length-<w/2 interval contains at most one grid boundary of the
+    * interleaved pair). ANDing k projections over all 2^k shift
+    * combinations keeps that guarantee in k dimensions — so the bucket
+    * join provably produces a candidate superset and the exact cosine
+    * verify loses nothing: the result is identical to the all-pairs
+    * formulation, row for row, while the join is keyed by (label,
+    * cells) and therefore hash-partitionable and AQE-skew-splittable
+    * at 100 TB.
+    *
+    * Pruning power scales with the threshold: at near-dup thresholds
+    * (t → 1) w shrinks and the grid separates aggressively — but in
+    * high dimension the projection spread defeats it, hence the
+    * dispatch; at loose thresholds (t ≲ 0.5) w exceeds the unit-ball
+    * diameter and the candidate set degenerates toward per-label
+    * all-pairs — which is inherent: the OUTPUT of "all pairs at
+    * cosine ≥ 0.4" is itself quadratic in the worst case, so no
+    * candidate scheme can beat it.
+    */
   def embeddingNearDups(
       emb: DataFrame,
       threshold: Double = 0.4,

@@ -578,7 +578,12 @@ object Multimodal {
         val enc = sf.getEncoding match {
           case AudioFormat.Encoding.ULAW => "ulaw"
           case AudioFormat.Encoding.ALAW => "alaw"
-          case _ => "pcm16"
+          case AudioFormat.Encoding.PCM_SIGNED
+              if sf.getSampleSizeInBits == 16 => "pcm16"
+          // don't mislabel 8/24/32-bit or float PCM as pcm16 — report
+          // the real encoding so downstream filters stay truthful
+          case e => (e.toString + "_" + sf.getSampleSizeInBits)
+            .toLowerCase.replace(' ', '_')
         }
         val ch = sf.getChannels
         val linear =
@@ -602,10 +607,14 @@ object Multimodal {
           }
           i += 1
         }
-        def mean(s: Long): Double = new java.math.BigDecimal(s)
-          .divide(java.math.BigDecimal.valueOf(frames.toLong), 6,
-            java.math.RoundingMode.HALF_UP)
-          .doubleValue()
+        // a structurally valid WAV may carry an empty data chunk:
+        // NULL means, zero peaks — not a divide-by-zero task failure
+        def mean(s: Long): Any =
+          if (frames == 0) null
+          else new java.math.BigDecimal(s)
+            .divide(java.math.BigDecimal.valueOf(frames.toLong), 6,
+              java.math.RoundingMode.HALF_UP)
+            .doubleValue()
         Row(id, enc, ch, sf.getSampleRate.toInt, frames, mean(sL), pL,
           if (ch > 1) mean(sR) else null, if (ch > 1) pR else null)
       }

@@ -116,13 +116,6 @@ object Ranking {
       rrfK: Int = 60,
       candidateM: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lexRank = bm25Scores(docs, "doc_id", "text", terms)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(candidateM)
-      .withColumn("lex_rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("lex_rank"))
-
     val qe = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qe"))
     val vecRank = embeddings.filter(col("vec_id") =!= queryVecId)
@@ -135,16 +128,7 @@ object Ranking {
       .withColumn("vec_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
       .select(col("doc_id"), col("vec_rank"))
-
-    lexRank.join(vecRank, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(
-          coalesce(lit(1.0) / (col("lex_rank") + rrfK), lit(0.0)) +
-            coalesce(lit(1.0) / (col("vec_rank") + rrfK), lit(0.0)), 6)
-          .as("rrf"),
-        col("lex_rank"), col("vec_rank"))
-      .orderBy(col("rrf").desc, col("doc_id"))
-      .limit(k)
+    rrfFuse(lexTopM(docs, terms, candidateM), vecRank, rrfK, k)
   }
 
   /** [[hybridRrfTopK]] with the dense side fed by sign-LSH ANN

@@ -248,6 +248,13 @@ class TextMultimodalSpec extends SparkSpecBase {
     val meanAll = (BigDecimal(expectAll.sum) / 256)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     assert(tab.getDouble(5) == meanAll.toDouble, tab.toString)
+    // a structurally valid WAV with an empty data chunk must yield a
+    // row (NULL means, zero frames), not a divide-by-zero task failure
+    val empty = Multimodal.extractAudioChannelFeatures(
+      spark, Seq((2L, Multimodal.encodeWavUlaw(Array.empty[Byte])))
+        .toDF("doc_id", "media")).collect().head
+    assert(empty.getInt(4) == 0 && empty.isNullAt(5) && empty.getInt(6) == 0,
+      empty.toString)
     // corpus replay: even docs stereo PCM16, odd docs μ-law mono
     val docs = Tables.load(spark, sfDir, "documents").limit(20)
     val feats = Multimodal.extractAudioChannelFeatures(
