@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, LongType, MapType, StringType, TimestampType}
 
 /** DuckDB-named function aliases over Spark's own expressions — the
@@ -345,6 +345,44 @@ object DuckAliases {
             monthsSince2000(Cast(origin, DateType)))
       }
     }
+    // ---- BIT-string vocabulary (r8): DuckDB's BIT type modeled as
+    // '0'/'1' strings (Spark has no bitstring type; the reference's
+    // wire silently drops BIT columns anyway, cpp:80-83). Probed on
+    // 1.0: bitstring left-pads with '0' (len < input length ERRORS),
+    // get_bit/set_bit index 0-based from the LEFT (out-of-range
+    // ERRORS), bit_position is 1-based with 0 for absent, xor demands
+    // equal lengths. Errors sit in the If TRUE-branch so NULL inputs
+    // fall through to the NULL-propagating value branch. ----
+    alias("bitstring") { e =>
+      val len = Cast(e(1), IntegerType)
+      If(LessThan(len, Length(e(0))),
+        Cast(RaiseError(Literal(
+          "bitstring: length must be equal or larger than input string")),
+          StringType),
+        StringLPad(e(0), len, Literal("0")))
+    }
+    def bitIndexOk(s: Expression, i: Expression): Expression =
+      And(GreaterThanOrEqual(i, Literal(0)), LessThan(i, Length(s)))
+    alias("get_bit") { e =>
+      val i = Cast(e(1), IntegerType)
+      If(Not(bitIndexOk(e(0), i)),
+        Cast(RaiseError(Literal("get_bit: bit index out of valid range")),
+          IntegerType),
+        Cast(Substring(e(0), Add(i, Literal(1)), Literal(1)), IntegerType))
+    }
+    alias("set_bit") { e =>
+      val i = Cast(e(1), IntegerType)
+      If(Not(bitIndexOk(e(0), i)),
+        Cast(RaiseError(Literal("set_bit: bit index out of valid range")),
+          StringType),
+        Concat(Seq(
+          Substring(e(0), Literal(1), i),
+          Cast(Cast(e(2), IntegerType), StringType),
+          Substring(e(0), Add(i, Literal(2)), Literal(Int.MaxValue)))))
+    }
+    alias("bit_count")(e => BitCountPoly(e.head))
+    alias("bit_position")(e => new StringLocate(e(0), e(1)))
+    alias("xor")(e => XorPoly(e(0), e(1)))
     // ---- date-name long-tail (r7) ----
     alias("monthname")(e =>
       new DateFormatClass(Cast(e.head, TimestampType), Literal("MMMM")))
@@ -542,4 +580,47 @@ case class LenPoly(child: Expression) extends RuntimeReplaceable
   }
   override protected def withNewChildInternal(newChild: Expression): LenPoly =
     copy(child = newChild)
+}
+
+/** DuckDB's `bit_count`, polymorphic like [[LenPoly]]: on a BIT-string
+  * ('0'/'1' chars — graft's model of the BIT type, which Spark lacks)
+  * it counts set bits by character; on integral inputs it defers to
+  * Spark's native BitwiseCount so integer callers keep their builtin.
+  */
+case class BitCountPoly(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => Subtract(Length(child),
+      Length(StringReplace(child, Literal("1"), Literal(""))))
+    case _ => BitwiseCount(child)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BitCountPoly =
+    copy(child = newChild)
+}
+
+/** DuckDB's `xor`, polymorphic: BIT-strings xor per character (equal
+  * lengths enforced, like DuckDB's "Bitstring lengths must be equal"),
+  * anything else defers to integer BitwiseXor.
+  */
+case class XorPoly(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (StringType, StringType) =>
+      // a replacement must be fully RESOLVED, so build the lambda with
+      // a resolved NamedLambdaVariable, not the unresolved form
+      val i = NamedLambdaVariable("xi",
+        org.apache.spark.sql.types.IntegerType, nullable = false)
+      val body = If(
+        EqualTo(Substring(left, i, Literal(1)), Substring(right, i, Literal(1))),
+        Literal("0"), Literal("1"))
+      If(Not(EqualTo(Length(left), Length(right))),
+        Cast(RaiseError(Literal("xor: bitstring lengths must be equal")),
+          StringType),
+        ArrayJoin(ArrayTransform(
+          new Sequence(Literal(1), Length(left), None, Some("UTC")),
+          LambdaFunction(body, Seq(i))), Literal(""), None))
+    case _ => BitwiseXor(left, right)
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): XorPoly = copy(left = newLeft, right = newRight)
 }

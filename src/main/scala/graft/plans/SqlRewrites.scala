@@ -49,7 +49,11 @@ object SqlRewrites {
   private val pgTypeAliases = Map(
     "int2" -> "smallint", "int4" -> "int", "int8" -> "bigint",
     "float4" -> "float", "float8" -> "double", "bool" -> "boolean",
-    "bytea" -> "binary")
+    "bytea" -> "binary",
+    // bare VARCHAR (no length) — legal in pg/DuckDB, a parse error in
+    // Spark; the parenthesized VARCHAR(n) form is excluded by the
+    // regexes (castAs demands a `)` next, castOp a non-`(`)
+    "varchar" -> "string")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
   /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
@@ -87,7 +91,7 @@ object SqlRewrites {
   private val usingSample =
     """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?""".r
 
-  private val castOp = s"""(?i)::\\s*($aliasAlt)\\b""".r
+  private val castOp = s"""(?i)::\\s*($aliasAlt)\\b(?!\\s*\\()""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
   /** single-level JSON arrows on a column/paren expr with a string or

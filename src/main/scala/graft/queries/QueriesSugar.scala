@@ -190,6 +190,29 @@ object QueriesSugar {
         |  CAST(yearweek(make_date(2024, CAST(1 + doc_id % 12 AS INT),
         |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS yw
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // BIT-string vocabulary (round 8): bitstring/get_bit/set_bit/
+    // bit_count/bit_position/xor — DuckDB's BIT type modeled as
+    // '0'/'1' strings, statements shared by feeding every function a
+    // bitstring() result (which DuckDB types as BIT) and casting BIT
+    // outputs to VARCHAR on both sides.
+    "q_duckdb_bits" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  CAST(bitstring(CASE WHEN doc_id % 2 = 0 THEN '0101' ELSE '111' END,
+        |    8) AS VARCHAR) AS bs,
+        |  CAST(get_bit(bitstring('0110', 8), CAST(doc_id % 8 AS INT)) AS INT)
+        |    AS gb,
+        |  CAST(set_bit(bitstring('0110', 8), CAST(doc_id % 8 AS INT), 1)
+        |    AS VARCHAR) AS sb,
+        |  CAST(bit_count(bitstring(CASE WHEN doc_id % 3 = 0 THEN '01011'
+        |    ELSE '1001' END, 12)) AS BIGINT) AS bc,
+        |  CAST(bit_position(bitstring('01', 2),
+        |    bitstring(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '110101'
+        |      WHEN 1 THEN '000000' WHEN 2 THEN '010101'
+        |      ELSE '111111' END, 6)) AS BIGINT) AS bp,
+        |  CAST(xor(bitstring('0110', 8),
+        |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
+        |      8)) AS VARCHAR) AS bx
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Long-tail DuckDB date vocabulary: 3-arg date_diff (boundary
     // crossings) vs 3-arg date_sub (complete intervals), epoch/
     // epoch_ms — identical statement in both engines.
@@ -357,6 +380,24 @@ object QueriesSugar {
         |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS wk,
         |  CAST(yearweek(make_date(2024, CAST(1 + doc_id % 12 AS INT),
         |    CAST(1 + doc_id % 28 AS INT))) AS INT) AS yw
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_bits" ->
+      """SELECT doc_id,
+        |  CAST(bitstring(CASE WHEN doc_id % 2 = 0 THEN '0101' ELSE '111' END,
+        |    8) AS VARCHAR) AS bs,
+        |  CAST(get_bit(bitstring('0110', 8), CAST(doc_id % 8 AS INT)) AS INT)
+        |    AS gb,
+        |  CAST(set_bit(bitstring('0110', 8), CAST(doc_id % 8 AS INT), 1)
+        |    AS VARCHAR) AS sb,
+        |  CAST(bit_count(bitstring(CASE WHEN doc_id % 3 = 0 THEN '01011'
+        |    ELSE '1001' END, 12)) AS BIGINT) AS bc,
+        |  CAST(bit_position(bitstring('01', 2),
+        |    bitstring(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN '110101'
+        |      WHEN 1 THEN '000000' WHEN 2 THEN '010101'
+        |      ELSE '111111' END, 6)) AS BIGINT) AS bp,
+        |  CAST(xor(bitstring('0110', 8),
+        |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
+        |      8)) AS VARCHAR) AS bx
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_dates" ->
       """SELECT o_orderkey,

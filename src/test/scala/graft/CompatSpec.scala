@@ -723,6 +723,43 @@ class CompatSpec extends SparkSpecBase {
     assert(m.getString(8) == "2024-03-11 00:00:00", m.toString) // bucket(ts-off)+off
   }
 
+  test("BIT-string vocabulary (r8, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT CAST(bitstring('0101', 8) AS VARCHAR) AS bs,
+        |  CAST(get_bit(bitstring('0110', 8), 6) AS INT) AS gb,
+        |  CAST(set_bit(bitstring('0110', 8), 0, 1) AS VARCHAR) AS sb,
+        |  CAST(bit_count(bitstring('01011', 12)) AS BIGINT) AS bc,
+        |  CAST(bit_position(bitstring('01', 2), bitstring('110101', 6))
+        |    AS BIGINT) AS bp,
+        |  CAST(bit_position(bitstring('11', 2), bitstring('00100', 5))
+        |    AS BIGINT) AS bp0,
+        |  CAST(xor(bitstring('0110', 8), bitstring('0011', 8)) AS VARCHAR)
+        |    AS bx,
+        |  CAST(xor(12, 10) AS BIGINT) AS ix,
+        |  CAST(bit_count(11) AS INT) AS ic,
+        |  bitstring(CAST(NULL AS STRING), 8) AS bn,
+        |  get_bit(CAST(NULL AS STRING), 1) AS gn""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "00000101", r.toString)
+    assert(r.getInt(1) == 1, r.toString) // '00000110'(6) — 0-based from left
+    assert(r.getString(2) == "10000110", r.toString)
+    assert(r.getLong(3) == 3L, r.toString)
+    assert(r.getLong(4) == 3L && r.getLong(5) == 0L, r.toString)
+    assert(r.getString(6) == "00000101", r.toString)
+    assert(r.getLong(7) == 6L && r.getInt(8) == 3, r.toString) // int forms intact
+    assert(r.isNullAt(9) && r.isNullAt(10), r.toString)
+    intercept[Exception] { // len < input length errors like DuckDB
+      Engine.query(spark, "SELECT bitstring('0101', 3) AS x").collect()
+    }
+    intercept[Exception] { // out-of-range index errors like DuckDB
+      Engine.query(spark, "SELECT get_bit(bitstring('0110', 4), 4) AS x").collect()
+    }
+    intercept[Exception] { // unequal xor lengths error like DuckDB
+      Engine.query(spark,
+        "SELECT xor(bitstring('01', 2), bitstring('011', 3)) AS x").collect()
+    }
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
