@@ -62,6 +62,14 @@ object Engine {
       case DropMacroRe(ifExists, name) =>
         Macros.drop(name, ifExists != null)
         spark.emptyDataFrame
+      case CreateEnumRe(orReplace, ifNotExists, name, body) =>
+        val vals = EnumValueRe.findAllMatchIn(body)
+          .map(_.group(1).replace("''", "'")).toSeq
+        EnumTypes.define(name, vals, orReplace != null, ifNotExists != null)
+        spark.emptyDataFrame
+      case DropTypeRe(ifExists, name) =>
+        EnumTypes.drop(name, ifExists != null)
+        spark.emptyDataFrame
       case CreateSequenceRe(orReplace, ifNotExists, name, tail) =>
         val t = if (tail == null) "" else tail
         val start = SeqStartRe.findFirstMatchIn(t).map(_.group(1).toLong)
@@ -122,6 +130,12 @@ object Engine {
       "([\\w\"]+)\\s*\\((.*?)\\)\\s*AS\\s+(TABLE\\s+)?(.+?);?\\s*\\z").r
   private val DropMacroRe =
     "(?is)\\A\\s*DROP\\s+(?:FUNCTION|MACRO)\\s+(?:TABLE\\s+)?(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
+  private val CreateEnumRe =
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)\\s+AS\\s+ENUM\\s*\\((.*?)\\)\\s*;?\\s*\\z").r
+  private val DropTypeRe =
+    "(?is)\\A\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
+  private val EnumValueRe = "'((?:[^']|'')*)'".r
   private val CreateSequenceRe =
     ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?SEQUENCE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)((?:\\s+\\w+.*?)?)\\s*;?\\s*\\z").r

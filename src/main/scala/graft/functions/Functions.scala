@@ -87,6 +87,28 @@ object Functions {
       spark.udf.register("currval",
         org.apache.spark.sql.functions.udf((name: String) => Sequences.curr(name))
           .asNondeterministic())
+      // ENUM registry functions (EnumTypes.scala; reached through the
+      // SqlRewrites enum-cast pass, never written by users directly).
+      // Deterministic — enum membership binds at plan time like DuckDB.
+      spark.udf.register("graft_enum_cast",
+        org.apache.spark.sql.functions.udf(
+          (name: String, v: String) => EnumTypes.cast(name, v)))
+      spark.udf.register("graft_enum_code",
+        org.apache.spark.sql.functions.udf(
+          (name: String, v: String) => EnumTypes.code(name, v)))
+      spark.udf.register("graft_enum_range",
+        org.apache.spark.sql.functions.udf(
+          (name: String) => EnumTypes.values(name)))
+      spark.udf.register("graft_enum_first",
+        org.apache.spark.sql.functions.udf(
+          (name: String) => EnumTypes.first(name)))
+      spark.udf.register("graft_enum_last",
+        org.apache.spark.sql.functions.udf(
+          (name: String) => EnumTypes.last(name)))
+      spark.udf.register("graft_enum_range_boundary",
+        org.apache.spark.sql.functions.udf(
+          (name: String, a: String, b: String) =>
+            EnumTypes.rangeBoundary(name, a, b)))
       // DuckDB-named aliases over Spark builtins (len, list_*, ...)
       DuckAliases.registerAll(spark)
       spark.conf.set(marker, "true")

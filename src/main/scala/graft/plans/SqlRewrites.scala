@@ -470,13 +470,61 @@ object SqlRewrites {
         }
     }
 
-  def rewriteFull(sql: String): Rewritten = {
+  /** ENUM sugar → registry functions (EnumTypes). Fires only when at
+    * least one enum type is defined AND the statement mentions `::`,
+    * `cast` or `enum_` — so the common path pays one Set lookup. The
+    * enum_* function forms go first (they need the TYPE NAME, which a
+    * plain value-cast rewrite would erase), then postfix/CAST casts.
+    */
+  private val enumFnNullCast =
+    """(?i)\benum_(range|first|last)\s*\(\s*NULL\s*::\s*([\w"]+)\s*\)""".r
+  private val enumCodeCast =
+    """(?i)\benum_code\s*\(\s*([^(),]+?)\s*::\s*([\w"]+)\s*\)""".r
+  private val enumRangeBoundaryRe =
+    ("""(?i)\benum_range_boundary\s*\(\s*([^(),]+?)\s*::\s*([\w"]+)""" +
+      """\s*,\s*([^(),]+?)\s*::\s*([\w"]+)\s*\)""").r
+  private val enumPostfixCast =
+    """('(?:[^']|'')*'|[\w."]+)\s*::\s*([\w"]+)""".r
+  private val enumCastAsRe =
+    """(?i)\bCAST\s*\(\s*([^()]+?)\s+AS\s+([\w"]+)\s*\)""".r
+  private def rewriteEnums(sql: String): String = {
+    val enums = EnumTypes.names()
+    if (enums.isEmpty) return sql
+    def isE(n: String) =
+      enums.contains(n.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+    val q = java.util.regex.Matcher.quoteReplacement _
+    val s1 = enumFnNullCast.replaceAllIn(sql, m =>
+      if (isE(m.group(2)))
+        q(s"graft_enum_${m.group(1).toLowerCase}('${m.group(2)}')")
+      else q(m.matched))
+    val s2 = enumRangeBoundaryRe.replaceAllIn(s1, m =>
+      if (isE(m.group(2)) && isE(m.group(4)))
+        q(s"graft_enum_range_boundary('${m.group(2)}', ${m.group(1)}, ${m.group(3)})")
+      else q(m.matched))
+    val s3 = enumCodeCast.replaceAllIn(s2, m =>
+      if (isE(m.group(2)))
+        q(s"graft_enum_code('${m.group(2)}', ${m.group(1)})")
+      else q(m.matched))
+    val s4 = enumPostfixCast.replaceAllIn(s3, m =>
+      if (isE(m.group(2)))
+        q(s"graft_enum_cast('${m.group(2)}', ${m.group(1)})")
+      else q(m.matched))
+    enumCastAsRe.replaceAllIn(s4, m =>
+      if (isE(m.group(2)))
+        q(s"graft_enum_cast('${m.group(2)}', ${m.group(1)})")
+      else q(m.matched))
+  }
+
+  def rewriteFull(sqlIn: String): Rewritten = {
     // Cheap pre-scan gates: this pre-pass runs on EVERY statement the
     // parser sees (GraftParser seam), and most statements trigger no
     // rewrite — an indexOf is ~100× cheaper than a full regex pass, so
     // each pass first checks for its trigger substring. Semantics are
     // unchanged: a pattern can only match if its literal anchor occurs.
-    val low = sql.toLowerCase
+    val lowIn = sqlIn.toLowerCase
+    val sql = if (lowIn.contains("::") || lowIn.contains("cast") ||
+        lowIn.contains("enum_")) rewriteEnums(sqlIn) else sqlIn
+    val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser
     // special-cases those names (builds TimestampDiff in AstBuilder,

@@ -760,6 +760,47 @@ class CompatSpec extends SparkSpecBase {
     }
   }
 
+  test("ENUM types: DDL, casts, enum_* functions (r8, probed 1.0)") {
+    Engine.query(spark, "CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    try {
+      val r = Engine.query(spark,
+        """SELECT 'ok'::mood AS c,
+          |  CAST('happy' AS mood) AS c2,
+          |  NULL::mood AS cn,
+          |  enum_range(NULL::mood) AS rng,
+          |  enum_first(NULL::mood) AS f,
+          |  enum_last(NULL::mood) AS l,
+          |  enum_code('happy'::mood) AS code,
+          |  enum_range_boundary('sad'::mood, 'ok'::mood) AS rb""".stripMargin)
+        .collect().head
+      assert(r.getString(0) == "ok" && r.getString(1) == "happy", r.toString)
+      assert(r.isNullAt(2), r.toString)
+      assert(r.getSeq[String](3) == Seq("sad", "ok", "happy"), r.toString)
+      assert(r.getString(4) == "sad" && r.getString(5) == "happy", r.toString)
+      assert(r.getInt(6) == 2, r.toString) // 0-based definition index
+      assert(r.getSeq[String](7) == Seq("sad", "ok"), r.toString) // inclusive
+      intercept[Exception] { // non-member cast errors like DuckDB
+        Engine.query(spark, "SELECT 'nope'::mood AS x").collect()
+      }
+      intercept[Exception] { // duplicate CREATE without OR REPLACE
+        Engine.query(spark, "CREATE TYPE mood AS ENUM ('a')")
+      }
+      // IF NOT EXISTS no-ops; OR REPLACE redefines
+      Engine.query(spark, "CREATE TYPE IF NOT EXISTS mood AS ENUM ('x')")
+      assert(Engine.query(spark, "SELECT enum_first(NULL::mood) AS f")
+        .collect().head.getString(0) == "sad")
+      Engine.query(spark, "CREATE OR REPLACE TYPE mood AS ENUM ('lo', 'hi')")
+      assert(Engine.query(spark, "SELECT enum_range(NULL::mood) AS r")
+        .collect().head.getSeq[String](0) == Seq("lo", "hi"))
+      // a non-enum ::cast in the same statement stays a plain cast
+      assert(Engine.query(spark, "SELECT '7'::int8 + enum_code('hi'::mood) AS n")
+        .collect().head.getLong(0) == 8L)
+    } finally Engine.query(spark, "DROP TYPE IF EXISTS mood")
+    intercept[Exception] { // dropped type is gone
+      Engine.query(spark, "DROP TYPE mood")
+    }
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")

@@ -160,6 +160,24 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("ENUM values cross the wire (reference drops ENUM columns)") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    val (_, _, _, e0) = c.query("CREATE TYPE wmood AS ENUM ('sad', 'happy')")
+    assert(e0.isEmpty, e0)
+    val (cols, rows, _, errs) = c.query(
+      "SELECT 'happy'::wmood AS m, enum_code('happy'::wmood) AS c, " +
+        "enum_range(NULL::wmood) AS r")
+    assert(errs.isEmpty, errs)
+    assert(cols == Seq("m", "c", "r"))
+    assert(rows.head(0) == Some("happy") && rows.head(1) == Some("1"))
+    assert(rows.head(2) == Some("{sad,happy}"))
+    val (_, _, _, e1) = c.query("DROP TYPE wmood")
+    assert(e1.isEmpty, e1)
+    c.close()
+  }
+
   test("errors carry SQLSTATE and connection survives") {
     val (_, port) = server
     val c = new Client(port)
