@@ -476,6 +476,74 @@ object DuckAliases {
     alias("duck_datesub")(e =>
       TimestampDiff(partName(e(0)),
         Cast(e(1), TimestampType), Cast(e(2), TimestampType)))
+    // ---- statistical-aggregate long tail (r8). DuckDB's skewness/
+    // kurtosis are the SAMPLE-corrected estimators (probed:
+    // skewness([1,2,3,4,5,9]) = 1.19324..., i.e. g1*sqrt(n(n-1))/(n-2);
+    // kurtosis = G2 = ((n-1)/((n-2)(n-3)))*((n+1)*g2+6)); Spark's
+    // builtins are the population moments g1/g2, so the DuckDB names
+    // SHADOW them with the corrected forms here. Both are NULL below
+    // the minimum n and for zero variance (Spark yields NaN there —
+    // probed DuckDB yields NULL). ----
+    locally {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, CollectSet, Count, First, Kurtosis, Percentile, Skewness}
+      def dbl(ex: Expression) = Cast(ex, DoubleType)
+      def nOf(x: Expression) = dbl(Count(x).toAggregateExpression())
+      alias("skewness") { e =>
+        val x = dbl(e.head)
+        val g1 = Skewness(x).toAggregateExpression()
+        val n = nOf(x)
+        val corr = Divide(
+          Sqrt(Multiply(n, Subtract(n, Literal(1.0d)))),
+          Subtract(n, Literal(2.0d)))
+        If(Or(LessThan(n, Literal(3.0d)), IsNaN(g1)),
+          Literal(null, DoubleType), Multiply(g1, corr))
+      }
+      alias("kurtosis") { e =>
+        val x = dbl(e.head)
+        val g2 = Kurtosis(x).toAggregateExpression()
+        val n = nOf(x)
+        val res = Multiply(
+          Divide(Subtract(n, Literal(1.0d)),
+            Multiply(Subtract(n, Literal(2.0d)), Subtract(n, Literal(3.0d)))),
+          Add(Multiply(Add(n, Literal(1.0d)), g2), Literal(6.0d)))
+        If(Or(LessThan(n, Literal(4.0d)), IsNaN(g2)),
+          Literal(null, DoubleType), res)
+      }
+      alias("mad")(e => MadAgg(dbl(e.head)).toAggregateExpression())
+      alias("entropy")(e =>
+        EntropyAgg(Cast(e.head, StringType)).toAggregateExpression())
+      // quantile_cont = Spark's interpolating percentile (same probe
+      // result on [1,2,3,10] at 0.25 → 1.75); quantile_disc picks the
+      // sorted element at max(1, ceil(q*n)) 1-based (probed:
+      // [1,2,3,4] at 0.51 → 3, at 0.50/0.49 → 2; q=0 → first).
+      alias("quantile_cont")(e =>
+        new Percentile(dbl(e(0)), e(1)).toAggregateExpression())
+      def qdisc(x: Expression, q: Expression): Expression = {
+        val sorted = new SortArray(CollectList(x).toAggregateExpression())
+        val n = Size(sorted, legacySizeOfNull = false)
+        val idx = Greatest(Seq(Literal(1),
+          Cast(Ceil(Multiply(Cast(q, DoubleType), Cast(n, DoubleType))),
+            IntegerType)))
+        // empty group → idx 1 over an empty list → NULL (failOnError
+        // keeps ANSI from erroring on the out-of-bounds probe)
+        ElementAt(sorted, idx, None, failOnError = false)
+      }
+      alias("quantile_disc")(e => qdisc(e(0), e(1)))
+      alias("quantile")(e => qdisc(e(0), e(1)))
+      alias("arbitrary")(e =>
+        First(e.head, ignoreNulls = false).toAggregateExpression())
+      // bitstring_agg demands explicit bounds, like DuckDB does
+      // without table statistics
+      alias("bitstring_agg") {
+        case Seq(x, lo, hi) =>
+          BitstringFromSet(
+            new SortArray(CollectSet(Cast(x, LongType)).toAggregateExpression()),
+            Cast(lo, LongType), Cast(hi, LongType))
+        case _ => throw new IllegalArgumentException(
+          "bitstring_agg requires explicit min/max bounds: " +
+            "bitstring_agg(col, min, max)")
+      }
+    }
   }
 
   private def partName(p: Expression): String = p match {

@@ -213,6 +213,37 @@ object QueriesSugar {
         |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
         |      8)) AS VARCHAR) AS bx
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Statistical-aggregate long tail (round 8): the nine-function
+    // regr_* family, sample-corrected skewness/kurtosis, mad, Shannon
+    // entropy, quantile_cont/disc, count_if, bitstring_agg — identical
+    // statement in both engines, hash-checked 1:1. The huge-magnitude
+    // sums-of-squares (sxx/syy/sxy) are ln-compressed before rounding
+    // so 1e-12 relative engine noise can't flip a 6-decimal digit.
+    "q_duckdb_stats" -> ((s, dir) => sql(s, dir,
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS r_slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r_r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS r_avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS r_avgy,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS r_n,
+        |  round(ln(1 + abs(regr_sxx(l_extendedprice, l_quantity)))
+        |    * sign(regr_sxx(l_extendedprice, l_quantity)), 6) AS r_lnsxx,
+        |  round(ln(1 + abs(regr_syy(l_extendedprice, l_quantity)))
+        |    * sign(regr_syy(l_extendedprice, l_quantity)), 6) AS r_lnsyy,
+        |  round(ln(1 + abs(regr_sxy(l_extendedprice, l_quantity)))
+        |    * sign(regr_sxy(l_extendedprice, l_quantity)), 6) AS r_lnsxy,
+        |  round(skewness(CAST(l_quantity AS DOUBLE)), 6) AS skew,
+        |  round(kurtosis(CAST(l_quantity AS DOUBLE)), 6) AS kurt,
+        |  round(CAST(mad(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) AS madq,
+        |  round(entropy(l_linenumber), 6) AS ent,
+        |  round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25)
+        |    AS DOUBLE), 6) AS q25,
+        |  round(CAST(quantile_disc(CAST(l_quantity AS DOUBLE), 0.6)
+        |    AS DOUBLE), 6) AS q60d,
+        |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
+        |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     // Long-tail DuckDB date vocabulary: 3-arg date_diff (boundary
     // crossings) vs 3-arg date_sub (complete intervals), epoch/
     // epoch_ms — identical statement in both engines.
@@ -399,6 +430,31 @@ object QueriesSugar {
         |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
         |      8)) AS VARCHAR) AS bx
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_stats" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS r_slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r_r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS r_avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS r_avgy,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS r_n,
+        |  round(ln(1 + abs(regr_sxx(l_extendedprice, l_quantity)))
+        |    * sign(regr_sxx(l_extendedprice, l_quantity)), 6) AS r_lnsxx,
+        |  round(ln(1 + abs(regr_syy(l_extendedprice, l_quantity)))
+        |    * sign(regr_syy(l_extendedprice, l_quantity)), 6) AS r_lnsyy,
+        |  round(ln(1 + abs(regr_sxy(l_extendedprice, l_quantity)))
+        |    * sign(regr_sxy(l_extendedprice, l_quantity)), 6) AS r_lnsxy,
+        |  round(skewness(CAST(l_quantity AS DOUBLE)), 6) AS skew,
+        |  round(kurtosis(CAST(l_quantity AS DOUBLE)), 6) AS kurt,
+        |  round(CAST(mad(CAST(l_quantity AS DOUBLE)) AS DOUBLE), 6) AS madq,
+        |  round(entropy(l_linenumber), 6) AS ent,
+        |  round(CAST(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25)
+        |    AS DOUBLE), 6) AS q25,
+        |  round(CAST(quantile_disc(CAST(l_quantity AS DOUBLE), 0.6)
+        |    AS DOUBLE), 6) AS q60d,
+        |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
+        |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_duckdb_dates" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', DATE '1995-06-15', o_orderdate) AS BIGINT)

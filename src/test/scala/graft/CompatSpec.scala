@@ -801,6 +801,74 @@ class CompatSpec extends SparkSpecBase {
     }
   }
 
+  test("statistical-aggregate long tail (r8, probed 1.0)") {
+    // skewness/kurtosis are the SAMPLE-corrected estimators; probed:
+    // skewness([1,2,3,4,5,9]) = 1.1932426932522993, kurtosis = 1.66875;
+    // below minimum n (3 / 4) and for zero variance both are NULL.
+    val r = Engine.query(spark,
+      """SELECT round(skewness(x), 9) AS sk, round(kurtosis(x), 9) AS ku
+        |FROM VALUES (1.0),(2.0),(3.0),(4.0),(5.0),(9.0) AS t(x)"""
+        .stripMargin).collect().head
+    assert(r.getDouble(0) == 1.193242693, r.toString)
+    assert(r.getDouble(1) == 1.66875, r.toString)
+    val small = Engine.query(spark,
+      """SELECT skewness(x) AS s2, kurtosis(y) AS k3, skewness(c) AS sc
+        |FROM (SELECT x, x AS y, 5.0 AS c
+        |      FROM VALUES (1.0),(2.0),(3.0) AS t(x))""".stripMargin)
+      .collect().head
+    // n=3 has skewness but no kurtosis; constant column → NULL (NaN
+    // from the population moment is mapped to DuckDB's NULL)
+    assert(!small.isNullAt(0) && small.isNullAt(1) && small.isNullAt(2),
+      small.toString)
+    // mad: interpolated median of |x - median| (probed [1,2,4,10] → 1.5);
+    // entropy: Shannon base 2, empty/all-NULL group → 0.0 NOT NULL;
+    // quantile_disc: sorted element at max(1, ceil(q*n)) (probed
+    // [1,2,3,4]: 0.49→2, 0.50→2, 0.51→3); quantile_cont interpolates.
+    val r2 = Engine.query(spark,
+      """SELECT mad(x) AS md, entropy(x) AS ent,
+        |  CAST(quantile_disc(x, 0.49) AS DOUBLE) AS q49,
+        |  CAST(quantile_disc(x, 0.50) AS DOUBLE) AS q50,
+        |  CAST(quantile_disc(x, 0.51) AS DOUBLE) AS q51,
+        |  quantile_cont(x, 0.25) AS qc,
+        |  CAST(quantile(x, 1.0) AS DOUBLE) AS qtop
+        |FROM VALUES (1.0),(2.0),(4.0),(10.0) AS t(x)""".stripMargin)
+      .collect().head
+    assert(r2.getDouble(0) == 1.5, r2.toString)
+    assert(r2.getDouble(1) == 2.0, r2.toString) // 4 distinct of 4 → log2(4)
+    assert(r2.getDouble(2) == 2.0 && r2.getDouble(3) == 2.0 &&
+      r2.getDouble(4) == 4.0, r2.toString)
+    assert(r2.getDouble(5) == 1.75, r2.toString)
+    assert(r2.getDouble(6) == 10.0, r2.toString)
+    val empty = Engine.query(spark,
+      """SELECT entropy(x) AS e0, mad(x) AS m0, quantile_disc(x, 0.5) AS q0
+        |FROM (SELECT CAST(NULL AS DOUBLE) AS x
+        |      FROM VALUES (1),(2) AS t(i))""".stripMargin).collect().head
+    assert(empty.getDouble(0) == 0.0, empty.toString)
+    assert(empty.isNullAt(1) && empty.isNullAt(2), empty.toString)
+    // bitstring_agg renders set bits left-indexed from min (probed
+    // {1,3,5} over [0,7] → '01010100'); out-of-range values error;
+    // the statistics-free 2-arg form errors like DuckDB's binder.
+    val bits = Engine.query(spark,
+      """SELECT CAST(bitstring_agg(x, 0, 7) AS VARCHAR) AS bs
+        |FROM VALUES (1),(3),(5) AS t(x)""".stripMargin).collect().head
+    assert(bits.getString(0) == "01010100", bits.toString)
+    val oob = intercept[Exception] {
+      Engine.query(spark,
+        "SELECT bitstring_agg(x, 0, 3) FROM VALUES (9) AS t(x)").collect()
+    }
+    assert(oob.getMessage != null)
+    val noBounds = intercept[Exception] {
+      Engine.query(spark,
+        "SELECT bitstring_agg(x) FROM VALUES (1) AS t(x)").collect()
+    }
+    assert(noBounds.getMessage.contains("min/max"), noBounds.getMessage)
+    // arbitrary = some value of the group (DuckDB's order-free pick)
+    val arb = Engine.query(spark,
+      "SELECT arbitrary(x) AS a FROM VALUES (7),(7),(7) AS t(x)")
+      .collect().head
+    assert(arb.getInt(0) == 7, arb.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
