@@ -38,7 +38,13 @@ object DuckAliases {
     alias("list_sort")(e => new SortArray(e.head))
     alias("list_reverse_sort")(e => SortArray(e.head, Literal(false)))
     alias("list_unique")(e => Size(ArrayDistinct(e.head), false))
-    alias("array_to_string")(e => ArrayJoin(e(0), e(1), None))
+    // DuckDB's array_to_string is string_agg-shaped: an EMPTY list
+    // yields NULL, not '' (probed; NULL elements are skipped, which
+    // ArrayJoin already does). A NULL list falls through the If's
+    // null predicate into ArrayJoin(NULL) = NULL.
+    alias("array_to_string")(e =>
+      If(EqualTo(Size(e(0), legacySizeOfNull = false), Literal(0)),
+        Literal(null, StringType), ArrayJoin(e(0), e(1), None)))
     alias("list_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
     alias("regexp_matches")(e => RLike(e(0), e(1)))
     alias("range") {
@@ -543,6 +549,71 @@ object DuckAliases {
           "bitstring_agg requires explicit min/max bounds: " +
             "bitstring_agg(col, min, max)")
       }
+    }
+    // ---- regexp / path / md5-number scalar wave (r8; probed 1.0,
+    // edge pins in CompatSpec, expressions in ScalarExtras.scala) ----
+    // DuckDB's regexp_extract_all defaults to group 0 (the full
+    // match); Spark's builtin of the same name defaults to group 1 —
+    // shadow it with the DuckDB default.
+    alias("regexp_extract_all") {
+      case Seq(s, re) => RegExpExtractAll(s, re, Literal(0))
+      case Seq(s, re, g) => RegExpExtractAll(s, re, g)
+    }
+    alias("regexp_full_match")(e =>
+      RLike(e(0), Concat(Seq(Literal("^(?:"), e(1), Literal(")$")))))
+    alias("regexp_escape")(e => RegexpEscape(e.head))
+    def sepArg(e: Seq[Expression], at: Int): Expression =
+      if (e.length > at) e(at) else Literal("both_slash")
+    alias("parse_path")(e => ParsePath(e.head, sepArg(e, 1)))
+    alias("parse_dirname")(e => ParseDirname(e.head, sepArg(e, 1)))
+    alias("parse_dirpath")(e => ParseDirpath(e.head, sepArg(e, 1)))
+    // parse_filename(path[, trim_extension][, separator]) — the middle
+    // boolean is optional; a string literal in position 2 is the
+    // separator form (DuckDB's overload set)
+    alias("parse_filename") {
+      case Seq(p) => ParseFilename(p, Literal(false), Literal("both_slash"))
+      case Seq(p, Literal(s, StringType)) =>
+        ParseFilename(p, Literal(false), Literal(s, StringType))
+      case Seq(p, trim) => ParseFilename(p, trim, Literal("both_slash"))
+      case Seq(p, trim, sep) => ParseFilename(p, trim, sep)
+    }
+    def escChar(ex: Expression, fn: String): Char = ex match {
+      case Literal(s, StringType) if s != null && s.toString.length == 1 =>
+        s.toString.charAt(0)
+      case other => throw new IllegalArgumentException(
+        s"$fn: the escape must be a single-character string literal, got $other")
+    }
+    alias("like_escape")(e =>
+      Like(e(0), e(1), escChar(e(2), "like_escape")))
+    alias("not_like_escape")(e =>
+      Not(Like(e(0), e(1), escChar(e(2), "not_like_escape"))))
+    alias("ilike_escape")(e =>
+      Like(Lower(e(0)), Lower(e(1)), escChar(e(2), "ilike_escape")))
+    alias("not_ilike_escape")(e =>
+      Not(Like(Lower(e(0)), Lower(e(1)), escChar(e(2), "not_ilike_escape"))))
+    alias("md5_number")(e => Md5NumberExpr(e.head, 0))
+    alias("md5_number_lower")(e => Md5NumberExpr(e.head, 1))
+    alias("md5_number_upper")(e => Md5NumberExpr(e.head, 2))
+    alias("nextafter")(e =>
+      NextAfter(Cast(e(0), DoubleType), Cast(e(1), DoubleType)))
+    // DuckDB left/right accept NEGATIVE lengths (left('hello',-1) =
+    // 'hell': all but the last |n|; right('hello',-1) = 'ello': all
+    // but the first |n|) — Spark's builtins return '' there, so the
+    // DuckDB names shadow them with the sign-aware forms.
+    alias("left") { e =>
+      val s = e(0); val n = Cast(e(1), IntegerType)
+      If(GreaterThanOrEqual(n, Literal(0)),
+        Substring(s, Literal(1), n),
+        Substring(s, Literal(1),
+          Greatest(Seq(Add(Length(s), n), Literal(0)))))
+    }
+    alias("right") { e =>
+      val s = e(0); val n = Cast(e(1), IntegerType)
+      If(GreaterThanOrEqual(n, Literal(0)),
+        If(EqualTo(n, Literal(0)), Literal(""),
+          Substring(s, UnaryMinus(n), Literal(Int.MaxValue))),
+        Substring(s, Add(UnaryMinus(n), Literal(1)),
+          Literal(Int.MaxValue)))
     }
   }
 

@@ -213,6 +213,48 @@ object QueriesSugar {
         |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
         |      8)) AS VARCHAR) AS bx
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // Regexp / path / md5-number scalar wave (round 8):
+    // regexp_extract_all (group-0 default), regexp_full_match,
+    // regexp_escape, the parse_path family, md5_number(+lower/upper,
+    // HUGEINT rendered via ::VARCHAR on both sides), like_escape
+    // variants, sign-aware left/right, translate/chr/ascii,
+    // bit_length, nextafter, factorial, cbrt/log2/degrees/radians/
+    // atan2 — identical statement in both engines, hash-checked 1:1.
+    "q_duckdb_funcs5" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(text, '[A-Z][a-z]+'), '|')
+        |    AS caps,
+        |  array_to_string(regexp_extract_all(left(text, 40),
+        |    '([a-z])([aeiou])', 2), '') AS vgrp,
+        |  regexp_full_match(lang, '[a-z]{2}') AS lang2,
+        |  regexp_escape(left(text, 12)) AS resc,
+        |  array_to_string(parse_path('/data/' || source || '/' ||
+        |    CAST(doc_id AS VARCHAR) || '.txt'), '>') AS pparts,
+        |  parse_dirname('corpus/' || source || '/f.txt') AS pdir,
+        |  parse_dirpath('/data/' || source || '/f.txt') AS pdirp,
+        |  parse_filename('/data/' || source || '/doc.' ||
+        |    CAST(doc_id AS VARCHAR) || '.gz', true) AS pfile,
+        |  CAST(md5_number(left(text, 16)) AS VARCHAR) AS m128,
+        |  CAST(md5_number_lower(lang) AS VARCHAR) AS mlo,
+        |  CAST(md5_number_upper(source) AS VARCHAR) AS mhi,
+        |  like_escape(text, '%50$%%', '$') AS lesc,
+        |  ilike_escape(left(text, 3), 'TH%', '$') AS ilesc,
+        |  not_like_escape(source, 'c$%%', '$') AS nlesc,
+        |  left(text, -5) AS l_neg,
+        |  right(text, -5) AS r_neg,
+        |  right(left(text, 9), 4) AS midcut,
+        |  translate(left(text, 15), 'aeiou', '_____') AS tr,
+        |  chr(CAST(65 + doc_id % 26 AS INT)) AS ch,
+        |  ascii(source) AS asc,
+        |  CAST(bit_length(left(text, 7)) AS BIGINT) AS blen,
+        |  nextafter(CAST(doc_id AS DOUBLE), 1e9) AS nxt,
+        |  CAST(factorial(CAST(doc_id % 15 AS INT)) AS BIGINT) AS fact,
+        |  round(cbrt(CAST(n_chars AS DOUBLE)), 6) AS cb,
+        |  round(log2(CAST(1 + n_chars AS DOUBLE)), 6) AS lg2,
+        |  round(degrees(CAST(doc_id % 10 AS DOUBLE)), 6) AS dg,
+        |  round(radians(CAST(doc_id % 360 AS DOUBLE)), 6) AS rd,
+        |  round(atan2(1.0 + doc_id % 5, 2.0), 6) AS at2
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Statistical-aggregate long tail (round 8): the nine-function
     // regr_* family, sample-corrected skewness/kurtosis, mad, Shannon
     // entropy, quantile_cont/disc, count_if, bitstring_agg — identical
@@ -429,6 +471,41 @@ object QueriesSugar {
         |  CAST(xor(bitstring('0110', 8),
         |    bitstring(CASE WHEN doc_id % 2 = 0 THEN '0011' ELSE '1111' END,
         |      8)) AS VARCHAR) AS bx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_funcs5" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(text, '[A-Z][a-z]+'), '|')
+        |    AS caps,
+        |  array_to_string(regexp_extract_all(left(text, 40),
+        |    '([a-z])([aeiou])', 2), '') AS vgrp,
+        |  regexp_full_match(lang, '[a-z]{2}') AS lang2,
+        |  regexp_escape(left(text, 12)) AS resc,
+        |  array_to_string(parse_path('/data/' || source || '/' ||
+        |    CAST(doc_id AS VARCHAR) || '.txt'), '>') AS pparts,
+        |  parse_dirname('corpus/' || source || '/f.txt') AS pdir,
+        |  parse_dirpath('/data/' || source || '/f.txt') AS pdirp,
+        |  parse_filename('/data/' || source || '/doc.' ||
+        |    CAST(doc_id AS VARCHAR) || '.gz', true) AS pfile,
+        |  CAST(md5_number(left(text, 16)) AS VARCHAR) AS m128,
+        |  CAST(md5_number_lower(lang) AS VARCHAR) AS mlo,
+        |  CAST(md5_number_upper(source) AS VARCHAR) AS mhi,
+        |  like_escape(text, '%50$%%', '$') AS lesc,
+        |  ilike_escape(left(text, 3), 'TH%', '$') AS ilesc,
+        |  not_like_escape(source, 'c$%%', '$') AS nlesc,
+        |  left(text, -5) AS l_neg,
+        |  right(text, -5) AS r_neg,
+        |  right(left(text, 9), 4) AS midcut,
+        |  translate(left(text, 15), 'aeiou', '_____') AS tr,
+        |  chr(CAST(65 + doc_id % 26 AS INT)) AS ch,
+        |  ascii(source) AS asc,
+        |  CAST(bit_length(left(text, 7)) AS BIGINT) AS blen,
+        |  nextafter(CAST(doc_id AS DOUBLE), 1e9) AS nxt,
+        |  CAST(factorial(CAST(doc_id % 15 AS INT)) AS BIGINT) AS fact,
+        |  round(cbrt(CAST(n_chars AS DOUBLE)), 6) AS cb,
+        |  round(log2(CAST(1 + n_chars AS DOUBLE)), 6) AS lg2,
+        |  round(degrees(CAST(doc_id % 10 AS DOUBLE)), 6) AS dg,
+        |  round(radians(CAST(doc_id % 360 AS DOUBLE)), 6) AS rd,
+        |  round(atan2(1.0 + doc_id % 5, 2.0), 6) AS at2
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_stats" ->
       """SELECT l_returnflag,

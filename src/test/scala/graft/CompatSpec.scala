@@ -869,6 +869,69 @@ class CompatSpec extends SparkSpecBase {
     assert(arb.getInt(0) == 7, arb.toString)
   }
 
+  test("regexp/path/md5-number scalar wave (r8, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT regexp_escape('a b') AS re1, regexp_escape('x+y') AS re2,
+        |  regexp_escape('héllo') AS re3,
+        |  regexp_full_match('abc', 'ab') AS fm1,
+        |  regexp_full_match('abc', 'a.*') AS fm2,
+        |  array_to_string(regexp_extract_all('a1b22c333', '[0-9]+'), ',')
+        |    AS rall,
+        |  array_to_string(regexp_extract_all('a1b22', '([a-z])([0-9])', 2),
+        |    ',') AS rg2,
+        |  array_to_string(parse_path('/usr/local/f.txt'), '|') AS pp,
+        |  array_to_string(parse_path('a//b'), '|') AS pp2,
+        |  parse_dirname('/usr/local/f.txt') AS dn1,
+        |  parse_dirname('f.txt') AS dn2,
+        |  parse_dirpath('/f.txt') AS dp1, parse_dirpath('a/b/') AS dp2,
+        |  parse_filename('a/b/c.tar.gz', true) AS fn1,
+        |  parse_filename('.hidden', true) AS fn2,
+        |  parse_filename('a\\b/c', 'backslash') AS fn3,
+        |  CAST(md5_number('abc') AS VARCHAR) AS m0,
+        |  CAST(md5_number_lower('abc') AS VARCHAR) AS ml,
+        |  CAST(md5_number_upper('abc') AS VARCHAR) AS mu,
+        |  CAST(md5_number('b') AS VARCHAR) AS mneg,
+        |  like_escape('a%c', 'a$%c', '$') AS le1,
+        |  like_escape('abc', 'a$%c', '$') AS le2,
+        |  ilike_escape('A%C', 'a$%c', '$') AS il1,
+        |  not_like_escape('abc', 'a$%c', '$') AS nl1,
+        |  left('hello', -1) AS lf, right('hello', -1) AS rt,
+        |  left('hello', 2) AS lf2, right('hello', 2) AS rt2,
+        |  right('hello', 0) AS rt0, right('hello', 99) AS rtbig,
+        |  CAST(nextafter(1.0, 2.0) AS VARCHAR) AS nx""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "a\\ b" && r.getString(1) == "x\\+y" &&
+      r.getString(2) == "héllo", r.toString)
+    assert(!r.getBoolean(3) && r.getBoolean(4), r.toString)
+    assert(r.getString(5) == "1,22,333" && r.getString(6) == "1,2", r.toString)
+    assert(r.getString(7) == "/|usr|local|f.txt" &&
+      r.getString(8) == "a|b", r.toString)
+    assert(r.getString(9) == "/" && r.getString(10) == "", r.toString)
+    assert(r.getString(11) == "" && r.getString(12) == "a/b", r.toString)
+    assert(r.getString(13) == "c.tar" && r.getString(14) == "" &&
+      r.getString(15) == "b/c", r.toString)
+    assert(r.getString(16) == "152195979970564155685860391459828531600",
+      r.toString)
+    assert(r.getString(17) == "8250560606382298838" &&
+      r.getString(18) == "12704604231530709392", r.toString)
+    // md5_number is a SIGNED little-endian int128 (probed: 'b' is
+    // negative in DuckDB)
+    assert(r.getString(19) ==
+      "-149750030552373788046256512903076123758", r.toString)
+    assert(r.getBoolean(20) && !r.getBoolean(21) && r.getBoolean(22) &&
+      r.getBoolean(23), r.toString)
+    assert(r.getString(24) == "hell" && r.getString(25) == "ello", r.toString)
+    assert(r.getString(26) == "he" && r.getString(27) == "lo", r.toString)
+    assert(r.getString(28) == "" && r.getString(29) == "hello", r.toString)
+    assert(r.getString(30) == "1.0000000000000002", r.toString)
+    // DuckDB's array_to_string over an EMPTY list is NULL (probed) —
+    // the r8 alignment that caught q_duckdb_funcs5's no-match rows
+    val e = Engine.query(spark,
+      """SELECT array_to_string(regexp_extract_all('xyz', '[A-Z]'), ',')
+        |  AS empty_join""".stripMargin).collect().head
+    assert(e.isNullAt(0), e.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
