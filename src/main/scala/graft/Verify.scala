@@ -52,6 +52,13 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // cause chain for the dev loop (an analyzer INTERNAL_ERROR's
+        // real reason is usually two causes down)
+        var c = e.getCause
+        while (c != null) {
+          System.err.println(s"[verify]   caused by: ${c.getClass.getSimpleName}: ${c.getMessage}")
+          c = c.getCause
+        }
       }
       // drop this query's localCheckpoint blocks before the next one
       // (same block-manager-pressure reasoning as Bench)

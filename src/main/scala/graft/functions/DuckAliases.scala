@@ -615,6 +615,80 @@ object DuckAliases {
         Substring(s, Add(UnaryMinus(n), Literal(1)),
           Literal(Int.MaxValue)))
     }
+    // ---- date long tail (r8; probed 1.0). DuckDB's day-number
+    // conventions: dayofweek/weekday are Sunday=0..Saturday=6, isodow
+    // is ISO Monday=1..Sunday=7; century/millennium are the ordinal
+    // forms (2001 -> 21st/3rd), decade is year/10, era is 1 AD / 0 BC.
+    // julian anchors at JD 2451545 = 2000-01-01 00:00 UTC with the
+    // time-of-day fraction (probed: noon -> .5). ----
+    alias("make_time")(e => MakeTimeStr(Cast(e(0), IntegerType),
+      Cast(e(1), IntegerType), Cast(e(2), DoubleType)))
+    // make_timestamp(micros) single-arg form next to Spark's own
+    // 6-arg builtin (same name/shape as DuckDB's)
+    alias("make_timestamp") {
+      case Seq(us) => MicrosToTimestamp(us)
+      case Seq(y, mo, d, h, mi, s) =>
+        // MakeTimestamp asserts its seconds input is Decimal(16,6)
+        // exactly (the analyzer's implicit cast normally supplies it)
+        MakeTimestamp(Cast(y, IntegerType), Cast(mo, IntegerType),
+          Cast(d, IntegerType), Cast(h, IntegerType), Cast(mi, IntegerType),
+          Cast(s, org.apache.spark.sql.types.DecimalType(16, 6)))
+      case other => throw new IllegalArgumentException(
+        s"make_timestamp expects 1 or 6 arguments, got ${other.length}")
+    }
+    alias("julian") { e =>
+      val us = UnixMicros(Cast(e.head, TimestampType))
+      Add(Literal(2451545.0d),
+        Divide(Cast(Subtract(us, Literal(946684800000000L)), DoubleType),
+          Literal(86400e6)))
+    }
+    alias("dayofweek")(e => Subtract(DayOfWeek(Cast(e.head, DateType)), Literal(1)))
+    alias("weekday")(e => Subtract(DayOfWeek(Cast(e.head, DateType)), Literal(1)))
+    alias("isodow")(e => Add(WeekDay(Cast(e.head, DateType)), Literal(1)))
+    alias("isoyear")(e => YearOfWeek(Cast(e.head, DateType)))
+    def yearOf(e: Expression): Expression = Year(Cast(e, DateType))
+    def ordinalPeriod(e: Expression, span: Int): Expression = {
+      val y = yearOf(e)
+      val mag = Divide(Add(Abs(y), Literal(span - 1)), Literal(span))
+      Cast(If(GreaterThanOrEqual(y, Literal(0)), mag, UnaryMinus(mag)),
+        LongType)
+    }
+    alias("century")(e => ordinalPeriod(e.head, 100))
+    alias("millennium")(e => ordinalPeriod(e.head, 1000))
+    alias("decade")(e =>
+      Cast(Floor(Divide(Cast(yearOf(e.head), DoubleType), Literal(10.0d))),
+        LongType))
+    alias("era")(e =>
+      If(GreaterThan(yearOf(e.head), Literal(0)), Literal(1), Literal(0)))
+    // interval constructors: to_years(2) = INTERVAL 2 YEAR etc.;
+    // sub-second forms route through the seconds slot
+    def mkIvl(years: Expression = Literal(0), months: Expression = Literal(0),
+        weeks: Expression = Literal(0), days: Expression = Literal(0),
+        hours: Expression = Literal(0), mins: Expression = Literal(0),
+        // the zero literal must CARRY scale 6: makeInterval asserts
+        // the runtime Decimal's scale, not the declared type's
+        secs: Expression = Literal(
+          org.apache.spark.sql.types.Decimal(0L, 18, 6),
+          org.apache.spark.sql.types.DecimalType(18, 6))): Expression =
+      MakeInterval(years, months, weeks, days, hours, mins, secs)
+    def i32(e: Expression) = Cast(e, IntegerType)
+    alias("to_millennia")(e => mkIvl(years = Multiply(i32(e.head), Literal(1000))))
+    alias("to_centuries")(e => mkIvl(years = Multiply(i32(e.head), Literal(100))))
+    alias("to_decades")(e => mkIvl(years = Multiply(i32(e.head), Literal(10))))
+    alias("to_years")(e => mkIvl(years = i32(e.head)))
+    alias("to_months")(e => mkIvl(months = i32(e.head)))
+    alias("to_weeks")(e => mkIvl(weeks = i32(e.head)))
+    alias("to_days")(e => mkIvl(days = i32(e.head)))
+    alias("to_hours")(e => mkIvl(hours = i32(e.head)))
+    alias("to_minutes")(e => mkIvl(mins = i32(e.head)))
+    alias("to_seconds")(e => mkIvl(secs = Cast(e.head,
+      org.apache.spark.sql.types.DecimalType(18, 6))))
+    alias("to_milliseconds")(e => mkIvl(secs = Cast(
+      Divide(Cast(e.head, DoubleType), Literal(1000.0d)),
+      org.apache.spark.sql.types.DecimalType(18, 6))))
+    alias("to_microseconds")(e => mkIvl(secs = Cast(
+      Divide(Cast(e.head, DoubleType), Literal(1e6)),
+      org.apache.spark.sql.types.DecimalType(18, 6))))
   }
 
   private def partName(p: Expression): String = p match {

@@ -239,6 +239,44 @@ case class Md5NumberExpr(child: Expression, which: Int)
     copy(child = c)
 }
 
+/** DuckDB `make_time(h, m, s)` rendered as its TIME text form —
+  * 'HH:MM:SS' with the fractional part trimmed of trailing zeros
+  * (probed: 20.5 -> '10:30:20.5', 3.0 -> '01:02:03',
+  * 59.999999 -> '23:59:59.999999'). Spark has no TIME type; the
+  * reference wire would drop a TIME column anyway (cpp:80-83), so the
+  * text render IS the interchange form. */
+object TimeRender {
+  def makeTime(h: Int, m: Int, s: Double): UTF8String = {
+    val totalMicros = Math.round(s * 1e6)
+    val sec = totalMicros / 1000000L
+    val frac = totalMicros % 1000000L
+    val base = f"$h%02d:$m%02d:$sec%02d"
+    if (frac == 0L) UTF8String.fromString(base)
+    else {
+      var fs = f"$frac%06d"
+      while (fs.endsWith("0")) fs = fs.substring(0, fs.length - 1)
+      UTF8String.fromString(base + "." + fs)
+    }
+  }
+}
+
+case class MakeTimeStr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.IntegerType,
+    org.apache.spark.sql.types.IntegerType, DoubleType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "make_time"
+  override protected def nullSafeEval(h: Any, m: Any, s: Any): Any =
+    TimeRender.makeTime(h.asInstanceOf[Int], m.asInstanceOf[Int],
+      s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, m, s) => s"graft.TimeRender.makeTime($h, $m, $s)")
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 case class NextAfter(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(DoubleType, DoubleType)

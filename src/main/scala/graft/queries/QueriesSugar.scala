@@ -314,6 +314,55 @@ object QueriesSugar {
         |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
         |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+    // Date long tail (round 8): make_date/make_timestamp (6-arg and
+    // micros forms)/make_time (TIME text render), last_day, julian,
+    // the day-number convention grid (dayofweek/weekday Sunday=0,
+    // isodow Monday=1), isoyear, ordinal century/decade/era/millennium
+    // and the to_* interval-constructor family applied to dates —
+    // identical statement in both engines, hash-checked 1:1.
+    "q_duckdb_dates2" -> ((s, dir) => sql(s, dir,
+      """SELECT o_orderkey,
+        |  make_date(1995, CAST(1 + o_orderkey % 12 AS INT),
+        |    CAST(1 + o_orderkey % 28 AS INT)) AS md,
+        |  make_timestamp(2020, CAST(1 + o_orderkey % 12 AS INT),
+        |    CAST(1 + o_orderkey % 28 AS INT), CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT), o_orderkey % 60 + 0.25) AS mts,
+        |  make_timestamp(o_orderkey * 86400000000 + 123456) AS mtu,
+        |  CAST(make_time(CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT), o_orderkey % 60 + 0.5) AS VARCHAR)
+        |    AS mt,
+        |  last_day(o_orderdate) AS ld,
+        |  round(julian(o_orderdate), 6) AS jl,
+        |  round(julian(CAST(o_orderdate AS TIMESTAMP) + to_hours(6)), 6)
+        |    AS jlt,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(weekday(o_orderdate) AS INT) AS wd,
+        |  CAST(isodow(o_orderdate) AS INT) AS idw,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(isoyear(o_orderdate) AS INT) AS iy,
+        |  CAST(century(o_orderdate) AS BIGINT) AS cen,
+        |  CAST(decade(o_orderdate) AS BIGINT) AS dec,
+        |  CAST(era(o_orderdate) AS INT) AS er,
+        |  CAST(millennium(o_orderdate) AS BIGINT) AS mil,
+        |  CAST(o_orderdate + to_years(1) AS TIMESTAMP) AS t_yr,
+        |  CAST(o_orderdate + to_months(CAST(1 + o_orderkey % 5 AS INT))
+        |    AS TIMESTAMP) AS t_mo,
+        |  CAST(o_orderdate + to_weeks(2) AS TIMESTAMP) AS t_wk,
+        |  CAST(o_orderdate + to_days(CAST(o_orderkey % 45 AS INT))
+        |    AS TIMESTAMP) AS t_dy,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_hours(30) AS TIMESTAMP)
+        |    AS t_hr,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_minutes(90) AS TIMESTAMP)
+        |    AS t_mi,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_seconds(90.5)
+        |    AS TIMESTAMP) AS t_se,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_milliseconds(1500)
+        |    AS TIMESTAMP) AS t_ms,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_microseconds(2500000)
+        |    AS TIMESTAMP) AS t_us,
+        |  CAST(o_orderdate + to_centuries(1) AS TIMESTAMP) AS t_ce,
+        |  CAST(o_orderdate + to_decades(2) AS TIMESTAMP) AS t_de
+        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin)),
     // DuckDB bare file-path tables (`FROM 'f.parquet'`) — rewritten to
     // the reader TVFs; exercises both FROM and JOIN positions.
     "q_read_barepath" -> ((s, dir) => sql(s, dir,
@@ -532,6 +581,49 @@ object QueriesSugar {
         |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
         |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_duckdb_dates2" ->
+      """SELECT o_orderkey,
+        |  make_date(1995, CAST(1 + o_orderkey % 12 AS INT),
+        |    CAST(1 + o_orderkey % 28 AS INT)) AS md,
+        |  make_timestamp(2020, CAST(1 + o_orderkey % 12 AS INT),
+        |    CAST(1 + o_orderkey % 28 AS INT), CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT), o_orderkey % 60 + 0.25) AS mts,
+        |  make_timestamp(o_orderkey * 86400000000 + 123456) AS mtu,
+        |  CAST(make_time(CAST(o_orderkey % 24 AS INT),
+        |    CAST(o_orderkey % 60 AS INT), o_orderkey % 60 + 0.5) AS VARCHAR)
+        |    AS mt,
+        |  last_day(o_orderdate) AS ld,
+        |  round(julian(o_orderdate), 6) AS jl,
+        |  round(julian(CAST(o_orderdate AS TIMESTAMP) + to_hours(6)), 6)
+        |    AS jlt,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(weekday(o_orderdate) AS INT) AS wd,
+        |  CAST(isodow(o_orderdate) AS INT) AS idw,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(isoyear(o_orderdate) AS INT) AS iy,
+        |  CAST(century(o_orderdate) AS BIGINT) AS cen,
+        |  CAST(decade(o_orderdate) AS BIGINT) AS dec,
+        |  CAST(era(o_orderdate) AS INT) AS er,
+        |  CAST(millennium(o_orderdate) AS BIGINT) AS mil,
+        |  CAST(o_orderdate + to_years(1) AS TIMESTAMP) AS t_yr,
+        |  CAST(o_orderdate + to_months(CAST(1 + o_orderkey % 5 AS INT))
+        |    AS TIMESTAMP) AS t_mo,
+        |  CAST(o_orderdate + to_weeks(2) AS TIMESTAMP) AS t_wk,
+        |  CAST(o_orderdate + to_days(CAST(o_orderkey % 45 AS INT))
+        |    AS TIMESTAMP) AS t_dy,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_hours(30) AS TIMESTAMP)
+        |    AS t_hr,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_minutes(90) AS TIMESTAMP)
+        |    AS t_mi,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_seconds(90.5)
+        |    AS TIMESTAMP) AS t_se,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_milliseconds(1500)
+        |    AS TIMESTAMP) AS t_ms,
+        |  CAST(CAST(o_orderdate AS TIMESTAMP) + to_microseconds(2500000)
+        |    AS TIMESTAMP) AS t_us,
+        |  CAST(o_orderdate + to_centuries(1) AS TIMESTAMP) AS t_ce,
+        |  CAST(o_orderdate + to_decades(2) AS TIMESTAMP) AS t_de
+        |FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""".stripMargin,
     "q_duckdb_dates" ->
       """SELECT o_orderkey,
         |  CAST(date_diff('day', DATE '1995-06-15', o_orderdate) AS BIGINT)

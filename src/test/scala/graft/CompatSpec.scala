@@ -932,6 +932,51 @@ class CompatSpec extends SparkSpecBase {
     assert(e.isNullAt(0), e.toString)
   }
 
+  test("date long tail: make_*/julian/day-number grid/ordinals/to_* (r8, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT make_time(1, 2, 3.0) AS t1, make_time(23, 59, 59.999999) AS t2,
+        |  make_time(0, 0, 0.5) AS t3,
+        |  CAST(make_timestamp(1700000000123456) AS STRING) AS mtu,
+        |  round(julian(DATE '2000-01-01'), 6) AS j0,
+        |  round(julian(TIMESTAMP '2000-01-01 12:00:00'), 6) AS jh,
+        |  round(julian(DATE '1900-01-01'), 6) AS j19,
+        |  CAST(isodow(DATE '2026-08-13') AS INT) AS idw_thu,
+        |  CAST(isodow(DATE '2026-08-16') AS INT) AS idw_sun,
+        |  CAST(dayofweek(DATE '2026-08-16') AS INT) AS dow_sun,
+        |  CAST(weekday(DATE '2026-08-13') AS INT) AS wd_thu,
+        |  CAST(isoyear(DATE '2021-01-01') AS INT) AS iy,
+        |  CAST(century(DATE '2001-01-01') AS BIGINT) AS c21,
+        |  CAST(century(DATE '2000-12-31') AS BIGINT) AS c20,
+        |  CAST(decade(DATE '2009-12-31') AS BIGINT) AS dec,
+        |  CAST(millennium(DATE '2001-01-01') AS BIGINT) AS mil,
+        |  CAST(era(DATE '2026-01-01') AS INT) AS er,
+        |  CAST(DATE '2020-01-31' + to_months(1) AS STRING) AS feb,
+        |  CAST(TIMESTAMP '2020-01-15 00:00:00' + to_seconds(90.5) AS STRING)
+        |    AS t_se,
+        |  CAST(TIMESTAMP '2020-01-15 00:00:00' + to_milliseconds(1500)
+        |    AS STRING) AS t_ms,
+        |  CAST(DATE '2020-01-15' + to_centuries(1) AS STRING) AS t_ce""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "01:02:03" && r.getString(1) == "23:59:59.999999"
+      && r.getString(2) == "00:00:00.5", r.toString)
+    assert(r.getString(3) == "2023-11-14 22:13:20.123456", r.toString)
+    assert(r.getDouble(4) == 2451545.0 && r.getDouble(5) == 2451545.5 &&
+      r.getDouble(6) == 2415021.0, r.toString)
+    // day-number conventions: isodow Mon=1..Sun=7; dayofweek/weekday
+    // Sun=0..Sat=6 (2026-08-13 is a Thursday)
+    assert(r.getInt(7) == 4 && r.getInt(8) == 7, r.toString)
+    assert(r.getInt(9) == 0 && r.getInt(10) == 4, r.toString)
+    assert(r.getInt(11) == 2020, r.toString)
+    assert(r.getLong(12) == 21L && r.getLong(13) == 20L, r.toString)
+    assert(r.getLong(14) == 200L && r.getLong(15) == 3L && r.getInt(16) == 1,
+      r.toString)
+    // calendar month add clamps to month end (Jan 31 + 1 month = Feb 29)
+    assert(r.getString(17).startsWith("2020-02-29"), r.toString)
+    assert(r.getString(18) == "2020-01-15 00:01:30.5", r.toString)
+    assert(r.getString(19) == "2020-01-15 00:00:01.5", r.toString)
+    assert(r.getString(20).startsWith("2120-01-15"), r.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
