@@ -27,6 +27,9 @@ object DuckAliases {
     val reg = spark.sessionState.functionRegistry
     def alias(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")
+    // DuckDB's map_concat keeps the LAST value for a duplicate key
+    // (probed); Spark's default policy is EXCEPTION
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     alias("len")(e => LenPoly(e.head))
     alias("list_distinct")(e => ArrayDistinct(e.head))
@@ -689,6 +692,22 @@ object DuckAliases {
     alias("to_microseconds")(e => mkIvl(secs = Cast(
       Divide(Cast(e.head, DoubleType), Literal(1e6)),
       org.apache.spark.sql.types.DecimalType(18, 6))))
+    // ---- map family (r8; probed 1.0). DuckDB's constructor is
+    // map(keys_list, values_list) — Spark's variadic map(k1,v1,...)
+    // shape stays available for >2 or scalar args. element_at/
+    // map_extract return a LIST ([value] or [] for a missing key, NOT
+    // value-or-NULL); element_at is map-only in DuckDB ("MAP_EXTRACT
+    // can only operate on MAPs") but the array form stays as a Spark
+    // superset. Duplicate keys in map_concat: LAST value wins
+    // (session conf mapKeyDedupPolicy=LAST_WIN, set at registration).
+    // map_keys/map_values/map_entries/map_from_entries/cardinality
+    // are the Spark natives (names and shapes already agree). ----
+    alias("map") {
+      case Seq(k, v) => MapFromArrays(k, v)
+      case other => CreateMap(other)
+    }
+    alias("map_extract")(e => MapExtractAsList(e(0), e(1)))
+    alias("element_at")(e => ElementAtPoly(e(0), e(1)))
   }
 
   private def partName(p: Expression): String = p match {
@@ -809,6 +828,40 @@ case class BitCountPoly(child: Expression) extends RuntimeReplaceable
   }
   override protected def withNewChildInternal(newChild: Expression): BitCountPoly =
     copy(child = newChild)
+}
+
+/** DuckDB's map `element_at`/`map_extract` return shape: a LIST
+  * holding the value, or an EMPTY list for a missing key (probed:
+  * element_at(map([1,2],[10,20]), 3) = []). Resolved after analysis
+  * like [[LenPoly]] because the wrapper needs the map's value type.
+  */
+case class MapExtractAsList(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression = left.dataType match {
+    case MapType(_, vt, vn) =>
+      If(ArrayContains(MapKeys(left), right),
+        CreateArray(Seq(ElementAt(left, right, None, failOnError = false))),
+        Literal(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any]), ArrayType(vt, vn)))
+    case other => throw new IllegalArgumentException(
+      s"map_extract expects a MAP, got ${other.simpleString(10)}")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MapExtractAsList = copy(left = l, right = r)
+}
+
+/** `element_at`, polymorphic: DuckDB's map form (list-wrapped value,
+  * above); on arrays it stays Spark's 1-based, NULL-out-of-bounds
+  * accessor (a superset — DuckDB's element_at is map-only).
+  */
+case class ElementAtPoly(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression = left.dataType match {
+    case _: MapType => MapExtractAsList(left, right)
+    case _ => ElementAt(left, right, None, failOnError = false)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ElementAtPoly = copy(left = l, right = r)
 }
 
 /** DuckDB's `xor`, polymorphic: BIT-strings xor per character (equal

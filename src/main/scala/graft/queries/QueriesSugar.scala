@@ -314,6 +314,37 @@ object QueriesSugar {
         |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
         |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+    // Map-function family (round 8): map(keys,vals) constructor,
+    // element_at/map_extract list-wrapped access (missing key -> []),
+    // map_keys/map_values order preservation, map_concat last-wins on
+    // duplicate keys, cardinality — identical statement in both
+    // engines except map_from_entries (struct-literal syntax differs;
+    // the oracle uses DuckDB's {'k': v} form).
+    "q_duckdb_maps" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  CAST(cardinality(map(list_value('a', 'b', 'c'),
+        |    list_value(doc_id, n_chars, doc_id + 1))) AS BIGINT) AS card,
+        |  list_extract(element_at(map(list_value(0, 1, 2),
+        |    list_value(doc_id * 2, doc_id * 3, doc_id * 5)),
+        |    CAST(doc_id % 4 AS INT)), 1) AS elem,
+        |  list_extract(map_extract(map(list_value('en', 'de'),
+        |    list_value(10, 20)), lang), 1) AS mex,
+        |  CAST(len(map_extract(map(list_value(0, 1),
+        |    list_value('x', 'y')), CAST(doc_id % 3 AS INT))) AS BIGINT)
+        |    AS mex_n,
+        |  array_to_string(map_keys(map(list_value('k1', 'k2'),
+        |    list_value(doc_id, n_chars))), ',') AS mk,
+        |  array_to_string(map_values(map(list_value('k1', 'k2'),
+        |    list_value(CAST(doc_id AS VARCHAR), lang))), '|') AS mv,
+        |  list_extract(element_at(map_concat(
+        |    map(list_value('x', 'y'), list_value(1, 2)),
+        |    map(list_value('x'), list_value(CAST(doc_id AS INT)))), 'x'), 1)
+        |    AS mcx,
+        |  CAST(cardinality(map_concat(
+        |    map(list_value('x', 'y'), list_value(1, 2)),
+        |    map(list_value('x', 'z'), list_value(3, 4)))) AS BIGINT)
+        |    AS mcn
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Date long tail (round 8): make_date/make_timestamp (6-arg and
     // micros forms)/make_time (TIME text render), last_day, julian,
     // the day-number convention grid (dayofweek/weekday Sunday=0,
@@ -581,6 +612,31 @@ object QueriesSugar {
         |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
         |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_duckdb_maps" ->
+      """SELECT doc_id,
+        |  CAST(cardinality(map(list_value('a', 'b', 'c'),
+        |    list_value(doc_id, n_chars, doc_id + 1))) AS BIGINT) AS card,
+        |  list_extract(element_at(map(list_value(0, 1, 2),
+        |    list_value(doc_id * 2, doc_id * 3, doc_id * 5)),
+        |    CAST(doc_id % 4 AS INT)), 1) AS elem,
+        |  list_extract(map_extract(map(list_value('en', 'de'),
+        |    list_value(10, 20)), lang), 1) AS mex,
+        |  CAST(len(map_extract(map(list_value(0, 1),
+        |    list_value('x', 'y')), CAST(doc_id % 3 AS INT))) AS BIGINT)
+        |    AS mex_n,
+        |  array_to_string(map_keys(map(list_value('k1', 'k2'),
+        |    list_value(doc_id, n_chars))), ',') AS mk,
+        |  array_to_string(map_values(map(list_value('k1', 'k2'),
+        |    list_value(CAST(doc_id AS VARCHAR), lang))), '|') AS mv,
+        |  list_extract(element_at(map_concat(
+        |    map(list_value('x', 'y'), list_value(1, 2)),
+        |    map(list_value('x'), list_value(CAST(doc_id AS INT)))), 'x'), 1)
+        |    AS mcx,
+        |  CAST(cardinality(map_concat(
+        |    map(list_value('x', 'y'), list_value(1, 2)),
+        |    map(list_value('x', 'z'), list_value(3, 4)))) AS BIGINT)
+        |    AS mcn
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_dates2" ->
       """SELECT o_orderkey,
         |  make_date(1995, CAST(1 + o_orderkey % 12 AS INT),

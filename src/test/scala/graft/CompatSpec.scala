@@ -977,6 +977,43 @@ class CompatSpec extends SparkSpecBase {
     assert(r.getString(20).startsWith("2120-01-15"), r.toString)
   }
 
+  test("map family: constructor/list-wrapped access/last-wins concat (r8, probed 1.0)") {
+    val r = Engine.query(spark,
+      """SELECT
+        |  CAST(cardinality(map(list_value(1, 2), list_value(10, 20)))
+        |    AS BIGINT) AS card,
+        |  list_extract(element_at(map(list_value(1, 2), list_value(10, 20)),
+        |    1), 1) AS hit,
+        |  CAST(len(element_at(map(list_value(1, 2), list_value(10, 20)), 3))
+        |    AS INT) AS missn,
+        |  list_extract(map_extract(map(list_value(1, 2), list_value(10, 20)),
+        |    2), 1) AS mex,
+        |  list_extract(element_at(map_concat(
+        |    map(list_value('x', 'y'), list_value(1, 2)),
+        |    map(list_value('x'), list_value(99))), 'x'), 1) AS lastwin,
+        |  array_to_string(map_keys(map(list_value('b', 'a'),
+        |    list_value(1, 2))), ',') AS korder,
+        |  CAST(element_at(list_value(10, 20), 2) AS INT) AS arr2,
+        |  element_at(list_value(10, 20), 9) IS NULL AS arroob,
+        |  CAST(cardinality(map_from_entries(array(
+        |    named_struct('k', 'a', 'v', 1), named_struct('k', 'b', 'v', 2))))
+        |    AS BIGINT) AS mfe""".stripMargin).collect().head
+    assert(r.getLong(0) == 2L, r.toString)
+    assert(r.getInt(1) == 10, r.toString)
+    // missing key → EMPTY list (DuckDB's list-wrapped access shape)
+    assert(r.getInt(2) == 0, r.toString)
+    assert(r.getInt(3) == 20, r.toString)
+    assert(r.getInt(4) == 99, r.toString) // duplicate key: LAST wins
+    assert(r.getString(5) == "b,a", r.toString) // insertion order kept
+    assert(r.getInt(6) == 20 && r.getBoolean(7), r.toString)
+    assert(r.getLong(8) == 2L, r.toString)
+    // the >2-arg / scalar form stays Spark's variadic constructor
+    val v = Engine.query(spark,
+      "SELECT CAST(cardinality(map('a', 1, 'b', 2)) AS BIGINT) AS n")
+      .collect().head
+    assert(v.getLong(0) == 2L, v.toString)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
