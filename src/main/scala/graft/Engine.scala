@@ -67,8 +67,29 @@ object Engine {
           .map(_.group(1).replace("''", "'")).toSeq
         EnumTypes.define(name, vals, orReplace != null, ifNotExists != null)
         spark.emptyDataFrame
+      case CreateUnionRe(orReplace, ifNotExists, name, body) =>
+        // split member list at top-level commas only (DECIMAL(10,2)
+        // keeps its inner comma)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var depth = 0; val cur = new StringBuilder
+        body.foreach {
+          case '(' => depth += 1; cur += '('
+          case ')' => depth -= 1; cur += ')'
+          case ',' if depth == 0 => parts += cur.toString; cur.clear()
+          case c => cur += c
+        }
+        if (cur.nonEmpty) parts += cur.toString
+        val members = parts.toSeq.map(_.trim).filter(_.nonEmpty).map { m =>
+          val sp = m.split("\\s+", 2)
+          require(sp.length == 2, s"union member '$m' must be '<name> <type>'")
+          (sp(0).stripPrefix("\"").stripSuffix("\""), sp(1).trim)
+        }
+        UnionTypes.define(name, members, orReplace != null, ifNotExists != null)
+        spark.emptyDataFrame
       case DropTypeRe(ifExists, name) =>
-        EnumTypes.drop(name, ifExists != null)
+        // one namespace for types, two registries: try enum, then union
+        if (EnumTypes.isDefined(name)) EnumTypes.drop(name, ifExists = false)
+        else UnionTypes.drop(name, ifExists != null)
         spark.emptyDataFrame
       case CreateSequenceRe(orReplace, ifNotExists, name, tail) =>
         val t = if (tail == null) "" else tail
@@ -133,6 +154,9 @@ object Engine {
   private val CreateEnumRe =
     ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)\\s+AS\\s+ENUM\\s*\\((.*?)\\)\\s*;?\\s*\\z").r
+  private val CreateUnionRe =
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)\\s+AS\\s+UNION\\s*\\((.*)\\)\\s*;?\\s*\\z").r
   private val DropTypeRe =
     "(?is)\\A\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val EnumValueRe = "'((?:[^']|'')*)'".r

@@ -703,7 +703,7 @@ object DuckAliases {
     // map_keys/map_values/map_entries/map_from_entries/cardinality
     // are the Spark natives (names and shapes already agree). ----
     alias("map") {
-      case Seq(k, v) => MapFromArrays(k, v)
+      case Seq(k, v) => MapCtorPoly(k, v)
       case other => CreateMap(other)
     }
     alias("map_extract")(e => MapExtractAsList(e(0), e(1)))
@@ -848,6 +848,21 @@ case class MapExtractAsList(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): MapExtractAsList = copy(left = l, right = r)
+}
+
+/** Two-argument `map(...)`, polymorphic: two ARRAY args are DuckDB's
+  * map(keys_list, values_list) constructor; anything else stays
+  * Spark's variadic pair form (Spark 4's functions.map also resolves
+  * by NAME through the registry, so the DataFrame API lands here too).
+  */
+case class MapCtorPoly(left: Expression, right: Expression)
+    extends RuntimeReplaceable with BinaryLike[Expression] {
+  override lazy val replacement: Expression = (left.dataType, right.dataType) match {
+    case (_: ArrayType, _: ArrayType) => MapFromArrays(left, right)
+    case _ => CreateMap(Seq(left, right))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MapCtorPoly = copy(left = l, right = r)
 }
 
 /** `element_at`, polymorphic: DuckDB's map form (list-wrapped value,

@@ -109,6 +109,35 @@ object Functions {
         org.apache.spark.sql.functions.udf(
           (name: String, a: String, b: String) =>
             EnumTypes.rangeBoundary(name, a, b)))
+      // UNION types (struct model, UnionTypes): constructors are
+      // registry-built expressions (NOT UDFs — the struct shape
+      // depends on the type/tag), accessors are struct-field reads.
+      locally {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+        import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+        import org.apache.spark.sql.types.StringType
+        val reg = spark.sessionState.functionRegistry
+        def litStr(e: Expression, fn: String): String = e match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$fn: expected a string literal, got $other")
+        }
+        reg.createOrReplaceTempFunction("graft_union_value",
+          (e: Seq[Expression]) =>
+            UnionTypes.valueExpr(litStr(e(0), "union_value"), e(1)),
+          "built-in")
+        reg.createOrReplaceTempFunction("graft_union_cast",
+          (e: Seq[Expression]) =>
+            UnionCastExpr(litStr(e(0), "union cast"), e(1)), "built-in")
+        reg.createOrReplaceTempFunction("union_tag",
+          (e: Seq[Expression]) =>
+            UnresolvedExtractValue(e.head, Literal(UnionTypes.TagField)),
+          "built-in")
+        reg.createOrReplaceTempFunction("union_extract",
+          (e: Seq[Expression]) =>
+            UnresolvedExtractValue(e.head, Literal(litStr(e(1),
+              "union_extract"))), "built-in")
+      }
       // DuckDB-named aliases over Spark builtins (len, list_*, ...)
       DuckAliases.registerAll(spark)
       spark.conf.set(marker, "true")

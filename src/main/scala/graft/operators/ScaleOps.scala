@@ -106,8 +106,11 @@ object ScaleOps {
       .sliding(2).collect { case Array((_, prev), (pid, _)) => pid -> prev }
       .map { case (pid, off) => pid -> off.underlying.toPlainString }
       .toMap
+    // .getItem, not element_at: since r8 the registry's element_at
+    // carries DuckDB's list-wrapped MAP shape (and Spark 4's
+    // functions.element_at resolves by NAME through that registry)
     val off = coalesce(
-      element_at(typedLit(offsets), col("__pid")).cast("decimal(38,6)"),
+      typedLit(offsets).getItem(col("__pid")).cast("decimal(38,6)"),
       lit(0).cast("decimal(38,6)"))
     val w = Window.partitionBy(col("__pid")).orderBy(keys: _*)
     parts

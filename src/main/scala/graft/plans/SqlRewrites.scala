@@ -515,6 +515,30 @@ object SqlRewrites {
       else q(m.matched))
   }
 
+  /** UNION-type sugar: `union_value(tag := v)` named-arg form (Spark's
+    * parser has no `:=`), and casts onto registered union type names →
+    * the post-analysis constructor (UnionCastExpr via
+    * graft_union_cast). Mirrors rewriteEnums' shape.
+    */
+  private val unionValueArg =
+    """(?i)\bunion_value\s*\(\s*([A-Za-z_]\w*)\s*:=""".r
+  private def rewriteUnions(sqlIn: String): String = {
+    val q = java.util.regex.Matcher.quoteReplacement _
+    val s0 = if (!sqlIn.toLowerCase.contains("union_value")) sqlIn
+      else unionValueArg.replaceAllIn(sqlIn,
+        m => q(s"graft_union_value('${m.group(1)}', "))
+    val unions = UnionTypes.names()
+    if (unions.isEmpty) return s0
+    def isU(n: String) =
+      unions.contains(n.stripPrefix("\"").stripSuffix("\"").toLowerCase)
+    val s1 = enumPostfixCast.replaceAllIn(s0, m =>
+      if (isU(m.group(2))) q(s"graft_union_cast('${m.group(2)}', ${m.group(1)})")
+      else q(m.matched))
+    enumCastAsRe.replaceAllIn(s1, m =>
+      if (isU(m.group(2))) q(s"graft_union_cast('${m.group(2)}', ${m.group(1)})")
+      else q(m.matched))
+  }
+
   def rewriteFull(sqlIn: String): Rewritten = {
     // Cheap pre-scan gates: this pre-pass runs on EVERY statement the
     // parser sees (GraftParser seam), and most statements trigger no
@@ -522,8 +546,10 @@ object SqlRewrites {
     // each pass first checks for its trigger substring. Semantics are
     // unchanged: a pattern can only match if its literal anchor occurs.
     val lowIn = sqlIn.toLowerCase
-    val sql = if (lowIn.contains("::") || lowIn.contains("cast") ||
+    val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
         lowIn.contains("enum_")) rewriteEnums(sqlIn) else sqlIn
+    val sql = if (lowIn.contains("union_") || lowIn.contains("::") ||
+        lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
     val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser

@@ -113,7 +113,11 @@ object QueriesScalar {
           col("n_nationkey"),
           col("st").getField("name").as("s_name"),
           col("st").getField("rk").as("s_rk"),
-          element_at(col("mp"), "rk").as("m_rk"))
+          // .getItem, not element_at: since r8 the registry's
+          // element_at carries DuckDB's list-wrapped MAP shape (and
+          // Spark 4's functions.element_at resolves by NAME through
+          // that registry); getItem is the direct scalar accessor
+          col("mp").getItem("rk").as("m_rk"))
         .orderBy(col("n_nationkey"))
     }),
     "q_json_funcs" -> ((s, dir) => {

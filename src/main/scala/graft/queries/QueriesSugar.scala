@@ -314,6 +314,20 @@ object QueriesSugar {
         |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
         |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+    // UNION-type value functions (round 8): union_value's := sugar,
+    // union_tag, union_extract — identical statement in both engines
+    // (anonymous unions only: the oracle runner executes one SELECT,
+    // no DDL; typed CREATE TYPE ... AS UNION is CompatSpec-pinned).
+    "q_duckdb_union" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  union_tag(union_value(num := doc_id)) AS t_num,
+        |  CAST(union_extract(union_value(num := doc_id * 3), 'num')
+        |    AS BIGINT) AS v_num,
+        |  union_tag(union_value(txt := lang)) AS t_txt,
+        |  union_extract(union_value(txt := upper(lang)), 'txt') AS v_txt,
+        |  union_extract(union_value(w := CASE WHEN doc_id % 3 = 0
+        |    THEN source END), 'w') AS v_null
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // Map-function family (round 8): map(keys,vals) constructor,
     // element_at/map_extract list-wrapped access (missing key -> []),
     // map_keys/map_values order preservation, map_concat last-wins on
@@ -612,6 +626,16 @@ object QueriesSugar {
         |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
         |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_duckdb_union" ->
+      """SELECT doc_id,
+        |  union_tag(union_value(num := doc_id)) AS t_num,
+        |  CAST(union_extract(union_value(num := doc_id * 3), 'num')
+        |    AS BIGINT) AS v_num,
+        |  union_tag(union_value(txt := lang)) AS t_txt,
+        |  union_extract(union_value(txt := upper(lang)), 'txt') AS v_txt,
+        |  union_extract(union_value(w := CASE WHEN doc_id % 3 = 0
+        |    THEN source END), 'w') AS v_null
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_maps" ->
       """SELECT doc_id,
         |  CAST(cardinality(map(list_value('a', 'b', 'c'),

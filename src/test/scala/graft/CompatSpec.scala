@@ -1014,6 +1014,60 @@ class CompatSpec extends SparkSpecBase {
     assert(v.getLong(0) == 2L, v.toString)
   }
 
+  test("UNION types: DDL, casts, union_* functions (r8, probed 1.0)") {
+    Functions.registerAll(spark)
+    Engine.query(spark,
+      "CREATE TYPE u_test AS UNION(num INTEGER, str VARCHAR)")
+    try {
+      val r = Engine.query(spark,
+        """SELECT union_tag(CAST(5 AS u_test)) AS t_num,
+          |  union_tag(CAST('hi' AS u_test)) AS t_str,
+          |  CAST(union_extract(CAST(5 AS u_test), 'num') AS INT) AS v_num,
+          |  union_extract(CAST(5 AS u_test), 'str') AS v_inactive,
+          |  union_extract(CAST('hi' AS u_test), 'str') AS v_str,
+          |  union_tag(union_value(num := 42)) AS anon_t,
+          |  CAST(union_extract(union_value(num := 42), 'num') AS INT)
+          |    AS anon_v,
+          |  union_tag(CAST(NULL AS u_test)) IS NULL AS null_t""".stripMargin)
+        .collect().head
+      assert(r.getString(0) == "num" && r.getString(1) == "str", r.toString)
+      assert(r.getInt(2) == 5, r.toString)
+      assert(r.isNullAt(3), r.toString) // inactive member reads NULL
+      assert(r.getString(4) == "hi", r.toString)
+      assert(r.getString(5) == "num" && r.getInt(6) == 42, r.toString)
+      assert(r.getBoolean(7), r.toString)
+      // member dot access through the struct model
+      val dot = Engine.query(spark,
+        "SELECT (CAST(5 AS u_test)).num AS m, (CAST(5 AS u_test)).str AS s")
+        .collect().head
+      assert(dot.getInt(0) == 5 && dot.isNullAt(1), dot.toString)
+      // unknown key errors like DuckDB's "Could not find key in union"
+      val bad = intercept[Exception] {
+        Engine.query(spark,
+          "SELECT union_extract(union_value(num := 5), 'other')").collect()
+      }
+      assert(bad.getMessage != null)
+      // duplicate definition rejected; IF NOT EXISTS tolerated
+      intercept[Exception] {
+        Engine.query(spark, "CREATE TYPE u_test AS UNION(x INTEGER)")
+      }
+      Engine.query(spark,
+        "CREATE TYPE IF NOT EXISTS u_test AS UNION(x INTEGER)")
+      // postfix-cast form and DECIMAL member with inner comma
+      Engine.query(spark,
+        "CREATE TYPE u_dec AS UNION(d DECIMAL(10,2), s VARCHAR)")
+      val pf = Engine.query(spark,
+        "SELECT union_tag(7.25::u_dec) AS t").collect().head
+      assert(pf.getString(0) == "d", pf.toString)
+      Engine.query(spark, "DROP TYPE u_dec")
+    } finally {
+      Engine.query(spark, "DROP TYPE u_test")
+      intercept[Exception] {
+        Engine.query(spark, "DROP TYPE u_test")
+      }
+    }
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
