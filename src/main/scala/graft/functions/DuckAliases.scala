@@ -708,7 +708,49 @@ object DuckAliases {
     }
     alias("map_extract")(e => MapExtractAsList(e(0), e(1)))
     alias("element_at")(e => ElementAtPoly(e(0), e(1)))
+    // ---- misc engine vocabulary (r8; probed 1.0) ----
+    // typeof renders the DuckDB type name of the argument (resolved
+    // post-analysis; folds to a literal). Probed name grid pinned in
+    // CompatSpec; NULL types as the literal '"NULL"'.
+    alias("typeof")(e => TypeofExpr(e.head))
+    alias("error")(e => RaiseError(e.head))
+    // constant_or_null(v, c...): NULL if ANY condition argument is
+    // NULL, else v (probed) — CaseWhen's NullType branch coerces to
+    // v's type during analysis
+    alias("constant_or_null") { e =>
+      val anyNull = e.tail.map(IsNull(_): Expression)
+        .reduceOption(Or).getOrElse(Literal(false))
+      CaseWhen(Seq((anyNull,
+        Literal(null, org.apache.spark.sql.types.NullType): Expression)),
+        Some(e.head))
+    }
+    alias("gen_random_uuid")(_ => Uuid())
+    // per-statement transaction id: the reference opens a fresh
+    // connection (= transaction) per statement (cpp:42), so a counter
+    // bumped at plan-build time IS its observable behavior
+    alias("txid_current")(_ => Literal(DuckAliases.txidCounter.get()))
+    alias("current_setting") { e =>
+      val key = e.head match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"current_setting: the name must be a string literal, got $other")
+      }
+      spark.conf.getOption(key)
+        .orElse(spark.conf.getOption(s"spark.$key"))
+        .map(v => Literal(v): Expression)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unrecognized configuration parameter \"$key\""))
+    }
   }
+
+  private[graft] val txidCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** One transaction per statement, like the reference's
+    * per-statement connection (cpp:42): the parser seam bumps this
+    * once per statement, every txid_current() in it reads the same
+    * value. */
+  def bumpTxid(): Unit = { txidCounter.incrementAndGet(); () }
 
   private def partName(p: Expression): String = p match {
     case Literal(s, StringType) => String.valueOf(s).toUpperCase
@@ -848,6 +890,42 @@ case class MapExtractAsList(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): MapExtractAsList = copy(left = l, right = r)
+}
+
+/** DuckDB's `typeof`: the argument's type name in DuckDB's spelling,
+  * resolved post-analysis and folded to a literal. Probed: INTEGER /
+  * BIGINT / DOUBLE / FLOAT / VARCHAR / BOOLEAN / DATE / TIMESTAMP /
+  * DECIMAL(p,s) / T[] for lists / '"NULL"' for the untyped NULL.
+  */
+case class TypeofExpr(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  private def duckName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case BinaryType => "BLOB"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case NullType => "\"NULL\""
+      case ArrayType(et, _) => s"${duckName(et)}[]"
+      case MapType(kt, vt, _) => s"MAP(${duckName(kt)}, ${duckName(vt)})"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name} ${duckName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case other => other.simpleString.toUpperCase
+    }
+  }
+  override lazy val replacement: Expression = Literal(duckName(child.dataType))
+  override protected def withNewChildInternal(c: Expression): TypeofExpr =
+    copy(child = c)
 }
 
 /** Two-argument `map(...)`, polymorphic: two ARRAY args are DuckDB's

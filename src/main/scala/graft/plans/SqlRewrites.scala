@@ -540,6 +540,7 @@ object SqlRewrites {
   }
 
   def rewriteFull(sqlIn: String): Rewritten = {
+    DuckAliases.bumpTxid() // one "transaction" per parsed statement
     // Cheap pre-scan gates: this pre-pass runs on EVERY statement the
     // parser sees (GraftParser seam), and most statements trigger no
     // rewrite — an indexOf is ~100× cheaper than a full regex pass, so

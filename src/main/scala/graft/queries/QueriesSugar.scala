@@ -314,6 +314,27 @@ object QueriesSugar {
         |  CAST(time_bucket(INTERVAL '1 week', CAST(o_orderdate AS TIMESTAMP),
         |    INTERVAL '2 day') AS DATE) AS tb_woff
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+    // Misc engine vocabulary (round 8): typeof's name grid and
+    // constant_or_null — identical statement in both engines.
+    "q_duckdb_misc" -> ((s, dir) => sql(s, dir,
+      """SELECT doc_id,
+        |  typeof(doc_id) AS ty_id,
+        |  typeof(lang) AS ty_s,
+        |  typeof(1) AS ty_i,
+        |  typeof(1.5) AS ty_dec,
+        |  typeof(CAST(1.5 AS DOUBLE)) AS ty_dbl,
+        |  typeof(CAST(doc_id AS FLOAT)) AS ty_f,
+        |  typeof(doc_id % 2 = 0) AS ty_b,
+        |  typeof(DATE '2020-01-01') AS ty_date,
+        |  typeof(CAST(NULL AS SMALLINT)) AS ty_si,
+        |  typeof(list_value(1, 2)) AS ty_l,
+        |  typeof(list_value(lang)) AS ty_ls,
+        |  typeof(NULL) AS ty_null,
+        |  CAST(constant_or_null(42, CASE WHEN doc_id % 3 = 0 THEN 1 END)
+        |    AS INT) AS cn,
+        |  constant_or_null('x', 1, CASE WHEN doc_id % 2 = 0 THEN 1 END)
+        |    AS cn2
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     // UNION-type value functions (round 8): union_value's := sugar,
     // union_tag, union_extract — identical statement in both engines
     // (anonymous unions only: the oracle runner executes one SELECT,
@@ -626,6 +647,25 @@ object QueriesSugar {
         |  CAST(count_if(l_discount > 0.04) AS BIGINT) AS n_disc,
         |  CAST(bitstring_agg(l_linenumber, 1, 7) AS VARCHAR) AS lines_bits
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_duckdb_misc" ->
+      """SELECT doc_id,
+        |  typeof(doc_id) AS ty_id,
+        |  typeof(lang) AS ty_s,
+        |  typeof(1) AS ty_i,
+        |  typeof(1.5) AS ty_dec,
+        |  typeof(CAST(1.5 AS DOUBLE)) AS ty_dbl,
+        |  typeof(CAST(doc_id AS FLOAT)) AS ty_f,
+        |  typeof(doc_id % 2 = 0) AS ty_b,
+        |  typeof(DATE '2020-01-01') AS ty_date,
+        |  typeof(CAST(NULL AS SMALLINT)) AS ty_si,
+        |  typeof(list_value(1, 2)) AS ty_l,
+        |  typeof(list_value(lang)) AS ty_ls,
+        |  typeof(NULL) AS ty_null,
+        |  CAST(constant_or_null(42, CASE WHEN doc_id % 3 = 0 THEN 1 END)
+        |    AS INT) AS cn,
+        |  constant_or_null('x', 1, CASE WHEN doc_id % 2 = 0 THEN 1 END)
+        |    AS cn2
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_duckdb_union" ->
       """SELECT doc_id,
         |  union_tag(union_value(num := doc_id)) AS t_num,

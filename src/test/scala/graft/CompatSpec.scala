@@ -1068,6 +1068,39 @@ class CompatSpec extends SparkSpecBase {
     }
   }
 
+  test("misc vocabulary: typeof/error/uuid/txid_current/current_setting (r8)") {
+    val r = Engine.query(spark,
+      """SELECT typeof(map(list_value(1), list_value('a'))) AS ty_m,
+        |  typeof(named_struct('a', 1)) AS ty_st,
+        |  uuid() AS u1, uuid() AS u2, gen_random_uuid() AS g1,
+        |  CAST(txid_current() AS BIGINT) AS tx,
+        |  current_setting('sql.session.timeZone') AS tz""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "MAP(INTEGER, VARCHAR)", r.toString)
+    assert(r.getString(1) == "STRUCT(a INTEGER)", r.toString)
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    assert(r.getString(2).matches(uuidRe), r.toString)
+    assert(r.getString(2) != r.getString(3), r.toString)
+    assert(r.getString(4).matches(uuidRe), r.toString)
+    assert(r.getLong(5) > 0L, r.toString)
+    assert(r.getString(6) == "UTC", r.toString)
+    // txid is stable within a statement, increments across statements
+    val t2 = Engine.query(spark,
+      "SELECT CAST(txid_current() AS BIGINT) AS a, CAST(txid_current() AS BIGINT) AS b")
+      .collect().head
+    assert(t2.getLong(0) == t2.getLong(1), t2.toString)
+    assert(t2.getLong(0) > r.getLong(5), s"${t2.getLong(0)} vs ${r.getLong(5)}")
+    // error() raises; unknown setting errors like DuckDB's message
+    val err = intercept[Exception] {
+      Engine.query(spark, "SELECT error('boom') AS e").collect()
+    }
+    assert(err.getMessage.contains("boom"), err.getMessage)
+    val unk = intercept[Exception] {
+      Engine.query(spark, "SELECT current_setting('no_such_setting_xyz')")
+    }
+    assert(unk.getMessage.contains("unrecognized"), unk.getMessage)
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
