@@ -48,7 +48,12 @@ object DuckAliases {
     alias("array_to_string")(e =>
       If(EqualTo(Size(e(0), legacySizeOfNull = false), Literal(0)),
         Literal(null, StringType), ArrayJoin(e(0), e(1), None)))
-    alias("list_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
+    alias("list_slice")(e => SlicePoly(e(0), e(1), e(2)))
+    // DuckDB bracket syntax, lowered here by BracketRewrite: x[i] is
+    // 1-based and polymorphic; x[a:b] is the inclusive slice. Both
+    // are also callable directly.
+    alias("duck_subscript")(e => SubscriptPoly(e(0), e(1)))
+    alias("duck_slice")(e => SlicePoly(e(0), e(1), e(2)))
     alias("regexp_matches")(e => RLike(e(0), e(1)))
     alias("range") {
       case Seq(stop) =>
@@ -423,7 +428,7 @@ object DuckAliases {
     alias("list_avg")(e =>
       Divide(listSum(e.head), Cast(listCount(e.head), DoubleType)))
     alias("list_count")(e => listCount(e.head))
-    alias("array_slice")(e => inclusiveSlice(e(0), e(1), e(2)))
+    alias("array_slice")(e => SlicePoly(e(0), e(1), e(2)))
     // list_reduce has no explicit zero: the first element seeds the
     // fold over the rest (errors on empty lists in DuckDB too — here
     // the seed is just NULL)
@@ -815,25 +820,6 @@ object DuckAliases {
     * would either hit Spark Slice's ANSI "indices start at 1" error
     * (normalized 0) or be reinterpreted as from-the-end (negative).
     */
-  private def inclusiveSlice(l: Expression, a: Expression, b: Expression): Expression = {
-    val sz = Size(l, legacySizeOfNull = false)
-    def norm(i: Expression) = {
-      val ii = Cast(i, IntegerType)
-      If(GreaterThanOrEqual(ii, Literal(0)), ii,
-        Add(Add(sz, ii), Literal(1)))
-    }
-    // clamp into [1, sz]; a start past the end yields len <= 0 -> []
-    val start = Greatest(Seq(Literal(1), norm(a)))
-    val end = Least(Seq(sz, norm(b)))
-    val len = Greatest(Seq(Literal(0), Add(Subtract(end, start), Literal(1))))
-    // a NULL bound means a NULL slice (probed on DuckDB 1.0; Greatest/
-    // Least SKIP nulls, so the clamp alone would silently treat NULL
-    // as an open bound). Slice is null-intolerant, so a nulled start
-    // propagates without needing the array type at build time.
-    val anyNullBound = Or(IsNull(Cast(a, IntegerType)), IsNull(Cast(b, IntegerType)))
-    Slice(l, If(anyNullBound, Literal(null, IntegerType), start), len)
-  }
-
   private def quoteIfLiteral(sep: Expression): Expression = sep match {
     case Literal(v, _) if v != null =>
       Literal(java.util.regex.Pattern.quote(v.toString))

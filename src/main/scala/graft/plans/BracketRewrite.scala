@@ -1,0 +1,319 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** DuckDB bracket syntax → Spark, at the parser seam.
+  *
+  * DuckDB (the reference's whole SQL surface, forwarded verbatim at
+  * src/duckdb_pgwire_extension.cpp:52) uses `[...]` three ways:
+  *   1. list literals        `[1, 2, 3]`, `ARRAY[1, 2, 3]`
+  *   2. subscripts           `l[1]` — 1-BASED (Spark's is 0-based!)
+  *   3. slices               `l[2:4]`, `l[2:]`, `l[:4]`, `l[:]`
+  * Spark parses (1) not at all and (2) with different semantics — the
+  * silent off-by-one is the worst possible wire bug — so this pass
+  * rewrites all three before the stock parser sees the text:
+  *   1. → `array(1, 2, 3)`
+  *   2. → `duck_subscript(l, 1)`   ([[SubscriptPoly]])
+  *   3. → `duck_slice(l, 2, 4)`    ([[SlicePoly]]; open bounds → 1/-1)
+  *
+  * A `[` opens a literal when the previous significant token cannot
+  * end an expression (an operator, `(`, `,`, a keyword like SELECT/
+  * WHEN/AND, or the ARRAY constructor keyword); it is a subscript when
+  * the previous token can (identifier, `)`, `]`, `}`, or a string
+  * literal). Empty brackets (`INT[]` array types) and brackets right
+  * after a `::` cast's type name (`x::int[3]` is a TYPE in DuckDB, not
+  * a subscript) are left untouched. Strings, quoted identifiers and
+  * comments are never rewritten.
+  */
+object BracketRewrite {
+
+  /** Keywords after which a `[` must be a literal opener (the word
+    * cannot end an expression). "array" is special-cased: the ARRAY[..]
+    * constructor keyword itself is dropped, its bracket becomes the
+    * array( call. "end" is deliberately absent — `CASE..END[i]`
+    * subscripts the CASE's value.
+    */
+  private val literalOpenerKw: Set[String] = Set(
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "by", "having", "on", "as", "all", "distinct", "case", "union",
+    "intersect", "except", "limit", "offset", "values", "qualify",
+    "like", "ilike", "between", "returning", "exclude", "replace",
+    "filter", "partition", "order", "using", "if", "is", "unnest",
+    "set", "return", "array")
+
+  /** Type names whose bracket suffix is an ARRAY TYPE (CAST targets),
+    * never a subscript: `CAST(x AS INTEGER[3])`.
+    */
+  private val typeNames: Set[String] = Set(
+    "int", "integer", "bigint", "smallint", "tinyint", "hugeint",
+    "ubigint", "uinteger", "usmallint", "utinyint", "varchar", "text",
+    "string", "char", "double", "float", "real", "decimal", "numeric",
+    "boolean", "bool", "date", "timestamp", "timestamptz", "time",
+    "blob", "bytea", "interval", "uuid", "json")
+
+  private sealed trait Tok { def start: Int; def end: Int }
+  private case class Word(start: Int, end: Int, lower: String) extends Tok
+  private case class Str(start: Int, end: Int) extends Tok
+  private case class QIdent(start: Int, end: Int) extends Tok
+  private case class Punct(start: Int, end: Int, text: String) extends Tok
+
+  private def tokenize(s: String): ArrayBuffer[Tok] = {
+    val toks = new ArrayBuffer[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == '\'') {
+        val st = i; i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2 else { done = true; i += 1 }
+          } else i += 1
+        }
+        toks += Str(st, i)
+      } else if (c == '"' || c == '`') {
+        val st = i; i += 1
+        while (i < n && s.charAt(i) != c) i += 1
+        i = math.min(i + 1, n)
+        toks += QIdent(st, i)
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        toks += Word(st, i, s.substring(st, i).toLowerCase)
+      } else if (c.isDigit) {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '.')) i += 1
+        // a number can end an expression → modeled as a Word that is
+        // never a literal-opener keyword
+        toks += Word(st, i, s.substring(st, i))
+      } else if (c == ':' && i + 1 < n && s.charAt(i + 1) == ':') {
+        toks += Punct(i, i + 2, "::"); i += 2
+      } else {
+        toks += Punct(i, i + 1, c.toString); i += 1
+      }
+    }
+    toks
+  }
+
+  private case class Edit(pos: Int, end: Int, text: String, seq: Int)
+
+  def rewrite(sql: String): String = {
+    if (sql.indexOf('[') < 0) return sql
+    val toks = tokenize(sql)
+    val edits = new ArrayBuffer[Edit]
+    var seq = 0
+
+    def matchClose(openIdx: Int): Int = {
+      // token index of the `]` matching toks(openIdx); -1 if unbalanced
+      var depth = 0
+      var j = openIdx
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct(_, _, "[") => depth += 1
+          case Punct(_, _, "]") =>
+            depth -= 1
+            if (depth == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+
+    def matchOpenBack(closeIdx: Int, open: String, close: String): Int = {
+      var depth = 0
+      var j = closeIdx
+      while (j >= 0) {
+        toks(j) match {
+          case Punct(_, _, `close`) => depth += 1
+          case Punct(_, _, `open`) =>
+            depth -= 1
+            if (depth == 0) return j
+          case _ =>
+        }
+        j -= 1
+      }
+      -1
+    }
+
+    /** Token index where the subscripted primary starts, or -1 when
+      * the shape isn't one we rewrite (e.g. a `::`-cast type suffix).
+      * Walks the chain leftwards: `a.b`, `f(x)`, `m['a'][1]`,
+      * `('lit')`, `{'a':1}`, `CASE..END`.
+      */
+    def primaryStart(beforeIdx: Int): Int = {
+      var j = beforeIdx
+      var start = -1
+      var continue = true
+      while (continue && j >= 0) {
+        continue = false
+        toks(j) match {
+          case Punct(_, _, ")") =>
+            val o = matchOpenBack(j, "(", ")")
+            if (o < 0) return -1
+            start = o; j = o - 1
+            // a call: include the function name and keep chaining
+            if (j >= 0) toks(j) match {
+              case Word(st, _, w) if !literalOpenerKw.contains(w) && w != "end" =>
+                start = st; j -= 1
+                toks.lift(j) match {
+                  case Some(Punct(_, _, ".")) => j -= 1; continue = true
+                  case _ =>
+                }
+              case _ =>
+            }
+          case Punct(_, _, "]") =>
+            val o = matchOpenBack(j, "[", "]")
+            if (o < 0) return -1
+            start = o; j = o - 1; continue = true // chain: m['a'][1]
+          case Punct(_, _, "}") =>
+            val o = matchOpenBack(j, "{", "}")
+            if (o < 0) return -1
+            start = o; j = o - 1
+            toks.lift(j) match { // MAP {'k':v}['k']
+              case Some(Word(st, _, "map")) => start = st
+              case _ =>
+            }
+          case Word(_, _, "end") if j != beforeIdx =>
+            // reached END mid-chain — the chain ends here
+          case Word(_, _, "end") =>
+            // CASE .. END[i]: the primary is the whole CASE expression
+            var depth = 1
+            j -= 1
+            while (depth > 0 && j >= 0) {
+              toks(j) match {
+                case Word(_, _, "end") => depth += 1
+                case Word(_, _, "case") => depth -= 1
+                case _ =>
+              }
+              if (depth > 0) j -= 1
+            }
+            if (j < 0) return -1
+            start = toks(j).start; j -= 1
+          case Word(st, _, w) =>
+            if (start >= 0 && literalOpenerKw.contains(w)) {
+              // chained onto a keyword (SELECT [..][1]) — chain ends
+            } else {
+              start = st; j -= 1
+              // dotted chain a.b[1]; a `::` cast type suffix is a TYPE
+              // in DuckDB (x::int[3]) — bail, leave the bracket alone
+              toks.lift(j) match {
+                case Some(Punct(_, _, ".")) => j -= 1; continue = true
+                case Some(Punct(_, _, "::")) => return -1
+                case _ =>
+              }
+            }
+          case QIdent(st, _) =>
+            start = st; j -= 1
+            toks.lift(j) match {
+              case Some(Punct(_, _, ".")) => j -= 1; continue = true
+              case Some(Punct(_, _, "::")) => return -1
+              case _ =>
+            }
+          case Str(st, _) => start = st; j -= 1
+          case _ => return -1
+        }
+      }
+      start
+    }
+
+    var ti = 0
+    while (ti < toks.length) {
+      toks(ti) match {
+        case Punct(bst, _, "[") =>
+          val closeIdx = matchClose(ti)
+          if (closeIdx < 0) return sql // unbalanced: leave untouched
+          val prev = if (ti == 0) None else Some(toks(ti - 1))
+          val isLiteral = prev match {
+            case None => true
+            case Some(Word(_, _, w)) => literalOpenerKw.contains(w)
+            case Some(Punct(_, _, p)) =>
+              p != ")" && p != "]" && p != "}" // operators, '(', ',', ':' …
+            case Some(_: Str) | Some(_: QIdent) => false
+          }
+          if (isLiteral) {
+            prev match {
+              case Some(Word(wst, wend, "array")) =>
+                // ARRAY[1,2] — drop the keyword, the bracket IS the call
+                edits += Edit(wst, wend, "", { seq += 1; seq })
+              case _ =>
+            }
+            edits += Edit(bst, bst + 1, "array(", { seq += 1; seq })
+            val cl = toks(closeIdx)
+            edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
+            // nested brackets are classified on their own turn
+          } else if (closeIdx == ti + 1) {
+            // empty brackets: an ARRAY TYPE (INT[]), never a subscript
+          } else {
+            // type suffix guard: CAST(x AS INTEGER[3])
+            val isTypeSuffix = prev match {
+              case Some(Word(_, _, w)) if typeNames.contains(w) =>
+                ti >= 2 && (toks(ti - 2) match {
+                  case Word(_, _, "as") => true
+                  case Punct(_, _, "::") => true
+                  case _ => false
+                })
+              case _ => false
+            }
+            if (!isTypeSuffix) {
+              val ps = primaryStart(ti - 1)
+              if (ps >= 0) {
+                // depth-0 colon inside the bracket ⇒ slice
+                var colonIdx = -1
+                var depth = 0
+                var j = ti + 1
+                var colons = 0
+                while (j < closeIdx) {
+                  toks(j) match {
+                    case Punct(_, _, "[") | Punct(_, _, "(") => depth += 1
+                    case Punct(_, _, "]") | Punct(_, _, ")") => depth -= 1
+                    case Punct(_, _, ":") if depth == 0 =>
+                      colons += 1; if (colonIdx < 0) colonIdx = j
+                    case _ =>
+                  }
+                  j += 1
+                }
+                val cl = toks(closeIdx)
+                if (colons == 0) {
+                  edits += Edit(ps, ps, "duck_subscript(", { seq += 1; seq })
+                  edits += Edit(bst, bst + 1, ", ", { seq += 1; seq })
+                  edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
+                } else if (colons == 1) {
+                  val co = toks(colonIdx)
+                  val loEmpty = colonIdx == ti + 1
+                  val hiEmpty = colonIdx == closeIdx - 1
+                  edits += Edit(ps, ps, "duck_slice(", { seq += 1; seq })
+                  edits += Edit(bst, bst + 1, if (loEmpty) ", 1" else ", ",
+                    { seq += 1; seq })
+                  edits += Edit(co.start, co.end,
+                    if (hiEmpty) ", -1" else ", ", { seq += 1; seq })
+                  edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
+                }
+                // 2+ colons (step slices) — not bridged, left untouched
+              }
+            }
+          }
+        case _ =>
+      }
+      ti += 1
+    }
+
+    if (edits.isEmpty) return sql
+    // Apply right-to-left. Same-position pure insertions (nested
+    // subscript chains all insert at the shared primary start): the
+    // LATER-discovered bracket is the OUTER wrapper and must end up
+    // leftmost, so it is applied LAST at that position (pos desc,
+    // seq ASC — each later application pushes earlier text right).
+    val ordered = edits.sortBy(e => (-e.pos, e.seq))
+    val sb = new StringBuilder(sql)
+    for (e <- ordered) sb.replace(e.pos, e.end, e.text)
+    sb.toString
+  }
+}

@@ -53,7 +53,12 @@ object SqlRewrites {
     // bare VARCHAR (no length) — legal in pg/DuckDB, a parse error in
     // Spark; the parenthesized VARCHAR(n) form is excluded by the
     // regexes (castAs demands a `)` next, castOp a non-`(`)
-    "varchar" -> "string")
+    "varchar" -> "string",
+    // session TZ is pinned UTC, so the tz-qualified types collapse
+    // onto their plain spellings; BLOB is Spark binary, and BIT is
+    // graft's '0'/'1'-string model (functions/ bitstring vocabulary)
+    "timestamptz" -> "timestamp", "timetz" -> "time",
+    "blob" -> "binary", "bit" -> "string")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
   /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
@@ -92,6 +97,11 @@ object SqlRewrites {
     """(?i)\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(%|PERCENT\b|ROWS\b)?""".r
 
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b(?!\\s*\\()""".r
+  /** `TIMESTAMPTZ '...'` / `TIMETZ '...'` typed literals (Spark has no
+    * tz-qualified literal spellings; session TZ is pinned UTC). */
+  private val typedLit = """(?i)\b(timestamptz|timetz)\s*(?=')""".r
+  /** DuckDB's zero-argument `count()` ≡ `count(*)`. */
+  private val countEmpty = """(?i)\bcount\s*\(\s*\)""".r
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
   /** single-level JSON arrows on a column/paren expr with a string or
@@ -549,8 +559,21 @@ object SqlRewrites {
     val lowIn = sqlIn.toLowerCase
     val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
         lowIn.contains("enum_")) rewriteEnums(sqlIn) else sqlIn
-    val sql = if (lowIn.contains("union_") || lowIn.contains("::") ||
+    val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
+    // DuckDB bracket syntax (list literals, 1-based subscripts,
+    // inclusive slices) — token-aware, strings/comments untouched
+    val sqlB = if (sqlU.indexOf('[') >= 0) BracketRewrite.rewrite(sqlU) else sqlU
+    // tz-qualified typed literals collapse onto the plain spellings
+    // (session TZ pinned UTC, matching DuckDB's rendering)
+    val sqlT = if (sqlB.toLowerCase.contains("time")) typedLit.replaceAllIn(
+      sqlB, m => m.group(1).toLowerCase match {
+        case "timestamptz" => "TIMESTAMP '"
+        case _ => "TIME '"
+      }) else sqlB
+    // DuckDB's zero-arg count() ≡ count(*)
+    val sql = if (sqlT.toLowerCase.contains("count"))
+      countEmpty.replaceAllIn(sqlT, "count(*)") else sqlT
     val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser
