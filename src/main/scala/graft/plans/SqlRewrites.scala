@@ -566,10 +566,12 @@ object SqlRewrites {
     val sqlB = if (sqlU.indexOf('[') >= 0) BracketRewrite.rewrite(sqlU) else sqlU
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering)
+    // (the quote is a lookahead — NOT consumed — so the replacement
+    // must not re-insert it)
     val sqlT = if (sqlB.toLowerCase.contains("time")) typedLit.replaceAllIn(
       sqlB, m => m.group(1).toLowerCase match {
-        case "timestamptz" => "TIMESTAMP '"
-        case _ => "TIME '"
+        case "timestamptz" => "TIMESTAMP "
+        case _ => "TIME "
       }) else sqlB
     // DuckDB's zero-arg count() ≡ count(*)
     val sql = if (sqlT.toLowerCase.contains("count"))
