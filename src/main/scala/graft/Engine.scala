@@ -28,6 +28,9 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // DuckDB's TIME / TIMETZ surface needs Spark 4.1's TimeType
+      // (collection-side encoder support is gated behind this flag)
+      .config("spark.sql.timeType.enabled", "true")
       .config("spark.ui.enabled", "false")
       // managed-table location for the in-memory catalog: keep it out
       // of the repo and unique per JVM (a stale spark-warehouse dir
@@ -578,16 +581,26 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     loadCache.computeIfAbsent((spark, dir, name), _ => {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-      // rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert
-      // to a microsecond timestamp with integer arithmetic (a double
-      // division would lose precision above 2^53 ns).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) — which
+      // Spark's reader rejects (PARQUET_TYPE_ILLEGAL) unless read as a
+      // long — in some data drops and TIMESTAMP(MICROS) in others, so
+      // normalize from whatever the footer says to a session-TZ
+      // TimestampType column. Nanos convert with integer arithmetic (a
+      // double division would lose precision above 2^53 ns).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      else df
+      if (name == "events") {
+        import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+        df.schema("ts").dataType match {
+          case LongType => // nanos-as-long drop
+            df.withColumn("ts", org.apache.spark.sql.functions.expr(
+              "timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => // micros drop (naive, session TZ is UTC)
+            df.withColumn("ts",
+              df("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
+      } else df
     })
 
   /** Register every table as a temp view in the session catalog —

@@ -158,7 +158,7 @@ object BracketRewrite {
           case Punct(_, _, ")") =>
             val o = matchOpenBack(j, "(", ")")
             if (o < 0) return -1
-            start = o; j = o - 1
+            start = toks(o).start; j = o - 1
             // a call: include the function name and keep chaining
             if (j >= 0) toks(j) match {
               case Word(st, _, w) if !literalOpenerKw.contains(w) && w != "end" =>
@@ -172,11 +172,11 @@ object BracketRewrite {
           case Punct(_, _, "]") =>
             val o = matchOpenBack(j, "[", "]")
             if (o < 0) return -1
-            start = o; j = o - 1; continue = true // chain: m['a'][1]
+            start = toks(o).start; j = o - 1; continue = true // chain: m['a'][1]
           case Punct(_, _, "}") =>
             val o = matchOpenBack(j, "{", "}")
             if (o < 0) return -1
-            start = o; j = o - 1
+            start = toks(o).start; j = o - 1
             toks.lift(j) match { // MAP {'k':v}['k']
               case Some(Word(st, _, "map")) => start = st
               case _ =>
@@ -218,7 +218,9 @@ object BracketRewrite {
               case _ =>
             }
           case Str(st, _) => start = st; j -= 1
-          case _ => return -1
+          // a non-chaining token (',', '(', an operator …) ends the
+          // chain; only a chain that never found a primary is a bail
+          case _ => if (start < 0) return -1
         }
       }
       start

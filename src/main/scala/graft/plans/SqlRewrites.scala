@@ -99,9 +99,78 @@ object SqlRewrites {
   private val castOp = s"""(?i)::\\s*($aliasAlt)\\b(?!\\s*\\()""".r
   /** `TIMESTAMPTZ '...'` / `TIMETZ '...'` typed literals (Spark has no
     * tz-qualified literal spellings; session TZ is pinned UTC). */
-  private val typedLit = """(?i)\b(timestamptz|timetz)\s*(?=')""".r
+  private val typedLit = """(?i)\btimestamptz\s*(?=')""".r
+  /** `TIMETZ '...'` consumes its literal: DuckDB renders TIMETZ with an
+    * explicit zone offset (`03:04:05+02`), which Spark's TIME literal
+    * cannot parse — normalize to the UTC wall time. */
+  private val timetzLit = """(?i)\btimetz\s*'([^']*)'""".r
   /** DuckDB's zero-argument `count()` ≡ `count(*)`. */
   private val countEmpty = """(?i)\bcount\s*\(\s*\)""".r
+
+  /** Character spans of single-quoted strings ('' escapes), quoted
+    * identifiers and comments. Raw-text regex passes must leave these
+    * untouched — `'ts is timestamptz '` is data, not a typed literal. */
+  private def quotedSpans(s: String): Array[(Int, Int)] = {
+    val spans = Array.newBuilder[(Int, Int)]
+    var i = 0; val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        val st = i; i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((st, i))
+      } else if (c == '"' || c == '`') {
+        val st = i; i += 1
+        while (i < n && s.charAt(i) != c) i += 1
+        i = math.min(i + 1, n); spans += ((st, i))
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        val st = i
+        while (i < n && s.charAt(i) != '\n') i += 1
+        spans += ((st, i))
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val st = i
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+        spans += ((st, i))
+      } else i += 1
+    }
+    spans.result()
+  }
+
+  /** replaceAllIn, but matches that START inside a quoted/comment span
+    * are left verbatim. (A match may legitimately CONTAIN a string —
+    * `TIMETZ '03:04:05'` — so only the start position is tested.) */
+  private def replaceOutsideQuotes(re: scala.util.matching.Regex, s: String)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    lazy val spans = quotedSpans(s)
+    re.replaceAllIn(s, m =>
+      if (spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else scala.util.matching.Regex.quoteReplacement(f(m)))
+  }
+
+  /** `HH:MM[:SS][.f][±HH[:MM]]` → UTC wall time (TIMETZ semantics:
+    * the stored instant is the wall time minus the offset). */
+  private def normalizeTimeTz(lit: String): String = {
+    val re = """^(\d{1,2}):(\d{2})(?::(\d{2}))?(\.\d+)?([+-]\d{1,2}(?::\d{2})?)?$""".r
+    lit.trim match {
+      case re(h, mi, se, fr, off) =>
+        val offMin = Option(off).map { o =>
+          val sign = if (o.startsWith("-")) -1 else 1
+          val parts = o.drop(1).split(":")
+          sign * (parts(0).toInt * 60 + (if (parts.length > 1) parts(1).toInt else 0))
+        }.getOrElse(0)
+        val total = ((h.toInt * 60 + mi.toInt - offMin) % 1440 + 1440) % 1440
+        f"${total / 60}%02d:${total % 60}%02d:${Option(se).getOrElse("00")}%s${Option(fr).getOrElse("")}%s"
+      case _ => lit // not a time shape — leave it, let the parser complain
+    }
+  }
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
   /** single-level JSON arrows on a column/paren expr with a string or
@@ -565,17 +634,19 @@ object SqlRewrites {
     // inclusive slices) — token-aware, strings/comments untouched
     val sqlB = if (sqlU.indexOf('[') >= 0) BracketRewrite.rewrite(sqlU) else sqlU
     // tz-qualified typed literals collapse onto the plain spellings
-    // (session TZ pinned UTC, matching DuckDB's rendering)
-    // (the quote is a lookahead — NOT consumed — so the replacement
-    // must not re-insert it)
-    val sqlT = if (sqlB.toLowerCase.contains("time")) typedLit.replaceAllIn(
-      sqlB, m => m.group(1).toLowerCase match {
-        case "timestamptz" => "TIMESTAMP "
-        case _ => "TIME "
-      }) else sqlB
+    // (session TZ pinned UTC, matching DuckDB's rendering). Both
+    // passes skip string/comment spans — 'timestamptz ' inside a
+    // string literal is data. TIMESTAMPTZ keeps its literal (Spark's
+    // TIMESTAMP literal parses zone offsets); TIMETZ consumes and
+    // normalizes its literal (Spark TIME parses no offset).
+    val sqlT0 = if (sqlB.toLowerCase.contains("timestamptz"))
+      replaceOutsideQuotes(typedLit, sqlB)(_ => "TIMESTAMP ") else sqlB
+    val sqlT = if (sqlT0.toLowerCase.contains("timetz"))
+      replaceOutsideQuotes(timetzLit, sqlT0)(m =>
+        s"TIME '${normalizeTimeTz(m.group(1))}'") else sqlT0
     // DuckDB's zero-arg count() ≡ count(*)
     val sql = if (sqlT.toLowerCase.contains("count"))
-      countEmpty.replaceAllIn(sqlT, "count(*)") else sqlT
+      replaceOutsideQuotes(countEmpty, sqlT)(_ => "count(*)") else sqlT
     val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser

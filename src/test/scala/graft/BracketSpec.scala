@@ -111,6 +111,23 @@ class BracketSpec extends SparkSpecBase {
   test("TIMESTAMPTZ / TIMETZ typed literals collapse to UTC spellings") {
     val r = one("SELECT TIMESTAMPTZ '2024-01-02 03:04:05' a")
     assert(r.getTimestamp(0).toString == "2024-01-02 03:04:05.0")
+    // TIMETZ: DuckDB's default rendering carries an explicit offset;
+    // both the plain and the offset-suffixed forms must parse, with
+    // the offset folded into the UTC wall time (probed: DuckDB stores
+    // TIMETZ '04:05:06+02' as UTC instant 02:05:06)
+    val t = one("SELECT TIMETZ '03:04:05' a, TIMETZ '04:05:06+02' b, " +
+      "TIMETZ '01:00:00-02:30' c")
+    assert(t.get(0).toString == "03:04:05")
+    assert(t.get(1).toString == "02:05:06")
+    assert(t.get(2).toString == "03:30")
+  }
+
+  test("typed-literal / count() rewrites skip string literals") {
+    val r = one("SELECT 'ts is timestamptz ' AS a, 'x timetz ''1'' y' AS b, " +
+      "'count()' AS c")
+    assert(r.getString(0) == "ts is timestamptz ")
+    assert(r.getString(1) == "x timetz '1' y")
+    assert(r.getString(2) == "count()")
   }
 
   test("zero-arg count() ≡ count(*)") {
