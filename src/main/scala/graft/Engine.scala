@@ -48,7 +48,12 @@ object Engine {
     * Mirrors the reference's single delegation point
     * (src/duckdb_pgwire_extension.cpp:52 `conn.Prepare(query)`).
     */
+  /** statement text visible to current_query() — set per query()
+    * call, thread-local like DuckDB's per-connection statement. */
+  val currentQuery = new ThreadLocal[String]()
+
   def query(spark: SparkSession, sql: String): DataFrame = {
+    currentQuery.set(sql)
     Functions.registerAll(spark)
     sql match {
       case SummarizeRe(target) => summarize(spark, target)

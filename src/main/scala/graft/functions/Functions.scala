@@ -140,6 +140,11 @@ object Functions {
       }
       // DuckDB-named aliases over Spark builtins (len, list_*, ...)
       DuckAliases.registerAll(spark)
+      // round-9 conformance waves (array_*/list_* long tail, JSON,
+      // pg_catalog shims, interval dateparts) — registered AFTER
+      // DuckAliases so its refinements (arg_max null-skip, polymorphic
+      // epoch, list_unique non-null count) win the name
+      DuckVocab9.registerAll(spark)
       spark.conf.set(marker, "true")
     }
   }

@@ -1,0 +1,181 @@
+package graft
+
+import QueryDsl._
+
+/** Round-9 conformance-wave oracle rows: the duckdb_functions()
+  * catalog gaps closed this round (DuckVocab9/GraftCall), each as an
+  * IDENTICAL statement run by both engines and hash-compared by the
+  * driver. Column rules: every output atomic (Verify guards this) and
+  * deterministic (no row-order-dependent aggregates; arg_max ordering
+  * keys made unique). Rendering-divergent types (INTERVAL, MAP,
+  * TIMESTAMPTZ) are compared through epoch()/array_to_string
+  * projections on BOTH sides.
+  */
+object QueriesVocab9 {
+
+  lazy val defs: Map[String, Q] = Map(
+    // arithmetic-as-function + numeric + string + grapheme wave
+    "q_duckdb_funcs6" -> ((s, dir) => sql(s, dir, funcs6Sql)),
+    // list/array vocabulary wave (bracket literals exercise
+    // BracketRewrite in both engines identically)
+    "q_duckdb_funcs7" -> ((s, dir) => sql(s, dir, funcs7Sql)),
+    // aggregate wave over lineitem groups
+    "q_duckdb_agg2" -> ((s, dir) => sql(s, dir, agg2Sql)),
+    // JSON scalar family over per-row constructed documents
+    "q_duckdb_json2" -> ((s, dir) => sql(s, dir, json2Sql)),
+    // age/epoch/time-part wave over events timestamps
+    "q_duckdb_dates3" -> ((s, dir) => sql(s, dir, dates3Sql)))
+
+  lazy val oracles: Map[String, String] = Map(
+    "q_duckdb_funcs6" -> funcs6Sql,
+    "q_duckdb_funcs7" -> funcs7Sql,
+    "q_duckdb_agg2" -> agg2Sql,
+    "q_duckdb_json2" -> json2Sql,
+    "q_duckdb_dates3" -> dates3Sql)
+
+  private val funcs6Sql: String =
+    """SELECT doc_id,
+      |  add(doc_id, 3) AS f_add,
+      |  subtract(CAST(doc_id AS BIGINT), 3) AS f_sub,
+      |  subtract(doc_id) AS f_neg,
+      |  multiply(doc_id % 10, 7) AS f_mul,
+      |  divide(doc_id, 7) AS f_idiv,
+      |  round(CAST(divide(CAST(n_chars AS DOUBLE), 7) AS DOUBLE), 6) AS f_div,
+      |  fdiv(CAST(n_chars AS DOUBLE), 7.0) AS f_fdiv,
+      |  round(fmod(CAST(n_chars AS DOUBLE), 7.5), 6) AS f_fmod,
+      |  CAST(trunc(CAST(n_chars AS DOUBLE) / 7) AS BIGINT) AS f_trunc,
+      |  CAST(round_even(CAST(n_chars AS DOUBLE) / 7, 2) AS DOUBLE) AS f_re,
+      |  round(lgamma(CAST(1 + doc_id % 20 AS DOUBLE)), 6) AS f_lg,
+      |  round(gamma(CAST(1 + doc_id % 8 AS DOUBLE) / 2), 6) AS f_g,
+      |  editdist3(lang, source) AS f_ed,
+      |  strlen(left(text, 23)) AS f_strlen,
+      |  prefix(text, 'The') AS f_pre,
+      |  suffix(lang, 'n') AS f_suf,
+      |  sha256(left(text, 8)) AS f_sha,
+      |  to_base64(encode(left(text, 6))) AS f_b64,
+      |  decode(encode(left(text, 10))) AS f_dec,
+      |  array_to_string(string_to_array(lang || ',' || source, ','), '|')
+      |    AS f_sta,
+      |  length_grapheme(left(text, 20)) AS f_lgr,
+      |  left_grapheme(left(text, 20), 4) AS f_left_g,
+      |  right_grapheme(left(text, 20), 4) AS f_right_g,
+      |  substring_grapheme(left(text, 20), 3, 5) AS f_sub_g,
+      |  regexp_extract(text, '[A-Z][a-z]+') AS f_re0,
+      |  greatest(doc_id) AS f_gr1
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val funcs7Sql: String =
+    """SELECT doc_id,
+      |  round(list_product([CAST(2 + doc_id % 4 AS DOUBLE),
+      |    CAST(1 + doc_id % 3 AS DOUBLE)]), 6) AS l_prod,
+      |  round(list_entropy([doc_id % 3, doc_id % 5, 1, 1]), 6) AS l_ent,
+      |  round(list_median([CAST(doc_id % 7 AS DOUBLE), 3.0, 5.0, 9.0]), 6)
+      |    AS l_med,
+      |  round(list_mad([CAST(doc_id % 7 AS DOUBLE), 1.0, 2.0, 4.0, 10.0]), 6)
+      |    AS l_mad,
+      |  list_mode([doc_id % 3, doc_id % 3, doc_id % 5, 2]) AS l_mode,
+      |  round(list_sem([CAST(doc_id % 5 AS DOUBLE), 1.0, 2.0, 3.0]), 6)
+      |    AS l_sem,
+      |  round(list_skewness([CAST(doc_id % 6 AS DOUBLE), 1.0, 2.0, 3.0,
+      |    10.0]), 6) AS l_skew,
+      |  round(list_kurtosis([CAST(doc_id % 6 AS DOUBLE), 1.0, 2.0, 3.0,
+      |    10.0]), 6) AS l_kurt,
+      |  round(list_kurtosis_pop([CAST(doc_id % 6 AS DOUBLE), 1.0, 2.0, 3.0,
+      |    10.0]), 6) AS l_kpop,
+      |  round(list_stddev_pop([CAST(doc_id % 9 AS DOUBLE), 1.0, 2.0, 3.0]), 6)
+      |    AS l_sdp,
+      |  round(list_var_samp([CAST(doc_id % 9 AS DOUBLE), 1.0, 2.0, 3.0]), 6)
+      |    AS l_vs,
+      |  list_string_agg([doc_id % 4, NULL, doc_id % 3]) AS l_sagg,
+      |  list_bit_and([3 + doc_id % 4, 5]) AS l_band,
+      |  list_bit_or([doc_id % 4, 2]) AS l_bor,
+      |  list_bit_xor([doc_id % 8, 5]) AS l_bxor,
+      |  array_to_string(list_resize([doc_id % 5, 2], 4), '|') AS l_rsz,
+      |  array_to_string(list_resize([doc_id % 5, 2, 8], 2), '|') AS l_rsz2,
+      |  array_unique([doc_id % 3, doc_id % 5, NULL, 1]) AS l_uniq,
+      |  list_approx_count_distinct([doc_id % 3, doc_id % 5, 1]) AS l_acd,
+      |  list_any_value([NULL, doc_id % 7, 3]) AS l_any,
+      |  list_first([doc_id % 7, 3]) AS l_first,
+      |  list_last([doc_id % 7, 3]) AS l_last,
+      |  array_to_string(list_cat([doc_id % 3], [doc_id % 5, 4]), '|') AS l_cat,
+      |  array_to_string(array_pop_back([doc_id % 5, 1, 2]), '|') AS l_popb,
+      |  array_to_string(array_pop_front([doc_id % 5, 1, 2]), '|') AS l_popf,
+      |  array_pop_back(left(text, 9)) AS l_spopb,
+      |  array_to_string(array_push_front([doc_id % 3, 1], 9), '|') AS l_pushf,
+      |  array_extract(left(text, 9), 3) AS l_sext,
+      |  array_indexof([9, doc_id % 4, 7], 2) AS l_idx,
+      |  array_to_string(grade_up([doc_id % 7, doc_id % 3, 5]), '|') AS l_gr,
+      |  array_to_string(apply([doc_id % 4, 2], x -> x + 1), '|') AS l_apply,
+      |  array_to_string(filter([doc_id % 3, 1, 2], x -> x + 1), '|') AS l_filt,
+      |  reduce([doc_id % 5, 1, 2], (a, b) -> a + b) AS l_red,
+      |  array_has_all([1, 2, 3, doc_id % 5], [2, 3]) AS l_hall,
+      |  array_has_any([doc_id % 4, 2], [3, 9]) AS l_hany
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val agg2Sql: String =
+    """SELECT l_returnflag,
+      |  count_star() AS a_cstar,
+      |  count_if(l_quantity > 25) AS a_cif,
+      |  arg_max(l_orderkey * 10 + l_linenumber,
+      |    l_orderkey * 100 + l_linenumber) AS a_amax,
+      |  arg_min_null(l_orderkey * 10 + l_linenumber,
+      |    l_orderkey * 100 + l_linenumber) AS a_aminn,
+      |  round(sem(l_quantity), 6) AS a_sem,
+      |  round(kurtosis_pop(l_quantity), 6) AS a_kpop,
+      |  round(geometric_mean(l_quantity), 6) AS a_geo,
+      |  quantile(l_quantity, 0.5) AS a_q50,
+      |  array_to_string(quantile(l_quantity, [0.25, 0.75]), '|') AS a_qarr,
+      |  CAST(bitstring_agg(l_linenumber) AS VARCHAR) AS a_bits,
+      |  CAST(bit_xor(bitstring(CASE WHEN l_orderkey % 2 = 0 THEN '0101'
+      |    ELSE '0011' END, 8)) AS VARCHAR) AS a_bxor
+      |FROM lineitem
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private val json2Sql: String =
+    """SELECT doc_id,
+      |  json_object('id', doc_id, 'lang', lang, 'n', n_chars) AS j_obj,
+      |  json_array(doc_id, lang, NULL) AS j_arr,
+      |  CAST(json('[1, 2,   3]') AS VARCHAR) AS j_canon,
+      |  json_extract(json_object('a', doc_id, 'b', lang), '$.b') AS j_ext,
+      |  json_extract_string(json_object('a', doc_id, 'b', lang), '$.b')
+      |    AS j_exts,
+      |  json_extract(json_array(doc_id, n_chars), 1) AS j_exti,
+      |  CAST(json_type(json_object('a', doc_id)) AS VARCHAR) AS j_type,
+      |  CAST(json_type(CAST(doc_id AS VARCHAR)) AS VARCHAR) AS j_typen,
+      |  array_to_string(json_keys(json_object('a', doc_id, 'b', lang)), '|')
+      |    AS j_keys,
+      |  json_valid(json_object('a', doc_id)) AS j_valid,
+      |  json_valid(left(text, 5)) AS j_invalid,
+      |  json_array_length(json_array(doc_id, lang, n_chars)) AS j_alen,
+      |  json_contains(json_object('a', doc_id), CAST(doc_id AS VARCHAR))
+      |    AS j_has,
+      |  CAST(json_structure(json_object('a', doc_id, 'b', lang)) AS VARCHAR)
+      |    AS j_struct,
+      |  CAST(json_merge_patch(json_object('a', doc_id),
+      |    json_object('b', lang)) AS VARCHAR) AS j_merge
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val dates3Sql: String =
+    """SELECT event_id,
+      |  round(epoch(age(ts, TIMESTAMP '2024-01-31 00:00:00')), 6) AS d_age,
+      |  round(epoch(age(TIMESTAMP '2024-01-31 00:00:00', ts)), 6) AS d_ageneg,
+      |  microsecond(ts) AS d_us_min,
+      |  millisecond(ts) AS d_ms_min,
+      |  epoch_us(ts) AS d_eus,
+      |  epoch_ns(ts) AS d_ens,
+      |  CAST(timezone(ts) AS BIGINT) AS d_tz,
+      |  round(epoch(make_timestamptz(2024, 3, 15, 10, 30,
+      |    CAST(event_id % 60 AS DOUBLE))), 6) AS d_mtz,
+      |  round(epoch(try_strptime('2024-03-' ||
+      |    lpad(CAST(1 + event_id % 28 AS VARCHAR), 2, '0'), '%Y-%m-%d')), 6)
+      |    AS d_tsp,
+      |  epoch(try_strptime('nope', '%Y-%m-%d')) AS d_tspn,
+      |  CAST(dayofmonth(INTERVAL '45' DAY) AS BIGINT) AS d_ivd,
+      |  CAST(second(INTERVAL '100' SECOND) AS BIGINT) AS d_ivs,
+      |  CAST(second(INTERVAL '2' DAY) AS BIGINT) AS d_ivs0,
+      |  round(epoch(to_quarters(CAST(event_id % 5 AS INT))), 6) AS d_toq,
+      |  timetz_byte_comparable(TIMETZ '10:30:45') AS d_ttzb,
+      |  round(epoch(CAST(left(CAST(ts AS VARCHAR), 10) || ' 00:00:00'
+      |    AS TIMESTAMP)), 6) AS d_efl
+      |FROM events ORDER BY event_id""".stripMargin
+}

@@ -22,7 +22,7 @@ object ProbeSql {
         } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("\\s+", " ").take(120)
+              .replaceAll("\\s+", " ").take(700)
             s"FAIL\t$name\t$kind\t$msg"
         }
       out.println(res)

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Round-9 conformance-wave value pins. Every expected value below was
+  * probed on DuckDB v1.0 (see DuckVocab9 / GraftCall scaladoc); the
+  * whole duckdb_functions() corpus replays via tools/ProbeSql +
+  * tools/conformance_corpus.tsv (466/466 OK as of r9).
+  */
+class Vocab9Spec extends SparkSpecBase {
+
+  private def one(sql: String): Row =
+    Engine.query(spark, sql).collect().head
+
+  test("arithmetic-as-function family (probed)") {
+    val r = one("SELECT add(7,3) a, add(7) b, subtract(7,3) c, subtract(7) d, " +
+      "multiply(7,3) e, divide(7,2) f, divide(-7,2) g, divide(7,0) h")
+    assert(r.getInt(0) == 10 && r.getInt(1) == 7 && r.getInt(2) == 4)
+    assert(r.getInt(3) == -7 && r.getInt(4) == 21)
+    assert(r.getLong(5) == 3L && r.getLong(6) == -3L && r.isNullAt(7))
+    val f = one("SELECT divide(7.5,2) a, fdiv(-7,2) b, fmod(-7,2) c, " +
+      "fmod(7,-2) d, fmod(-7.5,2) e")
+    assert(f.getDouble(0) == 3.75 && f.getDouble(1) == -4.0)
+    assert(f.getDouble(2) == 1.0 && f.getDouble(3) == -1.0 && f.getDouble(4) == 0.5)
+  }
+
+  test("numeric long tail: trunc/round_even/gamma/lgamma (probed)") {
+    val r = one("SELECT trunc(2.7) a, trunc(-2.7) b, " +
+      "CAST(round_even(2.515,2) AS DOUBLE) c, " +
+      "CAST(round_even(2.5,0) AS DOUBLE) d, " +
+      "CAST(roundbankers(3.5,0) AS DOUBLE) e, gamma(5.0) f, lgamma(5.0) g")
+    assert(r.getLong(0) == 2L && r.getLong(1) == -2L)
+    assert(r.getDouble(2) == 2.52 && r.getDouble(3) == 2.0 && r.getDouble(4) == 4.0)
+    assert(math.abs(r.getDouble(5) - 24.0) < 1e-9)
+    assert(math.abs(r.getDouble(6) - math.log(24.0)) < 1e-9)
+  }
+
+  test("string long tail: editdist3/strlen/graphemes (probed)") {
+    val r = one("SELECT editdist3('abc','adc') a, strlen('héllo') b, " +
+      "prefix('abcdef','abc') c, suffix('abcdef','def') d, " +
+      "length_grapheme('héllo') e, left_grapheme('héllo',2) f, " +
+      "right_grapheme('héllo',2) g, substring_grapheme('héllo',2,3) h, " +
+      "substring_grapheme('hello',3) i")
+    assert(r.getInt(0) == 1 && r.getInt(1) == 6)
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 5 && r.getString(5) == "hé" && r.getString(6) == "lo")
+    assert(r.getString(7) == "éll" && r.getString(8) == "llo")
+  }
+
+  test("regexp_extract defaults to group 0 (probed)") {
+    val r = one("SELECT regexp_extract('abc-123', '([a-z]+)-(\\\\d+)') a, " +
+      "regexp_extract('abc-123', '([a-z]+)-(\\\\d+)', 2) b")
+    assert(r.getString(0) == "abc-123" && r.getString(1) == "123")
+  }
+
+  test("list stats: product/entropy/median/mad/mode (probed)") {
+    val r = one("SELECT list_product([2.0,3,4]) a, list_product([2.0,NULL]) b, " +
+      "list_entropy([1,1,2]) c, list_entropy([5]) d, " +
+      "list_median([1,2,3,10]) e, list_mad([1,2,4,10]) f, " +
+      "list_mode([3,3,1,1]) g, list_mode([1,2,2,3,3]) h")
+    assert(r.getDouble(0) == 24.0 && r.getDouble(1) == 2.0)
+    assert(math.abs(r.getDouble(2) - 0.9182958340544896) < 1e-12)
+    assert(r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 2.5 && r.getDouble(5) == 1.5)
+    assert(r.getInt(6) == 3 && r.getInt(7) == 2)
+  }
+
+  test("list moments match the aggregate estimators (probed)") {
+    val r = one("SELECT list_sem([1.0,2,3]) a, list_skewness([1.0,2,3,10]) b, " +
+      "list_kurtosis([1.0,2,3,10]) c, list_kurtosis_pop([1.0,2,3,10]) d, " +
+      "list_stddev_pop([1.0,2,3]) e, list_var_samp([1.0,2,3]) f")
+    assert(math.abs(r.getDouble(0) - 0.4714045207910317) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.763632614803888) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 3.228) < 1e-10)
+    assert(math.abs(r.getDouble(3) - (-0.7696)) < 1e-10)
+    assert(math.abs(r.getDouble(4) - 0.816496580927726) < 1e-12)
+    assert(r.getDouble(5) == 1.0)
+  }
+
+  test("list misc: string_agg/bit folds/histogram/resize/unique (probed)") {
+    val r = one("SELECT list_string_agg([1,NULL,3]) a, list_bit_and([3,5]) b, " +
+      "list_bit_or([1,2]) c, list_bit_xor([3,5]) d, " +
+      "list_histogram([1,1,2]) e, list_resize([1,2],4,9) f, " +
+      "list_resize([1,2],0) g, array_unique([1,1,2,NULL]) h, " +
+      "list_approx_count_distinct([1,1,2,3]) i")
+    assert(r.getString(0) == "1,3")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 3L && r.getLong(3) == 6L)
+    assert(r.getMap[Int, Long](4) == Map(1 -> 2L, 2 -> 1L))
+    assert(r.getSeq[Int](5) == Seq(1, 2, 9, 9))
+    assert(r.getSeq[Int](6) == Seq.empty)
+    assert(r.getInt(7) == 2 && r.getLong(8) == 3L)
+  }
+
+  test("array vocabulary: pops/pushes/extract/cross/grade (probed)") {
+    val r = one("SELECT array_pop_back([1,2,3]) a, array_pop_front([1,2,3]) b, " +
+      "array_pop_back('abc') c, array_push_front([1,2],9) d, " +
+      "array_extract('abc',2) e, array_indexof([9,8,7],8) f, " +
+      "array_indexof([9,8],5) g, grade_up([30,10,20]) h, " +
+      "array_cross_product([CAST(1.0 AS DOUBLE),2,3],[CAST(4.0 AS DOUBLE),5,6]) i, " +
+      "array_has_all([1,2,3],[2,3]) j")
+    assert(r.getSeq[Int](0) == Seq(1, 2) && r.getSeq[Int](1) == Seq(2, 3))
+    assert(r.getString(2) == "ab")
+    assert(r.getSeq[Int](3) == Seq(9, 1, 2) && r.getString(4) == "b")
+    assert(r.getLong(5) == 2L && r.getLong(6) == 0L)
+    assert(r.getSeq[Int](7) == Seq(2, 3, 1))
+    assert(r.getSeq[Double](8) == Seq(-3.0, 6.0, -3.0))
+    assert(r.getBoolean(9))
+  }
+
+  test("lambda polymorphism: truthy filter, seed-first reduce (probed)") {
+    val r = one("SELECT filter([3,1,2], x -> x + 1) a, " +
+      "reduce([1,2,3],(a,b)->a+b) b, apply([1,2],x->x+1) c, " +
+      "reduce([1,2,3], 10, (a,b)->a+b) d")
+    assert(r.getSeq[Int](0) == Seq(3, 1, 2)) // nonzero ints are truthy
+    assert(r.getInt(1) == 6)
+    assert(r.getSeq[Int](2) == Seq(2, 3))
+    assert(r.getInt(3) == 16) // 3-arg keeps Spark's zero-seeded fold
+  }
+
+  test("aggregate wave: arg nulls, count_if, quantile, sem (probed)") {
+    val r = one("SELECT arg_max(x,y) a, arg_max_null(x,y) b " +
+      "FROM VALUES ('a',1),(NULL,99) t(x,y)")
+    assert(r.getString(0) == "a" && r.isNullAt(1))
+    val s = one("SELECT count_star() a, count_if(7) b, count_if(0) c, " +
+      "geometric_mean(x) d, sem(x) e, kurtosis_pop(x) f " +
+      "FROM VALUES (1.0),(2.0),(3.0),(10.0) t(x)")
+    assert(s.getLong(0) == 4L && s.getLong(1) == 4L && s.getLong(2) == 0L)
+    assert(math.abs(s.getDouble(3) - math.pow(60.0, 0.25)) < 1e-9)
+    assert(math.abs(s.getDouble(4) - 1.7677669529663689) < 1e-12)
+    assert(math.abs(s.getDouble(5) - (-0.7696)) < 1e-10)
+    val q = one("SELECT quantile(x, 0.5) a, quantile(x, [0.25,0.5]) b, " +
+      "reservoir_quantile(x, 0.5, 100) c FROM VALUES (10),(1),(3),(2) t(x)")
+    assert(q.getInt(0) == 2 && q.getSeq[Int](1) == Seq(1, 2) && q.getInt(2) == 2)
+    val h = one("SELECT histogram(x) h FROM VALUES ('b'),('a'),('b') t(x)")
+    assert(h.getMap[String, Long](0) == Map("a" -> 1L, "b" -> 2L))
+    val g = one("SELECT list(x) a, group_concat(x) b, listagg(x) c " +
+      "FROM VALUES ('a'),('b') t(x)")
+    assert(g.getSeq[String](0) == Seq("a", "b") && g.getString(1) == "a,b")
+    assert(g.getString(2) == "a,b")
+  }
+
+  test("bit folds are BIT-string polymorphic (probed)") {
+    val r = one("SELECT bit_xor(b) x, bit_and(b) a, bit_or(b) o " +
+      "FROM VALUES ('0101'),('0011') t(b)")
+    assert(r.getString(0) == "0110" && r.getString(1) == "0001")
+    assert(r.getString(2) == "0111")
+    // integer groups keep the native fold and the input type
+    val i = one("SELECT bit_and(x) a, bit_or(x) o, bit_xor(x) e " +
+      "FROM VALUES (3),(5) t(x)")
+    assert(i.getInt(0) == 1 && i.getInt(1) == 7 && i.getInt(2) == 6)
+    val b = one("SELECT bitstring_agg(x) s FROM VALUES (1),(3) t(x)")
+    assert(b.getString(0) == "101")
+  }
+
+  test("age: pg-style calendar decomposition (validated 400/400 vs DuckDB)") {
+    def ageStr(a: String, b: String): String =
+      one(s"SELECT CAST(age(TIMESTAMP '$a', TIMESTAMP '$b') AS STRING) s")
+        .getString(0)
+    assert(ageStr("2024-03-30 23:00:00", "2024-01-31 00:00:00")
+      == "1 months 30 days 23 hours")
+    assert(ageStr("2024-03-31 00:00:00", "2024-01-31 00:00:00") == "2 months")
+    assert(ageStr("2024-03-01 00:00:00", "2023-12-31 23:59:59")
+      == "2 months 1 seconds")
+    assert(ageStr("2023-01-10 05:00:00", "2024-03-15 10:30:00")
+      == "-1 years -2 months -5 days -5 hours -30 minutes")
+  }
+
+  test("time/epoch family over TIME and INTERVAL (probed)") {
+    val r = one("SELECT microsecond(TIMESTAMP '2024-03-15 10:30:45.123456') a, " +
+      "millisecond(TIMESTAMP '2024-03-15 10:30:45.123456') b, " +
+      "epoch_ns(TIMESTAMP '2024-03-15 10:30:45.123456') c, " +
+      "epoch(TIME '10:30:45') d, epoch_ms(TIME '10:30:45') e, " +
+      "epoch_ns(TIME '10:30:45') f, microsecond(TIME '10:30:45.25') g, " +
+      "epoch_us(INTERVAL '2' DAY) h, epoch_ns(INTERVAL '1' MONTH) i")
+    assert(r.getLong(0) == 45123456L && r.getLong(1) == 45123L)
+    assert(r.getLong(2) == 1710498645123456000L)
+    assert(r.getDouble(3) == 37845.0 && r.getLong(4) == 37845000L)
+    assert(r.getLong(5) == 37845000000000L && r.getLong(6) == 45250000L)
+    assert(r.getLong(7) == 172800000000L && r.getLong(8) == 2592000000000000L)
+  }
+
+  test("interval dateparts and misc time (probed)") {
+    val r = one("SELECT dayofmonth(INTERVAL '45' DAY) a, " +
+      "second(INTERVAL '100' SECOND) b, second(INTERVAL '2' DAY) c, " +
+      "timezone(TIMESTAMP '2024-03-15 10:30:00') d, " +
+      "timetz_byte_comparable(TIMETZ '10:30:45') e, " +
+      "CAST(to_quarters(3) AS STRING) f")
+    assert(r.getLong(0) == 45L && r.getLong(1) == 40L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 0L)
+    assert(r.getLong(4) == 1601284603904057599L)
+    assert(r.getString(5) == "9 months")
+    val t = one("SELECT try_strptime('2024-03-15', '%Y-%m-%d') a, " +
+      "try_strptime('nope', '%Y-%m-%d') b, " +
+      "try_strptime('2024-03-15', ['%Y.%m.%d', '%Y-%m-%d']) c")
+    assert(t.getTimestamp(0).toString == "2024-03-15 00:00:00.0")
+    assert(t.isNullAt(1))
+    assert(t.getTimestamp(2).toString == "2024-03-15 00:00:00.0")
+  }
+
+  test("JSON family (probed: DuckDB type names, 0-based array paths)") {
+    val r = one("SELECT json('{\"a\": 1 }') a, json_type('-1') b, " +
+      "json_type('1') c, json_type('{\"a\":1}') d, " +
+      "json_extract('{\"a\":{\"b\":7}}','$.a.b') e, json_extract('[1,2]',1) f, " +
+      "json_extract_string('{\"a\":\"hi\"}','$.a') g, " +
+      "json_extract('{\"a\":[1,2]}','/a/1') h")
+    assert(r.getString(0) == "{\"a\":1}")
+    assert(r.getString(1) == "BIGINT" && r.getString(2) == "UBIGINT")
+    assert(r.getString(3) == "OBJECT")
+    assert(r.getString(4) == "7" && r.getString(5) == "2")
+    assert(r.getString(6) == "hi" && r.getString(7) == "2")
+    val s = one("SELECT json_keys('{\"a\":1,\"b\":2}') a, json_valid('nope') b, " +
+      "json_array_length('[1,2,3]') c, json_contains('{\"a\":1}','1') d, " +
+      "json_contains('[1,2]','5') e, json_structure('{\"a\":1,\"b\":[1,2]}') f, " +
+      "json_structure('[1,\"a\"]') g")
+    assert(s.getSeq[String](0) == Seq("a", "b"))
+    assert(!s.getBoolean(1) && s.getLong(2) == 3L)
+    assert(s.getBoolean(3) && !s.getBoolean(4))
+    assert(s.getString(5) == "{\"a\":\"UBIGINT\",\"b\":[\"UBIGINT\"]}")
+    assert(s.getString(6) == "[\"JSON\"]")
+    val c = one("SELECT json_array(1,'a',NULL) a, json_object('a',1,'b','x') b")
+    assert(c.getString(0) == "[1,\"a\",null]")
+    assert(c.getString(1) == "{\"a\":1,\"b\":\"x\"}")
+    val g = one("SELECT json_group_array(x) a, json_group_object(k,v) b " +
+      "FROM VALUES (1,'a',10),(2,'b',20) t(x,k,v)")
+    assert(g.getString(0) == "[1,2]" && g.getString(1) == "{\"a\":10,\"b\":20}")
+  }
+
+  test("pg_catalog shims and diagnostics (probed)") {
+    val r = one("SELECT pg_typeof(7) a, pg_typeof('x') b, format_type(25,NULL) c, " +
+      "format_pg_type('integer',NULL) d, pg_size_pretty(1234567) e, " +
+      "pg_table_is_visible(0) f, has_table_privilege('t','SELECT') g, " +
+      "col_description(1,1) h, current_schemas(true) i, " +
+      "in_search_path('main','x') j")
+    assert(r.getString(0) == "integer" && r.getString(1) == "varchar")
+    assert(r.getString(2) == "varchar" && r.getString(3) == "int4")
+    assert(r.getString(4) == "1205.6 kB")
+    assert(r.getBoolean(5) && r.getBoolean(6) && r.isNullAt(7))
+    assert(r.getSeq[String](8) == Seq("main", "pg_catalog"))
+    assert(r.getBoolean(9))
+    val m = one("SELECT stats(7) a, vector_type(7) b, alias(7) c, " +
+      "greatest(7) d, generate_series(3) e")
+    assert(m.getString(0) ==
+      "[Min: 7, Max: 7][Has Null: false, Has No Null: true][Approx Unique: 1]")
+    assert(m.getString(1) == "CONSTANT_VECTOR" && m.getString(2) == "7")
+    assert(m.getInt(3) == 7 && m.getSeq[Long](4) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("current_query reflects the executing statement") {
+    val sql = "SELECT current_query() AS q"
+    assert(one(sql).getString(0) == sql)
+  }
+}
