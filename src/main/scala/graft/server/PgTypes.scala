@@ -32,6 +32,9 @@ object PgTypes {
     case _: TimestampType => Oid.Timestamp
     case TimestampNTZType => Oid.Timestamp
     case _: DecimalType => Oid.Numeric
+    case _: TimeType => Oid.Time // Spark 4.1 TIME (r9: TIMETZ literals land here)
+    case CalendarIntervalType | _: DayTimeIntervalType |
+        _: YearMonthIntervalType => Oid.Interval
     case BinaryType => Oid.Bytea
     case _: ArrayType => Oid.TextArray
     case _: StructType | _: MapType => Oid.Json

@@ -35,6 +35,7 @@ object PgWire {
     val Date = 1082
     val Time = 1083
     val Timestamp = 1114
+    val Interval = 1186
     val TimestampTz = 1184
     val Numeric = 1700
     val TextArray = 1009

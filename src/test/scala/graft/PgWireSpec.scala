@@ -160,6 +160,21 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("TIME and INTERVAL values cross the wire (r9)") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    val (cols, rows, _, errs) = c.query(
+      "SELECT TIMETZ '04:05:06+02' AS t, " +
+        "age(TIMESTAMP '2024-03-31 00:00:00', " +
+        "TIMESTAMP '2024-01-31 00:00:00') AS iv")
+    assert(errs.isEmpty, errs)
+    assert(cols == Seq("t", "iv"))
+    assert(rows.head(0) == Some("02:05:06")) // offset folded to UTC wall time
+    assert(rows.head(1).exists(_.contains("2 months")), rows.head(1))
+    c.close()
+  }
+
   test("ENUM values cross the wire (reference drops ENUM columns)") {
     val (_, port) = server
     val c = new Client(port)
