@@ -281,8 +281,11 @@ object DuckAliases {
         Literal(2.0d))
       If(GreaterThanOrEqual(x, Literal(0.0d)), mag, UnaryMinus(mag))
     }
-    alias("bar")(e => BarExpr(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
-      Cast(e(2), DoubleType), Cast(e(3), DoubleType)))
+    alias("bar") { e => // 3-arg form defaults to width 80 (probed)
+      val width = if (e.length > 3) Cast(e(3), DoubleType) else Literal(80.0d)
+      BarExpr(Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+        Cast(e(2), DoubleType), width)
+    }
     // time_bucket(width, ts[, origin | offset]): origin-aligned
     // flooring — DuckDB's default origin is 2000-01-03 00:00 UTC for
     // second widths (a Monday; probed — it makes week buckets
@@ -742,6 +745,8 @@ object DuckAliases {
       }
       spark.conf.getOption(key)
         .orElse(spark.conf.getOption(s"spark.$key"))
+        // pg session vocabulary DuckDB answers itself (probed: '')
+        .orElse(if (key == "search_path") Some("") else None)
         .map(v => Literal(v): Expression)
         .getOrElse(throw new IllegalArgumentException(
           s"unrecognized configuration parameter \"$key\""))

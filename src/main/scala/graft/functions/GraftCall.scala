@@ -138,6 +138,20 @@ object GraftCall {
     case "time_micros_of" => timeMicros(s(a(0)))
     case "interval_micros" => intervalMicros(a(0), yearRule = false)
     case "interval_epoch_micros" => intervalMicros(a(0), yearRule = true)
+    case "json_deserialize_sql" =>
+      // our json_serialize_sql payload shape: statements[0].sql
+      val n = parse(s(a(0)))
+      val stmts = n.get("statements")
+      if (stmts == null || !stmts.isArray || stmts.size() == 0) null
+      else utf8(stmts.get(0).get("sql").asText())
+    case "from_binary" =>
+      val bits = s(a(0))
+      require(bits.nonEmpty && bits.forall(c => c == '0' || c == '1'),
+        s"from_binary: not a binary string: '$bits'")
+      // big-endian bytes, left-padded to whole bytes (probed:
+      // unbin('0101') = 0x05)
+      val padded = "0" * ((8 - bits.length % 8) % 8) + bits
+      padded.grouped(8).map(b => Integer.parseInt(b, 2).toByte).toArray
     case "bitfold_and" => bitFold(a(0), (x, y) => if (x == '1' && y == '1') '1' else '0')
     case "bitfold_or" => bitFold(a(0), (x, y) => if (x == '1' || y == '1') '1' else '0')
     case "bitfold_xor" => bitFold(a(0), (x, y) => if (x != y) '1' else '0')
@@ -158,6 +172,39 @@ object GraftCall {
   }
 
   // ---------- helpers ----------
+
+  /** parse a DuckDB from_json/json_transform structure literal */
+  def parseStructure(text: String): JsonNode = mapper.readTree(text)
+
+  /** DuckDB structure → Spark type ({"a":"BIGINT"} / ["BIGINT"] /
+    * "BIGINT"); unknown names fall back to STRING (JSON stays text) */
+  def structureToType(node: JsonNode): DataType = node.getNodeType match {
+    case JsonNodeType.OBJECT =>
+      val fields = mutable.ArrayBuffer.empty[StructField]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        fields += StructField(e.getKey, structureToType(e.getValue))
+      }
+      StructType(fields.toSeq)
+    case JsonNodeType.ARRAY =>
+      if (node.size() == 0) ArrayType(StringType)
+      else ArrayType(structureToType(node.get(0)))
+    case _ => node.asText().toUpperCase match {
+      case "TINYINT" => ByteType
+      case "SMALLINT" | "INT2" => ShortType
+      case "INTEGER" | "INT" | "INT4" => IntegerType
+      case "BIGINT" | "UBIGINT" | "HUGEINT" | "INT8" |
+           "UINTEGER" | "USMALLINT" | "UTINYINT" => LongType
+      case "DOUBLE" | "FLOAT8" => DoubleType
+      case "FLOAT" | "REAL" | "FLOAT4" => FloatType
+      case "BOOLEAN" | "BOOL" => BooleanType
+      case "DATE" => DateType
+      case "TIMESTAMP" | "DATETIME" => TimestampType
+      case d if d.startsWith("DECIMAL") => DoubleType
+      case _ => StringType // VARCHAR, JSON, NULL, unknowns
+    }
+  }
 
   private def parse(s: String): JsonNode = {
     val n = mapper.readTree(s)

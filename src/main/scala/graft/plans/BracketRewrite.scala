@@ -104,6 +104,103 @@ object BracketRewrite {
 
   private case class Edit(pos: Int, end: Int, text: String, seq: Int)
 
+  /** DuckDB brace literals → Spark constructors, innermost-first so
+    * nested values rewrite before their parents:
+    *   `{'a': 1, 'b': 'x'}`   → `named_struct('a', 1, 'b', 'x')`
+    *   `MAP {'k1': 5, 'k2': 7}` → `map(array('k1','k2'), array(5,7))`
+    * Runs before [[rewrite]] (a value may be a `[...]` list literal;
+    * a brace result may be subscripted — `{'a':1}['a']` chains through
+    * the `)` branch of primaryStart afterwards).
+    */
+  def rewriteBraces(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (cur.indexOf('{') >= 0 && guard < 64) {
+      val next = rewriteInnermostBraces(cur)
+      if (next == cur) return cur
+      cur = next; guard += 1
+    }
+    cur
+  }
+
+  private def rewriteInnermostBraces(sql: String): String = {
+    val toks = tokenize(sql)
+    var ti = 0
+    while (ti < toks.length) {
+      toks(ti) match {
+        case Punct(bst, _, "{") =>
+          // matching close + innermost check
+          var depth = 0; var j = ti; var close = -1
+          var innermost = true
+          while (j < toks.length && close < 0) {
+            toks(j) match {
+              case Punct(_, _, "{") =>
+                depth += 1
+                if (j != ti) innermost = false
+              case Punct(_, _, "}") =>
+                depth -= 1; if (depth == 0) close = j
+              case _ =>
+            }
+            j += 1
+          }
+          if (close >= 0 && innermost && close > ti + 1) {
+            // split content into top-level `key : value` pairs
+            val pairs = ArrayBuffer.empty[(String, String)]
+            var d = 0
+            var k = ti + 1
+            var keyStart = toks(ti + 1).start
+            var colonAt = -1
+            var ok = true
+            def flush(endPos: Int): Unit = {
+              if (colonAt < 0) { ok = false }
+              else {
+                pairs += ((sql.substring(keyStart, colonAt).trim,
+                  sql.substring(colonAt + 1, endPos).trim))
+                colonAt = -1
+              }
+            }
+            while (k < close && ok) {
+              toks(k) match {
+                case Punct(_, _, "(" | "[" | "{") => d += 1
+                case Punct(_, _, ")" | "]" | "}") => d -= 1
+                case Punct(p, _, ":") if d == 0 =>
+                  if (colonAt < 0) colonAt = p
+                case Punct(p, e, ",") if d == 0 =>
+                  flush(p); if (k + 1 < close) keyStart = toks(k + 1).start
+                  val _ = e
+                case _ =>
+              }
+              k += 1
+            }
+            if (ok) flush(toks(close).start)
+            if (ok && pairs.nonEmpty) {
+              // MAP {..} when the previous significant token is `map`
+              val (isMap, from) = if (ti > 0) toks(ti - 1) match {
+                case Word(wst, _, "map") => (true, wst)
+                case _ => (false, bst)
+              } else (false, bst)
+              def quoteKey(key: String): String =
+                if (key.startsWith("'") || key.forall(_.isDigit)) key
+                else s"'$key'" // bare identifier keys are quoted names
+              val repl =
+                if (isMap)
+                  pairs.map(_._1).mkString("map(array(", ", ", "), ") +
+                    pairs.map(_._2).mkString("array(", ", ", "))")
+                else
+                  pairs.map { case (key, v) => s"${quoteKey(key)}, $v" }
+                    .mkString("named_struct(", ", ", ")")
+              val sb = new StringBuilder(sql)
+              sb.replace(from, toks(close).end, repl)
+              return sb.toString // one innermost group per pass
+            }
+          }
+        case _ =>
+      }
+      ti += 1
+    }
+    sql
+  }
+
   def rewrite(sql: String): String = {
     if (sql.indexOf('[') < 0) return sql
     val toks = tokenize(sql)

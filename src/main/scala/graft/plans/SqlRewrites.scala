@@ -58,7 +58,9 @@ object SqlRewrites {
     // onto their plain spellings; BLOB is Spark binary, and BIT is
     // graft's '0'/'1'-string model (functions/ bitstring vocabulary)
     "timestamptz" -> "timestamp", "timetz" -> "time",
-    "blob" -> "binary", "bit" -> "string")
+    "blob" -> "binary", "bit" -> "string",
+    // JSON is modeled as STRING (json() returns canonical text)
+    "json" -> "string")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
   /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
@@ -106,6 +108,13 @@ object SqlRewrites {
   private val timetzLit = """(?i)\btimetz\s*'([^']*)'""".r
   /** DuckDB's zero-argument `count()` ≡ `count(*)`. */
   private val countEmpty = """(?i)\bcount\s*\(\s*\)""".r
+  /** `name := value` named-argument sugar (struct_pack/struct_insert). */
+  private val namedArg = """([A-Za-z_]\w*)\s*:=""".r
+  /** array-typed casts `::FLOAT[3]` / `CAST(x AS INT[])` → Spark's
+    * ARRAY<T> spelling (DuckDB fixed-size arrays map onto plain
+    * Spark arrays — the size bound is not enforced). */
+  private val castOpArr = """::\s*([A-Za-z_]\w*)\s*\[\s*\d*\s*\]""".r
+  private val castAsArr = """(?i)\bAS\s+([A-Za-z_]\w*)\s*\[\s*\d*\s*\](\s*\))""".r
 
   /** Character spans of single-quoted strings ('' escapes), quoted
     * identifiers and comments. Raw-text regex passes must leave these
@@ -630,9 +639,18 @@ object SqlRewrites {
         lowIn.contains("enum_")) rewriteEnums(sqlIn) else sqlIn
     val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
-    // DuckDB bracket syntax (list literals, 1-based subscripts,
+    // array-typed casts before the bracket pass would misread them
+    val sqlA0 = if (sqlU.contains("::"))
+      replaceOutsideQuotes(castOpArr, sqlU)(m => s"::ARRAY<${m.group(1)}>")
+      else sqlU
+    val sqlA = if (sqlA0.toLowerCase.contains("cast"))
+      replaceOutsideQuotes(castAsArr, sqlA0)(m =>
+        s"AS ARRAY<${m.group(1)}>${m.group(2)}") else sqlA0
+    // DuckDB brace literals ({'a':1} structs, MAP {k:v}) — innermost
+    // first, then bracket syntax (list literals, 1-based subscripts,
     // inclusive slices) — token-aware, strings/comments untouched
-    val sqlB = if (sqlU.indexOf('[') >= 0) BracketRewrite.rewrite(sqlU) else sqlU
+    val sqlBr = if (sqlA.indexOf('{') >= 0) BracketRewrite.rewriteBraces(sqlA) else sqlA
+    val sqlB = if (sqlBr.indexOf('[') >= 0) BracketRewrite.rewrite(sqlBr) else sqlBr
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering). Both
     // passes skip string/comment spans — 'timestamptz ' inside a
@@ -644,9 +662,14 @@ object SqlRewrites {
     val sqlT = if (sqlT0.toLowerCase.contains("timetz"))
       replaceOutsideQuotes(timetzLit, sqlT0)(m =>
         s"TIME '${normalizeTimeTz(m.group(1))}'") else sqlT0
+    // struct_pack(a := 1) / struct_insert(s, b := 2): Spark's parser
+    // has no `:=` — lower the named-arg sugar to ('name', value)
+    // pairs (union_value's own := form was already rewritten above)
+    val sqlS = if (sqlT.contains(":="))
+      replaceOutsideQuotes(namedArg, sqlT)(m => s"'${m.group(1)}',") else sqlT
     // DuckDB's zero-arg count() ≡ count(*)
-    val sql = if (sqlT.toLowerCase.contains("count"))
-      replaceOutsideQuotes(countEmpty, sqlT)(_ => "count(*)") else sqlT
+    val sql = if (sqlS.toLowerCase.contains("count"))
+      replaceOutsideQuotes(countEmpty, sqlS)(_ => "count(*)") else sqlS
     val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser

@@ -249,4 +249,77 @@ class Vocab9Spec extends SparkSpecBase {
     val sql = "SELECT current_query() AS q"
     assert(one(sql).getString(0) == sql)
   }
+
+  test("brace literals: structs, MAP, nesting, subscripts (probed)") {
+    val r = one("SELECT {'a': 1, 'b': 'x'} AS s, MAP {'k1': 5, 'k2': 7} AS m, " +
+      "{'a': {'b': 2}} AS nested, {'a': [1,2]} AS withlist, " +
+      "{'a': 1}['a'] AS sub, MAP {'k': 9}['k'] AS msub, " +
+      "cardinality(MAP {'k1': 5, 'k2': 7}) AS card")
+    assert(r.getStruct(0).getInt(0) == 1 && r.getStruct(0).getString(1) == "x")
+    assert(r.getMap[String, Int](1) == Map("k1" -> 5, "k2" -> 7))
+    assert(r.getStruct(2).getStruct(0).getInt(0) == 2)
+    assert(r.getStruct(3).getSeq[Int](0) == Seq(1, 2))
+    assert(r.getInt(4) == 1)
+    assert(r.getSeq[Int](5) == Seq(9)) // map subscript is LIST-wrapped
+    assert(r.getInt(6) == 2)
+  }
+
+  test("named-arg sugar and struct vocabulary (probed)") {
+    val r = one("SELECT struct_pack(a := 1, b := 'x') AS sp, " +
+      "struct_insert({'a': 1}, b := 2) AS si, " +
+      "struct_extract({'a': 1, 'b': 'x'}, 'b') AS se, " +
+      "row(1, 'a') AS rw")
+    assert(r.getStruct(0).getInt(0) == 1 && r.getStruct(0).getString(1) == "x")
+    assert(r.getStruct(1).getInt(0) == 1 && r.getStruct(1).getInt(1) == 2)
+    assert(r.getString(2) == "x")
+    assert(r.getStruct(3).getInt(0) == 1)
+  }
+
+  test("array-typed casts and the array_* distance family (probed)") {
+    val r = one("SELECT array_cosine_similarity([1.0,2,3]::FLOAT[3], " +
+      "[4.0,5,6]::FLOAT[3]) AS cs, " +
+      "array_dot_product([1.0,2,3]::DOUBLE[3], [4.0,5,6]::DOUBLE[3]) AS dp, " +
+      "round(array_distance([1.0,2,3]::DOUBLE[3], [4.0,5,6]::DOUBLE[3]), 6) AS d, " +
+      "CAST([1,2] AS INT[]) AS arr")
+    assert(math.abs(r.getDouble(0) - 0.9746318) < 1e-6)
+    assert(r.getDouble(1) == 32.0)
+    assert(math.abs(r.getDouble(2) - 5.196152) < 1e-6)
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+  }
+
+  test("json round-2: to_json family, from_json, transform (probed)") {
+    val r = one("SELECT to_json([1,2]) AS tj, to_json('a') AS tjs, " +
+      "to_json(NULL) AS tjn, json_quote(7) AS jq, " +
+      "array_to_json([1,2,3]) AS atj, " +
+      "from_json('{\"a\":1}', '{\"a\":\"BIGINT\"}') AS fj, " +
+      "from_json_strict('2', '\"BIGINT\"') AS fjs, " +
+      "json_transform('{\"a\":7}', '{\"a\":\"BIGINT\"}') AS jt, " +
+      "json_deserialize_sql(json_serialize_sql('SELECT 1')) AS jd")
+    assert(r.getString(0) == "[1,2]" && r.getString(1) == "\"a\"")
+    assert(r.isNullAt(2) && r.getString(3) == "7")
+    assert(r.getString(4) == "[1,2,3]")
+    assert(r.getStruct(5).getLong(0) == 1L)
+    assert(r.getLong(6) == 2L)
+    // divergence note: DuckDB coerces quoted numbers ("7" → 7);
+    // Spark's JSON parser nulls the field — unquoted input pins here
+    assert(r.getStruct(7).getLong(0) == 7L)
+    assert(r.getString(8) == "SELECT 1")
+  }
+
+  test("corpus round-2 misc: folds, subscripts, binary (probed)") {
+    val r = one("SELECT aggregate([3,1,2], 'min') AS ag, " +
+      "list_aggr([3,1,2], 'max') AS la, " +
+      "list_bool_and([true, true, NULL]) AS ba, " +
+      "list_bool_and([true, false]) AS bf, list_bool_or([false, NULL]) AS bo, " +
+      "approx_quantile(x, 0.5) AS aq, " +
+      "flatten([[1,2],[3]]) AS fl, unbin('0101') AS ub, " +
+      "position('b' IN 'abc') AS pos " +
+      "FROM VALUES (1.0),(2.0),(3.0),(10.0) t(x)")
+    assert(r.getInt(0) == 1 && r.getInt(1) == 3)
+    assert(r.getBoolean(2) && !r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getDouble(5) > 1.0 && r.getDouble(5) < 4.0)
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+    assert(r.getAs[Array[Byte]](7).toSeq == Seq(5.toByte))
+    assert(r.getInt(8) == 2)
+  }
 }
