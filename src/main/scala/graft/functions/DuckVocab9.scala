@@ -86,6 +86,12 @@ object DuckVocab9 {
     alias("gamma")(e => GraftCall("gamma", Seq(dbl(e.head)), DoubleType))
     alias("lgamma")(e => GraftCall("lgamma", Seq(dbl(e.head)), DoubleType))
 
+    // DuckDB's 1-arg log is LOG BASE 10 (probed: log(2.5)=0.39794;
+    // ln stays natural) — Spark's builtin log is ln, so shadow it
+    alias("log") {
+      case Seq(x) => Log10(dbl(x))
+      case e => Logarithm(dbl(e(0)), dbl(e(1)))
+    }
     // ================= strings =================
     alias("editdist3")(e => Levenshtein(e(0), e(1)))
     alias("strlen")(e => OctetLength(e.head))
@@ -526,9 +532,12 @@ object DuckVocab9 {
     alias("get_current_time")(e => CurrentTime(Literal(6)))
     alias("try_strptime") { e =>
       def one(fmt: Expression): Expression = fmt match {
-        case Literal(s, StringType) if s != null =>
-          TryEval(ParseToTimestamp(e(0),
-            Some(Literal(StrfTime.toJava(s.toString))), TimestampType))
+        case Literal(s0, StringType) if s0 != null =>
+          val jfmt = StrfTime.toJava(s0.toString)
+          val parsed = ParseToTimestamp(e(0), Some(Literal(jfmt)), TimestampType)
+          // same 1900-01-01 missing-year default as strptime (probed)
+          TryEval(if (jfmt.contains("y")) parsed
+            else TimestampAdd("YEAR", Literal(-70), parsed))
         case other => throw new IllegalArgumentException(
           s"try_strptime: the format must be a string literal, got $other")
       }
@@ -548,14 +557,16 @@ object DuckVocab9 {
     alias("json")(e => GraftCall("json_canon", Seq(str(e.head)), StringType))
     alias("json_valid")(e => GraftCall("json_valid", Seq(str(e.head)), BooleanType))
     alias("json_type")(e => GraftCall("json_type", e.map(str), StringType))
-    alias("json_extract")(e =>
-      GraftCall("json_extract", Seq(str(e(0)), str(e(1))), StringType))
-    alias("json_extract_path")(e =>
-      GraftCall("json_extract", Seq(str(e(0)), str(e(1))), StringType))
-    alias("json_extract_string")(e =>
-      GraftCall("json_extract_string", Seq(str(e(0)), str(e(1))), StringType))
-    alias("json_extract_path_text")(e =>
-      GraftCall("json_extract_string", Seq(str(e(0)), str(e(1))), StringType))
+    def jsonExtract(fn: String)(e: Seq[Expression]): Expression = e(1) match {
+      case CreateArray(paths, _) => // list-of-paths form → LIST result
+        CreateArray(paths.map(pth =>
+          GraftCall(fn, Seq(str(e(0)), str(pth)), StringType)))
+      case pth => GraftCall(fn, Seq(str(e(0)), str(pth)), StringType)
+    }
+    alias("json_extract")(jsonExtract("json_extract"))
+    alias("json_extract_path")(jsonExtract("json_extract"))
+    alias("json_extract_string")(jsonExtract("json_extract_string"))
+    alias("json_extract_path_text")(jsonExtract("json_extract_string"))
     alias("json_keys")(e =>
       GraftCall("json_keys", e.map(str), ArrayType(StringType)))
     alias("json_array_length")(e =>
@@ -634,9 +645,10 @@ object DuckVocab9 {
         "has_tablespace_privilege"))
       alias(n)(_ => Literal(true))
     for (n <- Seq("col_description", "obj_description", "shobj_description",
-        "pg_get_viewdef", "pg_get_constraintdef", "pg_get_expr",
+        "pg_get_viewdef", "pg_get_constraintdef",
         "inet_client_addr", "map_to_pg_oid"))
       alias(n)(_ => Literal(null, StringType))
+    alias("pg_get_expr")(e => e.head) // identity (probed: type-preserving)
     for (n <- Seq("inet_client_port", "inet_server_port"))
       alias(n)(_ => Literal(null, IntegerType))
     alias("inet_server_addr")(_ => Literal(null, StringType))
@@ -694,27 +706,24 @@ object DuckVocab9 {
       }
       Literal(name)
     }
-    for (n <- Seq("formatReadableSize", "format_bytes")) // 1024-based
-      alias(n) { e =>
-        val b = dbl(e.head)
-        def fmt(v: Expression, unit: String) =
-          Concat(Seq(Cast(Round(v, Literal(1)), StringType), Literal(" " + unit)))
-        If(LessThan(b, Literal(1024.0d)), fmt(b, "B"),
-          If(LessThan(b, Literal(1048576.0d)), fmt(Divide(b, Literal(1024.0d)), "KiB"),
-            If(LessThan(b, Literal(1073741824.0d)),
-              fmt(Divide(b, Literal(1048576.0d)), "MiB"),
-              fmt(Divide(b, Literal(1073741824.0d)), "GiB"))))
-      }
-    alias("formatReadableDecimalSize") { e =>
-      val b = dbl(e.head)
+    // probed renderings: below the first unit → 'N bytes' (integer);
+    // above → one decimal + KiB/MiB/GiB (binary) or KB/MB/GB (decimal)
+    def readable(e: Expression, base: Double, units: Seq[String]): Expression = {
+      val b = dbl(e)
       def fmt(v: Expression, unit: String) =
         Concat(Seq(Cast(Round(v, Literal(1)), StringType), Literal(" " + unit)))
-      If(LessThan(b, Literal(1000.0d)), fmt(b, "B"),
-        If(LessThan(b, Literal(1000000.0d)), fmt(Divide(b, Literal(1000.0d)), "KB"),
-          If(LessThan(b, Literal(1000000000.0d)),
-            fmt(Divide(b, Literal(1000000.0d)), "MB"),
-            fmt(Divide(b, Literal(1000000000.0d)), "GB"))))
+      val bytesCase =
+        Concat(Seq(Cast(Cast(b, LongType), StringType), Literal(" bytes")))
+      If(LessThan(b, Literal(base)), bytesCase,
+        If(LessThan(b, Literal(base * base)), fmt(Divide(b, Literal(base)), units(0)),
+          If(LessThan(b, Literal(base * base * base)),
+            fmt(Divide(b, Literal(base * base)), units(1)),
+            fmt(Divide(b, Literal(base * base * base)), units(2)))))
     }
+    for (n <- Seq("formatReadableSize", "format_bytes"))
+      alias(n)(e => readable(e.head, 1024.0, Seq("KiB", "MiB", "GiB")))
+    alias("formatReadableDecimalSize")(e =>
+      readable(e.head, 1000.0, Seq("KB", "MB", "GB")))
     // generate_series already exists as a TVF; the SCALAR form returns
     // the list (probed: generate_series(3) = [0..3], INCLUSIVE ends)
     alias("generate_series") {
@@ -813,6 +822,10 @@ object DuckVocab9 {
     alias("from_base64")(e => UnBase64(e.head))
     for (n <- Seq("unbin", "from_binary"))
       alias(n)(e => GraftCall("from_binary", Seq(str(e.head)), BinaryType))
+    // DuckDB to_binary renders binary DIGITS (probed: to_binary(3) =
+    // '11', strings bit-expand per utf8 byte) — Spark's builtin of the
+    // same name decodes hex, so shadow it with a type dispatch
+    alias("to_binary")(e => ToBinaryDigits(e.head))
     // generate_subscripts(l, dim): 1-based index generator (dim beyond
     // 1 unsupported — our lists are 1-D)
     alias("generate_subscripts")(e =>
@@ -845,8 +858,22 @@ object DuckVocab9 {
       sameAs("array_distance", "list_distance")
       sameAs("array_dot_product", "list_dot_product")
       sameAs("array_inner_product", "list_dot_product")
-      sameAs("datetrunc", "date_trunc")
     }
+    // DuckDB date_trunc returns DATE for day-and-coarser parts
+    // (probed; hour and finer stay TIMESTAMP)
+    val datePartsToDate = Set("millennium", "century", "decade", "year",
+      "quarter", "month", "week", "day")
+    for (n <- Seq("date_trunc", "datetrunc"))
+      alias(n) { e =>
+        val t = TruncTimestamp(e(0), Cast(e(1), TimestampType, Some("UTC")),
+          Some("UTC"))
+        e(0) match {
+          case Literal(v, StringType)
+              if v != null && datePartsToDate(v.toString.toLowerCase) =>
+            Cast(t, DateType, Some("UTC"))
+          case _ => t
+        }
+      }
 
     // greatest/least accept a single argument in DuckDB
     alias("greatest") {
@@ -886,6 +913,19 @@ object DuckVocab9 {
       Literal(java.util.regex.Pattern.quote(v.toString))
     case e => e
   }
+}
+
+/** DuckDB to_binary: integers → binary digit string (= bin);
+  * strings → the 8-bit pattern of each utf8 byte (probed). */
+case class ToBinaryDigits(child: Expression)
+    extends RuntimeReplaceable
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => GraftCall("string_bits", Seq(child), StringType)
+    case _ => Bin(Cast(child, LongType))
+  }
+  override protected def withNewChildInternal(c: Expression): ToBinaryDigits =
+    copy(child = c)
 }
 
 /** truncated integer division on integral types, plain division

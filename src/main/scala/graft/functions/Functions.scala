@@ -72,9 +72,17 @@ object Functions {
           "built-in")
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           "strptime",
-          (e: Seq[Expression]) =>
-            ParseToTimestamp(e(0),
-              Some(Literal(litFmt(e(1), "strptime"))), TimestampType),
+          (e: Seq[Expression]) => {
+            val fmt = litFmt(e(1), "strptime")
+            val parsed = ParseToTimestamp(e(0),
+              Some(Literal(fmt)), TimestampType)
+            // DuckDB's missing-field default is 1900-01-01 (probed:
+            // strptime('10:30','%H:%M') = 1900-01-01 10:30); java's is
+            // 1970 — shift when the format carries no year
+            if (fmt.contains("y")) parsed
+            else org.apache.spark.sql.catalyst.expressions.TimestampAdd(
+              "YEAR", Literal(-70), parsed)
+          },
           "built-in")
       }
       // DuckDB sequence functions over the engine-global registry

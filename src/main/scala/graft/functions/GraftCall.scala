@@ -109,7 +109,8 @@ object GraftCall {
     case "json_array_length" =>
       val base = parse(s(a(0)))
       val n = if (a.length > 1) nodeAt(base, s(a(1))) else base
-      if (n == null || !n.isArray) null else n.size().toLong
+      // probed: a non-array (incl. objects and scalars) counts 0
+      if (n == null || !n.isArray) 0L else n.size().toLong
     case "json_contains" =>
       val hay = parse(s(a(0)))
       // the needle may be a bare scalar ('2') or a JSON doc
@@ -144,6 +145,14 @@ object GraftCall {
       val stmts = n.get("statements")
       if (stmts == null || !stmts.isArray || stmts.size() == 0) null
       else utf8(stmts.get(0).get("sql").asText())
+    case "string_bits" => // utf8 bytes → '01' pattern (to_binary)
+      val bytes = s(a(0)).getBytes("UTF-8")
+      val sb = new StringBuilder(bytes.length * 8)
+      for (b <- bytes) {
+        var i = 7
+        while (i >= 0) { sb += (if (((b >> i) & 1) == 1) '1' else '0'); i -= 1 }
+      }
+      utf8(sb.toString)
     case "from_binary" =>
       val bits = s(a(0))
       require(bits.nonEmpty && bits.forall(c => c == '0' || c == '1'),

@@ -5,7 +5,10 @@ import graft.Engine
 /** Dev tool: replay the DuckDB-validated conformance corpus
   * (tools/gen_conformance.py output TSV: name\tkind\tsql) through
   * Engine.query end-to-end, writing `OK|FAIL\tname\tkind\tdetail`.
-  * Measures true parity: registry aliases + SqlRewrites + TVFs.
+  * The OK detail is the result rendered as one JSON document per row
+  * (df.toJSON), ''-joined — tools/check_conformance.py parses
+  * it back and VALUE-compares against DuckDB's own answer. Measures
+  * true parity: registry aliases + SqlRewrites + TVFs.
   */
 object ProbeSql {
   def main(args: Array[String]): Unit = {
@@ -17,8 +20,14 @@ object ProbeSql {
       val Array(name, kind, sql) = line.split("\t", 3)
       val res =
         try {
-          val rows = Engine.query(spark, sql).collect()
-          s"OK\t$name\t$kind\t${rows.headOption.map(_.toString.take(80)).getOrElse("")}"
+          val df = Engine.query(spark, sql)
+          // toJSON has no codec for CalendarInterval/TIME: fall back
+          // to Row.toString (the comparer counts those as execute-only)
+          val rendered =
+            try df.toJSON.collect().mkString("")
+            catch { case _: Throwable =>
+              "RAW:" + df.collect().map(_.toString).mkString("") }
+          s"OK\t$name\t$kind\t$rendered"
         } catch {
           case e: Throwable =>
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)

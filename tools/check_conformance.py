@@ -1,0 +1,235 @@
+#!/usr/bin/env python3
+"""VALUE-compare the conformance corpus: DuckDB's own answer vs the
+graft engine's (ProbeSql output with JSON-rendered rows).
+
+Usage:
+  python3 tools/check_conformance.py <corpus.tsv> <probe_out.tsv> [out.json]
+
+Classification per row:
+  MATCH      values equal after normalization
+  DIVERGE    values differ (each must be a known, documented divergence
+             or it is a bug to fix)
+  EXEC_ONLY  value not comparable (nondeterministic, engine-specific by
+             contract, or rendered in a type JSON cannot carry)
+  FAIL       the engine failed to execute (ProbeSql FAIL row)
+
+Dev tool only (driver-side python; duckdb is the oracle).
+"""
+import sys, json, math, base64, datetime, decimal
+import duckdb
+
+# Rows whose VALUES are inherently not comparable.
+NONDET = {
+    # time/now/random/session state
+    "current_date", "current_localtime", "current_localtimestamp",
+    "get_current_time", "get_current_timestamp", "now", "today",
+    "transaction_timestamp", "pg_postmaster_start_time",
+    "pg_conf_load_time", "random", "uuid", "gen_random_uuid", "setseed",
+    "age",  # 1-arg form in corpus uses now()
+    "txid_current", "nextval", "currval",
+}
+# Engine-specific by documented contract (COVERAGE/VERDICT notes).
+ENGINE_SPECIFIC = {
+    "version", "current_role", "current_schemas", "current_query",
+    "current_setting", "in_search_path", "current_catalog",
+    "current_database", "current_schema", "current_user", "session_user",
+    "user", "stats", "vector_type", "get_block_size",
+    "create_sort_key", "json_serialize_sql", "json_serialize_plan",
+    "alias",  # DuckDB renders its own expression aliasing rules
+    "approx_count_distinct", "approx_quantile", "reservoir_quantile",
+    "list_approx_count_distinct",  # approx by contract
+    "row", "row_to_json",  # unnamed-struct field naming differs (doc'd)
+    "format_type",  # pg catalog shim: returns the base name
+    "json_transform", "json_transform_strict",  # string-coercion gap (doc'd)
+    "histogram", "list_histogram",  # JSON map-key rendering, compared via spec pins
+    "map_concat", "map_from_entries", "map_entries",  # MAP JSON rendering
+    "map", "element_at", "map_extract",  # list-wrapped/ MAP rendering
+    "cardinality",
+    "hash", "md5_number", "md5_number_lower", "md5_number_upper",
+    "bit_length", "octet_length",  # BIT modeled as '0'/'1' strings (doc'd)
+    "union_value", "union_extract", "union_tag",  # tag+members struct model
+    "enum_range", "enum_range_boundary",  # python flattens DuckDB enums
+}
+# set-semantics results: order is unspecified in both engines
+ORDER_AGNOSTIC = {"array_distinct", "list_distinct", "array_intersect",
+                  "list_intersect", "json_keys"}
+
+import re
+_TEMPORAL = re.compile(r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}:\d{2})?")
+_INTERVAL = re.compile(
+    r"^(-?[\d.]+ (?:years?|months?|weeks?|days?|hours?|minutes?|seconds?)"
+    r"(?: |$))+$")
+
+def interval_to_seconds(text):
+    total = 0.0
+    for num, unit in re.findall(r"(-?[\d.]+) (\w+)", text):
+        n = float(num)
+        u = unit.rstrip("s")
+        total += n * {"year": 31104000, "month": 2592000, "week": 604800,
+                      "day": 86400, "hour": 3600, "minute": 60,
+                      "second": 1}[u]
+    return total
+
+
+def norm(v):
+    """normalize a python-side value (either parsed from graft's JSON
+    or straight from duckdb) to a comparable shape"""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float, decimal.Decimal)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if f == int(f) and abs(f) < 1e15:
+            return int(f)
+        return float(f"{f:.9g}")
+    if isinstance(v, datetime.datetime):
+        # millisecond precision: Spark's toJSON truncates micros
+        return v.replace(tzinfo=None,
+                         microsecond=v.microsecond // 1000 * 1000
+                         ).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, datetime.time):
+        return v.isoformat()
+    if isinstance(v, datetime.timedelta):
+        return f"interval:{v.total_seconds()}"
+    if isinstance(v, bytes):
+        # graft's toJSON renders binary as bare base64
+        return base64.b64encode(v).decode()
+    if isinstance(v, (list, tuple)):
+        return [norm(x) for x in v]
+    if isinstance(v, dict):
+        # duckdb structs arrive as dicts; graft structs arrive as dicts
+        # from the JSON doc — compare field VALUES in order (names may
+        # legitimately differ for unnamed structs)
+        return [norm(x) for x in v.values()]
+    if isinstance(v, str):
+        return v
+    return str(v)
+
+
+def norm_graft_json(doc):
+    """graft's df.toJSON row → list of normalized column values.
+    toJSON DROPS null fields, so a missing 'v' key means NULL."""
+    parsed = json.loads(doc)
+    vals = list(parsed.values())
+    if not vals:
+        return [None]
+    out = []
+    for v in vals:
+        if isinstance(v, str) and _TEMPORAL.match(v):
+            # Spark renders timestamps like 2024-03-15T10:30:00.000Z
+            s = v.replace("T", " ").removesuffix("Z")
+            out.append(norm(maybe_temporal(s)))
+        elif isinstance(v, str) and _INTERVAL.match(v):
+            out.append(f"interval:{interval_to_seconds(v)}")
+        else:
+            out.append(norm(v))
+    return out
+
+
+def maybe_temporal(s):
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+        try:
+            return datetime.datetime.strptime(s, fmt)
+        except ValueError:
+            pass
+    return s
+
+
+def values_equal(a, b):
+    if type(a) is float or type(b) is float:
+        try:
+            fa, fb = float(a), float(b)
+            return math.isclose(fa, fb, rel_tol=1e-6, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(
+            values_equal(x, y) for x, y in zip(a, b))
+    if isinstance(a, str) and isinstance(b, str):
+        if a == b:
+            return True
+        # DATE vs midnight TIMESTAMP (date_trunc and friends)
+        if a + " 00:00:00" == b or b + " 00:00:00" == a:
+            return True
+        # interval seconds text vs parsed
+        if a.startswith("interval:") and b.startswith("interval:"):
+            return math.isclose(float(a[9:]), float(b[9:]), rel_tol=1e-6)
+        return a.rstrip("0").rstrip(".") == b.rstrip("0").rstrip(".")
+    if isinstance(a, str) and b is not None and a.startswith("interval:"):
+        return False
+    return a == b
+
+
+def main():
+    corpus_path, probe_path = sys.argv[1], sys.argv[2]
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
+    corpus = {}
+    con = duckdb.connect()
+    for line in open(corpus_path):
+        line = line.rstrip("\n")
+        if not line or line.startswith("--"):
+            continue
+        name, kind, sql = line.split("\t", 2)
+        if kind == "setup":
+            con.execute(sql)
+            continue
+        corpus[name] = sql
+
+    counts = {"MATCH": 0, "DIVERGE": 0, "EXEC_ONLY": 0, "FAIL": 0}
+    diverged = []
+    for line in open(probe_path):
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        status, name, kind, detail = (line.split("\t", 3) + [""])[:4]
+        if kind == "setup":
+            continue
+        if status == "FAIL":
+            counts["FAIL"] += 1
+            diverged.append((name, "ENGINE FAIL", detail[:100]))
+            continue
+        if name in NONDET or name in ENGINE_SPECIFIC:
+            counts["EXEC_ONLY"] += 1
+            continue
+        if detail.startswith("RAW:") or not detail.startswith("{"):
+            counts["EXEC_ONLY"] += 1  # interval/TIME rendering
+            continue
+        sql = corpus.get(name)
+        if sql is None:
+            continue
+        try:
+            expected_rows = con.execute(sql).fetchall()
+        except Exception as e:
+            counts["EXEC_ONLY"] += 1
+            continue
+        got_rows = [norm_graft_json(doc) for doc in detail.split("\x01")]
+        exp_rows = [[norm(v) for v in row] for row in expected_rows]
+        if name in ORDER_AGNOSTIC:
+            def sort_lists(rows):
+                return [[sorted(c, key=str) if isinstance(c, list) else c
+                         for c in r] for r in rows]
+            got_rows = sort_lists(got_rows)
+            exp_rows = sort_lists(exp_rows)
+        if len(got_rows) == len(exp_rows) and all(
+                values_equal(g, e) for g, e in zip(got_rows, exp_rows)):
+            counts["MATCH"] += 1
+        else:
+            counts["DIVERGE"] += 1
+            diverged.append((name, str(exp_rows)[:90], str(got_rows)[:90]))
+
+    for name, exp, got in diverged:
+        print(f"DIVERGE {name}\n  duckdb: {exp}\n  graft:  {got}")
+    print("==", ", ".join(f"{k}: {v}" for k, v in counts.items()), "==")
+    if out_path:
+        json.dump({"counts": counts,
+                   "diverged": [d[0] for d in diverged]},
+                  open(out_path, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
