@@ -24,14 +24,18 @@ object QueriesVocab9 {
     // JSON scalar family over per-row constructed documents
     "q_duckdb_json2" -> ((s, dir) => sql(s, dir, json2Sql)),
     // age/epoch/time-part wave over events timestamps
-    "q_duckdb_dates3" -> ((s, dir) => sql(s, dir, dates3Sql)))
+    "q_duckdb_dates3" -> ((s, dir) => sql(s, dir, dates3Sql)),
+    // conformance round 2: brace literals, struct vocabulary, to_json
+    // family, corrected log/date_trunc/strptime semantics
+    "q_duckdb_funcs8" -> ((s, dir) => sql(s, dir, funcs8Sql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
     "q_duckdb_funcs7" -> funcs7Sql,
     "q_duckdb_agg2" -> agg2Sql,
     "q_duckdb_json2" -> json2Sql,
-    "q_duckdb_dates3" -> dates3Sql)
+    "q_duckdb_dates3" -> dates3Sql,
+    "q_duckdb_funcs8" -> funcs8Sql)
 
   private val funcs6Sql: String =
     """SELECT doc_id,
@@ -153,6 +157,37 @@ object QueriesVocab9 {
       |    AS j_struct,
       |  CAST(json_merge_patch(json_object('a', doc_id),
       |    json_object('b', lang)) AS VARCHAR) AS j_merge
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val funcs8Sql: String =
+    """SELECT doc_id,
+      |  {'id': doc_id, 'lang': lang}['lang'] AS b_sub,
+      |  struct_extract({'a': doc_id, 'b': lang}, 'b') AS b_ext,
+      |  struct_extract(struct_insert({'a': doc_id}, b := n_chars), 'b')
+      |    AS b_ins,
+      |  struct_extract(struct_pack(a := doc_id, b := lang), 'b') AS b_pack,
+      |  MAP {'k1': doc_id, 'k2': n_chars}['k2'][1] AS b_map,
+      |  cardinality(MAP {'k1': doc_id, 'k2': n_chars}) AS b_card,
+      |  to_json([doc_id % 5, 3]) AS b_tj,
+      |  json_quote(lang) AS b_jq,
+      |  struct_extract(from_json('{"x": ' || CAST(doc_id AS VARCHAR) || '}',
+      |    '{"x": "BIGINT"}'), 'x') AS b_fj,
+      |  round(log(CAST(1 + n_chars AS DOUBLE)), 6) AS b_log10,
+      |  round(log(2, CAST(1 + n_chars AS DOUBLE)), 6) AS b_log2,
+      |  date_trunc('month', make_date(2024, CAST(1 + doc_id % 12 AS INT),
+      |    CAST(1 + doc_id % 28 AS INT))) AS b_dtrunc,
+      |  round(epoch(strptime(lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+      |    || ':30', '%H:%M')), 6) AS b_strp1900,
+      |  list_aggregate([doc_id % 7, 3, 5], 'max') AS b_lagg,
+      |  aggregate([doc_id % 7, 3, 5], 'min') AS b_agg,
+      |  list_bool_and([doc_id % 2 = 0, true]) AS b_band,
+      |  list_bool_or([doc_id % 2 = 0, false]) AS b_bor,
+      |  to_binary(CAST(1 + doc_id % 9 AS INT)) AS b_bits,
+      |  position('b' IN lang) AS b_pos,
+      |  array_to_string(flatten([[doc_id % 3], [1, 2]]), '|') AS b_flat,
+      |  json_array_length(json_object('a', doc_id)) AS b_jal0,
+      |  json_extract(json_object('a', doc_id, 'b', lang),
+      |    ['a', 'b'])[1] AS b_jex
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val dates3Sql: String =
