@@ -1003,8 +1003,9 @@ case class PgFormatType(child: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(
-      PgFormatType.byOid.getOrElse(String.valueOf(v).toInt, "???"))
+    else PgFormatType.byOid.get(String.valueOf(v).toInt) // unknown oid → NULL (probed)
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .orNull
   }
   override protected def withNewChildInternal(c: Expression): PgFormatType =
     copy(child = c)

@@ -35,20 +35,14 @@ ENGINE_SPECIFIC = {
     "current_database", "current_schema", "current_user", "session_user",
     "user", "stats", "vector_type", "get_block_size",
     "create_sort_key", "json_serialize_sql", "json_serialize_plan",
-    "alias",  # DuckDB renders its own expression aliasing rules
     "approx_count_distinct", "approx_quantile", "reservoir_quantile",
     "list_approx_count_distinct",  # approx by contract
-    "row", "row_to_json",  # unnamed-struct field naming differs (doc'd)
-    "format_type",  # pg catalog shim: returns the base name
+    "row_to_json",  # unnamed-struct field naming differs (doc'd)
+    "alias",  # DuckDB resolves the ENCLOSING projection alias (doc'd)
     "json_transform", "json_transform_strict",  # string-coercion gap (doc'd)
-    "histogram", "list_histogram",  # JSON map-key rendering, compared via spec pins
-    "map_concat", "map_from_entries", "map_entries",  # MAP JSON rendering
-    "map", "element_at", "map_extract",  # list-wrapped/ MAP rendering
-    "cardinality",
     "hash", "md5_number", "md5_number_lower", "md5_number_upper",
     "bit_length", "octet_length",  # BIT modeled as '0'/'1' strings (doc'd)
-    "union_value", "union_extract", "union_tag",  # tag+members struct model
-    "enum_range", "enum_range_boundary",  # python flattens DuckDB enums
+    "union_value",  # tag+members struct model renders the full struct
 }
 # set-semantics results: order is unspecified in both engines
 ORDER_AGNOSTIC = {"array_distinct", "list_distinct", "array_intersect",
@@ -102,8 +96,17 @@ def norm(v):
     if isinstance(v, (list, tuple)):
         return [norm(x) for x in v]
     if isinstance(v, dict):
-        # duckdb structs arrive as dicts; graft structs arrive as dicts
-        # from the JSON doc — compare field VALUES in order (names may
+        # duckdb MAP values arrive as {'key': [...], 'value': [...]} —
+        # normalize to sorted (k, v) pairs so they compare against
+        # graft's JSON object rendering
+        if set(v.keys()) == {"key", "value"} and \
+                isinstance(v.get("key"), list):
+            # keys stringified: JSON object keys are always strings
+            pairs = sorted(zip([str(norm(k)) for k in v["key"]],
+                               [norm(x) for x in v["value"]]),
+                           key=lambda kv: kv[0])
+            return ["__map__"] + [x for kv in pairs for x in kv]
+        # structs: compare field VALUES in order (names may
         # legitimately differ for unnamed structs)
         return [norm(x) for x in v.values()]
     if isinstance(v, str):
@@ -111,7 +114,14 @@ def norm(v):
     return str(v)
 
 
-def norm_graft_json(doc):
+def graft_map_like(name):
+    """functions whose graft result is a MAP rendered as a JSON object
+    (keys become object fields)"""
+    return name in {"map", "map_concat", "map_from_entries",
+                    "histogram", "list_histogram"}
+
+
+def norm_graft_json(doc, map_like=False):
     """graft's df.toJSON row → list of normalized column values.
     toJSON DROPS null fields, so a missing 'v' key means NULL."""
     parsed = json.loads(doc)
@@ -126,6 +136,10 @@ def norm_graft_json(doc):
             out.append(norm(maybe_temporal(s)))
         elif isinstance(v, str) and _INTERVAL.match(v):
             out.append(f"interval:{interval_to_seconds(v)}")
+        elif map_like and isinstance(v, dict):
+            pairs = sorted(((str(norm(k)), norm(x)) for k, x in v.items()),
+                           key=lambda kv: kv[0])
+            out.append(["__map__"] + [x for kv in pairs for x in kv])
         else:
             out.append(norm(v))
     return out
@@ -207,7 +221,8 @@ def main():
         except Exception as e:
             counts["EXEC_ONLY"] += 1
             continue
-        got_rows = [norm_graft_json(doc) for doc in detail.split("\x01")]
+        got_rows = [norm_graft_json(doc, graft_map_like(name))
+                    for doc in detail.split("\x01")]
         exp_rows = [[norm(v) for v in row] for row in expected_rows]
         if name in ORDER_AGNOSTIC:
             def sort_lists(rows):
