@@ -123,6 +123,186 @@ object BracketRewrite {
     cur
   }
 
+  /** DuckDB arithmetic operator spellings Spark lacks (or worse,
+    * parses DIFFERENTLY):
+    *   `a // b` → `divide(a, b)`   (truncated int division on
+    *              integers, plain division on floats — [[DividePoly]])
+    *   `a ** b` → `power(a, b)`
+    *   `a ^ b`  → `power(a, b)`    (pg/DuckDB power; Spark's `^` is
+    *              bitwise XOR — the silent-wrong-answer case)
+    * Probed precedence: left-associative (2^2^3 = 64) and a unary
+    * minus binds INTO the operand (-2**2 = 4, 2**-1 = 0.5). One
+    * operator rewrites per pass, leftmost first, to a fixpoint —
+    * which reproduces left associativity. The `^`-as-XOR Spark
+    * spelling is therefore unavailable; DuckDB's xor() function is
+    * the supported spelling (documented divergence).
+    */
+  def rewriteOperators(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    while (guard < 64) {
+      val next = rewriteFirstOperator(cur)
+      if (next == cur) return cur
+      cur = next; guard += 1
+    }
+    cur
+  }
+
+  private def rewriteFirstOperator(sql: String): String = {
+    val toks = tokenize(sql)
+    def closeOf(openIdx: Int, open: String, close: String): Int = {
+      var depth = 0; var j = openIdx
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct(_, _, `open`) => depth += 1
+          case Punct(_, _, `close`) =>
+            depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    def openOf(closeIdx: Int, open: String, close: String): Int = {
+      var depth = 0; var j = closeIdx
+      while (j >= 0) {
+        toks(j) match {
+          case Punct(_, _, `close`) => depth += 1
+          case Punct(_, _, `open`) =>
+            depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j -= 1
+      }
+      -1
+    }
+    /** char start of the primary ending at token index p, or -1 */
+    def leftOperandStart(p: Int): Int = {
+      var j = p
+      var start = -1
+      var continue = true
+      while (continue && j >= 0) {
+        continue = false
+        toks(j) match {
+          case Punct(_, _, ")") =>
+            val o = openOf(j, "(", ")")
+            if (o < 0) return -1
+            start = toks(o).start; j = o - 1
+            toks.lift(j) match {
+              case Some(Word(st, _, w))
+                  if !literalOpenerKw.contains(w) && w != "end" =>
+                start = st; j -= 1
+                if (toks.lift(j).exists {
+                  case Punct(_, _, ".") => true; case _ => false
+                }) { j -= 1; continue = true }
+              case _ =>
+            }
+          case Punct(_, _, "]") =>
+            val o = openOf(j, "[", "]")
+            if (o < 0) return -1
+            start = toks(o).start; j = o - 1; continue = true
+          case Word(st, _, w) =>
+            if (start >= 0 && literalOpenerKw.contains(w)) { /* chain ends */ }
+            else {
+              start = st; j -= 1
+              if (toks.lift(j).exists {
+                case Punct(_, _, ".") => true; case _ => false
+              }) { j -= 1; continue = true }
+            }
+          case QIdent(st, _) => start = st; j -= 1
+          case Str(st, _) => start = st; j -= 1
+          case _ => if (start < 0) return -1
+        }
+      }
+      // a UNARY sign binds into the operand (probed: -2**2 = 4)
+      if (start >= 0) toks.lift(j) match {
+        case Some(Punct(sp, _, "-" | "+")) =>
+          val unary = j == 0 || (toks(j - 1) match {
+            case Word(_, _, w) => literalOpenerKw.contains(w)
+            case Punct(_, _, pp) => pp != ")" && pp != "]" && pp != "}"
+            case _ => false
+          })
+          if (unary) sp else start
+        case _ => start
+      } else start
+    }
+    /** char end of the primary starting at token index q, or -1 */
+    def rightOperandEnd(q0: Int): Int = {
+      var j = q0
+      // leading unary signs
+      while (j < toks.length && (toks(j) match {
+        case Punct(_, _, "-" | "+") => true; case _ => false
+      })) j += 1
+      if (j >= toks.length) return -1
+      // primary
+      toks(j) match {
+        case Punct(_, _, "(") =>
+          val c = closeOf(j, "(", ")"); if (c < 0) return -1; j = c
+        case Punct(_, _, "[") =>
+          val c = closeOf(j, "[", "]"); if (c < 0) return -1; j = c
+        case Word(_, _, _) =>
+          if (toks.lift(j + 1).exists {
+            case Punct(_, _, "(") => true; case _ => false
+          }) {
+            val c = closeOf(j + 1, "(", ")"); if (c < 0) return -1; j = c
+          }
+        case QIdent(_, _) | Str(_, _) =>
+        case _ => return -1
+      }
+      // postfix chains: .field, subscripts, calls
+      var more = true
+      while (more && j + 1 < toks.length) {
+        more = false
+        toks(j + 1) match {
+          case Punct(_, _, ".") if j + 2 < toks.length =>
+            j += 2; more = true
+          case Punct(_, _, "[") =>
+            val c = closeOf(j + 1, "[", "]")
+            if (c >= 0) { j = c; more = true }
+          case Punct(_, _, "(") =>
+            val c = closeOf(j + 1, "(", ")")
+            if (c >= 0) { j = c; more = true }
+          case _ =>
+        }
+      }
+      toks(j).end
+    }
+    var ti = 0
+    while (ti < toks.length) {
+      val op: Option[(Int, Int, String)] = toks(ti) match {
+        // `//` and `**` are two adjacent single-char tokens
+        case Punct(s1, e1, "/") if ti + 1 < toks.length =>
+          toks(ti + 1) match {
+            case Punct(s2, e2, "/") if s2 == e1 => Some((s1, e2, "divide"))
+            case _ => None
+          }
+        case Punct(s1, e1, "*") if ti + 1 < toks.length =>
+          toks(ti + 1) match {
+            case Punct(s2, e2, "*") if s2 == e1 => Some((s1, e2, "power"))
+            case _ => None
+          }
+        case Punct(s1, e1, "^") => Some((s1, e1, "power"))
+        case _ => None
+      }
+      op match {
+        case Some((opStart, opEnd, fn)) =>
+          val twoTok = opEnd - opStart > 1
+          val ls = leftOperandStart(ti - 1)
+          val re = rightOperandEnd(ti + (if (twoTok) 2 else 1))
+          if (ls >= 0 && re > opEnd) {
+            val left = sql.substring(ls, opStart).trim
+            val right = sql.substring(opEnd, re).trim
+            val sb = new StringBuilder(sql)
+            sb.replace(ls, re, s"$fn($left, $right)")
+            return sb.toString
+          }
+        case None =>
+      }
+      ti += 1
+    }
+    sql
+  }
+
   private def rewriteInnermostBraces(sql: String): String = {
     val toks = tokenize(sql)
     var ti = 0

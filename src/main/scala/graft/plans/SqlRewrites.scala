@@ -650,7 +650,11 @@ object SqlRewrites {
     // first, then bracket syntax (list literals, 1-based subscripts,
     // inclusive slices) — token-aware, strings/comments untouched
     val sqlBr = if (sqlA.indexOf('{') >= 0) BracketRewrite.rewriteBraces(sqlA) else sqlA
-    val sqlB = if (sqlBr.indexOf('[') >= 0) BracketRewrite.rewrite(sqlBr) else sqlBr
+    // DuckDB operator spellings: `//` int-div, `**`/`^` power (Spark's
+    // `^` is XOR — must not reach the stock parser)
+    val sqlO = if (sqlBr.indexOf('^') >= 0 || sqlBr.contains("**") ||
+        sqlBr.contains("//")) BracketRewrite.rewriteOperators(sqlBr) else sqlBr
+    val sqlB = if (sqlO.indexOf('[') >= 0) BracketRewrite.rewrite(sqlO) else sqlO
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering). Both
     // passes skip string/comment spans — 'timestamptz ' inside a

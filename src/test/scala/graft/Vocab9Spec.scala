@@ -250,6 +250,19 @@ class Vocab9Spec extends SparkSpecBase {
     assert(one(sql).getString(0) == sql)
   }
 
+  test("operator spellings: // int-div, ** and ^ power (probed)") {
+    val r = one("SELECT 7 // 2 a, -7 // 2 b, 7.5 // 2 c, 2 ** 3 d, " +
+      "2 ** -1 e, -2 ** 2 f, 2 ^ 3 g, 2 ^ 2 ^ 3 h, " +
+      "(1+6) // 2 i, abs(-7) // 2 j, 3 * 2 ** 2 k")
+    assert(r.getLong(0) == 3L && r.getLong(1) == -3L && r.getDouble(2) == 3.75)
+    assert(r.getDouble(3) == 8.0 && r.getDouble(4) == 0.5 && r.getDouble(5) == 4.0)
+    assert(r.getDouble(6) == 8.0 && r.getDouble(7) == 64.0) // left-assoc
+    assert(r.getLong(8) == 3L && r.getLong(9) == 3L && r.getDouble(10) == 12.0)
+    // regex strings keep their carets
+    val s2 = one("SELECT regexp_matches('abc', '^a') m")
+    assert(s2.getBoolean(0))
+  }
+
   test("brace literals: structs, MAP, nesting, subscripts (probed)") {
     val r = one("SELECT {'a': 1, 'b': 'x'} AS s, MAP {'k1': 5, 'k2': 7} AS m, " +
       "{'a': {'b': 2}} AS nested, {'a': [1,2]} AS withlist, " +
