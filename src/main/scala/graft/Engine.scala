@@ -31,6 +31,13 @@ object Engine {
       // DuckDB's TIME / TIMETZ surface needs Spark 4.1's TimeType
       // (collection-side encoder support is gated behind this flag)
       .config("spark.sql.timeType.enabled", "true")
+      // NOTE on string literals: DuckDB (like pg with
+      // standard_conforming_strings) keeps backslashes in '...'
+      // literals LITERAL. Spark's default parser escape-processes
+      // them, and its escapedStringLiterals mode breaks ''-doubling —
+      // so SqlRewrites doubles backslashes inside quoted spans
+      // instead (escapeBackslashesInLiterals), which preserves both
+      // behaviors under the default parser.
       .config("spark.ui.enabled", "false")
       // managed-table location for the in-memory catalog: keep it out
       // of the repo and unique per JVM (a stale spark-warehouse dir

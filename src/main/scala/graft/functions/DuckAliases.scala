@@ -573,6 +573,11 @@ object DuckAliases {
     alias("regexp_full_match")(e =>
       RLike(e(0), Concat(Seq(Literal("^(?:"), e(1), Literal(")$")))))
     alias("regexp_escape")(e => RegexpEscape(e.head))
+    // operator-spelling targets (BracketRewrite.rewriteOperators):
+    // `a ~~~ p` GLOB and postfix `n!` factorial (HUGEINT-exact)
+    alias("duck_glob")(e => GlobMatchExpr(e(0), e(1)))
+    alias("glob_match")(e => GlobMatchExpr(e(0), e(1)))
+    alias("duck_factorial")(e => FactorialBigExpr(e.head))
     def sepArg(e: Seq[Expression], at: Int): Expression =
       if (e.length > at) e(at) else Literal("both_slash")
     alias("parse_path")(e => ParsePath(e.head, sepArg(e, 1)))

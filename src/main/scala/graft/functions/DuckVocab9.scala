@@ -171,13 +171,29 @@ object DuckVocab9 {
     alias("list_cat")(e => Concat(e))
     alias("array_contains")(e => ArrayContains(e(0), e(1)))
     alias("array_has")(e => ArrayContains(e(0), e(1)))
-    // has_all(a, b): every element of b present in a — b \ a is empty
+    // has_all(a, b): every NON-NULL element of b present in a — DuckDB
+    // ignores NULL elements on both sides (probed: list_has_all([1,2],
+    // [NULL]) is true, list_has_any([NULL],[NULL]) is false; a NULL
+    // LIST argument still yields NULL). Compacting before except/
+    // overlap reproduces that and keeps the result a real boolean
+    // (Spark's raw array_except/arrays_overlap go NULL-happy on
+    // null-bearing inputs).
+    // a bare NULL argument can't type-check through array_except /
+    // arrays_overlap (VOID vs ARRAY) — short-circuit it to the NULL
+    // boolean DuckDB returns
+    def nullArg(es: Expression*): Boolean =
+      es.exists(x => x.resolved && x.dataType == NullType)
     def hasAll(a: Expression, b: Expression) =
-      EqualTo(Size(ArrayExcept(b, a), legacySizeOfNull = false), Literal(0))
+      if (nullArg(a, b)) Literal(null, BooleanType)
+      else EqualTo(Size(ArrayExcept(ArrayCompact(b), a),
+        legacySizeOfNull = false), Literal(0))
+    def hasAny(a: Expression, b: Expression) =
+      if (nullArg(a, b)) Literal(null, BooleanType)
+      else ArraysOverlap(ArrayCompact(a), ArrayCompact(b))
     alias("array_has_all")(e => hasAll(e(0), e(1)))
     alias("list_has_all")(e => hasAll(e(0), e(1)))
-    alias("array_has_any")(e => ArraysOverlap(e(0), e(1)))
-    alias("list_has_any")(e => ArraysOverlap(e(0), e(1)))
+    alias("array_has_any")(e => hasAny(e(0), e(1)))
+    alias("list_has_any")(e => hasAny(e(0), e(1)))
     alias("array_indexof")(e => ArrayPosition(e(0), e(1)))
     alias("array_position")(e => ArrayPosition(e(0), e(1)))
     alias("array_distinct")(e => ArrayDistinct(e.head))

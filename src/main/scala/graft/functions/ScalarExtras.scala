@@ -289,3 +289,165 @@ case class NextAfter(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
+
+/** DuckDB GLOB (`a ~~~ p` / `GLOB` keyword) — a direct matcher, not a
+  * regex translation, so the probed bracket arcana stay exact:
+  *  - `*` any run (crosses `/`), `?` any one char, case-sensitive
+  *  - `[set]` / `[!set]`; `]` literal when FIRST member (also right
+  *    after the `!`); `^` is NOT a negation char ('[^a]' matches both
+  *    '^' and 'a'); `-` literal when first or just after a range
+  *    ('[a-c-e]' is a..c plus '-' plus 'e'); `x-y` with x>y is an
+  *    empty range ('[b-a]' matches nothing but still closes)
+  *  - `-` before ANY char forms a range INCLUDING `]` — so '[a-]'
+  *    consumes the closer, leaving the bracket UNCLOSED
+  *  - an unclosed bracket or dangling backslash makes the whole
+  *    pattern match NOTHING ('[a' doesn't even match '[a')
+  *  - `\x` escapes to literal x, inside and outside brackets
+  * All pinned in CompatSpec from DuckDB v1.0 probes.
+  */
+object GlobOps {
+  private sealed trait G
+  private case object Star extends G
+  private case object AnyOne extends G
+  private final case class Lit(c: Char) extends G
+  /** singles + inclusive ranges; `negate` flips membership */
+  private final case class Cls(negate: Boolean, singles: String,
+      ranges: Array[(Char, Char)]) extends G {
+    def matches(c: Char): Boolean = {
+      val in = singles.indexOf(c) >= 0 ||
+        ranges.exists(r => c >= r._1 && c <= r._2)
+      in != negate
+    }
+  }
+
+  /** None = malformed pattern (matches nothing) */
+  private def parse(p: String): Option[Array[G]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[G]
+    var i = 0
+    val n = p.length
+    while (i < n) {
+      p.charAt(i) match {
+        case '*' => out += Star; i += 1
+        case '?' => out += AnyOne; i += 1
+        case '\\' =>
+          if (i + 1 >= n) return None
+          out += Lit(p.charAt(i + 1)); i += 2
+        case '[' =>
+          var j = i + 1
+          val negate = j < n && p.charAt(j) == '!'
+          if (negate) j += 1
+          val singles = new java.lang.StringBuilder
+          val ranges = scala.collection.mutable.ArrayBuffer.empty[(Char, Char)]
+          var first = true
+          var closed = false
+          var justRange = false
+          while (!closed && j < n) {
+            val c = p.charAt(j)
+            if (c == ']' && !first) { closed = true; j += 1 }
+            else if (c == '\\' && j + 1 < n) {
+              singles.append(p.charAt(j + 1)); j += 2
+              first = false; justRange = false
+            } else if (c == '-' && !first && !justRange && j + 1 < n &&
+                singles.length() > 0) {
+              // range with the PREVIOUS single — the end char may even
+              // be ']' (probed: '[a-]' consumes it and never closes)
+              val lo = singles.charAt(singles.length() - 1)
+              singles.setLength(singles.length() - 1)
+              val hi = p.charAt(j + 1)
+              if (lo <= hi) ranges += ((lo, hi))
+              j += 2; justRange = true
+            } else {
+              singles.append(c); j += 1
+              first = false; justRange = false
+            }
+          }
+          if (!closed) return None
+          out += Cls(negate, singles.toString, ranges.toArray)
+          i = j
+        case c => out += Lit(c); i += 1
+      }
+    }
+    Some(out.toArray)
+  }
+
+  /** single-entry per-thread parse cache — patterns are almost always
+    * constant per query, and this also covers the per-row case */
+  private val lastParse =
+    new ThreadLocal[(String, Option[Array[G]])] {
+      override def initialValue(): (String, Option[Array[G]]) = (null, None)
+    }
+
+  def matches(s: UTF8String, p: UTF8String): Boolean = {
+    val pat = p.toString
+    val cached = lastParse.get()
+    val parsed =
+      if (cached._1 == pat) cached._2
+      else { val r = parse(pat); lastParse.set((pat, r)); r }
+    parsed match {
+      case None => false
+      case Some(gs) => run(s.toString, gs)
+    }
+  }
+
+  /** classic star-backtracking glob walk */
+  private def run(s: String, gs: Array[G]): Boolean = {
+    var si = 0
+    var gi = 0
+    var starG = -1
+    var starS = -1
+    while (si < s.length) {
+      if (gi < gs.length && (gs(gi) match {
+        case Star => starG = gi; starS = si; gi += 1; true
+        case AnyOne => si += 1; gi += 1; true
+        case Lit(c) if c == s.charAt(si) => si += 1; gi += 1; true
+        case cls: Cls if cls.matches(s.charAt(si)) => si += 1; gi += 1; true
+        case _ => false
+      })) ()
+      else if (starG >= 0) { gi = starG + 1; starS += 1; si = starS }
+      else return false
+    }
+    while (gi < gs.length && gs(gi) == Star) gi += 1
+    gi == gs.length
+  }
+
+  /** DuckDB `n!` / factorial(n): HUGEINT result, modeled as
+    * DECIMAL(38,0) — exact through 33! (DuckDB's own HUGEINT limit;
+    * 34! is Out of Range in both engines). n <= 1 → 1, including
+    * negatives (probed: (-5)! = 1).
+    */
+  def factorialBig(n: Int): org.apache.spark.sql.types.Decimal = {
+    if (n > 33) throw new ArithmeticException(
+      s"factorial($n): value out of range")
+    var acc = java.math.BigInteger.ONE
+    var i = 2
+    while (i <= n) { acc = acc.multiply(java.math.BigInteger.valueOf(i)); i += 1 }
+    org.apache.spark.sql.types.Decimal(scala.math.BigDecimal(acc), 38, 0)
+  }
+}
+
+case class GlobMatchExpr(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = ColumnBridge.stringBinaryInput
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "duck_glob"
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    GlobOps.matches(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) => s"graft.GlobOps.matches($s, $p)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class FactorialBigExpr(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.IntegerType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+  override def prettyName: String = "duck_factorial"
+  override protected def nullSafeEval(n: Any): Any =
+    GlobOps.factorialBig(n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, n => s"graft.GlobOps.factorialBig($n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -123,20 +123,101 @@ object BracketRewrite {
     cur
   }
 
-  /** DuckDB arithmetic operator spellings Spark lacks (or worse,
-    * parses DIFFERENTLY):
+  /** DuckDB operator spellings Spark lacks (or worse, parses
+    * DIFFERENTLY). Arithmetic:
     *   `a // b` → `divide(a, b)`   (truncated int division on
     *              integers, plain division on floats — [[DividePoly]])
     *   `a ** b` → `power(a, b)`
     *   `a ^ b`  → `power(a, b)`    (pg/DuckDB power; Spark's `^` is
     *              bitwise XOR — the silent-wrong-answer case)
-    * Probed precedence: left-associative (2^2^3 = 64) and a unary
-    * minus binds INTO the operand (-2**2 = 4, 2**-1 = 0.5). One
-    * operator rewrites per pass, leftmost first, to a fixpoint —
-    * which reproduces left associativity. The `^`-as-XOR Spark
-    * spelling is therefore unavailable; DuckDB's xor() function is
-    * the supported spelling (documented divergence).
+    * Pattern matching (all probed on DuckDB v1.0):
+    *   `a ~~ b` / `a !~~ b`   → (NOT) LIKE       (tight-bound, see below)
+    *   `a ~~* b` / `a !~~* b` → (NOT) ILIKE
+    *   `a ~ b` / `a !~ b`     → (NOT) regexp_full_match (FULL match:
+    *              'abcd' ~ 'bc' is FALSE; binary only — a unary `~`
+    *              stays Spark's bitwise NOT, which matches DuckDB's)
+    *   `a ~~~ b` → duck_glob(a, b)  (GLOB: case-sensitive, `*`/`?`/
+    *              `[set]`/`[!set]`, backslash escapes)
+    *   `a ^@ b`  → startswith(a, b)
+    * List/vector (macro surface `l1 OP l2` in duckdb_functions()):
+    *   `a <@ b`  → list_has_all(b, a)   (a contained-in b)
+    *   `a @> b`  → list_has_all(a, b)
+    *   `a && b`  → list_has_any(a, b)
+    *   `a <-> b` → list_distance(a, b)
+    *   `a <=> b` → list_cosine_similarity(a, b)  (DuckDB has no
+    *              null-safe-equal spelled <=>; in this dialect the
+    *              token can only be the list op)
+    * Unary:
+    *   `@a` → abs(a)  (prefix; DuckDB does NOT bind over a unary
+    *          sign — `@-5` errors — so neither do we)
+    *   `a!` → duck_factorial(a)  (postfix; an ADJACENT `!=` is
+    *          not-equal, but a spaced `5 ! = 120` is factorial-then-=
+    *          — probed: `1 ! = 1` is true, `1 != 1` is false)
+    * Probed precedence: ALL of these bind to the nearest primary —
+    * `'ab' ~~ 'a' || '%'` is `('ab' ~~ 'a') || '%'` = 'false%', and
+    * a unary minus binds INTO the operand (-2**2 = 4, -5! = 1) — so
+    * the primary-span replacement IS DuckDB's binding. Operator runs
+    * are lexed maximal-munch with the pg trailing +/- trim rule
+    * (`2<-1` is `2 < -1`; `2<->1` is list_distance and errors on
+    * ints, as in DuckDB). One operator rewrites per pass, leftmost
+    * first, to a fixpoint — which reproduces left associativity. The
+    * `^`-as-XOR Spark spelling is therefore unavailable; DuckDB's
+    * xor() function is the supported spelling (documented divergence).
     */
+  /** run text → replacement builder, exact-match after the trim rule */
+  private val binOps: Map[String, (String, String) => String] = Map(
+    "**" -> ((l, r) => s"power($l, $r)"),
+    "^" -> ((l, r) => s"power($l, $r)"),
+    "//" -> ((l, r) => s"divide($l, $r)"),
+    "~~" -> ((l, r) => s"($l LIKE $r)"),
+    "!~~" -> ((l, r) => s"($l NOT LIKE $r)"),
+    "~~*" -> ((l, r) => s"($l ILIKE $r)"),
+    "!~~*" -> ((l, r) => s"($l NOT ILIKE $r)"),
+    "~" -> ((l, r) => s"regexp_full_match($l, $r)"),
+    "!~" -> ((l, r) => s"(NOT regexp_full_match($l, $r))"),
+    "~~~" -> ((l, r) => s"duck_glob($l, $r)"),
+    "^@" -> ((l, r) => s"startswith($l, $r)"),
+    "<@" -> ((l, r) => s"list_has_all($r, $l)"),
+    "@>" -> ((l, r) => s"list_has_all($l, $r)"),
+    "&&" -> ((l, r) => s"list_has_any($l, $r)"),
+    "<->" -> ((l, r) => s"list_distance($l, $r)"),
+    "<=>" -> ((l, r) => s"list_cosine_similarity($l, $r)"))
+
+  /** chars that may join an operator run (single-char Punct tokens) */
+  private val opChars = "~!@^&<>=*/-"
+  /** pg lexer: a multi-char op ending in +/- keeps its tail only when
+    * it contains one of these (so `<-` lexes as `<` then unary `-`) */
+  private val pgOpSpecials = "~!@#%^&|`?"
+
+  private def prevEndsOperand(toks: ArrayBuffer[Tok], ti: Int): Boolean =
+    ti > 0 && (toks(ti - 1) match {
+      case Punct(_, _, p) => p == ")" || p == "]" || p == "}"
+      case Word(_, _, w) => !literalOpenerKw.contains(w)
+      case _: Str | _: QIdent => true
+    })
+
+  /** cheap pre-scan: does the text contain any spelling this pass
+    * could rewrite? (strings included — the token pass skips them;
+    * this only gates the tokenize cost) */
+  def hasOperatorTrigger(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '^' || c == '~' || c == '@') return true
+      if (c == '!' && (i + 1 >= n || s.charAt(i + 1) != '=')) return true
+      if (i + 1 < n) {
+        val d = s.charAt(i + 1)
+        if ((c == '*' && d == '*') || (c == '/' && d == '/') ||
+            (c == '&' && d == '&')) return true
+        if (c == '<' && (d == '-' || d == '=') && i + 2 < n &&
+            s.charAt(i + 2) == '>') return true
+      }
+      i += 1
+    }
+    false
+  }
+
   def rewriteOperators(sql: String): String = {
     var cur = sql
     var guard = 0
@@ -205,8 +286,10 @@ object BracketRewrite {
             if (start >= 0 && literalOpenerKw.contains(w)) { /* chain ends */ }
             else {
               start = st; j -= 1
+              // chain left through `.` member access and `::` casts
+              // (`x::int ~ 'p'` regexes x's cast, not the type name)
               if (toks.lift(j).exists {
-                case Punct(_, _, ".") => true; case _ => false
+                case Punct(_, _, "." | "::") => true; case _ => false
               }) { j -= 1; continue = true }
             }
           case QIdent(st, _) => start = st; j -= 1
@@ -227,10 +310,10 @@ object BracketRewrite {
       } else start
     }
     /** char end of the primary starting at token index q, or -1 */
-    def rightOperandEnd(q0: Int): Int = {
+    def rightOperandEnd(q0: Int, skipSigns: Boolean = true): Int = {
       var j = q0
       // leading unary signs
-      while (j < toks.length && (toks(j) match {
+      while (skipSigns && j < toks.length && (toks(j) match {
         case Punct(_, _, "-" | "+") => true; case _ => false
       })) j += 1
       if (j >= toks.length) return -1
@@ -249,12 +332,12 @@ object BracketRewrite {
         case QIdent(_, _) | Str(_, _) =>
         case _ => return -1
       }
-      // postfix chains: .field, subscripts, calls
+      // postfix chains: .field, ::type casts, subscripts, calls
       var more = true
       while (more && j + 1 < toks.length) {
         more = false
         toks(j + 1) match {
-          case Punct(_, _, ".") if j + 2 < toks.length =>
+          case Punct(_, _, "." | "::") if j + 2 < toks.length =>
             j += 2; more = true
           case Punct(_, _, "[") =>
             val c = closeOf(j + 1, "[", "]")
@@ -269,36 +352,73 @@ object BracketRewrite {
     }
     var ti = 0
     while (ti < toks.length) {
-      val op: Option[(Int, Int, String)] = toks(ti) match {
-        // `//` and `**` are two adjacent single-char tokens
-        case Punct(s1, e1, "/") if ti + 1 < toks.length =>
-          toks(ti + 1) match {
-            case Punct(s2, e2, "/") if s2 == e1 => Some((s1, e2, "divide"))
-            case _ => None
+      // maximal adjacent run of single-char operator puncts, then the
+      // pg trailing +/- trim rule, then an EXACT table lookup (known
+      // multi-char Spark ops like <= >= <> << >> || != -> ->> fail the
+      // lookup and pass through untouched)
+      val run: Option[(Int, String)] = toks(ti) match {
+        case Punct(s, e, t)
+            if t.length == 1 && opChars.indexOf(t.charAt(0)) >= 0 =>
+          val sb = new StringBuilder(t)
+          var end = e
+          var j = ti + 1
+          var go = true
+          while (go && j < toks.length) {
+            toks(j) match {
+              case Punct(s2, e2, t2) if s2 == end && t2.length == 1 &&
+                  opChars.indexOf(t2.charAt(0)) >= 0 =>
+                sb.append(t2); end = e2; j += 1
+              case _ => go = false
+            }
           }
-        case Punct(s1, e1, "*") if ti + 1 < toks.length =>
-          toks(ti + 1) match {
-            case Punct(s2, e2, "*") if s2 == e1 => Some((s1, e2, "power"))
-            case _ => None
-          }
-        case Punct(s1, e1, "^") => Some((s1, e1, "power"))
+          var text = sb.toString
+          while (text.length > 1 && (text.last == '+' || text.last == '-') &&
+              !text.exists(c => pgOpSpecials.indexOf(c) >= 0))
+            text = text.substring(0, text.length - 1)
+          Some((s, text))
         case _ => None
       }
-      op match {
-        case Some((opStart, opEnd, fn)) =>
-          val twoTok = opEnd - opStart > 1
-          val ls = leftOperandStart(ti - 1)
-          val re = rightOperandEnd(ti + (if (twoTok) 2 else 1))
-          if (ls >= 0 && re > opEnd) {
-            val left = sql.substring(ls, opStart).trim
-            val right = sql.substring(opEnd, re).trim
-            val sb = new StringBuilder(sql)
-            sb.replace(ls, re, s"$fn($left, $right)")
-            return sb.toString
+      run match {
+        case Some((opStart, text)) =>
+          val opEnd = opStart + text.length // runs are 1-char tokens
+          val after = ti + text.length
+          if (binOps.contains(text) &&
+              (text != "~" || prevEndsOperand(toks, ti))) {
+            val ls = leftOperandStart(ti - 1)
+            val re = rightOperandEnd(after)
+            if (ls >= 0 && re > opEnd) {
+              val left = sql.substring(ls, opStart).trim
+              val right = sql.substring(opEnd, re).trim
+              val sb = new StringBuilder(sql)
+              sb.replace(ls, re, binOps(text)(left, right))
+              return sb.toString
+            }
+          } else if (text == "@" && !prevEndsOperand(toks, ti)) {
+            // prefix abs; DuckDB's @ refuses a signed operand (probed
+            // @-5 errors) so the no-sign right-span variant is used
+            val re = rightOperandEnd(after, skipSigns = false)
+            if (re > opEnd) {
+              val sb = new StringBuilder(sql)
+              sb.replace(opStart, re,
+                s"abs(${sql.substring(opEnd, re).trim})")
+              return sb.toString
+            }
+          } else if (text == "!" && prevEndsOperand(toks, ti)) {
+            // postfix factorial (an adjacent != never reaches here —
+            // its run fails the table lookup). The left span keeps a
+            // unary sign: -5! is factorial(-5) = 1 (probed).
+            val ls = leftOperandStart(ti - 1)
+            if (ls >= 0) {
+              val sb = new StringBuilder(sql)
+              sb.replace(ls, opEnd,
+                s"duck_factorial(${sql.substring(ls, opStart).trim})")
+              return sb.toString
+            }
           }
+          ti = math.max(after, ti + 1)
         case None =>
+          ti += 1
       }
-      ti += 1
     }
     sql
   }

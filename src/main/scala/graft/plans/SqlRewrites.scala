@@ -119,6 +119,122 @@ object SqlRewrites {
   /** Character spans of single-quoted strings ('' escapes), quoted
     * identifiers and comments. Raw-text regex passes must leave these
     * untouched — `'ts is timestamptz '` is data, not a typed literal. */
+  /** DuckDB '...' literals are standard-conforming: a backslash is
+    * DATA ('a\b' is a\b; probed — and '(\d+)' is a real digit regex
+    * while '(\\d+)' matches nothing). Spark's default parser
+    * escape-processes backslashes, and its escapedStringLiterals mode
+    * breaks ''-doubling instead — so the seam doubles every backslash
+    * inside single-quoted spans, which round-trips to DuckDB's
+    * semantics under the default parser. Quoted identifiers, comments
+    * and bare SQL are untouched.
+    */
+  /** head comment marking a statement whose literals already went
+    * through the (non-idempotent) backslash-doubling seam */
+  private val seamMarker = "/*G:lit*/"
+
+  private def escapeBackslashesInLiterals(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var last = 0
+    for ((st, en) <- quotedSpans(s)) {
+      if (st < s.length && s.charAt(st) == '\'') {
+        sb.append(s.substring(last, st))
+        var i = st
+        while (i < en) {
+          val c = s.charAt(i)
+          if (c == '\\') sb.append("\\\\") else sb.append(c)
+          i += 1
+        }
+        last = en
+      }
+    }
+    sb.append(s.substring(last, s.length))
+    sb.toString
+  }
+
+  private def isIdentChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_' || c == '"' || c == '`'
+
+  /** DuckDB E'...' escape-strings (pg style; probed on v1.0): \n \t
+    * \r \b \f, \xH{1,2} hex, \o{1,3} octal, \uHHHH / \UHHHHHHHH
+    * unicode, \\ backslash, \' quote (plus '' doubling), any other
+    * \c → c. Decoded to a PLAIN literal carrying the real characters
+    * ('' respells quotes; embedded control chars are legal in
+    * literals), so the backslash-doubling pass that follows protects
+    * whatever backslashes the decode produced.
+    */
+  private def rewriteEStrings(s: String): String = {
+    val n = s.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') { // plain literal: copy verbatim (incl. '')
+        val st = i; i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        sb.append(s.substring(st, i))
+      } else if (c == '"' || c == '`') {
+        val st = i; i += 1
+        while (i < n && s.charAt(i) != c) i += 1
+        i = math.min(i + 1, n); sb.append(s.substring(st, i))
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        val st = i
+        while (i < n && s.charAt(i) != '\n') i += 1
+        sb.append(s.substring(st, i))
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val st = i
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+        sb.append(s.substring(st, i))
+      } else if ((c == 'E' || c == 'e') && i + 1 < n &&
+          s.charAt(i + 1) == '\'' && (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+        i += 2
+        val out = new StringBuilder
+        var closed = false
+        def hexRun(max: Int): Int = {
+          var v = 0; var k = 0
+          while (k < max && i < n && Character.digit(s.charAt(i), 16) >= 0) {
+            v = v * 16 + Character.digit(s.charAt(i), 16); i += 1; k += 1
+          }
+          v
+        }
+        while (!closed && i < n) {
+          val d = s.charAt(i)
+          if (d == '\\' && i + 1 < n) {
+            s.charAt(i + 1) match {
+              case 'n' => out.append('\n'); i += 2
+              case 't' => out.append('\t'); i += 2
+              case 'r' => out.append('\r'); i += 2
+              case 'b' => out.append('\b'); i += 2
+              case 'f' => out.append('\f'); i += 2
+              case 'x' => i += 2; out.append(hexRun(2).toChar)
+              case 'u' => i += 2; out.append(hexRun(4).toChar)
+              case 'U' => i += 2; out.appendAll(Character.toChars(hexRun(8)))
+              case o if o >= '0' && o <= '7' =>
+                i += 1
+                var v = 0; var k = 0
+                while (k < 3 && i < n && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0'); i += 1; k += 1
+                }
+                out.append(v.toChar)
+              case other => out.append(other); i += 2
+            }
+          } else if (d == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') { out.append('\''); i += 2 }
+            else { closed = true; i += 1 }
+          } else { out.append(d); i += 1 }
+        }
+        sb.append('\'').append(out.toString.replace("'", "''")).append('\'')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def quotedSpans(s: String): Array[(Int, Int)] = {
     val spans = Array.newBuilder[(Int, Int)]
     var i = 0; val n = s.length
@@ -634,9 +750,30 @@ object SqlRewrites {
     // rewrite — an indexOf is ~100× cheaper than a full regex pass, so
     // each pass first checks for its trigger substring. Semantics are
     // unchanged: a pattern can only match if its literal anchor occurs.
-    val lowIn = sqlIn.toLowerCase
+    // string-literal seam FIRST: DuckDB's E'...' escape-strings decode
+    // to plain literals, then backslashes inside '...' spans double so
+    // Spark's default parser (which escape-processes them) delivers
+    // DuckDB's standard-conforming semantics. The "e'" gate costs one
+    // substring check; a false hit (…name = 'Pete') scans once and
+    // emits the text unchanged. Backslash-doubling is the one rewrite
+    // here that is NOT idempotent, and rewriteFull runs at least twice
+    // per statement (Engine.query pre-pass + the GraftParser seam; a
+    // stored VIEW's text re-parses arbitrarily later) — so any
+    // statement the doubling changes gets a marker comment that makes
+    // every later pass skip the seam. The marker stays in the text on
+    // purpose: that is what carries the "already processed" bit into
+    // catalog-stored SQL.
+    val alreadySeamed = sqlIn.startsWith(seamMarker)
+    val sqlEsc0 = if (!alreadySeamed && sqlIn.indexOf('\'') >= 0 &&
+        (sqlIn.contains("E'") || sqlIn.contains("e'")))
+      rewriteEStrings(sqlIn) else sqlIn
+    val sqlEsc1 = if (!alreadySeamed && sqlEsc0.indexOf('\\') >= 0)
+      escapeBackslashesInLiterals(sqlEsc0) else sqlEsc0
+    val sqlEsc = if ((sqlEsc1 ne sqlEsc0) && sqlEsc1 != sqlEsc0)
+      seamMarker + sqlEsc1 else sqlEsc1
+    val lowIn = sqlEsc.toLowerCase
     val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
-        lowIn.contains("enum_")) rewriteEnums(sqlIn) else sqlIn
+        lowIn.contains("enum_")) rewriteEnums(sqlEsc) else sqlEsc
     val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
     // array-typed casts before the bracket pass would misread them
@@ -651,9 +788,10 @@ object SqlRewrites {
     // inclusive slices) — token-aware, strings/comments untouched
     val sqlBr = if (sqlA.indexOf('{') >= 0) BracketRewrite.rewriteBraces(sqlA) else sqlA
     // DuckDB operator spellings: `//` int-div, `**`/`^` power (Spark's
-    // `^` is XOR — must not reach the stock parser)
-    val sqlO = if (sqlBr.indexOf('^') >= 0 || sqlBr.contains("**") ||
-        sqlBr.contains("//")) BracketRewrite.rewriteOperators(sqlBr) else sqlBr
+    // `^` is XOR — must not reach the stock parser), the ~/~~/~~~
+    // match family, ^@, @, postfix !, and the list ops <@ @> && <-> <=>
+    val sqlO = if (BracketRewrite.hasOperatorTrigger(sqlBr))
+      BracketRewrite.rewriteOperators(sqlBr) else sqlBr
     val sqlB = if (sqlO.indexOf('[') >= 0) BracketRewrite.rewrite(sqlO) else sqlO
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering). Both
@@ -674,7 +812,7 @@ object SqlRewrites {
     // DuckDB's zero-arg count() ≡ count(*)
     val sql = if (sqlS.toLowerCase.contains("count"))
       replaceOutsideQuotes(countEmpty, sqlS)(_ => "count(*)") else sqlS
-    val low = if (sql eq sqlIn) lowIn else sql.toLowerCase
+    val low = if (sql eq sqlEsc) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser
     // special-cases those names (builds TimestampDiff in AstBuilder,

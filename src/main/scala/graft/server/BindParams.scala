@@ -69,10 +69,11 @@ object BindParams {
   private val numRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
   private val floatSpecials = Set("nan", "infinity", "-infinity", "+infinity", "inf", "-inf")
 
-  /** Single-quoted literal, escaped for Spark's default string parser
-    * (backslash escapes ON — '' alone is not enough). */
+  /** Single-quoted literal, pg-style: quotes double, backslashes stay
+    * literal (the session runs escapedStringLiterals=true, matching
+    * DuckDB's standard-conforming strings). */
   def quote(v: String): String =
-    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "'" + v.replace("'", "''") + "'"
 
   /** One Bind parameter → SQL literal. `format`: 0 text, 1 binary;
     * `data` null ⇒ SQL NULL. */

@@ -334,10 +334,14 @@ class CompatSpec extends SparkSpecBase {
       "CREATE MACRO edge_d(a, b := least(1, 2)) AS a + b")
     assert(Engine.query(spark, "SELECT edge_d(5) AS v")
       .collect().head.getInt(0) == 6)
-    // backslash-escaped quote inside a literal doesn't derail expansion
+    // a quote inside a literal doesn't derail expansion. DuckDB's only
+    // in-literal quote spellings: '' doubling and E'\''  (a plain
+    // 'it\'s' is a PARSER ERROR there — probed — so that Spark-ism is
+    // deliberately not exercised)
     val esc = Engine.query(spark,
-      "SELECT 'it\\'s', edge_d(1) AS v").collect().head
-    assert(esc.getString(0) == "it's" && esc.getInt(1) == 2)
+      "SELECT 'it''s', E'a\\'b', edge_d(1) AS v").collect().head
+    assert(esc.getString(0) == "it's" && esc.getString(1) == "a'b" &&
+      esc.getInt(2) == 2)
     Engine.query(spark, "DROP MACRO edge_m")
     Engine.query(spark, "DROP MACRO edge_d")
   }

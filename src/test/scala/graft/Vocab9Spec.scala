@@ -48,8 +48,11 @@ class Vocab9Spec extends SparkSpecBase {
   }
 
   test("regexp_extract defaults to group 0 (probed)") {
-    val r = one("SELECT regexp_extract('abc-123', '([a-z]+)-(\\\\d+)') a, " +
-      "regexp_extract('abc-123', '([a-z]+)-(\\\\d+)', 2) b")
+    // single backslash: '...' literals are now DuckDB-literal
+    // (escapedStringLiterals) — '(\\d+)' would NOT match, in either
+    // engine
+    val r = one("SELECT regexp_extract('abc-123', '([a-z]+)-(\\d+)') a, " +
+      "regexp_extract('abc-123', '([a-z]+)-(\\d+)', 2) b")
     assert(r.getString(0) == "abc-123" && r.getString(1) == "123")
   }
 
