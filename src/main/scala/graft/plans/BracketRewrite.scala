@@ -181,7 +181,14 @@ object BracketRewrite {
     "@>" -> ((l, r) => s"list_has_all($l, $r)"),
     "&&" -> ((l, r) => s"list_has_any($l, $r)"),
     "<->" -> ((l, r) => s"list_distance($l, $r)"),
-    "<=>" -> ((l, r) => s"list_cosine_similarity($l, $r)"))
+    "<=>" -> ((l, r) => s"list_cosine_similarity($l, $r)"),
+    // Spark HAS << and >> operators, but its lexer stops lexing >>
+    // as shift-right once the statement mentioned array/map/struct
+    // (the nested-type `ARRAY<ARRAY<INT>>` close hack) — and the
+    // bracket pass emits array(...) everywhere, so the function
+    // spellings are the only reliable ones
+    "<<" -> ((l, r) => s"shiftleft($l, $r)"),
+    ">>" -> ((l, r) => s"shiftright($l, $r)"))
 
   /** chars that may join an operator run (single-char Punct tokens) */
   private val opChars = "~!@^&<>=*/-"
@@ -209,7 +216,8 @@ object BracketRewrite {
       if (i + 1 < n) {
         val d = s.charAt(i + 1)
         if ((c == '*' && d == '*') || (c == '/' && d == '/') ||
-            (c == '&' && d == '&')) return true
+            (c == '&' && d == '&') || (c == '<' && d == '<') ||
+            (c == '>' && d == '>')) return true
         if (c == '<' && (d == '-' || d == '=') && i + 2 < n &&
             s.charAt(i + 2) == '>') return true
       }

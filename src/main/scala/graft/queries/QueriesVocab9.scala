@@ -27,7 +27,12 @@ object QueriesVocab9 {
     "q_duckdb_dates3" -> ((s, dir) => sql(s, dir, dates3Sql)),
     // conformance round 2: brace literals, struct vocabulary, to_json
     // family, corrected log/date_trunc/strptime semantics
-    "q_duckdb_funcs8" -> ((s, dir) => sql(s, dir, funcs8Sql)))
+    "q_duckdb_funcs8" -> ((s, dir) => sql(s, dir, funcs8Sql)),
+    // operator spellings (~~ family, ~ regex, ~~~ glob, ^@, @, !,
+    // <@ @> && <-> <=>, shifts) + standard-conforming literals and
+    // E'...' — BracketRewrite.rewriteOperators and the SqlRewrites
+    // literal seam under the driver's hard gate
+    "q_duckdb_ops" -> ((s, dir) => sql(s, dir, opsSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -35,7 +40,42 @@ object QueriesVocab9 {
     "q_duckdb_agg2" -> agg2Sql,
     "q_duckdb_json2" -> json2Sql,
     "q_duckdb_dates3" -> dates3Sql,
-    "q_duckdb_funcs8" -> funcs8Sql)
+    "q_duckdb_funcs8" -> funcs8Sql,
+    "q_duckdb_ops" -> opsSql)
+
+  /** identical statement both engines; every spelling here is a
+    * BracketRewrite.rewriteOperators (or literal-seam) product on the
+    * graft side and native syntax on the DuckDB side */
+  private val opsSql: String =
+    """SELECT doc_id,
+      |  text ~~ 'The%' AS op_like,
+      |  text !~~ 'The%' AS op_nlike,
+      |  text ~~* 'the%' AS op_ilike,
+      |  text !~~* 'the%' AS op_nilike,
+      |  lang ~ '[a-z]+' AS op_re,
+      |  lang !~ '[a-z]+' AS op_nre,
+      |  lang ~~~ '[a-z][a-z]' AS op_glob,
+      |  source ~~~ '*a*' AS op_glob2,
+      |  text ^@ 'The' AS op_sw,
+      |  @(CAST(doc_id AS INT) - 50) AS op_abs,
+      |  CAST((CAST(doc_id % 12 AS INT))! AS BIGINT) AS op_fact,
+      |  [doc_id % 3, 2] <@ [0, 1, 2, 3] AS op_within,
+      |  [0, 1, 2, 3] @> [doc_id % 3] AS op_contains,
+      |  [doc_id % 4, 9] && [3, 9] AS op_overlap,
+      |  round([CAST(doc_id % 5 AS DOUBLE), 2.0] <-> [1.0, 4.0], 6) AS op_dist,
+      |  round([CAST(1 + doc_id % 5 AS DOUBLE), 2.0] <=> [1.0, 4.0], 6)
+      |    AS op_cos,
+      |  doc_id << 2 AS op_shl,
+      |  doc_id >> 1 AS op_shr,
+      |  doc_id & 7 AS op_band,
+      |  doc_id | 8 AS op_bor,
+      |  ~CAST(doc_id AS INT) AS op_bnot,
+      |  CAST(doc_id AS INT) // 7 AS op_idiv,
+      |  round(CAST(2 ** (doc_id % 8) AS DOUBLE), 6) AS op_pow,
+      |  'a\b' AS op_bslash,
+      |  E'x\ty' AS op_estr,
+      |  regexp_extract(CAST(n_chars AS VARCHAR) || 'x9', '(\d+)', 1) AS op_rex
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private val funcs6Sql: String =
     """SELECT doc_id,
