@@ -298,11 +298,12 @@ object SqlRewrites {
   }
   private val castAs = s"""(?i)\\bAS\\s+($aliasAlt)\\s*\\)""".r
 
-  /** single-level JSON arrows on a column/paren expr with a string or
+  /** single-level JSON arrows on a column/paren expr or a string
+    * literal ('{"a":1}' ->> 'a' is valid DuckDB) with a string or
     * integer key; `->>` and `->` both land on get_json_object (text).
     */
   private val jsonArrow =
-    """([\w.)\]]+)\s*(->>|->)\s*(?:'([^']+)'|(\d+))""".r
+    """('(?:[^']|'')*'|[\w.)\]]+)\s*(->>|->)\s*(?:'([^']+)'|(\d+))""".r
 
   /** SQL identifier characters — keyword boundary checks must treat
     * `_` as a word char or identifiers like `__qualify` read as the
