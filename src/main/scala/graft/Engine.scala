@@ -340,6 +340,11 @@ object Engine {
             }.toSeq.toDF("cid", "name", "type", "notnull", "dflt_value", "pk")
           case "sequences" =>
             Sequences.list().toDF("name", "next_value", "increment_by")
+          case "database_size" =>
+            Introspection.databaseSizeDf(spark)
+          case "show_databases" =>
+            spark.catalog.listDatabases().collect().map(_.name).sorted.toSeq
+              .toDF("database_name")
           case _ if argOrNull != null =>
             // CALL of an injected TVF (generate_series, read_* ...):
             // run it as a FROM-position relation

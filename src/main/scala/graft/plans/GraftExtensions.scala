@@ -183,6 +183,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       sp.catalog.listFunctions().collect().map(_.name).sorted.toSeq
         .toDF("function_name")
     }
+    // the rest of DuckDB's catalog listings + file introspection
+    // (shapes pinned from v1.0 probes — Introspection.scala)
+    injectMeta("duckdb_views")(Introspection.viewsDf)
+    injectMeta("duckdb_schemas")(Introspection.schemasDf)
+    injectMeta("duckdb_types")(Introspection.typesDf)
+    injectMeta("duckdb_keywords")(Introspection.keywordsDf)
+    injectMeta("duckdb_sequences")(Introspection.sequencesDf)
+    injectMeta("duckdb_indexes")(Introspection.indexesDf)
+    injectMeta("duckdb_constraints")(Introspection.constraintsDf)
+    injectMeta("duckdb_temporary_files")(Introspection.temporaryFilesDf)
+    injectMeta("duckdb_secrets")(Introspection.secretsDf)
+    injectMeta("duckdb_memory")(Introspection.memoryDf)
+    injectMeta("duckdb_optimizers")(Introspection.optimizersDf)
+    injectMeta("duckdb_extensions")(Introspection.extensionsDf)
+    injectMeta("checkpoint")(Introspection.checkpointDf)
+    injectMeta("force_checkpoint")(Introspection.checkpointDf)
+    def injectPath1(name: String)(
+        mk: (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.Introspection", name),
+        (exprs: Seq[Expression]) =>
+          mk(active, pathArg(exprs, name)).queryExecution.analyzed))
+    injectPath1("glob")(Introspection.globDf)
+    injectPath1("sniff_csv")(Introspection.sniffCsvDf)
+    injectPath1("parquet_schema")(Introspection.parquetSchemaDf)
+    injectPath1("parquet_metadata")(Introspection.parquetMetadataDf)
+    injectPath1("parquet_file_metadata")(Introspection.parquetFileMetadataDf)
+    injectPath1("parquet_kv_metadata")(Introspection.parquetKvMetadataDf)
+    def injectFiles(name: String, asText: Boolean): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.Introspection", name),
+        (exprs: Seq[Expression]) =>
+          Introspection.readFilesDf(active, pathArgs(exprs, name), asText)
+            .queryExecution.analyzed))
+    injectFiles("read_text", asText = true)
+    injectFiles("read_blob", asText = false)
 
     // dialect pre-pass at the parser seam: plain spark.sql(...) gets
     // QUALIFY / JSON arrows / pg type aliases / star EXCLUDE
