@@ -37,7 +37,8 @@ object SparkEntry {
       QueriesAggExt.defs ++ QueriesWindow.defs ++ QueriesSetSort.defs ++
       QueriesScalar.defs ++ QueriesSub.defs ++ QueriesPipeline.defs ++
       QueriesSugar.defs ++ QueriesExtra.defs ++ QueriesMisc.defs ++
-      QueriesAnalytics.defs ++ QueriesAnalytics.moreDefs ++ QueriesVocab9.defs
+      QueriesAnalytics.defs ++ QueriesAnalytics.moreDefs ++ QueriesVocab9.defs ++
+      QueriesCuration.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,7 +47,8 @@ object SparkEntry {
       QueriesAggExt.oracles ++ QueriesWindow.oracles ++ QueriesSetSort.oracles ++
       QueriesScalar.oracles ++ QueriesSub.oracles ++ QueriesPipeline.oracles ++
       QueriesSugar.oracles ++ QueriesExtra.oracles ++ QueriesMisc.oracles ++
-      QueriesAnalytics.oracles ++ QueriesVocab9.oracles
+      QueriesAnalytics.oracles ++ QueriesVocab9.oracles ++
+      QueriesCuration.oracles
 }
 
 /** Aggregation operators (SURVEY §2.2 "Aggregation"). */

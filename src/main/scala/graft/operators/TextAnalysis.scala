@@ -260,4 +260,45 @@ object TextAnalysis {
     aggregate(split(normalized, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
   }
+
+  /** C4-style line-level page cleaning (Raffel et al. 2020, §2.2 of
+    * the T5 paper — the rules behind the C4 corpus):
+    *
+    *  - keep only lines that end in a terminal punctuation mark
+    *    (`.` `!` `?` `"`);
+    *  - drop lines with fewer than `minWordsPerLine` words;
+    *  - drop any line containing the word "javascript" (case-folded);
+    *  - drop the whole page if it contains "lorem ipsum" (case-folded)
+    *    or a curly brace;
+    *  - drop the page if fewer than `minKeptLines` lines survive.
+    *
+    * Output: input id column + `kept` (page verdict), `n_lines`,
+    * `n_kept`, and `clean_text` (surviving lines re-joined with \n;
+    * empty string for dropped pages so downstream schemas stay stable).
+    *
+    * Scale: pure expression tree over one text column — map-only,
+    * codegen'd array HOFs, no shuffle; embarrassingly parallel at
+    * 100 TB. Page filtering composes with the quality/dedup gates.
+    */
+  def c4LineClean(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minWordsPerLine: Int = 3,
+      minKeptLines: Int = 3): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      (t.rlike("[.!?\"]$")) &&
+        (size(filter(split(t, " +"), w => w =!= "")) >= minWordsPerLine) &&
+        !lower(t).contains("javascript")
+    }
+    val junkPage = lower(text).contains("lorem ipsum") || text.contains("{")
+    df.withColumn("__kept_lines", filter(lines, lineOk _))
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept", size(col("__kept_lines")).cast("long"))
+      .withColumn("kept", !junkPage && col("n_kept") >= minKeptLines)
+      .withColumn("clean_text",
+        when(col("kept"), array_join(col("__kept_lines"), "\n"))
+          .otherwise(lit("")))
+      .drop("__kept_lines")
+  }
 }

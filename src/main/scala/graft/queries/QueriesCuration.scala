@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import QueryDsl._
+
+/** Round-9 curation wave: corpus-cleaning operators from the published
+  * LLM-data-pipeline literature, each Spark-first with a DuckDB oracle
+  * replay under the driver's hard gate.
+  *
+  * The `documents` fixture is single-line word soup, so page-shaped
+  * inputs (lines, punctuation, boilerplate markers) are synthesized
+  * deterministically from doc_id + the word list — the SAME
+  * construction in both engines, the multimodal-fixture pattern.
+  */
+object QueriesCuration {
+
+  lazy val defs: Map[String, Q] = Map(
+    // C4 line-level page cleaning (Raffel et al. 2020): synthesize a
+    // multi-line page per doc (6-word lines, hash-scheduled terminal
+    // punctuation, javascript-line + lorem-ipsum/brace injections),
+    // then apply the line and page rules. Map-only codegen'd HOFs.
+    "q_text_c4lines" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nl = ceil(size(words) / lit(6.0)).cast("int")
+      val line = (i: org.apache.spark.sql.Column) =>
+        concat(
+          when(pmod(col("doc_id") * 3 + i, lit(7)) === 0, lit("javascript "))
+            .otherwise(lit("")),
+          array_join(slice(words, i * 6 + 1, lit(6)), " "),
+          element_at(typedlit(Seq(".", "!", "", "?")),
+            (pmod(col("doc_id") + i, lit(4)) + 1).cast("int")))
+      val page = array_join(transform(sequence(lit(0), nl - 1), line), "\n")
+      val withJunk =
+        when(col("doc_id") % 17 === 0,
+          concat(page, lit("\nlorem ipsum dolor sit amet.")))
+        .when(col("doc_id") % 23 === 0,
+          concat(page, lit("\nif (x) { return 1; } done.")))
+        .otherwise(page)
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), withJunk.as("text"))
+      TextAnalysis.c4LineClean(pages, "doc_id", "text",
+          minWordsPerLine = 3, minKeptLines = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+    }))
+
+  lazy val oracles: Map[String, String] = Map(
+    "q_text_c4lines" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words
+        |           FROM documents),
+        |l AS (SELECT doc_id, words,
+        |        CAST(ceil(len(words) / 6.0) AS BIGINT) AS nl FROM w),
+        |pages AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, nl), i ->
+        |    (CASE WHEN (doc_id*3 + i) % 7 = 0 THEN 'javascript '
+        |          ELSE '' END) ||
+        |    array_to_string(list_slice(words, i*6+1, i*6+6), ' ') ||
+        |    (['.','!','','?'])[CAST((doc_id + i) % 4 AS INT) + 1]),
+        |    chr(10)) AS page FROM l),
+        |p2 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0
+        |         THEN page || chr(10) || 'lorem ipsum dolor sit amet.'
+        |       WHEN doc_id % 23 = 0
+        |         THEN page || chr(10) || 'if (x) { return 1; } done.'
+        |       ELSE page END AS text FROM pages),
+        |k AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS lines,
+        |  list_filter(string_split(text, chr(10)), s ->
+        |    regexp_matches(trim(s), '[.!?"]$')
+        |    AND len(list_filter(regexp_split_to_array(trim(s), ' +'),
+        |          x -> x <> '')) >= 3
+        |    AND NOT contains(lower(trim(s)), 'javascript')) AS keptl
+        |  FROM p2)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(keptl) AS BIGINT) AS n_kept,
+        |  (NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{')))
+        |    AND len(keptl) >= 3 AS kept,
+        |  CASE WHEN (NOT (contains(lower(text), 'lorem ipsum')
+        |               OR contains(text, '{'))) AND len(keptl) >= 3
+        |       THEN array_to_string(keptl, chr(10)) ELSE '' END AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin)
+}

@@ -331,4 +331,40 @@ class TextMultimodalSpec extends SparkSpecBase {
         s"doc $id: ${r.getDouble(4)} != $expect")
     }
   }
+
+  test("C4 line cleaning: every rule fires on its construction") {
+    val s = spark
+    import s.implicits._
+    val good = "this line ends with a period."
+    val df = Seq(
+      // rule 1: non-terminal line dropped, terminal kept
+      (1L, s"$good\nno terminal punctuation here\nanother good line stays!\nthird keeper line here?"),
+      // rule 2: short line (2 words) dropped even with punctuation
+      (2L, s"$good\ntoo short.\nsecond keeper line here.\nthird keeper line here."),
+      // rule 3: javascript line dropped (case-folded)
+      (3L, s"$good\nenable JavaScript to view this page.\nsecond keeper line here.\nthird keeper line here."),
+      // page rule: lorem ipsum kills the page outright
+      (4L, s"$good\n$good\n$good\nlorem IPSUM dolor sit amet."),
+      // page rule: curly brace kills the page
+      (5L, s"$good\n$good\nfunction f() { return 1; }."),
+      // page rule: fewer than minKeptLines survivors
+      (6L, s"$good\n$good"),
+      // clean page survives intact
+      (7L, s"$good\n$good\n$good")).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(df, "doc_id", "text",
+        minWordsPerLine = 3, minKeptLines = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("kept"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept"), r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((true, 4L, 3L,
+      s"$good\nanother good line stays!\nthird keeper line here?")))
+    assert(got(2L) == ((true, 4L, 3L,
+      s"$good\nsecond keeper line here.\nthird keeper line here.")))
+    assert(got(3L) == ((true, 4L, 3L,
+      s"$good\nsecond keeper line here.\nthird keeper line here.")))
+    assert(got(4L)._1 == false && got(4L)._4 == "")
+    assert(got(5L)._1 == false && got(5L)._4 == "")
+    assert(got(6L) == ((false, 2L, 2L, "")))
+    assert(got(7L) == ((true, 3L, 3L, s"$good\n$good\n$good")))
+  }
 }
