@@ -425,4 +425,86 @@ object CorpusOps {
         least(lit(chunkSize),
           col("n") - col("chunk_id") * stride).cast("bigint").as("n_tok"))
   }
+
+  /** DSIR importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): featurize every doc
+    * as hashed n-gram (unigram + bigram) bucket counts, fit
+    * add-1-smoothed bag-of-buckets models on the target and raw
+    * corpora, and score each raw doc with
+    * `log w = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]`.
+    *
+    * The bucket hash is the engine's cross-replayable polynomial
+    * rolling hash (mod 2^31−1, then mod `buckets`) so the whole pass
+    * is oracle-checkable; per-bucket log-ratios are rounded at 1e-8
+    * (libm ulp guard) and accumulated exactly in decimal, the ppl-row
+    * pattern.
+    *
+    * Scale: gram instances are token-shaped (two map-only explodes);
+    * the per-bucket count tables are ≤ `buckets` rows — broadcast —
+    * so scoring is one token-keyed hash aggregate per corpus plus one
+    * broadcast join + doc-keyed aggregate. No global structure.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    def bucketed(df: DataFrame): DataFrame = {
+      val words = Ranking.tokens(col(textCol))
+      val bigrams = when(size(words) >= 2,
+          transform(sequence(lit(1), size(words) - 1),
+            i => concat(element_at(words, i), lit(" "),
+              element_at(words, i + 1))))
+        .otherwise(typedlit(Seq.empty[String]))
+      df.select(col(idCol).cast("long").as("doc_id"),
+          explode(concat(words, bigrams)).as("gram"))
+        .select(col("doc_id"),
+          (aggregate(split(col("gram"), ""), lit(0L),
+            (a, c) => (a * 31 + ascii(c)) % 2147483647L) % buckets)
+            .as("bucket"))
+    }
+    val rawGrams = bucketed(raw).localCheckpoint(eager = false)
+    val rawCnt = rawGrams.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"))
+    val tgtCnt = bucketed(target).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = rawCnt.agg(sum(col("cr")).as("crt"))
+      .crossJoin(tgtCnt.agg(sum(col("ct")).as("ctt")))
+    // per-bucket smoothed log-ratio; ≤ `buckets` rows end to end
+    val lr = rawCnt
+      .join(tgtCnt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(coalesce(col("ct"), lit(0L)) + 1) -
+              log(col("ctt") + buckets) -
+              log(col("cr") + 1) +
+              log(col("crt") + buckets), 8)
+          .cast("decimal(20,10)").as("lr"))
+    rawGrams.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("lr")).cast("double"), 6).as("logw"))
+  }
+
+  /** DSIR deterministic top-k resample: flags the `k` highest-weight
+    * docs (ties broken by id). The threshold is found with an
+    * orderBy+limit(k) over the doc-level score table (corpus-cardinality
+    * rows, NOT token rows) — no single-partition window. The paper's
+    * Gumbel-noise variant composes with [[deterministicShuffle]]'s
+    * seeded keys when sampling diversity is wanted over exact top-k.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 256): DataFrame = {
+    val scored = dsirScores(raw, target, idCol, textCol, buckets)
+      .localCheckpoint(eager = false) // threshold probe + flag share it
+    val topk = scored.orderBy(col("logw").desc, col("doc_id")).limit(k)
+      .localCheckpoint(eager = false)
+    val thrW = topk.agg(min(col("logw")).as("tw"))
+    val thr = topk.join(broadcast(thrW), col("logw") === col("tw"))
+      .agg(min(col("tw")).as("tw"), max(col("doc_id")).as("ti"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_grams"), col("logw"),
+        (col("logw") > col("tw") ||
+          (col("logw") === col("tw") && col("doc_id") <= col("ti")))
+          .as("selected"))
+  }
 }

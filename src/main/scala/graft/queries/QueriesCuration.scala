@@ -44,6 +44,15 @@ object QueriesCuration {
         .select(col("doc_id"), col("n_lines"), col("n_kept"), col("kept"),
           col("clean_text"))
         .orderBy(col("doc_id"))
+    }),
+    // DSIR importance resampling (Xie et al. 2023): target = the
+    // English slice, raw = the whole corpus; hashed unigram+bigram
+    // bucket models, add-1 smoothing, deterministic top-200 selection.
+    "q_corpus_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusOps.dsirResample(docs, docs.filter(col("lang") === "en"),
+          k = 200, buckets = 256)
+        .orderBy(col("doc_id"))
     }))
 
   lazy val oracles: Map[String, String] = Map(
@@ -81,5 +90,57 @@ object QueriesCuration {
         |  CASE WHEN (NOT (contains(lower(text), 'lorem ipsum')
         |               OR contains(text, '{'))) AND len(keptl) >= 3
         |       THEN array_to_string(keptl, chr(10)) ELSE '' END AS clean_text
-        |FROM k ORDER BY doc_id""".stripMargin)
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "q_corpus_dsir" ->
+      """WITH rawg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(g, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) % 256 AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(list_concat(words,
+        |      CASE WHEN len(words) >= 2 THEN
+        |        list_transform(range(1, len(words)),
+        |          i -> words[i] || ' ' || words[i+1])
+        |      ELSE [] END)) AS g
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text),
+        |              '[^a-z0-9]+'), t -> t <> '') AS words
+        |          FROM documents))),
+        |tgtg AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(g, ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) % 256 AS bucket
+        |  FROM (
+        |    SELECT doc_id, unnest(list_concat(words,
+        |      CASE WHEN len(words) >= 2 THEN
+        |        list_transform(range(1, len(words)),
+        |          i -> words[i] || ' ' || words[i+1])
+        |      ELSE [] END)) AS g
+        |    FROM (SELECT doc_id,
+        |            list_filter(string_split_regex(lower(text),
+        |              '[^a-z0-9]+'), t -> t <> '') AS words
+        |          FROM documents WHERE lang = 'en'))),
+        |rc AS (SELECT bucket, count(*) AS cr FROM rawg GROUP BY bucket),
+        |tc AS (SELECT bucket, count(*) AS ct FROM tgtg GROUP BY bucket),
+        |tot AS (SELECT (SELECT sum(cr) FROM rc) AS crt,
+        |               (SELECT sum(ct) FROM tc) AS ctt),
+        |lr AS (SELECT rc.bucket,
+        |    CAST(round(ln(coalesce(ct, 0) + 1) - ln(ctt + 256)
+        |             - ln(cr + 1) + ln(crt + 256), 8)
+        |      AS DECIMAL(20,10)) AS lr
+        |  FROM rc LEFT JOIN tc USING (bucket), tot),
+        |scored AS (SELECT doc_id, count(*) AS n_grams,
+        |    round(CAST(sum(lr) AS DOUBLE), 6) AS logw
+        |  FROM rawg JOIN lr USING (bucket) GROUP BY doc_id),
+        |topk AS (SELECT * FROM scored ORDER BY logw DESC, doc_id LIMIT 200),
+        |thrw AS (SELECT min(logw) AS tw FROM topk),
+        |thr AS (SELECT tw, max(doc_id) AS ti
+        |        FROM topk, thrw WHERE logw = tw GROUP BY tw)
+        |SELECT s.doc_id, n_grams, logw,
+        |  (logw > tw OR (logw = tw AND s.doc_id <= ti)) AS selected
+        |FROM scored s, thr ORDER BY s.doc_id""".stripMargin)
 }

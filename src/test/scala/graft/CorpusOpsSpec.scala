@@ -278,4 +278,38 @@ class CorpusOpsSpec extends SparkSpecBase {
     assert(shardCounts.size == 8 && shardCounts.min > a.length / 16,
       s"shards unbalanced: $shardCounts")
   }
+
+  test("DSIR: target-distribution docs outscore off-target docs") {
+    val s = spark
+    import s.implicits._
+    // two disjoint vocabularies; the target corpus speaks vocabulary A.
+    // Raw = 20 A-docs + 20 B-docs (ids interleaved so selection isn't
+    // an id-order artifact). DSIR must rank every A-doc above every
+    // B-doc and the top-k flag must pick exactly the A-docs.
+    val vocabA = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val vocabB = Seq("zork", "quux", "fnord", "blorp", "wibble")
+    def doc(v: Seq[String], salt: Int): String =
+      (0 until 12).map(i => v((i + salt) % v.length)).mkString(" ")
+    val raw = (0 until 40).map { i =>
+      val a = i % 2 == 0
+      (i.toLong, doc(if (a) vocabA else vocabB, i), a)
+    }.toDF("doc_id", "text", "is_target_like")
+    val target = (100 until 110).map(i =>
+      (i.toLong, doc(vocabA, i))).toDF("doc_id", "text")
+    val got = CorpusOps.dsirResample(raw, target, k = 20)
+      .join(raw.select("doc_id", "is_target_like"), "doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("logw"), r.getAs[Boolean]("selected"),
+        r.getAs[Boolean]("is_target_like")))
+    val (aDocs, bDocs) = got.partition(_._4)
+    assert(aDocs.map(_._2).min > bDocs.map(_._2).max,
+      "every target-vocabulary doc must outweigh every off-target doc")
+    assert(got.forall(r => r._3 == r._4),
+      "top-20 selection must be exactly the target-like docs")
+    // determinism: a second run is value-identical
+    val again = CorpusOps.dsirResample(raw, target, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(again.sameElements(
+      got.map(r => (r._1, r._2)).sortBy(_._1)), "scores must be stable")
+  }
 }
