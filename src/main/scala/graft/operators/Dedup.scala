@@ -717,4 +717,76 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_spans"), 6))
   }
+
+  /** Incremental (cross-corpus) dedup: screen a NEW batch against an
+    * EXISTING training corpus — the ingest-time shape of dedup, where
+    * the corpus is orders of magnitude larger than the batch and must
+    * never be re-deduplicated against itself.
+    *
+    * Two asymmetric stages, both one-directional (batch → corpus):
+    *  1. exact: content-hash (md5) equi-join; first (lowest-id) corpus
+    *     match wins;
+    *  2. near: shingle posting lists of the batch joined against the
+    *     corpus postings within (lang, ±maxCharDiff) blocks, n-gram
+    *     Jaccard verified, best match by (jaccard desc, corpus id asc)
+    *     via a tie-free arg_max key — no per-doc window.
+    *
+    * Verdict per batch doc: 'exact_dup' (jaccard pinned 1.0) beats
+    * 'near_dup' (≥ threshold) beats 'keep' (match_id NULL).
+    *
+    * Scale: stage 1 is a hash join on 16-byte digests. Stage 2's cost
+    * is Σ_gram df_batch·df_corpus — the batch side is the small factor,
+    * so posting lists stay bounded even when the corpus is 100 TB; the
+    * corpus shingle table is computed once and is reusable across
+    * batches (persist it as the dedup index).
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      shingleSize: Int = 3, maxCharDiff: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(corpus.select(col("doc_id").as("cid"), md5(col("text")).as("h")),
+        "h")
+      .groupBy(col("doc_id"))
+      .agg(min(col("cid")).as("em"))
+
+    def grams(df: DataFrame) = withHashedShingles(
+        df.select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .filter(size(split(col("text"), " ")) >= shingleSize),
+        "text", shingleSize, "grams")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("grams")).as("sz"), col("grams"))
+    val bg = grams(batch).localCheckpoint(eager = false)
+    val cg = grams(corpus).localCheckpoint(eager = false)
+    val bp = bg.select(col("doc_id").as("bid"), col("lang"),
+      col("n_chars").as("bnc"), col("sz").as("bsz"),
+      explode(col("grams")).as("gram"))
+    val cp = cg.select(col("doc_id").as("cid"), col("lang"),
+      col("n_chars").as("cnc"), col("sz").as("csz"),
+      explode(col("grams")).as("gram"))
+    val near = bp.join(cp, Seq("lang", "gram"))
+      .filter(abs(col("bnc") - col("cnc")) <= maxCharDiff)
+      .groupBy(col("bid"), col("cid"), col("bsz"), col("csz"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("bid"), col("cid"),
+        round(col("shared").cast("double") /
+          (col("bsz") + col("csz") - col("shared")), 6).as("j"))
+      .filter(col("j") >= threshold)
+      .groupBy(col("bid"))
+      .agg(
+        max_by(col("cid"), format_string("%012.9f-%010d", col("j"),
+          lit(9999999999L) - col("cid"))).as("nm"),
+        max(col("j")).as("nj"))
+      .withColumnRenamed("bid", "doc_id")
+
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("em").isNotNull, "exact_dup")
+          .when(col("nm").isNotNull, "near_dup")
+          .otherwise("keep").as("verdict"),
+        coalesce(col("em"), col("nm")).as("match_id"),
+        when(col("em").isNotNull, lit(1.0d)).otherwise(col("nj"))
+          .as("jaccard"))
+  }
 }

@@ -53,6 +53,26 @@ object QueriesCuration {
       CorpusOps.dsirResample(docs, docs.filter(col("lang") === "en"),
           k = 200, buckets = 256)
         .orderBy(col("doc_id"))
+    }),
+    // Incremental cross-corpus dedup: screen a new batch (every 4th
+    // doc) against the existing corpus (the rest) — exact md5 stage +
+    // asymmetric n-gram Jaccard stage, deterministic best-match. The
+    // fixture has no full-text duplicates, so every 20th batch doc
+    // takes its neighbor's text (a corpus doc — same construction in
+    // the oracle) to exercise the exact stage under the hard gate.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val donor = docs.select(col("doc_id").as("did"),
+        col("text").as("dtext"))
+      val batch = docs.filter(col("doc_id") % 4 === 0)
+        .join(donor, col("did") === col("doc_id") + 1, "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 20 === 0 && col("dtext").isNotNull,
+            col("dtext")).otherwise(col("text")).as("text"),
+          col("lang"), col("n_chars"))
+      Dedup.incrementalDedup(batch, docs.filter(col("doc_id") % 4 =!= 0),
+          shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
+        .orderBy(col("doc_id"))
     }))
 
   lazy val oracles: Map[String, String] = Map(
@@ -142,5 +162,48 @@ object QueriesCuration {
         |        FROM topk, thrw WHERE logw = tw GROUP BY tw)
         |SELECT s.doc_id, n_grams, logw,
         |  (logw > tw OR (logw = tw AND s.doc_id <= ti)) AS selected
-        |FROM scored s, thr ORDER BY s.doc_id""".stripMargin)
+        |FROM scored s, thr ORDER BY s.doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH b AS (SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 20 = 0 AND d2.text IS NOT NULL
+        |         THEN d2.text ELSE d.text END AS text,
+        |    d.lang, d.n_chars
+        |  FROM documents d
+        |  LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 4 = 0),
+        |c AS (SELECT doc_id, text, lang, n_chars FROM documents
+        |      WHERE doc_id % 4 <> 0),
+        |ex AS (SELECT b.doc_id, min(c.doc_id) AS em
+        |       FROM b JOIN c ON md5(b.text) = md5(c.text)
+        |       GROUP BY b.doc_id),
+        |bg AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS words
+        |        FROM b) WHERE len(words) >= 3),
+        |cg AS (SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, len(words)-1),
+        |      i -> words[i]||' '||words[i+1]||' '||words[i+2])) AS grams
+        |  FROM (SELECT doc_id, lang, n_chars, string_split(text,' ') AS words
+        |        FROM c) WHERE len(words) >= 3),
+        |cand AS (SELECT bg.doc_id AS bid, cg.doc_id AS cid,
+        |    round(CAST(len(list_intersect(bg.grams, cg.grams)) AS DOUBLE) /
+        |      (len(bg.grams) + len(cg.grams)
+        |       - len(list_intersect(bg.grams, cg.grams))), 6) AS j
+        |  FROM bg JOIN cg ON bg.lang = cg.lang
+        |    AND abs(bg.n_chars - cg.n_chars) <= 20),
+        |nr AS (SELECT bid AS doc_id,
+        |    arg_max(cid, printf('%012.9f-%010d', j, 9999999999 - cid)) AS nm,
+        |    max(j) AS nj
+        |  FROM cand WHERE j >= 0.5 GROUP BY bid)
+        |SELECT b.doc_id,
+        |  CASE WHEN em IS NOT NULL THEN 'exact_dup'
+        |       WHEN nm IS NOT NULL THEN 'near_dup'
+        |       ELSE 'keep' END AS verdict,
+        |  coalesce(em, nm) AS match_id,
+        |  CASE WHEN em IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+        |       ELSE nj END AS jaccard
+        |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |       LEFT JOIN nr ON b.doc_id = nr.doc_id
+        |ORDER BY b.doc_id""".stripMargin)
 }

@@ -175,4 +175,36 @@ class DedupSpec extends SparkSpecBase {
     val recall = found.intersect(expected).size.toDouble / expected.size
     assert(recall >= 0.9, s"banded embedding recall = $recall")
   }
+
+  test("incremental dedup: exact beats near, near needs the threshold") {
+    val s = spark
+    import s.implicits._
+    def row(id: Long, text: String) =
+      (id, text, "en", text.length.toLong)
+    val corpus = Seq(
+      row(10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      row(11L, "one two three four five six seven eight nine ten"),
+      row(12L, "totally unrelated corpus content words here")).toDF(
+      "doc_id", "text", "lang", "n_chars")
+    val batch = Seq(
+      // exact copy of corpus 10 (and trivially near it too — exact wins)
+      row(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // near-dup of corpus 11: one word changed
+      row(1L, "one two three four five six seven eight nine wolf"),
+      // fresh content
+      row(2L, "completely novel document with its own words entirely")).toDF(
+      "doc_id", "text", "lang", "n_chars")
+    val got = Dedup.incrementalDedup(batch, corpus, shingleSize = 3,
+        maxCharDiff = 20, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.toString.toLong),
+          Option(r.get(3)).map(_.toString.toDouble)))).toMap
+    assert(got(0L)._1 == "exact_dup" && got(0L)._2 == Some(10L) &&
+      got(0L)._3 == Some(1.0))
+    assert(got(1L)._1 == "near_dup" && got(1L)._2 == Some(11L) &&
+      got(1L)._3.get >= 0.5 && got(1L)._3.get < 1.0)
+    assert(got(2L) == (("keep", None, None)))
+    // one-directional: corpus docs are never screened or returned
+    assert(got.keySet == Set(0L, 1L, 2L))
+  }
 }
