@@ -104,6 +104,54 @@ object BracketRewrite {
 
   private case class Edit(pos: Int, end: Int, text: String, seq: Int)
 
+  /** DuckDB list comprehension inside a literal bracket:
+    *   `[E FOR v IN L]`      → `list_transform(L, v -> E)`
+    *   `[E FOR v IN L IF C]` → `list_transform(list_filter(L, v -> C),
+    *                              v -> E)`
+    * (single variable only — DuckDB v1.x has no nested FOR or tuple
+    * binding). Returns None when the bracket's depth-0 tokens don't
+    * match the `FOR <ident> IN` shape, so ordinary literals containing
+    * a stray `for` word fall back to the array( path. Fragments are
+    * rewritten recursively (nested brackets, nested comprehensions).
+    */
+  private def comprehensionText(sql: String,
+      toks: ArrayBuffer[Tok], openIdx: Int, closeIdx: Int): Option[String] = {
+    var depth = 0
+    var forIdx = -1; var inIdx = -1; var ifIdx = -1
+    var j = openIdx + 1
+    while (j < closeIdx) {
+      toks(j) match {
+        case Punct(_, _, "[" | "(" | "{") => depth += 1
+        case Punct(_, _, "]" | ")" | "}") => depth -= 1
+        case Word(_, _, "for") if depth == 0 && forIdx < 0 => forIdx = j
+        case Word(_, _, "in") if depth == 0 && forIdx >= 0 && inIdx < 0 =>
+          inIdx = j
+        case Word(_, _, "if") if depth == 0 && inIdx >= 0 && ifIdx < 0 =>
+          ifIdx = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (forIdx < 0 || inIdx != forIdx + 2 || forIdx == openIdx + 1)
+      return None
+    val varName = toks(forIdx + 1) match {
+      case Word(st, en, _) => sql.substring(st, en)
+      case QIdent(st, en) => sql.substring(st, en)
+      case _ => return None
+    }
+    val eS = rewrite(sql.substring(toks(openIdx).end, toks(forIdx).start).trim)
+    val lEnd = if (ifIdx >= 0) toks(ifIdx).start else toks(closeIdx).start
+    val lS = rewrite(sql.substring(toks(inIdx).end, lEnd).trim)
+    if (eS.isEmpty || lS.isEmpty) return None
+    val src = if (ifIdx >= 0) {
+      val cS = rewrite(
+        sql.substring(toks(ifIdx).end, toks(closeIdx).start).trim)
+      if (cS.isEmpty) return None
+      s"list_filter($lS, $varName -> $cS)"
+    } else lS
+    Some(s"list_transform($src, $varName -> $eS)")
+  }
+
   /** DuckDB brace literals → Spark constructors, innermost-first so
     * nested values rewrite before their parents:
     *   `{'a': 1, 'b': 'x'}`   → `named_struct('a', 1, 'b', 'x')`
@@ -646,16 +694,26 @@ object BracketRewrite {
             case Some(_: Str) | Some(_: QIdent) => false
           }
           if (isLiteral) {
-            prev match {
-              case Some(Word(wst, wend, "array")) =>
-                // ARRAY[1,2] — drop the keyword, the bracket IS the call
-                edits += Edit(wst, wend, "", { seq += 1; seq })
-              case _ =>
+            comprehensionText(sql, toks, ti, closeIdx) match {
+              case Some(txt) =>
+                // list comprehension `[E FOR v IN L (IF C)?]` — the
+                // span is replaced wholesale (E and L swap sides, so
+                // point edits can't express it); inner brackets were
+                // rewritten recursively, skip their tokens
+                edits += Edit(bst, toks(closeIdx).end, txt, { seq += 1; seq })
+                ti = closeIdx
+              case None =>
+                prev match {
+                  case Some(Word(wst, wend, "array")) =>
+                    // ARRAY[1,2] — drop the keyword, the bracket IS the call
+                    edits += Edit(wst, wend, "", { seq += 1; seq })
+                  case _ =>
+                }
+                edits += Edit(bst, bst + 1, "array(", { seq += 1; seq })
+                val cl = toks(closeIdx)
+                edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
+                // nested brackets are classified on their own turn
             }
-            edits += Edit(bst, bst + 1, "array(", { seq += 1; seq })
-            val cl = toks(closeIdx)
-            edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
-            // nested brackets are classified on their own turn
           } else if (closeIdx == ti + 1) {
             // empty brackets: an ARRAY TYPE (INT[]), never a subscript
           } else {

@@ -32,7 +32,10 @@ object QueriesVocab9 {
     // <@ @> && <-> <=>, shifts) + standard-conforming literals and
     // E'...' — BracketRewrite.rewriteOperators and the SqlRewrites
     // literal seam under the driver's hard gate
-    "q_duckdb_ops" -> ((s, dir) => sql(s, dir, opsSql)))
+    "q_duckdb_ops" -> ((s, dir) => sql(s, dir, opsSql)),
+    // list comprehensions `[E FOR v IN L (IF C)?]` — DuckDB-native on
+    // the oracle side, BracketRewrite.comprehensionText on ours
+    "q_duckdb_compr" -> ((s, dir) => sql(s, dir, comprSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -41,7 +44,22 @@ object QueriesVocab9 {
     "q_duckdb_json2" -> json2Sql,
     "q_duckdb_dates3" -> dates3Sql,
     "q_duckdb_funcs8" -> funcs8Sql,
-    "q_duckdb_ops" -> opsSql)
+    "q_duckdb_ops" -> opsSql,
+    "q_duckdb_compr" -> comprSql)
+
+  /** identical statement both engines: map / filter / nested /
+    * literal-source comprehensions, projected to atomic columns */
+  private val comprSql: String =
+    """SELECT doc_id,
+      |  array_to_string([upper(w) FOR w IN string_split(text, ' ')
+      |    IF length(w) > 4], ',') AS caps,
+      |  array_to_string([w || ':' || CAST(length(w) AS VARCHAR)
+      |    FOR w IN string_split(substr(text, 1, 40), ' ')], ' ') AS tagged,
+      |  len([w FOR w IN string_split(text, ' ') IF w LIKE '%a%']) AS n_a,
+      |  array_to_string([x * x FOR x IN [1,2,3,4] IF x % 2 = 0], '-') AS sq,
+      |  array_to_string([v * 10 FOR v IN [u FOR u IN [1,2,3,4,5]
+      |    IF u % 2 = 1]], '-') AS nested
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** identical statement both engines; every spelling here is a
     * BracketRewrite.rewriteOperators (or literal-seam) product on the

@@ -143,4 +143,36 @@ class BracketSpec extends SparkSpecBase {
       .collect().head
     assert(r.getString(0) == "a" && r.getString(1) == "c" && r.isNullAt(2))
   }
+
+  test("rewrite: list comprehensions (DuckDB-probed shapes)") {
+    assert(BracketRewrite.rewrite("SELECT [x + 1 FOR x IN [1,2,3]] AS r") ==
+      "SELECT list_transform(array(1,2,3), x -> x + 1) AS r")
+    assert(BracketRewrite.rewrite(
+      "SELECT [x + 1 FOR x IN [1,2,3] IF x > 1] AS r") ==
+      "SELECT list_transform(list_filter(array(1,2,3), x -> x > 1), " +
+        "x -> x + 1) AS r")
+    // a literal containing the WORD 'for' as a string stays a literal
+    assert(BracketRewrite.rewrite("SELECT ['for', 'in']") ==
+      "SELECT array('for', 'in')")
+    // no FOR..IN shape → plain literal (for is a string here, not a token)
+    assert(BracketRewrite.rewrite("SELECT [a, b] FROM t") ==
+      "SELECT array(a, b) FROM t")
+  }
+
+  test("list comprehensions evaluate: map, filter, nesting, subscript") {
+    val r = one("SELECT [x + 1 FOR x IN [1,2,3]] AS a, " +
+      "[upper(s) FOR s IN ['a','b','c'] IF s <> 'b'] AS b, " +
+      "[y * 2 FOR y IN [x FOR x IN [1,2,3,4] IF x < 3]] AS c, " +
+      "[x FOR x IN [10,20,30]][2] AS d")
+    assert(r.getSeq[Int](0) == Seq(2, 3, 4), r.toString)
+    assert(r.getSeq[String](1) == Seq("A", "C"))
+    assert(r.getSeq[Int](2) == Seq(2, 4))
+    assert(r.getInt(3) == 20)
+  }
+
+  test("list comprehension over a real column") {
+    val r = one("SELECT [upper(w) FOR w IN string_split('a b c', ' ') " +
+      "IF w <> 'b'] AS r")
+    assert(r.getSeq[String](0) == Seq("A", "C"))
+  }
 }
