@@ -186,6 +186,29 @@ object SpecGates {
     gates += Gate("q_agg_approx_distinct", "relative_error",
       math.abs(approxD - exactD).toDouble / exactD, "<=", 0.05)
 
+    // q_text_bpe (learned merge table — engine artifact, no SQL
+    // oracle): lossless reconstruction across the corpus, and real
+    // compression vs the char-level baseline (BpeSpec bounds)
+    locally {
+      val merges = TextAnalysis.learnBpeMerges(docs, "text",
+        numMerges = 60, maxDictWords = 4096)
+      val enc = TextAnalysis.withBpeTokens(docs, "text", merges)
+        .select(col("doc_id"), col("text"), col("bpe"), col("bpe_count"))
+        .collect()
+      val broken = enc.count { r =>
+        val rebuilt = r.getSeq[String](2).mkString("")
+          .split(java.util.regex.Pattern.quote(Bpe.EndOfWord))
+          .toSeq.filter(_.nonEmpty)
+        rebuilt != Bpe.words(r.getString(1))
+      }
+      gates += Gate("q_text_bpe", "reconstruction_failures",
+        broken.toDouble, "==", 0.0)
+      val chars = enc.map(_.getString(1).length.toLong).sum.toDouble
+      val toks = enc.map(_.getLong(3)).sum.toDouble
+      gates += Gate("q_text_bpe", "tokens_per_char", toks / chars,
+        "<=", 0.5)
+    }
+
     val body = gates.map(_.json).mkString("{\n", ",\n", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), body + "\n")
     println(s"[specgates] wrote $out: " +

@@ -261,6 +261,37 @@ object TextAnalysis {
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
   }
 
+  /** Learn a BPE merge table from the corpus (Sennrich et al. 2016).
+    *
+    * The corpus pass is ONE distributed (token → count) hash
+    * aggregate; training then runs driver-side on the top
+    * `maxDictWords` rows of the frequency dictionary — the classic
+    * subword-nmt formulation trains on the word-frequency dict, never
+    * the raw corpus, and the dict is Zipf-bounded (top-8k words cover
+    * the overwhelming mass at any corpus size), so the collect is a
+    * fixed-size sanctioned driver step like the IVF seeding pool.
+    * Deterministic: dictionary truncation orders (count desc, word),
+    * merge ties break lexicographically.
+    */
+  def learnBpeMerges(docs: DataFrame, textCol: String = "text",
+      numMerges: Int = 200, maxDictWords: Int = 8192): Seq[(String, String)] = {
+    val wf = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxDictWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Bpe.train(wf, numMerges)
+  }
+
+  /** Real BPE token array + count columns from a learned merge table
+    * (map-only; the [[BpeEncode]] native expression stays inside
+    * whole-stage codegen, merges ship in the serialized plan).
+    */
+  def withBpeTokens(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], out: String = "bpe"): DataFrame =
+    df.withColumn(out, Bpe.encodeColumn(col(textCol), merges))
+      .withColumn(s"${out}_count", size(col(out)).cast("long"))
+
   /** C4-style line-level page cleaning (Raffel et al. 2020, §2.2 of
     * the T5 paper — the rules behind the C4 corpus):
     *

@@ -73,6 +73,21 @@ object QueriesCuration {
       Dedup.incrementalDedup(batch, docs.filter(col("doc_id") % 4 =!= 0),
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
+    }),
+    // Real BPE tokenization (rows-only: the learned merge table is an
+    // engine artifact — reconstruction + compression bounded in
+    // BpeSpec/SpecGates). One dict aggregate, driver-side training on
+    // the Zipf-bounded dictionary, then a map-only codegen'd encode.
+    "q_text_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis.learnBpeMerges(docs, "text",
+        numMerges = 60, maxDictWords = 4096)
+      TextAnalysis.withBpeTokens(docs, "text", merges)
+        .select(col("doc_id"), col("bpe_count").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          round(length(col("text")).cast("double") / col("bpe_count"), 6)
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
     }))
 
   lazy val oracles: Map[String, String] = Map(
