@@ -135,6 +135,23 @@ object SpecGates {
         (r.getLong(0), r.getLong(0) + 1000000L)).toSet
       gates += Gate("q_dedup_embedding_lsh", "noised_copy_recall",
         found.intersect(expected).size.toDouble / expected.size, ">=", 0.9)
+
+      // incremental (batch-vs-corpus) variant: the noised twins form
+      // the NEW batch, originals the corpus — each twin must flag as
+      // dup with its own source as best match
+      val corpus = base.toSeq.map(r =>
+        (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+        .toDF("vec_id", "embedding", "label")
+      val batch = rows.filter(_._1 >= 1000000L)
+        .toDF("vec_id", "embedding", "label")
+      val inc = Dedup.incrementalEmbeddingDedup(batch, corpus,
+          threshold = 0.85)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+      val hit = base.count(r =>
+        inc.getOrElse(r.getLong(0) + 1000000L, -1L) == r.getLong(0))
+      gates += Gate("q_dedup_embedding_inc", "noised_twin_recall",
+        hit.toDouble / base.length, ">=", 0.9)
     }
     unpersist()
 

@@ -485,6 +485,58 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Incremental embedding dedup: screen NEW batch vectors against an
+    * EXISTING corpus — the semantic member of the incremental family
+    * ([[incrementalDedup]] covers exact/lexical). Candidates come from
+    * the banded sign-LSH buckets (the high-threshold scale path, same
+    * hyperplanes/banding as [[bandedEmbeddingNearDups]]) joined
+    * ASYMMETRICALLY batch→corpus within label blocks, then exact
+    * cosine verification and a tie-free best match per batch vector.
+    *
+    * Returns one row per batch vector: (vec_id, is_dup, match_id,
+    * cos) — match_id/cos NULL for fresh vectors.
+    *
+    * Scale: the corpus signature table is computed once and reusable
+    * across batches (persist as the semantic dedup index, ~bands
+    * rows of a few bytes per vector); per-batch work is the batch's
+    * bucket join against it — batch-side small factor, never
+    * corpus×corpus.
+    */
+  def incrementalEmbeddingDedup(batch: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.9, dims: Int = 64, bands: Int = 24,
+      bitsPerBand: Int = 12, seed: Long = 7L): DataFrame = {
+    val planes = SimilaritySearch.hyperplanes(bands * bitsPerBand, dims, seed)
+    def sig(df: DataFrame) = df
+      .select(col("vec_id").as("id"), col("label"),
+        posexplode(SignLshBuckets(col("embedding"), planes, bitsPerBand)))
+      .select(col("id"), col("label"),
+        struct(col("pos").as("band"), col("col").as("bucket")).as("bb"))
+    val a = sig(batch).select(col("id").as("bid"), col("label").as("lab1"),
+      col("bb").as("bb1"))
+    val b = sig(corpus).select(col("id").as("cid"), col("label").as("lab2"),
+      col("bb").as("bb2"))
+    val cand = a.join(b, col("bb1") === col("bb2") &&
+        col("lab1") === col("lab2"))
+      .select(col("bid"), col("cid"))
+      .distinct()
+    val e1 = batch.select(col("vec_id").as("bid"), col("embedding").as("e1"))
+    val e2 = corpus.select(col("vec_id").as("cid"), col("embedding").as("e2"))
+    val best = cand.join(e1, "bid").join(e2, "cid")
+      .select(col("bid"), col("cid"),
+        round(GraftFunctions.arrayCosineSimilarity(col("e1"), col("e2")), 6)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("bid"))
+      .agg(
+        max_by(col("cid"), format_string("%012.9f-%010d", col("cos"),
+          lit(9999999999L) - col("cid"))).as("match_id"),
+        max(col("cos")).as("cos"))
+    batch.select(col("vec_id"))
+      .join(best.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("cos"))
+  }
+
   /** Cross-document duplicate-span report — the exact-substring dedup
     * signal from Lee et al. 2022 ("Deduplicating Training Data Makes
     * Language Models Better"), reduced to fixed-width word windows:

@@ -74,6 +74,15 @@ object QueriesCuration {
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // Incremental SEMANTIC dedup (rows-only: probabilistic banded
+    // candidates; recall gated in SpecGates, precedence in DedupSpec):
+    // new embeddings screened against the existing corpus index.
+    "q_dedup_embedding_inc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.incrementalEmbeddingDedup(emb.filter(col("vec_id") % 4 === 0),
+          emb.filter(col("vec_id") % 4 =!= 0), threshold = 0.85)
+        .orderBy(col("vec_id"))
+    }),
     // Real BPE tokenization (rows-only: the learned merge table is an
     // engine artifact — reconstruction + compression bounded in
     // BpeSpec/SpecGates). One dict aggregate, driver-side training on

@@ -207,4 +207,35 @@ class DedupSpec extends SparkSpecBase {
     // one-directional: corpus docs are never screened or returned
     assert(got.keySet == Set(0L, 1L, 2L))
   }
+
+  test("incremental embedding dedup: twins flagged, fresh kept") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(5)
+    def unit(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n).toSeq
+    }
+    val corpus = (0 until 30).map(i => (i.toLong, unit(i), i % 3))
+      .toDF("vec_id", "embedding", "label")
+    // batch: 15 noised twins of corpus vectors + 15 fresh directions
+    val batch = ((0 until 15).map { i =>
+      val v = unit(i).map(x => x + 0.04f * rng.nextGaussian().toFloat)
+      (1000L + i, v, i % 3)
+    } ++ (0 until 15).map(i => (2000L + i, unit(10000 + i), i % 3)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Dedup.incrementalEmbeddingDedup(batch, corpus,
+        threshold = 0.85)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+    assert(got.size == 30, "one row per batch vector")
+    val twinHits = (0 until 15).count(i => got(1000L + i) == ((true, i.toLong)))
+    assert(twinHits >= 14, s"twin recall $twinHits/15")
+    // fresh random 64-d directions are nowhere near cos 0.85
+    (0 until 15).foreach(i =>
+      assert(got(2000L + i) == ((false, -1L)), s"fresh ${2000 + i} flagged"))
+  }
 }
