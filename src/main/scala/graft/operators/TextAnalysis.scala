@@ -261,6 +261,38 @@ object TextAnalysis {
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
   }
 
+  /** URL regex shared with the oracle replay (Java and RE2 agree on
+    * this subset: literal alternation, char classes, no lookaround).
+    */
+  val UrlRe = "https?://[a-zA-Z0-9.-]+(/[a-zA-Z0-9/._-]*)?"
+  val DomainRe = "https?://([a-zA-Z0-9.-]+)"
+
+  /** Per-domain URL statistics over a corpus — the domain-level view
+    * C4/RefinedWeb curation filters on (domain allow/deny lists,
+    * per-domain caps): extract URLs from the text, reduce to
+    * registrable domain strings, and aggregate.
+    *
+    * Output: (domain, n_urls, n_docs) — one row per domain.
+    *
+    * Scale: a map-only regex extract + explode (token-shaped), then
+    * ONE domain-keyed hash aggregate with map-side combine (domains
+    * are Zipf-heavy, partial aggregation collapses the head). The
+    * per-doc distinct is carried as a (domain, doc) pre-aggregate —
+    * two shuffles total, both on the domain key.
+    */
+  def urlDomainStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val urls = docs.select(col(idCol).as("id"),
+        explode(expr(s"regexp_extract_all($textCol, '$UrlRe', 0)"))
+          .as("url"))
+      .select(col("id"),
+        regexp_extract(col("url"), DomainRe, 1).as("domain"))
+    urls.groupBy(col("domain"), col("id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("domain"))
+      .agg(sum(col("n")).as("n_urls"), count(lit(1)).as("n_docs"))
+  }
+
   /** Learn a BPE merge table from the corpus (Sennrich et al. 2016).
     *
     * The corpus pass is ONE distributed (token → count) hash

@@ -74,6 +74,19 @@ object QueriesCuration {
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // Per-domain URL statistics (C4/RefinedWeb domain-filter view).
+    // URLs are synthesized deterministically from doc_id (the PII-row
+    // pattern) so extraction has real matches in both engines.
+    "q_text_urls" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://www.site"), pmod(col("doc_id"), lit(7)),
+          lit(".example.com/page/"), col("doc_id"),
+          lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
+          lit(".assets.net/x_"), col("doc_id")).as("text"))
+      TextAnalysis.urlDomainStats(d, "doc_id", "text")
+        .orderBy(col("domain"))
+    }),
     // Incremental SEMANTIC dedup (rows-only: probabilistic banded
     // candidates; recall gated in SpecGates, precedence in DedupSpec):
     // new embeddings screened against the existing corpus index.
@@ -229,5 +242,22 @@ object QueriesCuration {
         |       ELSE nj END AS jaccard
         |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
         |       LEFT JOIN nr ON b.doc_id = nr.doc_id
-        |ORDER BY b.doc_id""".stripMargin)
+        |ORDER BY b.doc_id""".stripMargin,
+    "q_text_urls" ->
+      ("""WITH d AS (SELECT doc_id,
+        |    text || ' see https://www.site' || (doc_id % 7)
+        |      || '.example.com/page/' || doc_id
+        |      || ' and http://cdn' || (doc_id % 3)
+        |      || '.assets.net/x_' || doc_id AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |    regexp_extract(unnest(regexp_extract_all(text,
+        |      '__URLRE__')), '__DOMRE__', 1) AS domain
+        |  FROM d),
+        |dd AS (SELECT domain, doc_id, count(*) AS n
+        |       FROM u GROUP BY domain, doc_id)
+        |SELECT domain, sum(n) AS n_urls, count(*) AS n_docs
+        |FROM dd GROUP BY domain ORDER BY domain""").stripMargin
+        .replace("__URLRE__", TextAnalysis.UrlRe)
+        .replace("__DOMRE__", TextAnalysis.DomainRe))
 }

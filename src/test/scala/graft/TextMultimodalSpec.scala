@@ -332,6 +332,21 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("URL domain stats: extraction, domain reduce, per-doc distinct") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "go to https://a.example.com/x and https://a.example.com/y now"),
+      (2L, "see http://b.net/z plus https://a.example.com"),
+      (3L, "no links here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.urlDomainStats(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a.example.com" -> ((3L, 2L)), // 3 urls across docs 1+2
+      "b.net" -> ((1L, 1L))))
+  }
+
   test("C4 line cleaning: every rule fires on its construction") {
     val s = spark
     import s.implicits._
