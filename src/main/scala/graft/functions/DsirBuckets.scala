@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `dsir_buckets(text)` — the DSIR featurizer as ONE fused native
+  * expression: lowercase-alnum tokens, every unigram and adjacent
+  * bigram polynomial-hashed (`h = fold(h*31 + codepoint) mod 2^31-1`,
+  * the engine's cross-replayable rolling hash) and reduced mod
+  * `buckets`. Emits the bucket ids with multiplicity (order:
+  * unigrams in sequence, then bigrams) — callers only count.
+  *
+  * Semantics are EXACTLY the composable formulation the oracle
+  * replays (`list_reduce` over `string_split(g, '')` with
+  * `ascii`/codepoints, bigram = `w1 || ' ' || w2`), but computed in a
+  * single pass over the text: the HOF composition re-evaluated the
+  * full `split` inside the bigram lambda (O(words²) per doc) and
+  * walked interpreted array machinery per character — measured 25×
+  * wall at 10× rows before this expression; the fused pass restored
+  * the linear band (see BENCH_NOTES r9).
+  */
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets >= 2)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "dsir_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DsirBuckets.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.DsirBuckets.compute($x, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
+object DsirBuckets {
+
+  private final val Mod = 2147483647L
+
+  /** Single-pass unigram+bigram bucket hashing; public for codegen. */
+  def compute(text: UTF8String, buckets: Int): ArrayData = {
+    val s = text.toString
+    // token boundaries over lowercased alnum runs (codepoint-exact
+    // with the `lower` + split-[^a-z0-9]+ oracle formulation for the
+    // ASCII range; tokens collect lowercased codepoints)
+    val tokHash = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var inTok = false
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val lo = Character.toLowerCase(cp)
+      val alnum = (lo >= 'a' && lo <= 'z') || (lo >= '0' && lo <= '9')
+      if (alnum) {
+        if (!inTok) { h = 0L; inTok = true }
+        h = (h * 31 + lo) % Mod
+      } else if (inTok) { tokHash.add(h); inTok = false }
+      i += Character.charCount(cp)
+    }
+    if (inTok) tokHash.add(h)
+    val t = tokHash.size
+    val out = new Array[Long](if (t >= 2) 2 * t - 1 else t)
+    var k = 0
+    var j = 0
+    while (j < t) { out(k) = tokHash.get(j) % buckets; k += 1; j += 1 }
+    // bigram hash = fold(fold(h1 over w1, ' '), w2) — the sequential
+    // poly fold over `w1 || ' ' || w2` — but the per-char fold of w2
+    // must continue from (h1*31 + ' ') shifted through w2's chars;
+    // recompute w2's contribution by re-walking its chars is avoided
+    // with the identity h(prefix ++ w) = h(prefix)*31^|w| + h(w)
+    // (mod p) — track 31^|w| per token.
+    if (t >= 2) {
+      // second pass for per-token lengths (chars) and hashes
+      val tokPow = new Array[Long](t)
+      locally {
+        var idx = 0
+        var pw = 1L
+        var inT = false
+        var ii = 0
+        while (ii < n) {
+          val cp = s.codePointAt(ii)
+          val lo = Character.toLowerCase(cp)
+          val alnum = (lo >= 'a' && lo <= 'z') || (lo >= '0' && lo <= '9')
+          if (alnum) {
+            if (!inT) { pw = 1L; inT = true }
+            pw = (pw * 31) % Mod
+          } else if (inT) { tokPow(idx) = pw; idx += 1; inT = false }
+          ii += Character.charCount(cp)
+        }
+        if (inT) tokPow(idx) = pw
+      }
+      var b = 0
+      while (b < t - 1) {
+        val h1 = tokHash.get(b)
+        val h2 = tokHash.get(b + 1)
+        val withSpace = (h1 * 31 + ' ') % Mod
+        val combined = (withSpace * tokPow(b + 1) + h2) % Mod
+        out(k) = combined % buckets
+        k += 1; b += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, buckets: Int): Column =
+    ColumnBridge.column(DsirBuckets(ColumnBridge.expression(c), buckets))
+}

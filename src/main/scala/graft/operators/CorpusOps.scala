@@ -447,20 +447,13 @@ object CorpusOps {
   def dsirScores(raw: DataFrame, target: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 256): DataFrame = {
-    def bucketed(df: DataFrame): DataFrame = {
-      val words = Ranking.tokens(col(textCol))
-      val bigrams = when(size(words) >= 2,
-          transform(sequence(lit(1), size(words) - 1),
-            i => concat(element_at(words, i), lit(" "),
-              element_at(words, i + 1))))
-        .otherwise(typedlit(Seq.empty[String]))
+    // fused single-pass featurizer — the HOF composition
+    // (transform/element_at bigrams + per-char aggregate fold) was
+    // measured 25× wall at 10× rows: the bigram lambda re-evaluated
+    // the full split per element. DsirBuckets is hash-identical.
+    def bucketed(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("doc_id"),
-          explode(concat(words, bigrams)).as("gram"))
-        .select(col("doc_id"),
-          (aggregate(split(col("gram"), ""), lit(0L),
-            (a, c) => (a * 31 + ascii(c)) % 2147483647L) % buckets)
-            .as("bucket"))
-    }
+        explode(DsirBuckets(col(textCol), buckets)).as("bucket"))
     val rawGrams = bucketed(raw).localCheckpoint(eager = false)
     val rawCnt = rawGrams.groupBy(col("bucket"))
       .agg(count(lit(1)).as("cr"))

@@ -279,6 +279,37 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"shards unbalanced: $shardCounts")
   }
 
+  test("DSIR fused featurizer = composable HOF formulation, per doc") {
+    // DsirBuckets must be multiset-identical to the oracle-replayable
+    // composition (unigrams ++ bigrams, per-char poly fold) — the
+    // fused expression replaced it for the measured O(words²) lambda
+    // recompute; this pins hash identity including the 31^|w| bigram
+    // continuation identity.
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+      .select(col("doc_id"), col("text"))
+    val words = filter(split(lower(col("text")), "[^a-z0-9]+"),
+      t => t =!= "")
+    val bigrams = when(size(words) >= 2,
+        transform(sequence(lit(1), size(words) - 1),
+          i => concat(element_at(words, i), lit(" "),
+            element_at(words, i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val slow = docs
+      .select(col("doc_id"), explode(concat(words, bigrams)).as("gram"))
+      .select(col("doc_id"),
+        (aggregate(split(col("gram"), ""), lit(0L),
+          (a, c) => (a * 31 + ascii(c)) % 2147483647L) % 256).as("b"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    val fast = docs
+      .select(col("doc_id"), explode(DsirBuckets(col("text"), 256)).as("b"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.keySet.foreach(id =>
+      assert(fast(id) == slow(id), s"doc $id bucket multiset"))
+  }
+
   test("DSIR: target-distribution docs outscore off-target docs") {
     val s = spark
     import s.implicits._
