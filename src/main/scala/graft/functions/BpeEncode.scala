@@ -70,9 +70,12 @@ object Bpe {
 
   final val EndOfWord = "</w>"
 
-  /** The engine's token split: lowercase, alnum runs. */
+  /** The engine's token split: lowercase (locale-independent), alnum
+    * runs.
+    */
   def words(text: String): Seq[String] =
-    text.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** Word → initial symbol sequence (chars + end-of-word marker). */
   def symbols(word: String): Vector[String] =

@@ -177,7 +177,13 @@ class PlanAuditSpec extends SparkSpecBase {
       "lsh" -> SimilaritySearch.lshTopK(
         emb.filter(col("vec_id") < 5), emb, 3, 64),
       "quantized-ivf" -> SimilaritySearch.quantizedIvfTopK(
-        emb.filter(col("vec_id") < 5), emb, 3))
+        emb.filter(col("vec_id") < 5), emb, 3),
+      "incremental" -> Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 4 === 0),
+        docs.filter(col("doc_id") % 4 =!= 0)),
+      "incremental-embed" -> Dedup.incrementalEmbeddingDedup(
+        emb.filter(col("vec_id") % 4 === 0),
+        emb.filter(col("vec_id") % 4 =!= 0)))
     plans.foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") &&
