@@ -142,6 +142,56 @@ object TextAnalysis {
         round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** Interpolated bigram negative log-likelihood — the CCNet-style
+    * language-model quality proxy one order up from
+    * [[unigramLogProb]]: per bigram position,
+    * `p = λ·p(w2|w1) + (1−λ)·p(w2)` with conditional probabilities
+    * from corpus bigram counts over context counts (positions where
+    * w1 has a successor) and the unigram backoff from corpus token
+    * frequencies. Per-doc average NLL accumulates exactly in decimal
+    * after a 1e-8 round of each position's −ln p (the libm-ulp guard
+    * shared with the unigram row); docs with fewer than two tokens
+    * report n_bigrams = 0 and NULL avg.
+    *
+    * Scale: bigram instances come from a `lead` window whose
+    * partitions are single documents (bounded); the three count
+    * tables are token-keyed hash aggregates with map-side combine;
+    * the probability join is token-keyed. Nothing pairwise, no
+    * global structure — CCNet runs this shape at web scale.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lambda: Double = 0.7): DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(Ranking.tokens(col(textCol))).as(Seq("pos", "w")))
+      .localCheckpoint(eager = false) // unigram counts + bigram build
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = tok
+      .withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+      .localCheckpoint(eager = false) // counts + probe share it
+    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val uniTot = uni.agg(sum(col("cu")).as("ct"))
+    val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val p = col("cb").cast("double") / col("c1") * lambda +
+      col("cu").cast("double") / col("ct") * (1 - lambda)
+    val nll = round(-log(p), 8).cast("decimal(20,10)")
+    bi.join(pair, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"))
+      .crossJoin(broadcast(uniTot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(nll).cast("double") / count(lit(1)), 6).as("avg_nll"))
+      .join(docs.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "right")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+  }
+
   /** Token counts: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation).
     */

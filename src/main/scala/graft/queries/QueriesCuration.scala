@@ -74,6 +74,12 @@ object QueriesCuration {
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // CCNet-style interpolated bigram NLL (one LM order above
+    // q_text_ppl; λ=0.7 conditional + 0.3 unigram backoff).
+    "q_text_ppl2" -> ((s, dir) => {
+      TextAnalysis.bigramLogProb(t(s, dir, "documents"), lambda = 0.7)
+        .orderBy(col("doc_id"))
+    }),
     // Per-domain URL statistics (C4/RefinedWeb domain-filter view).
     // URLs are synthesized deterministically from doc_id (the PII-row
     // pattern) so extraction has real matches in both engines.
@@ -243,6 +249,33 @@ object QueriesCuration {
         |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
         |       LEFT JOIN nr ON b.doc_id = nr.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_text_ppl2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), t -> t <> '') AS ws
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM toks WHERE len(ws) >= 2),
+        |uni AS (SELECT w, count(*) AS cu
+        |        FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS ct FROM uni),
+        |ctx AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |pair AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(CAST(round(-ln(
+        |        CAST(cb AS DOUBLE) / c1 * 0.7e0 +
+        |        CAST(cu AS DOUBLE) / ct * (1 - 0.7e0)), 8)
+        |      AS DECIMAL(20,10))) AS DOUBLE) / count(*), 6) AS avg_nll
+        |  FROM bi JOIN pair USING (w1, w2) JOIN ctx USING (w1)
+        |    JOIN uni ON uni.w = bi.w2, tot
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_text_urls" ->
       ("""WITH d AS (SELECT doc_id,
         |    text || ' see https://www.site' || (doc_id % 7)

@@ -332,6 +332,24 @@ class TextMultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("bigram NLL: predictable contexts score lower, short docs NULL") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "red blue red blue red blue red blue red blue"),
+      (2L, "red green blue yellow purple orange cyan magenta lime teal"),
+      (3L, "single")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.toString.toDouble)))).toMap
+    assert(got(1L)._1 == 9L && got(2L)._1 == 9L)
+    // "red blue" repeats: p(blue|red) = 1 there, every bigram in doc 2
+    // is a one-off — the repetitive doc must score strictly lower NLL
+    assert(got(1L)._2.get < got(2L)._2.get,
+      s"${got(1L)._2} !< ${got(2L)._2}")
+    assert(got(3L) == ((0L, None)), "sub-bigram doc reports 0 + NULL")
+  }
+
   test("URL domain stats: extraction, domain reduce, per-doc distinct") {
     val s = spark
     import s.implicits._
