@@ -137,6 +137,35 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.forall(_(1).asInstanceOf[String].contains("<EMAIL>")))
   }
 
+  test("C4 line cleaning gates a stream, batch-identical") {
+    // c4LineClean is a pure expression tree, so the same call is the
+    // streaming ingest page filter with zero changes
+    val s = spark
+    import s.implicits._
+    implicit val sc = s.sqlContext
+    val good = "this line carries enough words to stay."
+    val data = (0L until 40L).map { i =>
+      val junk = if (i % 5 == 0) "\nlorem ipsum dolor sit amet." else ""
+      (i, s"$good\n$good\nshort line\n$good$junk")
+    }
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(data: _*)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.c4LineClean(df, "doc_id", "text")
+        .filter(col("kept"))
+        .select(col("doc_id"), col("n_kept"), col("clean_text"))
+    val q = gate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("c4_stream")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = gate(data.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.size == 32,
+      s"${streamed.size} survivors") // 8 lorem-ipsum pages dropped
+  }
+
   test("watermark drops data later than 30 minutes (append mode)") {
     val s = spark
     import s.implicits._
