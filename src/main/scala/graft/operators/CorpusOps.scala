@@ -426,6 +426,63 @@ object CorpusOps {
           col("n") - col("chunk_id") * stride).cast("bigint").as("n_tok"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the masked
+    * span-prediction objective): replace deterministic token spans
+    * with ordered `<extra_id_k>` sentinels and emit the (input,
+    * target) training pair per document. Spans are scheduled by a
+    * doc-seeded modular pattern — positions where
+    * `(pos + doc_id % period) % period ∈ [maskStart, maskStart+spanLen)`
+    * mask, giving non-overlapping spans of exactly `spanLen` at a
+    * `spanLen/period` corruption rate — so the construction replays
+    * bit-identically in the SQL oracle (no RNG).
+    *
+    * Scale: posexplode to token rows, per-row classification, one
+    * doc-keyed aggregate rebuilding input/target from sorted collected
+    * pieces (collect_list skips the dropped-position NULLs; per-doc
+    * arrays are document-sized, the same bound as the text itself).
+    * Deliberately avoids transform+element_at lambdas over a derived
+    * words array — the DSIR lesson: that shape re-evaluates the split
+    * per element.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", period: Int = 7, maskStart: Int = 3,
+      spanLen: Int = 2): DataFrame = {
+    require(maskStart + spanLen <= period)
+    val s = pmod(col("doc_id"), lit(period))
+    val tok = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("cls", pmod(col("pos") + pmod(col("doc_id"), lit(period)),
+        lit(period)))
+      .withColumn("k",
+        ((col("pos") + pmod(col("doc_id"), lit(period)) - maskStart) /
+          period).cast("int"))
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    // a continuation position only masks when its span START is
+    // inside the document — the head of a doc can land mid-pattern
+    // (doc_id 4, s=4: pos 0 is a continuation with no start)
+    val masked = col("cls") === maskStart ||
+      (col("cls") > maskStart && col("cls") < maskStart + spanLen &&
+        col("pos") >= col("cls") - maskStart)
+    val agged = tok.groupBy(col("doc_id"))
+      .agg(
+        sum(when(masked, 1L).otherwise(0L)).as("n_masked"),
+        collect_list(
+          when(col("cls") === maskStart, struct(col("pos"), sentinel.as("p")))
+            .when(!masked, struct(col("pos"), col("w").as("p"))))
+          .as("in_pieces"),
+        collect_list(
+          when(col("cls") === maskStart,
+            struct(col("pos"), concat(sentinel, lit(" "), col("w")).as("p")))
+            .when(masked, struct(col("pos"), col("w").as("p"))))
+          .as("t_pieces"))
+    def joined(c: String) = nullif(
+      array_join(transform(array_sort(col(c)), x => x.getField("p")), " "),
+      lit(""))
+    agged.select(col("doc_id"), col("n_masked"),
+      joined("in_pieces").as("input_text"),
+      joined("t_pieces").as("target_text"))
+  }
+
   /** DSIR importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): featurize every doc
     * as hashed n-gram (unigram + bigram) bucket counts, fit

@@ -74,6 +74,12 @@ object QueriesCuration {
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // T5 span corruption: deterministic sentinel masking (2-token
+    // spans on a doc-seeded 7-periodic schedule → 2/7 corruption).
+    "q_corpus_spanmask" -> ((s, dir) => {
+      CorpusOps.spanCorrupt(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     // CCNet-style interpolated bigram NLL (one LM order above
     // q_text_ppl; λ=0.7 conditional + 0.3 unigram backoff).
     "q_text_ppl2" -> ((s, dir) => {
@@ -249,6 +255,28 @@ object QueriesCuration {
         |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
         |       LEFT JOIN nr ON b.doc_id = nr.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_corpus_spanmask" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS s,
+        |             string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(range(0, len(ws)),
+        |    i -> (i + s) % 7 = 3 OR ((i + s) % 7 = 4 AND i >= 1)))
+        |    AS BIGINT) AS n_masked,
+        |  nullif(array_to_string(list_filter(
+        |    list_transform(range(0, len(ws)), i ->
+        |      CASE WHEN (i + s) % 7 = 3
+        |             THEN '<extra_id_' || ((i + s - 3) // 7) || '>'
+        |           WHEN (i + s) % 7 = 4 AND i >= 1 THEN NULL
+        |           ELSE ws[i + 1] END),
+        |    x -> x IS NOT NULL), ' '), '') AS input_text,
+        |  nullif(array_to_string(list_transform(
+        |    list_filter(range(0, len(ws)),
+        |      i -> (i + s) % 7 = 3 OR ((i + s) % 7 = 4 AND i >= 1)),
+        |    i -> CASE WHEN (i + s) % 7 = 3
+        |              THEN '<extra_id_' || ((i + s - 3) // 7) || '> '
+        |                || ws[i + 1]
+        |              ELSE ws[i + 1] END), ' '), '') AS target_text
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_text_ppl2" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text),

@@ -279,6 +279,34 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"shards unbalanced: $shardCounts")
   }
 
+  test("span corruption: sentinel numbering and lossless round-trip") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(80)
+    val got = CorpusOps.spanCorrupt(docs)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .collect()
+    assert(got.length == 80)
+    got.foreach { r =>
+      val (nMasked, input, target, text) = (r.getLong(1),
+        Option(r.getString(2)).getOrElse(""),
+        Option(r.getString(3)).getOrElse(""), r.getString(4))
+      // reconstruct: substitute each <extra_id_k> in the input with
+      // that sentinel's span from the target
+      val spans = "<extra_id_(\\d+)> ((?:(?!<extra_id_)\\S+ ?)+)".r
+        .findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(input,
+        m => java.util.regex.Matcher.quoteReplacement(
+          spans(m.group(1).toInt)))
+      assert(rebuilt == text, s"doc ${r.getLong(0)} round-trip")
+      // corruption rate: exactly the masked-class positions
+      val n = text.split(" ").length
+      val s = (r.getLong(0) % 7).toInt
+      val expectMasked = (0 until n).count(i => ((i + s) % 7) == 3 ||
+        (((i + s) % 7) == 4 && i >= 1))
+      assert(nMasked == expectMasked, s"doc ${r.getLong(0)} rate")
+    }
+  }
+
   test("DSIR fused featurizer = composable HOF formulation, per doc") {
     // DsirBuckets must be multiset-identical to the oracle-replayable
     // composition (unigrams ++ bigrams, per-char poly fold) — the
