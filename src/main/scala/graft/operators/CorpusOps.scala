@@ -113,6 +113,42 @@ object CorpusOps {
         round(col("target_toks").cast("double") / col("toks"), 4))
   }
 
+  /** Materialize the [[epochPlan]]: expand every document into its
+    * actual training copies — `floor(epochs)` whole passes per source
+    * plus one extra copy for a deterministic seeded-hash fraction of
+    * its docs, so each source's expected token count hits the plan's
+    * target. Zero RNG: the fractional pick is an integer LCG on
+    * doc_id (`(doc_id·2654435761 + seed) mod 1000003 < frac·1000003`),
+    * replayable in the SQL oracle.
+    *
+    * Output: (doc_id, source, epoch_copy) — one row per training
+    * appearance, epoch_copy 1..copies.
+    *
+    * Scale: the plan is a per-source table (broadcast); expansion is
+    * a map-only explode of a ≤⌈epochs⌉-element sequence per doc. The
+    * output IS the training list — feed it to
+    * [[deterministicShuffle]] + [[packByBudget]].
+    */
+  def materializeEpochs(df: DataFrame, sourceCol: String,
+      idCol: String = "doc_id", tokensCol: String = "n_chars",
+      temperature: Double = 2.0, budget: Long = 1000000L,
+      seed: Int = 97): DataFrame = {
+    val plan = epochPlan(df, sourceCol, tokensCol, temperature, budget)
+      .select(col(sourceCol), col("epochs"))
+    val full = floor(col("epochs")).cast("int")
+    val frac = col("epochs") - floor(col("epochs"))
+    val u = pmod(col(idCol).cast("long") * 2654435761L + seed, lit(1000003L))
+    val copies = (full +
+      when(u.cast("double") < frac * 1000003L, 1).otherwise(0)).as("copies")
+    df.select(col(idCol), col(sourceCol))
+      .join(broadcast(plan), sourceCol)
+      .select(col(idCol), col(sourceCol), copies)
+      .select(col(idCol), col(sourceCol),
+        explode(when(col("copies") >= 1,
+          sequence(lit(1), col("copies")))
+          .otherwise(typedlit(Seq.empty[Int]))).as("epoch_copy"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share at
     * least one word n-gram with an evaluation set (the standard
     * n-gram-overlap contamination check from the published LM

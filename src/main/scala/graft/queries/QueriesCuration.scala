@@ -74,6 +74,13 @@ object QueriesCuration {
           shingleSize = 3, maxCharDiff = 20, threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
+    // Epoch materialization: the epochPlan expanded into the actual
+    // per-copy training list (floor passes + seeded fractional pick).
+    "q_corpus_epochs2" -> ((s, dir) => {
+      CorpusOps.materializeEpochs(t(s, dir, "documents"), "source",
+          temperature = 2.0, budget = 1000000L, seed = 97)
+        .orderBy(col("doc_id"), col("epoch_copy"))
+    }),
     // T5 span corruption: deterministic sentinel masking (2-token
     // spans on a doc-seeded 7-periodic schedule → 2/7 corruption).
     "q_corpus_spanmask" -> ((s, dir) => {
@@ -255,6 +262,31 @@ object QueriesCuration {
         |FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
         |       LEFT JOIN nr ON b.doc_id = nr.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "q_corpus_epochs2" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT sum(CAST(round(pow(toks, 0.5), 6) AS DECIMAL(30,10))) AS sw
+        |  FROM c),
+        |w AS (
+        |  SELECT source,
+        |    round(CAST(CAST(round(weight * 1000000) AS BIGINT) AS DOUBLE)
+        |      / toks, 4) AS epochs
+        |  FROM (SELECT source, toks,
+        |          round(CAST(CAST(round(pow(toks, 0.5), 6)
+        |            AS DECIMAL(30,10)) / sw AS DOUBLE), 6) AS weight
+        |        FROM c, t)),
+        |x AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(epochs) AS INT) +
+        |    (CASE WHEN CAST((d.doc_id * 2654435761 + 97) % 1000003
+        |               AS DOUBLE) < (epochs - floor(epochs)) * 1000003
+        |          THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN w USING (source))
+        |SELECT doc_id, source,
+        |  CAST(unnest(range(1, copies + 1)) AS INT) AS epoch_copy
+        |FROM x ORDER BY doc_id, epoch_copy""".stripMargin,
     "q_corpus_spanmask" ->
       """WITH t AS (SELECT doc_id, CAST(doc_id % 7 AS INT) AS s,
         |             string_split(text, ' ') AS ws FROM documents)

@@ -279,6 +279,32 @@ class CorpusOpsSpec extends SparkSpecBase {
       s"shards unbalanced: $shardCounts")
   }
 
+  test("epoch materialization: copies realize the plan's token target") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = CorpusOps.epochPlan(docs, "source", "n_chars", 2.0, 1000000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("toks"), r.getAs[Long]("target_toks"),
+          r.getAs[Double]("epochs")))).toMap
+    val mat = CorpusOps.materializeEpochs(docs, "source")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("got_toks"),
+        max(col("epoch_copy")).as("max_copy"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2)))).toMap
+    assert(mat.keySet == plan.keySet.filter(s => plan(s)._3 >= 0.5),
+      "sources with epochs < fractional floor may vanish only if ~0")
+    mat.foreach { case (src, (gotToks, maxCopy)) =>
+      val (_, target, epochs) = plan(src)
+      // realized tokens within 15% of the plan target (the fractional
+      // pick is per-doc, so realization error is doc-granular)
+      assert(math.abs(gotToks - target).toDouble / target < 0.15,
+        s"$src realized $gotToks vs target $target")
+      assert(maxCopy == math.ceil(epochs).toInt ||
+        maxCopy == math.floor(epochs).toInt, s"$src copies $maxCopy")
+    }
+  }
+
   test("span corruption: sentinel numbering and lossless round-trip") {
     val docs = Tables.load(spark, sfDir, "documents").limit(80)
     val got = CorpusOps.spanCorrupt(docs)
