@@ -462,6 +462,41 @@ object CorpusOps {
           col("n") - col("chunk_id") * stride).cast("bigint").as("n_tok"))
   }
 
+  /** Sharded training-data export: write the corpus as `nShards`
+    * deterministic shard directories plus a manifest — the terminal
+    * sink of a curation pipeline (trainers consume shard files in
+    * manifest order).
+    *
+    * Shard assignment reuses [[deterministicShuffle]]'s seeded keys
+    * (reproducible permutation, balanced shards, no RNG); the data
+    * write is one distributed `partitionBy(shard)` with a
+    * same-column repartition in front so each shard directory holds
+    * one file per shuffle partition that owns it (typically one). The
+    * manifest (shard → docs, tokens) is shard-cardinality rows —
+    * a driver-side write of a tiny table, the IVF-seeding-class
+    * sanctioned step.
+    *
+    * @return the manifest DataFrame (shard, n_docs, n_tokens).
+    */
+  def exportShards(df: DataFrame, outDir: String,
+      idCol: String = "doc_id", tokensCol: String = "n_chars",
+      nShards: Int = 8, seed: Int = 41,
+      format: String = "parquet"): DataFrame = {
+    val sharded = deterministicShuffle(df, idCol, seed, nShards)
+    sharded
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_key"))
+      .write.format(format).partitionBy("shard")
+      .mode("overwrite").save(s"$outDir/data")
+    val manifest = sharded.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.format("json")
+      .mode("overwrite").save(s"$outDir/manifest")
+    manifest
+  }
+
   /** T5-style span corruption (Raffel et al. 2020 §3.1.4, the masked
     * span-prediction objective): replace deterministic token spans
     * with ordered `<extra_id_k>` sentinels and emit the (input,

@@ -22,6 +22,38 @@ class SinksSpec extends SparkSpecBase {
     assert(a == b, s"$fmt round-trip mismatch")
   }
 
+  test("sharded training export: round-trip, manifest, determinism") {
+    val dir = Files.createTempDirectory("graft-shards").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    val manifest = CorpusOps.exportShards(docs, dir, nShards = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(manifest.keySet == (0L until 8L).toSet, "8 shard entries")
+    assert(manifest.values.map(_._1).sum == docs.count())
+    // the written data round-trips: union of shard dirs == corpus
+    val back = spark.read.parquet(s"$dir/data")
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // per-shard manifest counts match the written partition dirs
+    val perShard = back.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number]("shard").longValue -> r.getLong(1)).toMap
+    assert(perShard == manifest.view.mapValues(_._1).toMap)
+    // determinism: re-export assigns identical shards
+    val dir2 = Files.createTempDirectory("graft-shards2").toString
+    CorpusOps.exportShards(docs, dir2, nShards = 8)
+    val again = spark.read.parquet(s"$dir2/data")
+      .select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").longValue).toMap
+    val first = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number]("shard").longValue).toMap
+    assert(again == first, "shard assignment must be reproducible")
+    // manifest file exists as a single JSON part
+    val mdir = new java.io.File(s"$dir/manifest")
+    assert(mdir.listFiles().count(_.getName.endsWith(".json")) == 1)
+  }
+
   test("parquet sink round-trips")(roundTrip("parquet"))
   test("csv sink round-trips")(roundTrip("csv"))
   test("json sink round-trips")(roundTrip("json"))
