@@ -108,10 +108,22 @@ object QueriesCuration {
     }),
     // Incremental SEMANTIC dedup (rows-only: probabilistic banded
     // candidates; recall gated in SpecGates, precedence in DedupSpec):
-    // new embeddings screened against the existing corpus index.
+    // new embeddings screened against the existing corpus index. The
+    // fixture has no cross-split high-cos pairs, so every 5th batch
+    // vector takes its neighbor's embedding (a corpus vector — the
+    // donor trick from q_dedup_incremental) so the dup path runs.
     "q_dedup_embedding_inc" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Dedup.incrementalEmbeddingDedup(emb.filter(col("vec_id") % 4 === 0),
+      val donor = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("demb"), col("label").as("dlab"))
+      val batch = emb.filter(col("vec_id") % 4 === 0)
+        .join(donor, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 20 === 0 && col("demb").isNotNull,
+            col("demb")).otherwise(col("embedding")).as("embedding"),
+          when(col("vec_id") % 20 === 0 && col("demb").isNotNull,
+            col("dlab")).otherwise(col("label")).as("label"))
+      Dedup.incrementalEmbeddingDedup(batch,
           emb.filter(col("vec_id") % 4 =!= 0), threshold = 0.85)
         .orderBy(col("vec_id"))
     }),
