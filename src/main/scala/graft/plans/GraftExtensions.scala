@@ -88,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def active = org.apache.spark.sql.SparkSession.active
     injectReader("read_parquet")(p => active.read.parquet(p: _*))
     injectReader("read_json")(p => active.read.json(p: _*))
+    // DuckDB spells the auto-detecting and newline-delimited variants
+    // as distinct TVFs; Spark's json reader IS schema-inferring NDJSON
+    injectReader("read_json_auto")(p => active.read.json(p: _*))
+    injectReader("read_ndjson")(p => active.read.json(p: _*))
+    injectReader("read_ndjson_auto")(p => active.read.json(p: _*))
 
     // read_csv[_auto] accept DuckDB's named options (`delim='|'`,
     // `header=false`, ...). Spark's parser sees `name=value` as an

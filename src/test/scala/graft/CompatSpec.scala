@@ -82,6 +82,13 @@ class CompatSpec extends SparkSpecBase {
       s"SELECT sum(n) AS sn FROM read_json('$dir/j')")
       .collect().head.getLong(0)
     assert(jsonN == 30)
+    // DuckDB's auto/ndjson spellings are the same NDJSON reader
+    for (tvf <- Seq("read_json_auto", "read_ndjson", "read_ndjson_auto")) {
+      val v = Engine.query(spark,
+        s"SELECT sum(n) AS sn FROM $tvf('$dir/j')")
+        .collect().head.getLong(0)
+      assert(v == 30, tvf)
+    }
   }
 
   test("approx_count_distinct within 5% of exact (no_oracle row bound)") {
