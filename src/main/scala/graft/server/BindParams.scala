@@ -66,6 +66,29 @@ object BindParams {
     out.toString
   }
 
+  /** DuckDB also spells placeholders `?` (auto-numbered left to
+    * right). Rewrite them to `$1..$n` outside strings / quoted
+    * identifiers so the rest of the param machinery sees one syntax.
+    */
+  def questionToDollar(sql: String): String = {
+    if (!sql.contains('?')) return sql
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0; var inS = false; var inD = false; var n = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inS) { out += c; if (c == '\'') inS = false }
+      else if (inD) { out += c; if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true; out += c
+        case '"' => inD = true; out += c
+        case '?' => n += 1; out ++= s"$$$n"
+        case _ => out += c
+      }
+      i += 1
+    }
+    out.toString
+  }
+
   private val numRe = """[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""".r
   private val floatSpecials = Set("nan", "infinity", "-infinity", "+infinity", "inf", "-inf")
 

@@ -424,7 +424,10 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       // statement namespace; EXECUTE args are SQL literals spliced
       // into $N exactly like Bind values.
       case "PREPARE" => sql.trim.stripSuffix(";") match {
-        case prepareRe(name, body) =>
+        case prepareRe(name, body0) =>
+          // DuckDB accepts `?` placeholders in SQL-level PREPARE;
+          // normalize to $N so EXECUTE's splice sees one syntax
+          val body = BindParams.questionToDollar(body0)
           statements += name -> Prepared(body, Array.empty,
             BindParams.paramCount(body))
           w.cstr("PREPARE").send('C')

@@ -467,6 +467,11 @@ class PgWireSpec extends SparkSpecBase {
     assert(e4.isEmpty && t4.head == "DEALLOCATE")
     val (_, _, _, e5) = c.query("EXECUTE add1(1)")
     assert(e5.nonEmpty, "deallocated statement must error")
+    // DuckDB's `?` placeholder spelling, auto-numbered left to right;
+    // a '?' inside a string literal must survive untouched
+    c.query("PREPARE q AS SELECT ? + ? AS s, '?' AS lit")
+    val (_, r6, _, e6) = c.query("EXECUTE q(40, 2)")
+    assert(e6.isEmpty && r6 == Seq(Seq(Some("42"), Some("?"))), (r6, e6))
     c.close()
   }
 
