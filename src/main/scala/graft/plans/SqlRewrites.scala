@@ -879,8 +879,12 @@ object SqlRewrites {
         }
         s"TABLESAMPLE (${m.group(1)} $unit)"
       })
-    val s1b = if (!has("exclude")) s1s
+    val s1b0 = if (!has("exclude")) s1s
       else starExclude.replaceAllIn(s1s, "* EXCEPT (")
+    // window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS):
+    // algebraic lowering for sum/count/avg — see WindowExclude
+    val s1b = if (!has("exclude") || !has("over")) s1b0
+      else WindowExclude.rewrite(s1b0)
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,

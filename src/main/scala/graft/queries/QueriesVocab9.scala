@@ -35,7 +35,10 @@ object QueriesVocab9 {
     "q_duckdb_ops" -> ((s, dir) => sql(s, dir, opsSql)),
     // list comprehensions `[E FOR v IN L (IF C)?]` — DuckDB-native on
     // the oracle side, BracketRewrite.comprehensionText on ours
-    "q_duckdb_compr" -> ((s, dir) => sql(s, dir, comprSql)))
+    "q_duckdb_compr" -> ((s, dir) => sql(s, dir, comprSql)),
+    // window-frame EXCLUDE clause — DuckDB-native on the oracle side,
+    // WindowExclude's algebraic lowering on ours
+    "q_duckdb_exclude" -> ((s, dir) => sql(s, dir, excludeSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -45,7 +48,31 @@ object QueriesVocab9 {
     "q_duckdb_dates3" -> dates3Sql,
     "q_duckdb_funcs8" -> funcs8Sql,
     "q_duckdb_ops" -> opsSql,
-    "q_duckdb_compr" -> comprSql)
+    "q_duckdb_compr" -> comprSql,
+    "q_duckdb_exclude" -> excludeSql)
+
+  /** identical statement both engines: every EXCLUDE kind over
+    * self-containing frames (avg rounded — the lowering's exact-int
+    * subtraction vs a direct residual sum can differ in the last ulp)
+    */
+  private val excludeSql: String =
+    """SELECT doc_id,
+      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+      |    EXCLUDE CURRENT ROW) AS s1,
+      |  count(*) OVER (PARTITION BY lang ORDER BY n_chars
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    EXCLUDE GROUP) AS c1,
+      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      |    EXCLUDE TIES) AS s2,
+      |  round(avg(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      |    EXCLUDE CURRENT ROW), 6) AS a1,
+      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+      |    EXCLUDE NO OTHERS) AS s3
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** identical statement both engines: map / filter / nested /
     * literal-source comprehensions, projected to atomic columns */
