@@ -883,8 +883,11 @@ object SqlRewrites {
       else starExclude.replaceAllIn(s1s, "* EXCEPT (")
     // window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS):
     // algebraic lowering for sum/count/avg — see WindowExclude
-    val s1b = if (!has("exclude") || !has("over")) s1b0
+    val s1b1 = if (!has("exclude") || !has("over")) s1b0
       else WindowExclude.rewrite(s1b0)
+    // aggregate FILTER on window functions (CASE-wrapped arguments)
+    val s1b = if (!has("filter") || !has("over")) s1b1
+      else WindowExclude.rewriteFilter(s1b1)
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,

@@ -81,6 +81,95 @@ object WindowExclude {
     toks
   }
 
+  /** `agg(args) FILTER (WHERE c) OVER (…)` — DuckDB allows the
+    * aggregate FILTER clause on window functions; Spark only in
+    * GROUP BY. Lowering: wrap every argument in
+    * `CASE WHEN (c) THEN arg END` (aggregates skip NULL, so the
+    * filtered-out rows vanish; `count(*)` wraps a literal 1) and drop
+    * the clause. Probed on DuckDB 1.0 (sum/count/min grid). Group-by
+    * FILTER (no OVER after it) is untouched — Spark handles it.
+    */
+  def rewriteFilter(sql: String): String = {
+    val low = sql.toLowerCase
+    if (!low.contains("filter") || !low.contains("over")) return sql
+    val toks = tokenize(sql)
+    def matchClose(openIdx: Int): Int = {
+      var depth = 0; var j = openIdx
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct(_, _, '(') => depth += 1
+          case Punct(_, _, ')') => depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    def matchOpenBack(closeIdx: Int): Int = {
+      var depth = 0; var j = closeIdx
+      while (j >= 0) {
+        toks(j) match {
+          case Punct(_, _, ')') => depth += 1
+          case Punct(_, _, '(') => depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j -= 1
+      }
+      -1
+    }
+    case class Span(from: Int, until: Int, text: String)
+    val spans = new ArrayBuffer[Span]
+    var i = 0
+    while (i < toks.length) {
+      (toks(i), toks.lift(i + 1), toks.lift(i - 1)) match {
+        case (Word(_, _, "filter"), Some(Punct(_, _, '(')),
+            Some(Punct(_, _, ')'))) =>
+          val fOpen = i + 1
+          val fClose = matchClose(fOpen)
+          val isWindow = fClose > 0 && (toks.lift(fClose + 1) match {
+            case Some(Word(_, _, "over")) => true
+            case _ => false
+          })
+          val hasWhere = toks.lift(fOpen + 1) match {
+            case Some(Word(_, _, "where")) => true
+            case _ => false
+          }
+          if (isWindow && hasWhere) {
+            val cond = sql.substring(toks(fOpen + 1).end,
+              toks(fClose).start).trim
+            val aOpen = matchOpenBack(i - 1)
+            val fnTok = if (aOpen > 0) toks(aOpen - 1) else null
+            fnTok match {
+              case Word(fnSt, _, _) =>
+                val args = sql.substring(toks(aOpen).end,
+                  toks(i - 1).start).trim
+                val fnName = sql.substring(fnSt, toks(aOpen).start).trim
+                val wrapped =
+                  if (args == "*") s"(CASE WHEN ($cond) THEN 1 END)"
+                  else {
+                    val (prefix, rest) =
+                      if (args.toLowerCase.startsWith("distinct"))
+                        ("DISTINCT ", args.drop("distinct".length).trim)
+                      else ("", args)
+                    prefix + SqlRewrites.splitTop(rest)
+                      .map(a => s"(CASE WHEN ($cond) THEN (${a.trim}) END)")
+                      .mkString(", ")
+                  }
+                spans += Span(fnSt, toks(fClose).end, s"$fnName($wrapped)")
+                i = fClose
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (spans.isEmpty) return sql
+    val sb = new StringBuilder(sql)
+    spans.sortBy(-_.from).foreach(s => sb.replace(s.from, s.until, s.text))
+    sb.toString
+  }
+
   def rewrite(sql: String): String = {
     val low = sql.toLowerCase
     if (!low.contains("exclude") || !low.contains("over")) return sql

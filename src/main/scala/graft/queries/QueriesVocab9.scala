@@ -71,7 +71,12 @@ object QueriesVocab9 {
       |    EXCLUDE CURRENT ROW), 6) AS a1,
       |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
-      |    EXCLUDE NO OTHERS) AS s3
+      |    EXCLUDE NO OTHERS) AS s3,
+      |  sum(n_chars) FILTER (WHERE n_chars % 2 = 0)
+      |    OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS f1,
+      |  count(*) FILTER (WHERE n_chars > 200)
+      |    OVER (PARTITION BY lang ORDER BY doc_id) AS f2
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** identical statement both engines: map / filter / nested /

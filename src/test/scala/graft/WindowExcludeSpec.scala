@@ -80,6 +80,29 @@ class WindowExcludeSpec extends SparkSpecBase {
       == Seq(Seq(1, 3L), Seq(2, 6L), Seq(3, 5L)))
   }
 
+  test("FILTER over windows lowers to CASE-wrapped arguments") {
+    // DuckDB-probed: sum [(1,1),(2,4),(3,3)], count [(1,0),(2,1),(3,2)],
+    // min [2,2,2]
+    assert(rows(
+      "SELECT x, sum(x) FILTER (WHERE x <> 2) OVER (ORDER BY x ROWS " +
+        "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s " +
+        "FROM (VALUES (1),(2),(3)) t(x) ORDER BY x")
+      == Seq(Seq(1, 1L), Seq(2, 4L), Seq(3, 3L)))
+    assert(rows(
+      "SELECT x, count(*) FILTER (WHERE x > 1) OVER (ORDER BY x) AS c " +
+        "FROM (VALUES (1),(2),(3)) t(x) ORDER BY x")
+      == Seq(Seq(1, 0L), Seq(2, 1L), Seq(3, 2L)))
+    assert(rows(
+      "SELECT x, min(x) FILTER (WHERE x > 1) OVER (ORDER BY x ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS m " +
+        "FROM (VALUES (1),(2),(3)) t(x) ORDER BY x")
+      == Seq(Seq(1, 2), Seq(2, 2), Seq(3, 2)))
+    // group-by FILTER (no OVER) keeps Spark's native path
+    assert(rows(
+      "SELECT sum(x) FILTER (WHERE x > 1) AS s " +
+        "FROM (VALUES (1),(2),(3)) t(x)") == Seq(Seq(5L)))
+  }
+
   test("guard rails error loudly") {
     intercept[Exception](rows(
       "SELECT min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND " +
