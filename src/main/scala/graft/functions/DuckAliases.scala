@@ -33,6 +33,9 @@ object DuckAliases {
 
     alias("len")(e => LenPoly(e.head))
     alias("list_distinct")(e => ArrayDistinct(e.head))
+    // SELECT-position unnest (row-exploding projection, DuckDB's
+    // list-flattening form; FROM-position is the injected TVF)
+    alias("unnest")(e => Explode(e.head))
     alias("list_transform")(e => ArrayTransform(e(0), e(1)))
     alias("list_filter")(e => ArrayFilter(e(0), e(1)))
     alias("list_contains")(e => ArrayContains(e(0), e(1)))

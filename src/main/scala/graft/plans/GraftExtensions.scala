@@ -57,6 +57,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Project(Seq(Alias(UnresolvedAttribute("col"), "generate_series")()), gen)
       }))
 
+    // table-valued unnest: `FROM unnest([10, 20]) t(x)` — the
+    // list-flattening form DuckDB serves in FROM position (struct /
+    // recursive unnest not bridged — Spark's inline() covers structs)
+    ext.injectTableFunction((
+      FunctionIdentifier("unnest"),
+      new ExpressionInfo("graft.GraftExtensions", "unnest"),
+      (exprs: Seq[Expression]) => {
+        val gen = Generate(Explode(exprs.head), Nil, outer = false, None,
+          Nil, OneRowRelation())
+        Project(Seq(Alias(UnresolvedAttribute("col"), "unnest")()), gen)
+      }))
+
     // SQL-level file readers — the delegated-engine surface a wire
     // client expects (`SELECT * FROM read_parquet('f.parquet')`,
     // reference forwards verbatim at cpp:52). Each resolves at

@@ -1,0 +1,199 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+/** DuckDB in-aggregate ORDER BY → Spark, at the parser seam.
+  *
+  * DuckDB orders aggregate inputs inline — `string_agg(x, ',' ORDER BY
+  * k DESC)`, `list(x ORDER BY k)`, `array_agg(...)` — a grammar Spark
+  * does not have. Lowering: collect (key…, value) structs, sort with a
+  * comparator lambda (per-key direction; DuckDB's default NULLS LAST
+  * on BOTH directions, explicit NULLS FIRST/LAST honored — probed on
+  * 1.0), then project values back out:
+  *
+  *   string_agg/group_concat/listagg → array_join over the sorted,
+  *     NULL-skipping values (probed: string_agg drops NULL inputs);
+  *     separator defaults to ','
+  *   list/array_agg/collect_list → transform over the sorted structs
+  *     (probed: list KEEPS NULL inputs)
+  *
+  * Ties order by arrival (both engines stable-sort; cross-partition
+  * arrival is nondeterministic, so oracle rows use tie-free keys).
+  * DISTINCT + inline ORDER BY and windowed (`… OVER`) forms are not
+  * lowered — they fall through to the stock parser's loud error.
+  */
+object OrderedAgg {
+
+  private val fns = Set("string_agg", "group_concat", "listagg",
+    "list", "array_agg", "collect_list")
+  private val stringFns = Set("string_agg", "group_concat", "listagg")
+
+  private sealed trait Tok { def start: Int; def end: Int }
+  private case class Word(start: Int, end: Int, lower: String) extends Tok
+  private case class Other(start: Int, end: Int) extends Tok
+  private case class Punct(start: Int, end: Int, c: Char) extends Tok
+
+  private def tokenize(s: String): ArrayBuffer[Tok] = {
+    val toks = new ArrayBuffer[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == '\'') {
+        val st = i; i += 1
+        var done = false
+        while (!done && i < n) {
+          if (s.charAt(i) == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') i += 2
+            else { done = true; i += 1 }
+          } else i += 1
+        }
+        toks += Other(st, i)
+      } else if (c == '"' || c == '`') {
+        val st = i; i += 1
+        while (i < n && s.charAt(i) != c) i += 1
+        i = math.min(i + 1, n)
+        toks += Other(st, i)
+      } else if (c.isLetter || c == '_') {
+        val st = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        toks += Word(st, i, s.substring(st, i).toLowerCase)
+      } else if (c == '(' || c == ')') {
+        toks += Punct(i, i + 1, c); i += 1
+      } else { toks += Other(i, i + 1); i += 1 }
+    }
+    toks
+  }
+
+  def rewrite(sql: String): String = {
+    val low = sql.toLowerCase
+    if (!low.contains("order") || !fns.exists(low.contains)) return sql
+    val toks = tokenize(sql)
+    def matchClose(openIdx: Int): Int = {
+      var depth = 0; var j = openIdx
+      while (j < toks.length) {
+        toks(j) match {
+          case Punct(_, _, '(') => depth += 1
+          case Punct(_, _, ')') => depth -= 1; if (depth == 0) return j
+          case _ =>
+        }
+        j += 1
+      }
+      -1
+    }
+    case class Span(from: Int, until: Int, text: String)
+    val spans = new ArrayBuffer[Span]
+    var i = 0
+    while (i < toks.length) {
+      (toks(i), toks.lift(i + 1)) match {
+        case (Word(fnSt, _, fn), Some(Punct(_, _, '('))) if fns(fn) =>
+          val open = i + 1
+          val close = matchClose(open)
+          if (close > 0) {
+            // depth-0 ORDER BY inside the call?
+            var ob = -1
+            var depth = 0
+            var j = open + 1
+            while (j < close && ob < 0) {
+              toks(j) match {
+                case Punct(_, _, '(') => depth += 1
+                case Punct(_, _, ')') => depth -= 1
+                case Word(_, _, "order") if depth == 0 =>
+                  toks.lift(j + 1) match {
+                    case Some(Word(_, _, "by")) => ob = j
+                    case _ =>
+                  }
+                case _ =>
+              }
+              j += 1
+            }
+            val windowed = toks.lift(close + 1) match {
+              case Some(Word(_, _, "over")) => true
+              case _ => false
+            }
+            if (ob >= 0 && !windowed) {
+              val argsText = sql.substring(toks(open).end, toks(ob).start).trim
+              val keysText = sql.substring(toks(ob + 1).end,
+                toks(close).start).trim
+              if (!argsText.toLowerCase.startsWith("distinct")) {
+                spans += Span(fnSt, toks(close).end,
+                  lowerCall(fn, argsText, keysText))
+                i = close
+              }
+            }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (spans.isEmpty) return sql
+    val sb = new StringBuilder(sql)
+    spans.sortBy(-_.from).foreach(s => sb.replace(s.from, s.until, s.text))
+    sb.toString
+  }
+
+  private case class Key(expr: String, desc: Boolean, nullsFirst: Boolean)
+
+  private def parseKey(k: String): Key = {
+    var t = k.trim
+    var nullsFirst = false
+    var explicitNulls = false
+    val nf = "(?i)\\s+nulls\\s+(first|last)\\s*$".r
+    nf.findFirstMatchIn(t).foreach { m =>
+      explicitNulls = true
+      nullsFirst = m.group(1).equalsIgnoreCase("first")
+      t = t.substring(0, m.start).trim
+    }
+    var desc = false
+    val ad = "(?i)\\s+(asc|desc)\\s*$".r
+    ad.findFirstMatchIn(t).foreach { m =>
+      desc = m.group(1).equalsIgnoreCase("desc")
+      t = t.substring(0, m.start).trim
+    }
+    // DuckDB default null order: NULLS LAST regardless of direction
+    Key(t, desc, if (explicitNulls) nullsFirst else false)
+  }
+
+  private def lowerCall(fn: String, argsText: String,
+      keysText: String): String = {
+    val args = SqlRewrites.splitTop(argsText).map(_.trim).filter(_.nonEmpty)
+    require(args.nonEmpty, s"$fn(... ORDER BY ...): missing argument")
+    val isString = stringFns(fn)
+    val sep =
+      if (!isString) {
+        require(args.length == 1,
+          s"$fn takes one argument before ORDER BY")
+        "','"
+      } else if (args.length >= 2) args(1)
+      else "','"
+    val value = args.head
+    val keys = SqlRewrites.splitTop(keysText).map(parseKey)
+    require(keys.nonEmpty, s"$fn: empty ORDER BY")
+    val keyFields = keys.zipWithIndex
+      .map { case (k, n) => s"(${k.expr}) AS __k$n" }
+      .mkString(", ")
+    val collected =
+      s"collect_list(struct($keyFields, ($value) AS __v))"
+    val cmp = keys.zipWithIndex.foldRight("0") { case ((k, n), rest) =>
+      val (nullL, nullR) = if (k.nullsFirst) ("-1", "1") else ("1", "-1")
+      val (lt, gt) = if (k.desc) ("1", "-1") else ("-1", "1")
+      s"CASE WHEN __l.__k$n IS NULL AND __r.__k$n IS NULL THEN $rest " +
+        s"WHEN __l.__k$n IS NULL THEN $nullL " +
+        s"WHEN __r.__k$n IS NULL THEN $nullR " +
+        s"WHEN __l.__k$n < __r.__k$n THEN $lt " +
+        s"WHEN __l.__k$n > __r.__k$n THEN $gt ELSE $rest END"
+    }
+    val sorted = s"array_sort($collected, (__l, __r) -> $cmp)"
+    if (isString)
+      s"array_join(transform(filter($sorted, __s -> __s.__v IS NOT NULL)," +
+        s" __s -> CAST(__s.__v AS STRING)), $sep)"
+    else
+      s"transform($sorted, __s -> __s.__v)"
+  }
+}

@@ -886,8 +886,10 @@ object SqlRewrites {
     val s1b1 = if (!has("exclude") || !has("over")) s1b0
       else WindowExclude.rewrite(s1b0)
     // aggregate FILTER on window functions (CASE-wrapped arguments)
-    val s1b = if (!has("filter") || !has("over")) s1b1
+    val s1b2 = if (!has("filter") || !has("over")) s1b1
       else WindowExclude.rewriteFilter(s1b1)
+    // DuckDB in-aggregate ORDER BY (string_agg/list/array_agg …)
+    val s1b = if (!has("order")) s1b2 else OrderedAgg.rewrite(s1b2)
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,

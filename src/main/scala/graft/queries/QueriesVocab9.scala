@@ -38,7 +38,10 @@ object QueriesVocab9 {
     "q_duckdb_compr" -> ((s, dir) => sql(s, dir, comprSql)),
     // window-frame EXCLUDE clause — DuckDB-native on the oracle side,
     // WindowExclude's algebraic lowering on ours
-    "q_duckdb_exclude" -> ((s, dir) => sql(s, dir, excludeSql)))
+    "q_duckdb_exclude" -> ((s, dir) => sql(s, dir, excludeSql)),
+    // in-aggregate ORDER BY + unnest — DuckDB-native on the oracle
+    // side, OrderedAgg lowering + Explode alias/TVF on ours
+    "q_duckdb_ordagg" -> ((s, dir) => sql(s, dir, ordaggSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -49,7 +52,30 @@ object QueriesVocab9 {
     "q_duckdb_funcs8" -> funcs8Sql,
     "q_duckdb_ops" -> opsSql,
     "q_duckdb_compr" -> comprSql,
-    "q_duckdb_exclude" -> excludeSql)
+    "q_duckdb_exclude" -> excludeSql,
+    "q_duckdb_ordagg" -> ordaggSql)
+
+  /** identical statement both engines: in-aggregate ORDER BY (multi
+    * key, DESC, defaults) + SELECT-position unnest. Sort keys are
+    * tie-free (doc_id) or equal-key-equal-value (w orders w), so the
+    * stable-sort arrival nondeterminism cannot show.
+    */
+  private val ordaggSql: String =
+    """WITH u AS (SELECT lang,
+      |    unnest(string_split(substr(text, 1, 20), ' ')) AS w
+      |  FROM documents WHERE doc_id < 40),
+      |a AS (SELECT lang, count(*) AS nw,
+      |        string_agg(w, '|' ORDER BY w) AS wl
+      |      FROM u GROUP BY lang),
+      |d AS (SELECT lang,
+      |        string_agg(CAST(doc_id AS VARCHAR), ','
+      |          ORDER BY n_chars DESC, doc_id ASC) AS ids,
+      |        array_to_string(list(n_chars ORDER BY doc_id), '-') AS lens,
+      |        group_concat(CAST(doc_id % 7 AS VARCHAR)
+      |          ORDER BY doc_id) AS g7
+      |      FROM documents WHERE doc_id < 60 GROUP BY lang)
+      |SELECT a.lang, nw, wl, ids, lens, g7
+      |FROM a JOIN d USING (lang) ORDER BY a.lang""".stripMargin
 
   /** identical statement both engines: every EXCLUDE kind over
     * self-containing frames (avg rounded — the lowering's exact-int

@@ -338,4 +338,41 @@ class Vocab9Spec extends SparkSpecBase {
     assert(r.getAs[Array[Byte]](7).toSeq == Seq(5.toByte))
     assert(r.getInt(8) == 2)
   }
+
+  test("in-aggregate ORDER BY (OrderedAgg lowering, DuckDB-probed)") {
+    def one(q: String) = Engine.query(spark, q).collect().head
+    val base = " FROM (VALUES ('a',3),('b',1),(NULL,2),('d',NULL)) t(x,k)"
+    // string_agg drops NULL inputs; default null order is NULLS LAST
+    // on BOTH directions (probed)
+    assert(one(s"SELECT string_agg(x, ',' ORDER BY k) AS s$base")
+      .getString(0) == "b,a,d")
+    assert(one(s"SELECT string_agg(x, ',' ORDER BY k DESC) AS s$base")
+      .getString(0) == "a,b,d")
+    // list/array_agg KEEP NULL inputs (probed)
+    assert(one(s"SELECT list(x ORDER BY k) AS l$base")
+      .getSeq[String](0) == Seq("b", null, "a", "d"))
+    assert(one(s"SELECT array_agg(x ORDER BY k DESC) AS l$base")
+      .getSeq[String](0) == Seq("a", null, "b", "d"))
+    // single-arg default separator; multi-key mixed directions;
+    // explicit NULLS FIRST
+    assert(one("SELECT string_agg(x ORDER BY x) AS s " +
+      "FROM (VALUES ('b'),('a')) t(x)").getString(0) == "a,b")
+    assert(one("SELECT string_agg(x, '-' ORDER BY k ASC, x DESC) AS s " +
+      "FROM (VALUES ('a',1),('b',1),('c',0)) t(x,k)")
+      .getString(0) == "c-b-a")
+    assert(one(s"SELECT string_agg(x, ',' ORDER BY k NULLS FIRST) AS s$base")
+      .getString(0) == "d,b,a")
+  }
+
+  test("unnest: SELECT position, FROM position, beside columns") {
+    assert(Engine.query(spark, "SELECT unnest([1,2,3]) AS u")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(Engine.query(spark, "SELECT x FROM unnest([10,20]) t(x)")
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 20))
+    assert(Engine.query(spark,
+      "SELECT k, unnest(string_split(v, ' ')) AS w " +
+        "FROM (VALUES (1, 'a b')) t(k, v)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      == Seq((1, "a"), (1, "b")))
+  }
 }
