@@ -269,6 +269,9 @@ object BracketRewrite {
         if (c == '<' && (d == '-' || d == '=') && i + 2 < n &&
             s.charAt(i + 2) == '>') return true
       }
+      // word operator: SIMILAR TO (cheap case-insensitive scan)
+      if ((c == 's' || c == 'S') && i + 7 <= n &&
+          s.regionMatches(true, i, "similar", 0, 7)) return true
       i += 1
     }
     false
@@ -408,6 +411,37 @@ object BracketRewrite {
     }
     var ti = 0
     while (ti < toks.length) {
+      // word operator first: `x [NOT] SIMILAR TO re` — DuckDB lowers
+      // SIMILAR TO to a full regex match (probed; regexp_full_match)
+      toks(ti) match {
+        case Word(sSt, _, "similar") if (toks.lift(ti + 1) match {
+              case Some(Word(_, _, "to")) => true
+              case _ => false
+            }) && (prevEndsOperand(toks, ti) ||
+              (toks.lift(ti - 1).exists {
+                case Word(_, _, "not") => true
+                case _ => false
+              } && prevEndsOperand(toks, ti - 1))) =>
+          val negated = toks.lift(ti - 1) match {
+            case Some(Word(_, _, "not")) => true
+            case _ => false
+          }
+          val leftEndIdx = if (negated) ti - 2 else ti - 1
+          val opTextStart = if (negated) toks(ti - 1).start else sSt
+          val ls = leftOperandStart(leftEndIdx)
+          val opEnd = toks(ti + 1).end
+          val re = rightOperandEnd(ti + 2)
+          if (ls >= 0 && re > opEnd && leftEndIdx >= 0) {
+            val left = sql.substring(ls, opTextStart).trim
+            val right = sql.substring(opEnd, re).trim
+            val sb2 = new StringBuilder(sql)
+            sb2.replace(ls, re,
+              if (negated) s"(NOT regexp_full_match($left, $right))"
+              else s"regexp_full_match($left, $right)")
+            return sb2.toString
+          }
+        case _ =>
+      }
       // maximal adjacent run of single-char operator puncts, then the
       // pg trailing +/- trim rule, then an EXACT table lookup (known
       // multi-char Spark ops like <= >= <> << >> || != -> ->> fail the

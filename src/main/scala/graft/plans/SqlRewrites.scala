@@ -62,8 +62,89 @@ object SqlRewrites {
     // JSON is modeled as STRING (json() returns canonical text)
     "json" -> "string")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
-  /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`. */
+  /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`
+    * (bare or table-qualified `t.* EXCLUDE (...)`).
+    */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
+
+  /** DuckDB numeric-literal digit separators: `1_000_000`. Token must
+    * START at a non-word boundary with a digit (identifiers like
+    * `col1_2` stay); fractional runs after `.` rewrite too.
+    */
+  private val numUnderscore = """(?<!\w)(\d[\d_]*\d)(?!\w)""".r
+
+  /** pg/DuckDB dollar-quoted strings: `$$...$$`, `$tag$...$tag$` →
+    * standard single-quoted literals (content quotes double). Runs
+    * FIRST — every later pass tokenizes only '...' spans, so raw
+    * dollar-quoted content would be misread. `$1` bind params don't
+    * match (tag can't start with a digit); an unterminated opener is
+    * left for the parser's loud error.
+    */
+  def rewriteDollarQuotes(sql: String): String = {
+    if (!sql.contains("$")) return sql
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    val n = sql.length
+    var inS = false; var inD = false
+    val opener = """\$([A-Za-z_][A-Za-z_0-9]*)?\$""".r
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inS) { out += c; if (c == '\'') inS = false; i += 1 }
+      else if (inD) { out += c; if (c == '"') inD = false; i += 1 }
+      else if (c == '\'') { inS = true; out += c; i += 1 }
+      else if (c == '"') { inD = true; out += c; i += 1 }
+      else if (c == '$') {
+        opener.findPrefixMatchOf(sql.substring(i)) match {
+          case Some(m) =>
+            val tag = m.matched
+            val close = sql.indexOf(tag, i + tag.length)
+            if (close < 0) { out += c; i += 1 } // unterminated: punt
+            else {
+              val content = sql.substring(i + tag.length, close)
+              out += '\''
+              out ++= content.replace("'", "''")
+              out += '\''
+              i = close + tag.length
+            }
+          case None => out += c; i += 1
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** DuckDB FROM-first SHORT form: `FROM t WHERE …` (no SELECT at
+    * all) → `SELECT * FROM t WHERE …`. The `FROM t SELECT cols` long
+    * form already parses (Hive-style) and a depth-0 SELECT keeps the
+    * statement untouched.
+    */
+  def rewriteFromFirst(sql: String): String = {
+    val t = sql.trim
+    if (!t.regionMatches(true, 0, "from", 0, 4) || t.length < 5 ||
+        !t.charAt(4).isWhitespace)
+      return sql
+    // depth-0 SELECT scan outside quotes
+    var depth = 0; var i = 0; var inS = false; var inD = false
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else if (inD) { if (c == '"') inD = false }
+      else c match {
+        case '\'' => inS = true
+        case '"' => inD = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 's' | 'S' if depth == 0 &&
+            t.regionMatches(true, i, "select", 0, 6) &&
+            (i == 0 || !t.charAt(i - 1).isLetterOrDigit) &&
+            (i + 6 >= t.length || !t.charAt(i + 6).isLetterOrDigit) =>
+          return sql // long form — parser handles it
+        case _ =>
+      }
+      i += 1
+    }
+    s"SELECT * $t"
+  }
 
   /** DuckDB bare file-path tables — `SELECT * FROM 'docs.parquet'`
     * (delegated surface; the reference forwards the statement verbatim
@@ -765,16 +846,29 @@ object SqlRewrites {
     // purpose: that is what carries the "already processed" bit into
     // catalog-stored SQL.
     val alreadySeamed = sqlIn.startsWith(seamMarker)
-    val sqlEsc0 = if (!alreadySeamed && sqlIn.indexOf('\'') >= 0 &&
-        (sqlIn.contains("E'") || sqlIn.contains("e'")))
-      rewriteEStrings(sqlIn) else sqlIn
+    // dollar-quoted strings FIRST (later passes tokenize only '...'),
+    // then the FROM-first short form (cheap startsWith gates both)
+    val sqlDq0 = if (!alreadySeamed && sqlIn.indexOf('$') >= 0)
+      rewriteDollarQuotes(sqlIn) else sqlIn
+    val sqlDq = if (sqlDq0.length >= 5 &&
+        sqlDq0.trim.regionMatches(true, 0, "from", 0, 4))
+      rewriteFromFirst(sqlDq0) else sqlDq0
+    val sqlEsc0 = if (!alreadySeamed && sqlDq.indexOf('\'') >= 0 &&
+        (sqlDq.contains("E'") || sqlDq.contains("e'")))
+      rewriteEStrings(sqlDq) else sqlDq
     val sqlEsc1 = if (!alreadySeamed && sqlEsc0.indexOf('\\') >= 0)
       escapeBackslashesInLiterals(sqlEsc0) else sqlEsc0
     val sqlEsc = if ((sqlEsc1 ne sqlEsc0) && sqlEsc1 != sqlEsc0)
       seamMarker + sqlEsc1 else sqlEsc1
-    val lowIn = sqlEsc.toLowerCase
+    // numeric digit separators (1_000_000) — token-start guarded so
+    // identifiers like col1_2 stay
+    val sqlNu = if (sqlEsc.indexOf('_') < 0) sqlEsc
+      else replaceOutsideQuotes(numUnderscore, sqlEsc)(m =>
+        if (m.group(1).indexOf('_') >= 0) m.group(1).replace("_", "")
+        else m.group(1))
+    val lowIn = sqlNu.toLowerCase
     val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
-        lowIn.contains("enum_")) rewriteEnums(sqlEsc) else sqlEsc
+        lowIn.contains("enum_")) rewriteEnums(sqlNu) else sqlNu
     val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
     // array-typed casts before the bracket pass would misread them

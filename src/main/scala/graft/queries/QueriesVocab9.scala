@@ -41,7 +41,10 @@ object QueriesVocab9 {
     "q_duckdb_exclude" -> ((s, dir) => sql(s, dir, excludeSql)),
     // in-aggregate ORDER BY + unnest — DuckDB-native on the oracle
     // side, OrderedAgg lowering + Explode alias/TVF on ours
-    "q_duckdb_ordagg" -> ((s, dir) => sql(s, dir, ordaggSql)))
+    "q_duckdb_ordagg" -> ((s, dir) => sql(s, dir, ordaggSql)),
+    // syntax sugar wave: FROM-first, dollar-quoted strings, numeric
+    // digit separators, SIMILAR TO — identical statement both engines
+    "q_duckdb_syntax2" -> ((s, dir) => sql(s, dir, syntax2Sql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -53,7 +56,22 @@ object QueriesVocab9 {
     "q_duckdb_ops" -> opsSql,
     "q_duckdb_compr" -> comprSql,
     "q_duckdb_exclude" -> excludeSql,
-    "q_duckdb_ordagg" -> ordaggSql)
+    "q_duckdb_ordagg" -> ordaggSql,
+    "q_duckdb_syntax2" -> syntax2Sql)
+
+  /** identical statement both engines: FROM-first long form with a
+    * WHERE after the SELECT list, dollar-quoted literal (embedded
+    * quote + $), underscore numeric literal, SIMILAR TO both
+    * polarities (DuckDB: full regex match, no %-conversion — probed)
+    */
+  private val syntax2Sql: String =
+    """FROM documents
+      |SELECT doc_id,
+      |  $q$it's "$" here$q$ AS dq,
+      |  1_000_000 + doc_id AS big,
+      |  lang SIMILAR TO '[a-z][a-z]' AS sim,
+      |  lang NOT SIMILAR TO 'e.*' AS nsim
+      |WHERE doc_id < 2_0 ORDER BY doc_id""".stripMargin
 
   /** identical statement both engines: in-aggregate ORDER BY (multi
     * key, DESC, defaults) + SELECT-position unnest. Sort keys are

@@ -364,6 +364,26 @@ class Vocab9Spec extends SparkSpecBase {
       .getString(0) == "d,b,a")
   }
 
+  test("syntax sugar: FROM-first, dollar quotes, digit separators, SIMILAR TO") {
+    def one(q: String) = Engine.query(spark, q).collect().head
+    // FROM-first short form (no SELECT anywhere)
+    assert(Engine.query(spark,
+      "FROM (VALUES (1),(2),(3)) t(x) WHERE x > 1").count() == 2)
+    // dollar-quoted literals: embedded quote, $, tagged form
+    assert(one("SELECT $$it's $ here$$ AS s").getString(0) == "it's $ here")
+    assert(one("SELECT $t$a $$ b$t$ AS s").getString(0) == "a $$ b")
+    // digit separators only in numeric tokens; identifiers untouched
+    assert(one("SELECT 1_000_000 AS n, 1_2.5_0 AS f")
+      .getInt(0) == 1000000)
+    assert(one("SELECT col1_2 FROM (SELECT 7 AS col1_2) t").getInt(0) == 7)
+    // SIMILAR TO = full regex match (probed: no %-conversion)
+    val r = one("SELECT 'abc' SIMILAR TO 'a.*' AS a, " +
+      "'abc' SIMILAR TO 'a%' AS b, 'abc' SIMILAR TO 'ab' AS c, " +
+      "'abc' NOT SIMILAR TO 'b.*' AS d")
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2) &&
+      r.getBoolean(3))
+  }
+
   test("unnest: SELECT position, FROM position, beside columns") {
     assert(Engine.query(spark, "SELECT unnest([1,2,3]) AS u")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
