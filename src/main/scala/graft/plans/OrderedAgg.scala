@@ -25,8 +25,15 @@ import scala.collection.mutable.ArrayBuffer
 object OrderedAgg {
 
   private val fns = Set("string_agg", "group_concat", "listagg",
-    "list", "array_agg", "collect_list")
+    "list", "array_agg", "collect_list", "first", "last",
+    "first_value", "last_value", "arbitrary")
   private val stringFns = Set("string_agg", "group_concat", "listagg")
+  /** first/last take the 1st / last element of the ordered values
+    * (NULL values keep their sorted position — probed: `last(x ORDER
+    * BY x)` over {3, NULL, 1} is NULL under NULLS LAST).
+    */
+  private val pickFns = Set("first", "last", "first_value",
+    "last_value", "arbitrary")
 
   private sealed trait Tok { def start: Int; def end: Int }
   private case class Word(start: Int, end: Int, lower: String) extends Tok
@@ -172,6 +179,7 @@ object OrderedAgg {
         "','"
       } else if (args.length >= 2) args(1)
       else "','"
+    val pick = pickFns(fn)
     val value = args.head
     val keys = SqlRewrites.splitTop(keysText).map(parseKey)
     require(keys.nonEmpty, s"$fn: empty ORDER BY")
@@ -193,7 +201,10 @@ object OrderedAgg {
     if (isString)
       s"array_join(transform(filter($sorted, __s -> __s.__v IS NOT NULL)," +
         s" __s -> CAST(__s.__v AS STRING)), $sep)"
-    else
+    else if (pick) {
+      val idx = if (fn == "last" || fn == "last_value") "-1" else "1"
+      s"element_at(transform($sorted, __s -> __s.__v), $idx)"
+    } else
       s"transform($sorted, __s -> __s.__v)"
   }
 }

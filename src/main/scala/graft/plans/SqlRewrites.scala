@@ -67,6 +67,55 @@ object SqlRewrites {
     */
   private val starExclude = """(?i)\*\s+EXCLUDE\s*\(""".r
 
+  /** DuckDB EXTRACT fields Spark's EXTRACT lacks (or defines with
+    * different semantics — dow/dayofweek are Sun=0 in DuckDB, Sun=1
+    * in Spark): lowered onto the registered DuckDB-semantic scalar
+    * functions. `EXTRACT(field FROM x)` → `field_fn(x)` — replacing
+    * `EXTRACT(field FROM` with `fn(` keeps the paren balance.
+    */
+  private val extractFieldMap: Map[String, String] = Map(
+    "epoch" -> "epoch", "julian" -> "julian", "era" -> "era",
+    "millennium" -> "millennium", "millenniums" -> "millennium",
+    "millennia" -> "millennium",
+    "century" -> "century", "centuries" -> "century",
+    "decade" -> "decade", "decades" -> "decade",
+    "microsecond" -> "microsecond", "microseconds" -> "microsecond",
+    "millisecond" -> "millisecond", "milliseconds" -> "millisecond",
+    "isodow" -> "isodow", "isoyear" -> "isoyear",
+    "weekday" -> "weekday", "yearweek" -> "yearweek",
+    "dow" -> "dayofweek", "dayofweek" -> "dayofweek",
+    "timezone" -> "timezone")
+  private val extractRe =
+    """(?i)\bEXTRACT\s*\(\s*(\w+)\s+FROM\s""".r
+
+  /** ANSI OFFSET/FETCH row-limiting (DuckDB accepts it) → LIMIT/OFFSET. */
+  private val offsetFetchRe =
+    """(?i)\bOFFSET\s+(\d+)\s+ROWS?\s+FETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b""".r
+  private val fetchOnlyRe =
+    """(?i)\bFETCH\s+(?:FIRST|NEXT)\s+(\d+)\s+ROWS?\s+ONLY\b""".r
+  private val offsetRowsRe = """(?i)\bOFFSET\s+(\d+)\s+ROWS?\b""".r
+
+  /** DuckDB TABLESAMPLE methods: bernoulli/system(x%) are
+    * percentage samples, reservoir(n) without % is an exact row
+    * count; all lower onto Spark's TABLESAMPLE (engine RNG differs —
+    * the USING SAMPLE precedent, CompatSpec-gated).
+    */
+  private val tablesampleMethodRe =
+    """(?i)\bTABLESAMPLE\s+(bernoulli|system|reservoir)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT)?\s*\)""".r
+
+  /** CREATE TABLE constraint surface: PRIMARY KEY / UNIQUE / CHECK /
+    * REFERENCES are accepted and STRIPPED (DuckDB enforces them; this
+    * engine records no constraints — documented divergence, the
+    * accept-don't-enforce posture of CREATE INDEX). Bare VARCHAR
+    * column types map to STRING. Only fires on CREATE … TABLE.
+    */
+  private val colConstraintRe =
+    """(?i)\s+(PRIMARY\s+KEY|UNIQUE(?!\s*\()|REFERENCES\s+\w+(?:\.\w+)?(?:\s*\([^()]*\))?|CHECK\s*\((?:[^()]|\([^()]*\))*\))""".r
+  private val tableConstraintRe =
+    """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY)\s*\([^()]*\)(?:\s*REFERENCES\s+\w+(?:\s*\([^()]*\))?)?""".r
+  // NOT "text": the fixture schema itself has a column named text
+  private val ddlVarcharRe = """(?i)\bVARCHAR\b(?!\s*\()""".r
+
   /** DuckDB numeric-literal digit separators: `1_000_000`. Token must
     * START at a non-word boundary with a digit (identifiers like
     * `col1_2` stay); fractional runs after `.` rewrite too.
@@ -973,8 +1022,43 @@ object SqlRewrites {
         }
         s"TABLESAMPLE (${m.group(1)} $unit)"
       })
-    val s1b0 = if (!has("exclude")) s1s
-      else starExclude.replaceAllIn(s1s, "* EXCEPT (")
+    // EXTRACT long-tail fields → DuckDB-semantic scalar functions
+    val s1x = if (!has("extract")) s1s
+      else replaceOutsideQuotes(extractRe, s1s) { m =>
+        extractFieldMap.get(m.group(1).toLowerCase) match {
+          case Some(fn) => s"$fn("
+          case None => m.matched
+        }
+      }
+    // ANSI OFFSET/FETCH → LIMIT/OFFSET
+    val s1f0 = if (!has("fetch")) s1x
+      else replaceOutsideQuotes(offsetFetchRe, s1x)(m =>
+        s"LIMIT ${m.group(2)} OFFSET ${m.group(1)}")
+    val s1f1 = if (!has("fetch")) s1f0
+      else replaceOutsideQuotes(fetchOnlyRe, s1f0)(m => s"LIMIT ${m.group(1)}")
+    val s1f = if (!has("offset")) s1f1
+      else replaceOutsideQuotes(offsetRowsRe, s1f1)(m => s"OFFSET ${m.group(1)}")
+    // DuckDB TABLESAMPLE methods → Spark TABLESAMPLE
+    val s1ts = if (!has("tablesample")) s1f
+      else replaceOutsideQuotes(tablesampleMethodRe, s1f) { m =>
+        val pct = m.group(3) != null
+        val unit = if (pct) "PERCENT"
+          else if (m.group(1).equalsIgnoreCase("reservoir")) "ROWS"
+          else "PERCENT"
+        s"TABLESAMPLE (${m.group(2)} $unit)"
+      }
+    // CREATE TABLE constraint strip + bare VARCHAR columns
+    val isCreateTable = has("create") && has("table") &&
+      """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?(TEMP(ORARY)?\s+)?TABLE\b""".r
+        .findFirstIn(s1ts).isDefined
+    val s1dd = if (!isCreateTable) s1ts
+      else {
+        val a = replaceOutsideQuotes(tableConstraintRe, s1ts)(_ => "")
+        val b = replaceOutsideQuotes(colConstraintRe, a)(_ => "")
+        replaceOutsideQuotes(ddlVarcharRe, b)(_ => "STRING")
+      }
+    val s1b0 = if (!has("exclude")) s1dd
+      else starExclude.replaceAllIn(s1dd, "* EXCEPT (")
     // window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS):
     // algebraic lowering for sum/count/avg — see WindowExclude
     val s1b1 = if (!has("exclude") || !has("over")) s1b0

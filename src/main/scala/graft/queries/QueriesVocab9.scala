@@ -44,7 +44,9 @@ object QueriesVocab9 {
     "q_duckdb_ordagg" -> ((s, dir) => sql(s, dir, ordaggSql)),
     // syntax sugar wave: FROM-first, dollar-quoted strings, numeric
     // digit separators, SIMILAR TO — identical statement both engines
-    "q_duckdb_syntax2" -> ((s, dir) => sql(s, dir, syntax2Sql)))
+    "q_duckdb_syntax2" -> ((s, dir) => sql(s, dir, syntax2Sql)),
+    // EXTRACT long-tail fields, ANSI OFFSET/FETCH, ordered first/last
+    "q_duckdb_syntax3" -> ((s, dir) => sql(s, dir, syntax3Sql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -57,7 +59,25 @@ object QueriesVocab9 {
     "q_duckdb_compr" -> comprSql,
     "q_duckdb_exclude" -> excludeSql,
     "q_duckdb_ordagg" -> ordaggSql,
-    "q_duckdb_syntax2" -> syntax2Sql)
+    "q_duckdb_syntax2" -> syntax2Sql,
+    "q_duckdb_syntax3" -> syntax3Sql)
+
+  /** identical statement both engines: EXTRACT fields Spark lacks (or
+    * defines differently — dow is Sun=0 in DuckDB), OFFSET/FETCH
+    * row-limiting, first/last with inline ORDER BY (tie-free keys)
+    */
+  private val syntax3Sql: String =
+    """WITH f AS (SELECT lang,
+      |    first(doc_id ORDER BY n_chars DESC, doc_id) AS top_doc,
+      |    last(doc_id ORDER BY n_chars DESC, doc_id) AS bottom_doc
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, top_doc, bottom_doc,
+      |  EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:00') AS ep,
+      |  EXTRACT(dow FROM DATE '2026-08-16') AS dw,
+      |  EXTRACT(decade FROM DATE '2026-08-16') AS dec,
+      |  EXTRACT(isodow FROM DATE '2026-08-17') AS idw,
+      |  EXTRACT(microseconds FROM TIMESTAMP '2020-01-01 00:00:01.5') AS us
+      |FROM f ORDER BY lang OFFSET 1 ROWS FETCH FIRST 3 ROWS ONLY""".stripMargin
 
   /** identical statement both engines: FROM-first long form with a
     * WHERE after the SELECT list, dollar-quoted literal (embedded

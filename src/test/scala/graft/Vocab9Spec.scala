@@ -384,6 +384,43 @@ class Vocab9Spec extends SparkSpecBase {
       r.getBoolean(3))
   }
 
+  test("EXTRACT long tail, OFFSET/FETCH, TABLESAMPLE methods, DDL constraints") {
+    def one(q: String) = Engine.query(spark, q).collect().head
+    // DuckDB-semantic fields (probed: dow Sun=0, epoch DOUBLE,
+    // microseconds within-the-minute)
+    assert(one("SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:00') AS e")
+      .getDouble(0) == 1.5778368e9)
+    assert(one("SELECT EXTRACT(dow FROM DATE '2026-08-16') AS d").getInt(0) == 0)
+    assert(one("SELECT EXTRACT(decade FROM DATE '2026-08-16') AS d")
+      .getLong(0) == 202L)
+    assert(one("SELECT EXTRACT(microseconds FROM TIMESTAMP " +
+      "'2020-01-01 00:00:01.5') AS u").getLong(0) == 1500000L)
+    // Spark-native fields untouched
+    assert(one("SELECT EXTRACT(year FROM DATE '2026-08-16') AS y")
+      .getInt(0) == 2026)
+    // ANSI OFFSET/FETCH
+    assert(Engine.query(spark, "SELECT x FROM (VALUES (1),(2),(3)) t(x) " +
+      "ORDER BY x OFFSET 1 ROWS FETCH FIRST 1 ROWS ONLY")
+      .collect().map(_.getInt(0)).toSeq == Seq(2))
+    // TABLESAMPLE methods accept (RNG differs — sanity bound only)
+    Tables.registerAll(spark, sfDir)
+    val n = Engine.query(spark,
+      "SELECT count(*) AS n FROM documents TABLESAMPLE bernoulli(50%)")
+      .collect().head.getLong(0)
+    assert(n >= 0 && n <= 1000)
+    // DDL constraints stripped, bare VARCHAR maps, inserts round-trip
+    Engine.query(spark, "DROP TABLE IF EXISTS conso")
+    Engine.query(spark, "CREATE TABLE conso (k INT PRIMARY KEY, " +
+      "v VARCHAR UNIQUE, x INT CHECK (x > 0), PRIMARY KEY (k))")
+    Engine.query(spark, "INSERT INTO conso VALUES (1, 'a', 5)")
+    assert(one("SELECT k, v, x FROM conso").toSeq == Seq(1, "a", 5))
+    Engine.query(spark, "DROP TABLE conso")
+    // ordered first/last (probed: NULLS LAST keeps NULL reachable by last)
+    val fl = one("SELECT first(x ORDER BY x) AS f, last(x ORDER BY x) AS l " +
+      "FROM (VALUES (3),(NULL),(1)) t(x)")
+    assert(fl.getInt(0) == 1 && fl.isNullAt(1))
+  }
+
   test("unnest: SELECT position, FROM position, beside columns") {
     assert(Engine.query(spark, "SELECT unnest([1,2,3]) AS u")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
