@@ -56,6 +56,122 @@ object Dml {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  private val insertConflictRe =
+    ("""(?is)^INSERT\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s+""" +
+      """(.+?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*""" +
+      """DO\s+(NOTHING|UPDATE\s+SET\s+.+?)\s*;?\s*$""").r
+
+  /** `INSERT … ON CONFLICT (keys) DO NOTHING | DO UPDATE SET …` —
+    * DuckDB's upsert, reproduced on copy-on-write tables. Probed
+    * contract (DuckDB 1.0):
+    *  - DO NOTHING returns the number of rows actually inserted;
+    *  - DO UPDATE returns ALL source rows (updated + inserted), and
+    *    `excluded.col` in SET references the incoming row;
+    *  - duplicate keys WITHIN the batch error in both actions.
+    * The conflict target is REQUIRED here (DuckDB can fall back to
+    * the table's PRIMARY KEY; this engine strips constraints, so an
+    * omitted target errors loudly instead of guessing).
+    * In SET expressions, bare target columns resolve through the
+    * table's own name as alias; the incoming row is `excluded`.
+    *
+    * Returns None when the statement is not an ON CONFLICT insert.
+    */
+  def insertOnConflict(session: SparkSession, sql: String): Option[Long] =
+    sql.trim match {
+      case insertConflictRe(table, colsOrNull, source, keysOrNull, action) =>
+        Some(lockFor(table).synchronized {
+          val schema = session.table(table).schema
+          val keys = Option(keysOrNull).map(splitTopLevel)
+            .getOrElse(throw new IllegalArgumentException(
+              "ON CONFLICT requires an explicit conflict target " +
+                "(this engine records no PRIMARY KEY constraints)"))
+            .map(_.toLowerCase)
+          require(keys.nonEmpty, "empty ON CONFLICT target")
+          val insCols = Option(colsOrNull)
+            .map(c => splitTopLevel(c.trim.stripPrefix("(").stripSuffix(")"))
+              .map(_.toLowerCase))
+            .getOrElse(schema.fieldNames.toSeq.map(_.toLowerCase))
+          // incoming rows, widened to the full schema (missing → NULL)
+          val srcRaw = session.sql(s"SELECT * FROM ($source)")
+          require(srcRaw.schema.length == insCols.length,
+            s"INSERT supplies ${srcRaw.schema.length} column(s) for " +
+              s"${insCols.length} target column(s)")
+          // snapshot BEFORE any overwrite of the same table (the COW rule)
+          srcRaw.toDF(insCols: _*).localCheckpoint()
+            .createOrReplaceTempView("__upsert_in")
+          val proj = schema.fields.map { f =>
+            if (insCols.contains(f.name.toLowerCase))
+              s"CAST(`${f.name.toLowerCase}` AS ${f.dataType.sql}) " +
+                s"AS `${f.name}`"
+            else s"CAST(NULL AS ${f.dataType.sql}) AS `${f.name}`"
+          }.mkString(", ")
+          session.sql(s"SELECT $proj FROM __upsert_in")
+            .createOrReplaceTempView("excluded")
+          // batch-internal duplicate keys error (probed contract)
+          val keyList = keys.map(k => s"`$k`").mkString(", ")
+          val dups = session.sql(
+            s"SELECT count(*) FROM (SELECT $keyList FROM excluded " +
+              s"GROUP BY $keyList HAVING count(*) > 1)").collect()(0).getLong(0)
+          if (dups > 0) throw new IllegalArgumentException(
+            "ON CONFLICT: duplicate key within the inserted batch " +
+              "(PRIMARY KEY or UNIQUE constraint violated)")
+          // NOT `<=>`: this session's parser speaks the DuckDB dialect,
+          // where <=> is list_cosine_similarity
+          val on = keys.map(k =>
+            s"$table.`$k` IS NOT DISTINCT FROM excluded.`$k`")
+            .mkString(" AND ")
+          val fresh = session.sql(
+            s"SELECT excluded.* FROM excluded LEFT ANTI JOIN $table ON $on")
+            .localCheckpoint()
+          val nFresh = fresh.count()
+          if (action.equalsIgnoreCase("nothing")) {
+            if (nFresh > 0) fresh.write.mode("append").insertInto(table)
+            nFresh
+          } else {
+            val setList = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
+            val sets: Map[String, String] = splitTopLevel(setList).map { a =>
+              val idx = a.indexOf('=')
+              require(idx > 0, s"bad SET assignment: $a")
+              (a.substring(0, idx).trim.toLowerCase,
+                a.substring(idx + 1).trim)
+            }.toMap
+            val unknown = sets.keySet
+              .diff(schema.fieldNames.map(_.toLowerCase).toSet)
+            if (unknown.nonEmpty) throw new IllegalArgumentException(
+              s"DO UPDATE references unknown column(s): " +
+                unknown.mkString(", "))
+            // target LEFT JOIN incoming on the keys: unmatched rows
+            // keep their values, matched rows take the SET exprs (the
+            // `excluded` alias resolves incoming-row references, the
+            // table's own name resolves target references)
+            val t = session.table(table).as(table)
+            val ex = session.table("excluded").as("excluded")
+            import org.apache.spark.sql.functions.{col, expr, when}
+            val joined = t.join(ex,
+              keys.map(k => col(s"$table.$k") <=> col(s"excluded.$k"))
+                .reduce(_ && _), "left")
+            val hitCol = keys.map(k => col(s"excluded.$k").isNotNull)
+              .reduce(_ && _)
+            val outCols = schema.fields.map { f =>
+              sets.get(f.name.toLowerCase) match {
+                case Some(e) =>
+                  when(hitCol, expr(e).cast(f.dataType))
+                    .otherwise(col(s"$table.${f.name}")).as(f.name)
+                case None => col(s"$table.${f.name}").as(f.name)
+              }
+            }
+            val rewritten = joined.select(outCols: _*).localCheckpoint()
+            val result = rewritten.unionByName(
+              fresh.toDF(schema.fieldNames: _*))
+              .localCheckpoint()
+            result.write.mode("overwrite").insertInto(table)
+            // DuckDB returns ALL source rows for DO UPDATE (probed)
+            session.table("excluded").count()
+          }
+        })
+      case _ => None
+    }
+
   def delete(session: SparkSession, sql: String): Long = sql.trim match {
     case deleteRe(table, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))

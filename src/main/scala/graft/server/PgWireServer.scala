@@ -493,7 +493,16 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         val insertTableRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+).*""".r
         val df = sql match {
           case insertTableRe(tbl) =>
-            Dml.lockFor(tbl).synchronized(Engine.query(session, sql))
+            // DuckDB upsert surface first (Spark's parser has no
+            // ON CONFLICT) — takes its own per-table lock
+            Dml.insertOnConflict(session, sql) match {
+              case Some(n) =>
+                w.cstr(s"INSERT 0 $n").send('C')
+                w.flushOut()
+                return
+              case None =>
+                Dml.lockFor(tbl).synchronized(Engine.query(session, sql))
+            }
           case _ => Engine.query(session, sql)
         }
         if (returnsRows(sql)) {

@@ -135,6 +135,43 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("INSERT ON CONFLICT upsert (DuckDB-probed session replay)") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    c.query("DROP TABLE IF EXISTS upsert9")
+    // PRIMARY KEY + bare VARCHAR ride the DDL constraint strip
+    val (_, _, t0, e0) =
+      c.query("CREATE TABLE upsert9 (k INT PRIMARY KEY, v VARCHAR)")
+    assert(e0.isEmpty && t0.head.startsWith("CREATE"), (t0, e0))
+    c.query("INSERT INTO upsert9 VALUES (1,'a'),(2,'b')")
+    // DO NOTHING: count = rows actually inserted
+    val (_, _, t1, e1) = c.query(
+      "INSERT INTO upsert9 VALUES (2,'B2'),(3,'c') ON CONFLICT (k) DO NOTHING")
+    assert(e1.isEmpty && t1.head == "INSERT 0 1", (t1, e1))
+    val (_, r1, _, _) = c.query("SELECT k, v FROM upsert9 ORDER BY k")
+    assert(r1 == Seq(Seq(Some("1"), Some("a")), Seq(Some("2"), Some("b")),
+      Seq(Some("3"), Some("c"))), r1)
+    // DO UPDATE: excluded.* references the incoming row; count = all
+    // source rows (updated + inserted)
+    val (_, _, t2, e2) = c.query("INSERT INTO upsert9 VALUES (3,'C3'),(4,'d') " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v || '!'")
+    assert(e2.isEmpty && t2.head == "INSERT 0 2", (t2, e2))
+    val (_, r2, _, _) = c.query("SELECT k, v FROM upsert9 ORDER BY k")
+    assert(r2 == Seq(Seq(Some("1"), Some("a")), Seq(Some("2"), Some("b")),
+      Seq(Some("3"), Some("C3!")), Seq(Some("4"), Some("d"))), r2)
+    // duplicate key within the batch errors (probed contract)
+    val (_, _, _, e3) = c.query("INSERT INTO upsert9 VALUES (9,'x'),(9,'y') " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    assert(e3.nonEmpty, "batch-internal duplicate key must error")
+    // missing conflict target errors loudly (no PK records here)
+    val (_, _, _, e4) = c.query(
+      "INSERT INTO upsert9 VALUES (5,'e') ON CONFLICT DO NOTHING")
+    assert(e4.nonEmpty, "omitted conflict target must error")
+    c.query("DROP TABLE upsert9")
+    c.close()
+  }
+
   test("type coverage incl. reference's silently-dropped types") {
     val (_, port) = server
     val c = new Client(port)
