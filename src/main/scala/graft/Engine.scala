@@ -149,11 +149,25 @@ object Engine {
         pivotStmt(spark, target, onCol, using, Option(groupByOpt))
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
         unpivotStmt(spark, target, onCols, nameCol, valueCol)
+      case _ if sql.trim.take(7).equalsIgnoreCase("UPDATE ") =>
+        // library-level DML: same copy-on-write path the wire uses;
+        // DuckDB returns a Count column for DML statements
+        dmlCount(spark, server.Dml.update(spark, sql))
+      case _ if sql.trim.take(7).equalsIgnoreCase("DELETE ") =>
+        dmlCount(spark, server.Dml.delete(spark, sql))
       case _ =>
-        val r = SqlRewrites.rewriteFull(Macros.expand(sql))
-        r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+        (if (sql.toLowerCase.contains("conflict"))
+          server.Dml.insertOnConflict(spark, sql) else None) match {
+          case Some(n) => dmlCount(spark, n)
+          case None =>
+            val r = SqlRewrites.rewriteFull(Macros.expand(sql))
+            r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+        }
     }
   }
+
+  private def dmlCount(spark: SparkSession, n: Long) =
+    spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
   private val CreateMacroRe =

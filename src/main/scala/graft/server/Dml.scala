@@ -32,8 +32,12 @@ object Dml {
 
   private val deleteRe =
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val deleteUsingRe =
+    """(?is)^DELETE\s+FROM\s+([\w.]+)\s+USING\s+([\w.]+(?:\s+\w+)?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val updateRe =
     """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  private val updateFromRe =
+    """(?is)^UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+FROM\s+([\w.]+(?:\s+\w+)?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
 
   private def matchPred(p: Option[String]): String =
     p.map(x => s"coalesce(CAST(($x) AS BOOLEAN), false)").getOrElse("true")
@@ -173,6 +177,21 @@ object Dml {
     }
 
   def delete(session: SparkSession, sql: String): Long = sql.trim match {
+    // pg/DuckDB `DELETE FROM t USING u WHERE pred` — the predicate
+    // correlates target and source rows; a target row dies when ANY
+    // source row matches (EXISTS semantics, like pg)
+    case deleteUsingRe(table, using, where) => lockFor(table).synchronized {
+      val pred = s"coalesce(CAST(EXISTS (SELECT 1 FROM $using " +
+        s"WHERE CAST(($where) AS BOOLEAN)) AS BOOLEAN), false)"
+      val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
+        .collect()(0).getLong(0)
+      if (n > 0) {
+        val keep = session.sql(s"SELECT * FROM $table WHERE NOT $pred")
+          .localCheckpoint()
+        keep.write.mode("overwrite").insertInto(table)
+      }
+      n
+    }
     case deleteRe(table, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
@@ -189,6 +208,66 @@ object Dml {
   }
 
   def update(session: SparkSession, sql: String): Long = sql.trim match {
+    // pg/DuckDB `UPDATE t SET … FROM u WHERE pred`: SET expressions
+    // may reference source columns. pg picks an ARBITRARY source row
+    // when several match one target row; this engine errors loudly
+    // instead (deterministic-or-loud, the house rule).
+    case updateFromRe(table, setList, using, where) =>
+      lockFor(table).synchronized {
+        val schema = session.table(table).schema
+        val sets: Map[String, String] = splitTopLevel(setList).map { a =>
+          val idx = a.indexOf('=')
+          require(idx > 0, s"bad SET assignment: $a")
+          (a.substring(0, idx).trim.toLowerCase, a.substring(idx + 1).trim)
+        }.toMap
+        val unknown = sets.keySet
+          .diff(schema.fieldNames.map(_.toLowerCase).toSet)
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"UPDATE references unknown column(s): ${unknown.mkString(", ")}")
+        // aliases: the predicate and SET exprs reference the TARGET by
+        // its table name and the SOURCE by its name-or-alias, so the
+        // rewrite re-uses exactly those names
+        val tAlias = table.split('.').last
+        val uParts = using.trim.split("\\s+")
+        val uName = uParts.head
+        val uAlias = if (uParts.length > 1) uParts(1)
+          else uName.split('.').last
+        // snapshot target with a row id; detect ambiguous matches
+        session.sql(s"SELECT *, monotonically_increasing_id() AS __rid " +
+          s"FROM $table").localCheckpoint()
+          .createOrReplaceTempView("__upd_t")
+        val dup = session.sql(
+          s"SELECT count(*) FROM (SELECT $tAlias.__rid " +
+            s"FROM __upd_t $tAlias JOIN $using " +
+            s"ON CAST(($where) AS BOOLEAN) " +
+            s"GROUP BY $tAlias.__rid HAVING count(*) > 1)")
+          .collect()(0).getLong(0)
+        if (dup > 0) throw new IllegalArgumentException(
+          "UPDATE ... FROM: multiple source rows match a target row " +
+            "(pg would pick one arbitrarily; this engine refuses)")
+        val hit = s"($uAlias.__m IS NOT NULL)"
+        val proj = schema.fields.map { f =>
+          sets.get(f.name.toLowerCase) match {
+            case Some(e) =>
+              s"CASE WHEN $hit THEN CAST(($e) AS ${f.dataType.sql}) " +
+                s"ELSE $tAlias.`${f.name}` END AS `${f.name}`"
+            case None => s"$tAlias.`${f.name}` AS `${f.name}`"
+          }
+        }.mkString(", ")
+        val n = session.sql(
+          s"SELECT count(*) FROM __upd_t $tAlias JOIN $using " +
+            s"ON CAST(($where) AS BOOLEAN)").collect()(0).getLong(0)
+        if (n > 0) {
+          val updated = session.sql(
+            s"SELECT $proj FROM __upd_t $tAlias LEFT JOIN " +
+              s"(SELECT *, true AS __m FROM $uName) $uAlias " +
+              s"ON CAST(($where) AS BOOLEAN)")
+            .drop("__rid")
+            .localCheckpoint()
+          updated.write.mode("overwrite").insertInto(table)
+        }
+        n
+      }
     case updateRe(table, setList, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val schema = session.table(table).schema

@@ -91,6 +91,40 @@ class CompatSpec extends SparkSpecBase {
     }
   }
 
+  test("library-level DML: UPDATE/DELETE/upsert through Engine.query") {
+    def q(s: String) = Engine.query(spark, s)
+    q("DROP TABLE IF EXISTS dml9")
+    q("DROP TABLE IF EXISTS dml9src")
+    q("CREATE TABLE dml9 (k INT, v VARCHAR)")
+    q("INSERT INTO dml9 VALUES (1,'a'),(2,'b'),(3,'c')")
+    // plain UPDATE returns a DuckDB-style Count
+    assert(q("UPDATE dml9 SET v = 'B' WHERE k = 2")
+      .collect().head.getLong(0) == 1L)
+    // upsert through the library entry
+    assert(q("INSERT INTO dml9 VALUES (3,'C!'),(4,'d') " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+      .collect().head.getLong(0) == 2L)
+    assert(q("SELECT v FROM dml9 ORDER BY k").collect().map(_.getString(0))
+      .toSeq == Seq("a", "B", "C!", "d"))
+    // UPDATE ... FROM: source columns in SET, loud on ambiguity
+    q("CREATE TABLE dml9src (k INT, nv VARCHAR)")
+    q("INSERT INTO dml9src VALUES (1,'A1'),(4,'D4')")
+    assert(q("UPDATE dml9 SET v = dml9src.nv FROM dml9src " +
+      "WHERE dml9.k = dml9src.k").collect().head.getLong(0) == 2L)
+    assert(q("SELECT v FROM dml9 ORDER BY k").collect().map(_.getString(0))
+      .toSeq == Seq("A1", "B", "C!", "D4"))
+    q("INSERT INTO dml9src VALUES (1,'A1-dup')")
+    intercept[Exception](q("UPDATE dml9 SET v = dml9src.nv FROM dml9src " +
+      "WHERE dml9.k = dml9src.k").collect())
+    // DELETE ... USING (EXISTS semantics)
+    assert(q("DELETE FROM dml9 USING dml9src " +
+      "WHERE dml9.k = dml9src.k").collect().head.getLong(0) == 2L)
+    assert(q("SELECT k FROM dml9 ORDER BY k").collect().map(_.getInt(0))
+      .toSeq == Seq(2, 3))
+    q("DROP TABLE dml9")
+    q("DROP TABLE dml9src")
+  }
+
   test("approx_count_distinct within 5% of exact (no_oracle row bound)") {
     val li = Tables.load(spark, sfDir, "lineitem")
     import org.apache.spark.sql.functions._
