@@ -149,6 +149,9 @@ object Engine {
         pivotStmt(spark, target, onCol, using, Option(groupByOpt))
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
         unpivotStmt(spark, target, onCols, nameCol, valueCol)
+      case DropTableNameRe(name) =>
+        graft.TableConstraints.clear(name) // stale PK records die here
+        spark.sql(sql)
       case _ if sql.trim.take(7).equalsIgnoreCase("UPDATE ") =>
         // library-level DML: same copy-on-write path the wire uses;
         // DuckDB returns a Count column for DML statements
@@ -156,10 +159,14 @@ object Engine {
       case _ if sql.trim.take(7).equalsIgnoreCase("DELETE ") =>
         dmlCount(spark, server.Dml.delete(spark, sql))
       case _ =>
-        (if (sql.toLowerCase.contains("conflict"))
+        (if (sql.toLowerCase.contains("conflict") ||
+            """(?is)^\s*INSERT\s+OR\s""".r.findFirstIn(sql).isDefined)
           server.Dml.insertOnConflict(spark, sql) else None) match {
           case Some(n) => dmlCount(spark, n)
           case None =>
+            if ("""(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b""".r
+                .findFirstIn(sql).isDefined)
+              SqlRewrites.recordPrimaryKey(sql)
             val r = SqlRewrites.rewriteFull(Macros.expand(sql))
             r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
         }
@@ -168,6 +175,9 @@ object Engine {
 
   private def dmlCount(spark: SparkSession, n: Long) =
     spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
+
+  private val DropTableNameRe =
+    """(?is)\A\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*;?\s*\z""".r
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
   private val CreateMacroRe =

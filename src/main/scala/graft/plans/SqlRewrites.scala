@@ -116,6 +116,52 @@ object SqlRewrites {
   // NOT "text": the fixture schema itself has a column named text
   private val ddlVarcharRe = """(?i)\bVARCHAR\b(?!\s*\()""".r
 
+  private val createTableNameRe =
+    ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+      """TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."]+)""").r
+  private val tablePkRe = """(?i)\bPRIMARY\s+KEY\s*\(([^()]*)\)""".r
+  private val colPkRe = """(?i)^\s*"?([\w]+)"?\s+.*\bPRIMARY\s+KEY\b""".r
+
+  /** Capture the PRIMARY KEY of a CREATE TABLE (table-level
+    * `PRIMARY KEY (a, b)` or a column-level `PRIMARY KEY` suffix)
+    * into [[TableConstraints]] before the strip discards the syntax.
+    * Called from Engine.query on the ORIGINAL statement text — once
+    * per user statement, not at the parser seam.
+    */
+  def recordPrimaryKey(sql: String): Unit =
+    createTableNameRe.findFirstMatchIn(sql).foreach { m =>
+      val table = m.group(1)
+      TableConstraints.clear(table) // re-create resets; re-record below
+      // the column-list body: first '(' after the name to its match
+      val open = sql.indexOf('(', m.end)
+      if (open >= 0) {
+        var depth = 0; var i = open; var close = -1; var inS = false
+        while (i < sql.length && close < 0) {
+          val c = sql.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else c match {
+            case '\'' => inS = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > open) {
+          val body = sql.substring(open + 1, close)
+          val cols = tablePkRe.findFirstMatchIn(body)
+            .map(t => splitTop(t.group(1)).map(_.trim))
+            .orElse {
+              val hits = splitTop(body).flatMap(seg =>
+                colPkRe.findFirstMatchIn(seg).map(_.group(1)))
+              if (hits.nonEmpty) Some(hits) else None
+            }
+          cols.filter(_.nonEmpty)
+            .foreach(cs => TableConstraints.recordPk(table, cs))
+        }
+      }
+    }
+
   /** DuckDB numeric-literal digit separators: `1_000_000`. Token must
     * START at a non-word boundary with a digit (identifiers like
     * `col1_2` stay); fractional runs after `.` rewrite too.
@@ -1053,6 +1099,10 @@ object SqlRewrites {
         .findFirstIn(s1ts).isDefined
     val s1dd = if (!isCreateTable) s1ts
       else {
+        // NOTE: PK recording happens in Engine.query (single
+        // invocation per user statement) — this pass runs AGAIN at
+        // the parser seam on the already-stripped text, where a
+        // clear-and-re-record would wipe the fresh record
         val a = replaceOutsideQuotes(tableConstraintRe, s1ts)(_ => "")
         val b = replaceOutsideQuotes(colConstraintRe, a)(_ => "")
         replaceOutsideQuotes(ddlVarcharRe, b)(_ => "STRING")

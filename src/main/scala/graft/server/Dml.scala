@@ -80,16 +80,41 @@ object Dml {
     *
     * Returns None when the statement is not an ON CONFLICT insert.
     */
+  private val insertOrRe =
+    """(?is)^INSERT\s+OR\s+(REPLACE|IGNORE)\s+INTO\s+([\w.]+)\s*(\([^)]*\))?\s+(.+?)\s*;?\s*$""".r
+
   def insertOnConflict(session: SparkSession, sql: String): Option[Long] =
     sql.trim match {
+      // DuckDB shorthands over the recorded PRIMARY KEY: OR REPLACE =
+      // DO UPDATE of every non-key column from the incoming row
+      // (probed: full-row replace, count = all source rows);
+      // OR IGNORE = DO NOTHING (count = rows actually inserted)
+      case insertOrRe(kind, table, colsOrNull, source) =>
+        val keys = graft.TableConstraints.pkOf(table)
+          .getOrElse(throw new IllegalArgumentException(
+            s"INSERT OR ${kind.toUpperCase} INTO $table: no PRIMARY KEY " +
+              "recorded for the table"))
+        val action =
+          if (kind.equalsIgnoreCase("ignore")) "NOTHING"
+          else {
+            val nonKey = session.table(table).schema.fieldNames
+              .filterNot(f => keys.contains(f.toLowerCase))
+            require(nonKey.nonEmpty,
+              s"INSERT OR REPLACE INTO $table: every column is a key")
+            "UPDATE SET " + nonKey
+              .map(c => s"$c = excluded.`$c`").mkString(", ")
+          }
+        insertOnConflict(session,
+          s"INSERT INTO $table ${Option(colsOrNull).getOrElse("")} " +
+            s"$source ON CONFLICT (${keys.mkString(", ")}) DO $action")
       case insertConflictRe(table, colsOrNull, source, keysOrNull, action) =>
         Some(lockFor(table).synchronized {
           val schema = session.table(table).schema
-          val keys = Option(keysOrNull).map(splitTopLevel)
+          val keys = Option(keysOrNull).map(splitTopLevel(_).map(_.toLowerCase))
+            .orElse(graft.TableConstraints.pkOf(table))
             .getOrElse(throw new IllegalArgumentException(
-              "ON CONFLICT requires an explicit conflict target " +
-                "(this engine records no PRIMARY KEY constraints)"))
-            .map(_.toLowerCase)
+              s"ON CONFLICT on $table: no conflict target given and no " +
+                "PRIMARY KEY recorded for the table"))
           require(keys.nonEmpty, "empty ON CONFLICT target")
           val insCols = Option(colsOrNull)
             .map(c => splitTopLevel(c.trim.stripPrefix("(").stripSuffix(")"))

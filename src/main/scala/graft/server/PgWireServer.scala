@@ -490,7 +490,8 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         // INSERT INTO shares Dml's per-table writer serialization: a
         // concurrent copy-on-write UPDATE/DELETE snapshotting the same
         // table mid-append would silently drop the appended rows
-        val insertTableRe = """(?is)^\s*INSERT\s+INTO\s+([\w.]+).*""".r
+        val insertTableRe =
+          """(?is)^\s*INSERT\s+(?:OR\s+(?:REPLACE|IGNORE)\s+)?INTO\s+([\w.]+).*""".r
         val df = sql match {
           case insertTableRe(tbl) =>
             // DuckDB upsert surface first (Spark's parser has no

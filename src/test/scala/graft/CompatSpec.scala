@@ -125,6 +125,37 @@ class CompatSpec extends SparkSpecBase {
     q("DROP TABLE dml9src")
   }
 
+  test("recorded PRIMARY KEY: OR REPLACE / OR IGNORE / bare ON CONFLICT") {
+    // exact replay of the DuckDB probe session (counts + row states)
+    def q(s: String) = Engine.query(spark, s)
+    q("DROP TABLE IF EXISTS dmlpk")
+    q("CREATE TABLE dmlpk (k INT PRIMARY KEY, v VARCHAR, w INT)")
+    q("INSERT INTO dmlpk VALUES (1,'a',10),(2,'b',20)")
+    assert(q("INSERT OR REPLACE INTO dmlpk VALUES (2,'B2',99),(3,'c',30)")
+      .collect().head.getLong(0) == 2L)
+    assert(q("SELECT * FROM dmlpk ORDER BY k").collect().map(_.toSeq).toSeq
+      == Seq(Seq(1, "a", 10), Seq(2, "B2", 99), Seq(3, "c", 30)))
+    assert(q("INSERT OR IGNORE INTO dmlpk VALUES (3,'X',0),(4,'d',40)")
+      .collect().head.getLong(0) == 1L)
+    // bare ON CONFLICT resolves through the recorded PK; only SET
+    // columns change (probed: w stays)
+    assert(q("INSERT INTO dmlpk VALUES (4,'D!',44) " +
+      "ON CONFLICT DO UPDATE SET v = excluded.v")
+      .collect().head.getLong(0) == 1L)
+    assert(q("SELECT * FROM dmlpk WHERE k = 4").collect().head.toSeq
+      == Seq(4, "D!", 40))
+    // column-list insert: missing column arrives NULL (probed)
+    q("INSERT INTO dmlpk (v, k) VALUES ('q', 9) ON CONFLICT DO NOTHING")
+    assert(q("SELECT * FROM dmlpk WHERE k = 9").collect().head.toSeq
+      == Seq(9, "q", null))
+    // DROP clears the record: a PK-less re-create must refuse bare forms
+    q("DROP TABLE dmlpk")
+    q("CREATE TABLE dmlpk (k INT, v VARCHAR)")
+    intercept[Exception](
+      q("INSERT OR IGNORE INTO dmlpk VALUES (1,'z')").collect())
+    q("DROP TABLE dmlpk")
+  }
+
   test("approx_count_distinct within 5% of exact (no_oracle row bound)") {
     val li = Tables.load(spark, sfDir, "lineitem")
     import org.apache.spark.sql.functions._

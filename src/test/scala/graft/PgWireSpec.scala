@@ -164,10 +164,18 @@ class PgWireSpec extends SparkSpecBase {
     val (_, _, _, e3) = c.query("INSERT INTO upsert9 VALUES (9,'x'),(9,'y') " +
       "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
     assert(e3.nonEmpty, "batch-internal duplicate key must error")
-    // missing conflict target errors loudly (no PK records here)
-    val (_, _, _, e4) = c.query(
+    // omitted conflict target resolves through the RECORDED PRIMARY
+    // KEY (the CREATE above declared one — stripped but recorded)
+    val (_, _, t4, e4) = c.query(
       "INSERT INTO upsert9 VALUES (5,'e') ON CONFLICT DO NOTHING")
-    assert(e4.nonEmpty, "omitted conflict target must error")
+    assert(e4.isEmpty && t4.head == "INSERT 0 1", (t4, e4))
+    // …and errors loudly when the table never declared one
+    c.query("DROP TABLE IF EXISTS upsert9n")
+    c.query("CREATE TABLE upsert9n (k INT, v VARCHAR)")
+    val (_, _, _, e5) = c.query(
+      "INSERT INTO upsert9n VALUES (5,'e') ON CONFLICT DO NOTHING")
+    assert(e5.nonEmpty, "no recorded PK: omitted target must error")
+    c.query("DROP TABLE upsert9n")
     c.query("DROP TABLE upsert9")
     c.close()
   }
