@@ -152,11 +152,11 @@ object Engine {
       case DropTableNameRe(name) =>
         graft.TableConstraints.clear(name) // stale PK records die here
         spark.sql(sql)
-      case _ if sql.trim.take(7).equalsIgnoreCase("UPDATE ") =>
+      case _ if """(?is)\A\s*UPDATE\s""".r.findFirstIn(sql).isDefined =>
         // library-level DML: same copy-on-write path the wire uses;
         // DuckDB returns a Count column for DML statements
         dmlCount(spark, server.Dml.update(spark, sql))
-      case _ if sql.trim.take(7).equalsIgnoreCase("DELETE ") =>
+      case _ if """(?is)\A\s*DELETE\s""".r.findFirstIn(sql).isDefined =>
         dmlCount(spark, server.Dml.delete(spark, sql))
       case _ =>
         (if (sql.toLowerCase.contains("conflict") ||

@@ -482,7 +482,10 @@ object CorpusOps {
       idCol: String = "doc_id", tokensCol: String = "n_chars",
       nShards: Int = 8, seed: Int = 41,
       format: String = "parquet"): DataFrame = {
+    // snapshot ONCE: the data write and the manifest aggregate share
+    // this pass (without it the full corpus is read and shuffled twice)
     val sharded = deterministicShuffle(df, idCol, seed, nShards)
+      .localCheckpoint(eager = false)
     sharded
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("shuffle_key"))
@@ -519,14 +522,12 @@ object CorpusOps {
       textCol: String = "text", period: Int = 7, maskStart: Int = 3,
       spanLen: Int = 2): DataFrame = {
     require(maskStart + spanLen <= period)
-    val s = pmod(col("doc_id"), lit(period))
+    val seed = pmod(col("doc_id"), lit(period))
     val tok = df.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .withColumn("cls", pmod(col("pos") + pmod(col("doc_id"), lit(period)),
-        lit(period)))
+      .withColumn("cls", pmod(col("pos") + seed, lit(period)))
       .withColumn("k",
-        ((col("pos") + pmod(col("doc_id"), lit(period)) - maskStart) /
-          period).cast("int"))
+        ((col("pos") + seed - maskStart) / period).cast("int"))
     val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
     // a continuation position only masks when its span START is
     // inside the document — the head of a doc can land mid-pattern

@@ -528,8 +528,8 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .groupBy(col("bid"))
       .agg(
-        max_by(col("cid"), format_string("%012.9f-%010d", col("cos"),
-          lit(9999999999L) - col("cid"))).as("match_id"),
+        max_by(col("cid"), format_string("%012.9f-%019d", col("cos"),
+          lit(999999999999999999L) - col("cid"))).as("match_id"),
         max(col("cos")).as("cos"))
     batch.select(col("vec_id"))
       .join(best.withColumnRenamed("bid", "vec_id"), Seq("vec_id"), "left")
@@ -825,8 +825,8 @@ object Dedup {
       .filter(col("j") >= threshold)
       .groupBy(col("bid"))
       .agg(
-        max_by(col("cid"), format_string("%012.9f-%010d", col("j"),
-          lit(9999999999L) - col("cid"))).as("nm"),
+        max_by(col("cid"), format_string("%012.9f-%019d", col("j"),
+          lit(999999999999999999L) - col("cid"))).as("nm"),
         max(col("j")).as("nj"))
       .withColumnRenamed("bid", "doc_id")
 

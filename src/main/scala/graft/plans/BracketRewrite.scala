@@ -430,7 +430,21 @@ object BracketRewrite {
           val opTextStart = if (negated) toks(ti - 1).start else sSt
           val ls = leftOperandStart(leftEndIdx)
           val opEnd = toks(ti + 1).end
-          val re = rightOperandEnd(ti + 2)
+          var re = rightOperandEnd(ti + 2)
+          // SIMILAR TO binds looser than || — keep consuming
+          // `|| operand` so a concatenated pattern stays whole
+          var extended = true
+          while (extended && re > opEnd) {
+            extended = false
+            var j = ti + 2
+            while (j < toks.length && toks(j).start < re) j += 1
+            if (j + 1 < toks.length) (toks(j), toks(j + 1)) match {
+              case (Punct(_, e1, "|"), Punct(s2, e2, "|")) if s2 == e1 =>
+                val re2 = rightOperandEnd(j + 2)
+                if (re2 > e2) { re = re2; extended = true }
+              case _ =>
+            }
+          }
           if (ls >= 0 && re > opEnd && leftEndIdx >= 0) {
             val left = sql.substring(ls, opTextStart).trim
             val right = sql.substring(opEnd, re).trim

@@ -128,7 +128,9 @@ object OrderedAgg {
               val argsText = sql.substring(toks(open).end, toks(ob).start).trim
               val keysText = sql.substring(toks(ob + 1).end,
                 toks(close).start).trim
-              if (!argsText.toLowerCase.startsWith("distinct")) {
+              // word-boundary: a column named distinct_vals is not a
+              // DISTINCT aggregate
+              if ("(?is)^distinct\\b".r.findFirstIn(argsText).isEmpty) {
                 spans += Span(fnSt, toks(close).end,
                   lowerCall(fn, argsText, keysText))
                 i = close

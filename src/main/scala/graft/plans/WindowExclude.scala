@@ -147,9 +147,12 @@ object WindowExclude {
                 val wrapped =
                   if (args == "*") s"(CASE WHEN ($cond) THEN 1 END)"
                   else {
+                    // keyword check needs the word boundary — a column
+                    // named distinct_flag is NOT a DISTINCT aggregate
+                    val distinctKw = "(?is)^distinct\\b".r
                     val (prefix, rest) =
-                      if (args.toLowerCase.startsWith("distinct"))
-                        ("DISTINCT ", args.drop("distinct".length).trim)
+                      if (distinctKw.findFirstIn(args).isDefined)
+                        ("DISTINCT ", distinctKw.replaceFirstIn(args, "").trim)
                       else ("", args)
                     prefix + SqlRewrites.splitTop(rest)
                       .map(a => s"(CASE WHEN ($cond) THEN (${a.trim}) END)")
@@ -275,7 +278,7 @@ object WindowExclude {
       throw new IllegalArgumentException(
         s"window EXCLUDE is supported for sum/count/avg, not $fn " +
           "(not subtraction-decomposable)")
-    if (arg.trim.toLowerCase.startsWith("distinct"))
+    if ("(?is)^distinct\\b".r.findFirstIn(arg.trim).isDefined)
       throw new IllegalArgumentException(
         "window EXCLUDE: DISTINCT aggregates are not subtraction-decomposable")
 

@@ -261,7 +261,7 @@ object QueriesCuration {
         |  FROM bg JOIN cg ON bg.lang = cg.lang
         |    AND abs(bg.n_chars - cg.n_chars) <= 20),
         |nr AS (SELECT bid AS doc_id,
-        |    arg_max(cid, printf('%012.9f-%010d', j, 9999999999 - cid)) AS nm,
+        |    arg_max(cid, printf('%012.9f-%019d', j, 999999999999999999 - cid)) AS nm,
         |    max(j) AS nj
         |  FROM cand WHERE j >= 0.5 GROUP BY bid)
         |SELECT b.doc_id,

@@ -76,15 +76,24 @@ object BindParams {
     var i = 0; var inS = false; var inD = false; var n = 0
     while (i < sql.length) {
       val c = sql(i)
-      if (inS) { out += c; if (c == '\'') inS = false }
-      else if (inD) { out += c; if (c == '"') inD = false }
-      else c match {
-        case '\'' => inS = true; out += c
-        case '"' => inD = true; out += c
-        case '?' => n += 1; out ++= s"$$$n"
-        case _ => out += c
+      if (inS) { out += c; if (c == '\'') inS = false; i += 1 }
+      else if (inD) { out += c; if (c == '"') inD = false; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        // line comment: a '?' in it is not a parameter
+        while (i < sql.length && sql(i) != '\n') { out += sql(i); i += 1 }
+      } else if (c == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) sql.length else close + 2
+        out ++= sql.substring(i, end); i = end
+      } else {
+        c match {
+          case '\'' => inS = true; out += c
+          case '"' => inD = true; out += c
+          case '?' => n += 1; out ++= s"$$$n"
+          case _ => out += c
+        }
+        i += 1
       }
-      i += 1
     }
     out.toString
   }

@@ -170,17 +170,23 @@ object Dml {
               s"DO UPDATE references unknown column(s): " +
                 unknown.mkString(", "))
             // target LEFT JOIN incoming on the keys: unmatched rows
-            // keep their values, matched rows take the SET exprs (the
-            // `excluded` alias resolves incoming-row references, the
-            // table's own name resolves target references)
+            // keep their values, matched rows take the SET exprs. The
+            // incoming side is packed into ONE struct column named
+            // `excluded`, so `excluded.col` resolves as field access,
+            // BARE column names resolve uniquely to the target (no
+            // ambiguity), and the match marker is a real column —
+            // null-safe for NULL key values (a NULL-keyed incoming row
+            // must still update its NULL-keyed target, not vanish).
+            import org.apache.spark.sql.functions.{col, expr, lit, struct, when}
             val t = session.table(table).as(table)
-            val ex = session.table("excluded").as("excluded")
-            import org.apache.spark.sql.functions.{col, expr, when}
+            val exCols = session.table("excluded").schema.fieldNames
+            val ex = session.table("excluded")
+              .select(struct(exCols.map(col): _*).as("excluded"),
+                lit(true).as("__m"))
             val joined = t.join(ex,
               keys.map(k => col(s"$table.$k") <=> col(s"excluded.$k"))
                 .reduce(_ && _), "left")
-            val hitCol = keys.map(k => col(s"excluded.$k").isNotNull)
-              .reduce(_ && _)
+            val hitCol = col("__m").isNotNull
             val outCols = schema.fields.map { f =>
               sets.get(f.name.toLowerCase) match {
                 case Some(e) =>
@@ -189,11 +195,15 @@ object Dml {
                 case None => col(s"$table.${f.name}").as(f.name)
               }
             }
+            // both snapshots exist BEFORE any write; two writes
+            // (overwrite updated target, append fresh) sidestep a
+            // Union over plans sharing the excluded view's attribute
+            // ids, which trips Catalyst's union constraint rewrite
             val rewritten = joined.select(outCols: _*).localCheckpoint()
-            val result = rewritten.unionByName(
-              fresh.toDF(schema.fieldNames: _*))
-              .localCheckpoint()
-            result.write.mode("overwrite").insertInto(table)
+            rewritten.write.mode("overwrite").insertInto(table)
+            if (nFresh > 0)
+              fresh.toDF(schema.fieldNames: _*).write
+                .mode("append").insertInto(table)
             // DuckDB returns ALL source rows for DO UPDATE (probed)
             session.table("excluded").count()
           }
@@ -204,14 +214,26 @@ object Dml {
   def delete(session: SparkSession, sql: String): Long = sql.trim match {
     // pg/DuckDB `DELETE FROM t USING u WHERE pred` — the predicate
     // correlates target and source rows; a target row dies when ANY
-    // source row matches (EXISTS semantics, like pg)
+    // source row matches (EXISTS semantics, like pg). Evaluated as a
+    // FLAT join — NOT a correlated-EXISTS rewrite, whose inner scope
+    // would silently bind a bare ambiguous column to the USING table
+    // (pg errors on ambiguity; the flat join reproduces that).
     case deleteUsingRe(table, using, where) => lockFor(table).synchronized {
-      val pred = s"coalesce(CAST(EXISTS (SELECT 1 FROM $using " +
-        s"WHERE CAST(($where) AS BOOLEAN)) AS BOOLEAN), false)"
-      val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
-        .collect()(0).getLong(0)
+      val tAlias = table.split('.').last
+      session.sql(s"SELECT *, monotonically_increasing_id() AS __rid " +
+        s"FROM $table").localCheckpoint()
+        .createOrReplaceTempView("__del_t")
+      val doomed = session.sql(
+        s"SELECT DISTINCT $tAlias.__rid AS __rid FROM __del_t $tAlias " +
+          s"JOIN $using ON coalesce(CAST(($where) AS BOOLEAN), false)")
+        .localCheckpoint()
+      doomed.createOrReplaceTempView("__del_hit")
+      val n = doomed.count()
       if (n > 0) {
-        val keep = session.sql(s"SELECT * FROM $table WHERE NOT $pred")
+        val keep = session.sql(
+          s"SELECT * FROM __del_t WHERE __rid NOT IN " +
+            s"(SELECT __rid FROM __del_hit)")
+          .drop("__rid")
           .localCheckpoint()
         keep.write.mode("overwrite").insertInto(table)
       }

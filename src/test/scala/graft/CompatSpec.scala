@@ -148,12 +148,48 @@ class CompatSpec extends SparkSpecBase {
     q("INSERT INTO dmlpk (v, k) VALUES ('q', 9) ON CONFLICT DO NOTHING")
     assert(q("SELECT * FROM dmlpk WHERE k = 9").collect().head.toSeq
       == Seq(9, "q", null))
+    // review-pass pins: bare target column in SET (struct-packed
+    // excluded side keeps it unambiguous), NULL-key upsert neither
+    // drops nor duplicates the row
+    assert(q("INSERT INTO dmlpk VALUES (1,'ig',0) " +
+      "ON CONFLICT (k) DO UPDATE SET v = v || '+'")
+      .collect().head.getLong(0) == 1L)
+    assert(q("SELECT v FROM dmlpk WHERE k = 1").collect().head
+      .getString(0) == "a+")
+    q("INSERT INTO dmlpk VALUES (NULL, 'old', 1)")
+    q("INSERT INTO dmlpk VALUES (NULL, 'new', 2) " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    assert(q("SELECT v FROM dmlpk WHERE k IS NULL").collect()
+      .map(_.getString(0)).toSeq == Seq("new"),
+      "NULL-keyed incoming row must update its NULL-keyed target")
     // DROP clears the record: a PK-less re-create must refuse bare forms
     q("DROP TABLE dmlpk")
     q("CREATE TABLE dmlpk (k INT, v VARCHAR)")
     intercept[Exception](
       q("INSERT OR IGNORE INTO dmlpk VALUES (1,'z')").collect())
     q("DROP TABLE dmlpk")
+  }
+
+  test("DELETE USING: flat-join scoping errors on ambiguous columns") {
+    def q(s: String) = Engine.query(spark, s)
+    q("DROP TABLE IF EXISTS delu")
+    q("DROP TABLE IF EXISTS delusrc")
+    q("CREATE TABLE delu (k INT, v VARCHAR)")
+    q("CREATE TABLE delusrc (k INT)")
+    q("INSERT INTO delu VALUES (1,'a'),(2,'b'),(3,'c')")
+    q("INSERT INTO delusrc VALUES (2)")
+    // a bare column that exists on BOTH sides must error (pg does),
+    // NOT silently bind to the USING side and delete everything
+    intercept[Exception](
+      q("DELETE FROM delu USING delusrc WHERE k = delusrc.k").collect())
+    assert(q("SELECT count(*) AS n FROM delu").collect().head
+      .getLong(0) == 3L, "ambiguous predicate must not delete rows")
+    assert(q("DELETE FROM delu USING delusrc WHERE delu.k = delusrc.k")
+      .collect().head.getLong(0) == 1L)
+    assert(q("SELECT k FROM delu ORDER BY k").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    q("DROP TABLE delu")
+    q("DROP TABLE delusrc")
   }
 
   test("approx_count_distinct within 5% of exact (no_oracle row bound)") {

@@ -517,6 +517,10 @@ class PgWireSpec extends SparkSpecBase {
     c.query("PREPARE q AS SELECT ? + ? AS s, '?' AS lit")
     val (_, r6, _, e6) = c.query("EXECUTE q(40, 2)")
     assert(e6.isEmpty && r6 == Seq(Seq(Some("42"), Some("?"))), (r6, e6))
+    // ...and a '?' inside a COMMENT is not a parameter either
+    c.query("PREPARE qc AS SELECT ? + 1 AS s -- right?")
+    val (_, r7, _, e7) = c.query("EXECUTE qc(41)")
+    assert(e7.isEmpty && r7 == Seq(Seq(Some("42"))), (r7, e7))
     c.close()
   }
 

@@ -382,6 +382,13 @@ class Vocab9Spec extends SparkSpecBase {
       "'abc' NOT SIMILAR TO 'b.*' AS d")
     assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2) &&
       r.getBoolean(3))
+    // SIMILAR TO binds looser than || — a concatenated pattern stays
+    // whole (DuckDB: 'abc' SIMILAR TO 'a' || '.*' is true)
+    assert(one("SELECT 'abc' SIMILAR TO 'a' || '.*' AS s").getBoolean(0))
+    // a column named distinct_vals passes the in-aggregate ORDER BY
+    assert(one("SELECT list(distinct_vals ORDER BY distinct_vals DESC) " +
+      "AS l FROM (VALUES (1),(2)) t(distinct_vals)")
+      .getSeq[Int](0) == Seq(2, 1))
   }
 
   test("EXTRACT long tail, OFFSET/FETCH, TABLESAMPLE methods, DDL constraints") {

@@ -101,6 +101,11 @@ class WindowExcludeSpec extends SparkSpecBase {
     assert(rows(
       "SELECT sum(x) FILTER (WHERE x > 1) AS s " +
         "FROM (VALUES (1),(2),(3)) t(x)") == Seq(Seq(5L)))
+    // a column merely NAMED distinct_flag is not a DISTINCT aggregate
+    assert(rows(
+      "SELECT count(distinct_flag) FILTER (WHERE x > 0) OVER " +
+        "(ORDER BY x) AS c FROM (VALUES (1, 7),(2, 8)) t(x, distinct_flag) " +
+        "ORDER BY x") == Seq(Seq(1L), Seq(2L)))
   }
 
   test("guard rails error loudly") {
