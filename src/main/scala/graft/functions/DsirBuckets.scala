@@ -51,9 +51,14 @@ object DsirBuckets {
   /** Single-pass unigram+bigram bucket hashing; public for codegen. */
   def compute(text: UTF8String, buckets: Int): ArrayData = {
     val s = text.toString
-    // token boundaries over lowercased alnum runs (codepoint-exact
-    // with the `lower` + split-[^a-z0-9]+ oracle formulation for the
-    // ASCII range; tokens collect lowercased codepoints)
+    // token boundaries over lowercased alnum runs. Per-codepoint
+    // Character.toLowerCase is deliberate: DuckDB's lower() applies
+    // the SIMPLE per-codepoint mapping (probed 2026-08: lower('İ') =
+    // 'i', length 1), which Character.toLowerCase matches exactly —
+    // String.toLowerCase applies Java's FULL mapping ('İ' → 'i' +
+    // U+0307, a token-boundary change) and would diverge from the
+    // oracle on special-cased codepoints. Do not "fix" this to the
+    // string-level form.
     val tokHash = new java.util.ArrayList[java.lang.Long]()
     var h = 0L
     var inTok = false

@@ -38,8 +38,14 @@ object TableConstraints {
 
   def pkOf(table: String): Option[Seq[String]] =
     Option(pks.get(key(table))).orElse {
-      val matches = pks.keySet.toArray(Array.empty[String])
-        .filter(k => k.split('.').last == suffix(table))
-      if (matches.length == 1) Option(pks.get(matches.head)) else None
+      // the suffix fallback is only for UNQUALIFIED lookups (mirrors
+      // clear()): a qualified name like `r.t` must match exactly, else
+      // it would borrow a same-named table's PK from another schema
+      if (key(table).contains('.')) None
+      else {
+        val matches = pks.keySet.toArray(Array.empty[String])
+          .filter(k => k.split('.').last == suffix(table))
+        if (matches.length == 1) Option(pks.get(matches.head)) else None
+      }
     }
 }

@@ -428,7 +428,23 @@ object BracketRewrite {
           }
           val leftEndIdx = if (negated) ti - 2 else ti - 1
           val opTextStart = if (negated) toks(ti - 1).start else sSt
-          val ls = leftOperandStart(leftEndIdx)
+          var ls = leftOperandStart(leftEndIdx)
+          // || binds tighter than SIMILAR TO on the LEFT too — keep
+          // consuming `operand ||` chains so `a || b SIMILAR TO p`
+          // matches the concatenated value, not b alone (which would
+          // silently concat the boolean into a string)
+          var extendedL = true
+          while (extendedL && ls >= 0) {
+            extendedL = false
+            var k = leftEndIdx
+            while (k >= 0 && toks(k).start >= ls) k -= 1
+            if (k >= 1) (toks(k - 1), toks(k)) match {
+              case (Punct(_, e1, "|"), Punct(s2, _, "|")) if s2 == e1 =>
+                val ls2 = leftOperandStart(k - 2)
+                if (ls2 >= 0 && ls2 < ls) { ls = ls2; extendedL = true }
+              case _ =>
+            }
+          }
           val opEnd = toks(ti + 1).end
           var re = rightOperandEnd(ti + 2)
           // SIMILAR TO binds looser than || — keep consuming

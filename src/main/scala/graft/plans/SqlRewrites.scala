@@ -148,7 +148,37 @@ object SqlRewrites {
           i += 1
         }
         if (close > open) {
-          val body = sql.substring(open + 1, close)
+          // blank out quoted literals and comments before the PK
+          // regexes: `v VARCHAR DEFAULT 'primary key'` must not record
+          // a bogus key (same in-string walk as the close-paren scan)
+          val raw = sql.substring(open + 1, close)
+          val bodyArr = raw.toCharArray
+          var bi = 0
+          while (bi < bodyArr.length) {
+            val c = bodyArr(bi)
+            if (c == '\'') {
+              bi += 1
+              var done = false
+              while (!done && bi < bodyArr.length) {
+                if (bodyArr(bi) == '\'') {
+                  if (bi + 1 < bodyArr.length && bodyArr(bi + 1) == '\'') {
+                    bodyArr(bi) = ' '; bodyArr(bi + 1) = ' '; bi += 2
+                  } else { done = true; bi += 1 }
+                } else { bodyArr(bi) = ' '; bi += 1 }
+              }
+            } else if (c == '-' && bi + 1 < bodyArr.length &&
+                bodyArr(bi + 1) == '-') {
+              while (bi < bodyArr.length && bodyArr(bi) != '\n') {
+                bodyArr(bi) = ' '; bi += 1
+              }
+            } else if (c == '/' && bi + 1 < bodyArr.length &&
+                bodyArr(bi + 1) == '*') {
+              val e = raw.indexOf("*/", bi + 2)
+              val until = if (e < 0) bodyArr.length else e + 2
+              while (bi < until) { bodyArr(bi) = ' '; bi += 1 }
+            } else bi += 1
+          }
+          val body = new String(bodyArr)
           val cols = tablePkRe.findFirstMatchIn(body)
             .map(t => splitTop(t.group(1)).map(_.trim))
             .orElse {

@@ -361,7 +361,7 @@ object QueriesCuration {
         |  FROM d),
         |dd AS (SELECT domain, doc_id, count(*) AS n
         |       FROM u GROUP BY domain, doc_id)
-        |SELECT domain, sum(n) AS n_urls, count(*) AS n_docs
+        |SELECT domain, CAST(sum(n) AS BIGINT) AS n_urls, count(*) AS n_docs
         |FROM dd GROUP BY domain ORDER BY domain""").stripMargin
         .replace("__URLRE__", TextAnalysis.UrlRe)
         .replace("__DOMRE__", TextAnalysis.DomainRe))

@@ -121,24 +121,24 @@ object QueriesVocab9 {
     */
   private val excludeSql: String =
     """SELECT doc_id,
-      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-      |    EXCLUDE CURRENT ROW) AS s1,
+      |    EXCLUDE CURRENT ROW) AS BIGINT) AS s1,
       |  count(*) OVER (PARTITION BY lang ORDER BY n_chars
       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
       |    EXCLUDE GROUP) AS c1,
-      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      |    EXCLUDE TIES) AS s2,
+      |    EXCLUDE TIES) AS BIGINT) AS s2,
       |  round(avg(n_chars) OVER (PARTITION BY lang ORDER BY n_chars
       |    RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
       |    EXCLUDE CURRENT ROW), 6) AS a1,
-      |  sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+      |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
       |    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING
-      |    EXCLUDE NO OTHERS) AS s3,
-      |  sum(n_chars) FILTER (WHERE n_chars % 2 = 0)
+      |    EXCLUDE NO OTHERS) AS BIGINT) AS s3,
+      |  CAST(sum(n_chars) FILTER (WHERE n_chars % 2 = 0)
       |    OVER (PARTITION BY lang ORDER BY doc_id
-      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS f1,
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
       |  count(*) FILTER (WHERE n_chars > 200)
       |    OVER (PARTITION BY lang ORDER BY doc_id) AS f2
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -273,7 +273,7 @@ object QueriesVocab9 {
   private val agg2Sql: String =
     """SELECT l_returnflag,
       |  count_star() AS a_cstar,
-      |  count_if(l_quantity > 25) AS a_cif,
+      |  CAST(count_if(l_quantity > 25) AS BIGINT) AS a_cif,
       |  arg_max(l_orderkey * 10 + l_linenumber,
       |    l_orderkey * 100 + l_linenumber) AS a_amax,
       |  arg_min_null(l_orderkey * 10 + l_linenumber,

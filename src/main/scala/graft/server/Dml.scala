@@ -42,6 +42,34 @@ object Dml {
   private def matchPred(p: Option[String]): String =
     p.map(x => s"coalesce(CAST(($x) AS BOOLEAN), false)").getOrElse("true")
 
+  /** keyword at paren-depth 0 outside quotes — distinguishes a real
+    * `UPDATE … FROM` / `DELETE … USING` clause from the same word
+    * inside a subquery or string literal, so unsupported DML shapes
+    * fail with a clear message instead of a downstream parse error.
+    */
+  private def hasTopLevel(s: String, kw: String): Boolean = {
+    val low = s.toLowerCase
+    val k = kw.toLowerCase
+    def wordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inS = false; var i = 0
+    while (i < low.length) {
+      val c = low.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && low.startsWith(k, i) &&
+              (i == 0 || !wordChar(low.charAt(i - 1))) &&
+              (i + k.length >= low.length || !wordChar(low.charAt(i + k.length))))
+            return true
+      }
+      i += 1
+    }
+    false
+  }
+
   /** top-level comma split (respects quotes and parens). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]; val cur = new StringBuilder
@@ -250,8 +278,16 @@ object Dml {
       }
       n
     }
+    // a top-level USING that the specific arm didn't match (several
+    // source tables, or no WHERE) — name the unsupported shape rather
+    // than failing with a generic syntax message
+    case s if hasTopLevel(s, "using") => throw new IllegalArgumentException(
+      "DELETE ... USING supports a single source table (optionally " +
+        "aliased) and requires a WHERE clause; rewrite multi-table " +
+        "USING as a subquery in the predicate")
     case _ => throw new IllegalArgumentException(
-      "DELETE syntax: DELETE FROM table [WHERE predicate]")
+      "DELETE syntax: DELETE FROM table [USING source WHERE predicate | " +
+        "WHERE predicate]")
   }
 
   def update(session: SparkSession, sql: String): Long = sql.trim match {
@@ -315,6 +351,13 @@ object Dml {
         }
         n
       }
+    // a top-level FROM the specific arm didn't match (no WHERE, or a
+    // multi-table source list) — MUST precede the general arm, which
+    // would silently absorb `FROM u` into the last SET expression
+    case s if hasTopLevel(s, "from") => throw new IllegalArgumentException(
+      "UPDATE ... FROM supports a single source table (optionally " +
+        "aliased) and requires a WHERE clause; rewrite multi-table " +
+        "sources as a subquery in the SET/WHERE expressions")
     case updateRe(table, setList, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val schema = session.table(table).schema

@@ -170,6 +170,46 @@ class CompatSpec extends SparkSpecBase {
     q("DROP TABLE dmlpk")
   }
 
+  test("PK record hardening: qualified lookups, quoted literals, DML guards") {
+    def q(s: String) = Engine.query(spark, s)
+    // (1) the suffix fallback serves only UNQUALIFIED lookups — a
+    // qualified name must not borrow a same-named table's PK
+    TableConstraints.recordPk("s.pkht", Seq("k"))
+    assert(TableConstraints.pkOf("pkht").contains(Seq("k")))
+    assert(TableConstraints.pkOf("r.pkht").isEmpty,
+      "qualified lookup must require an exact record")
+    TableConstraints.clear("s.pkht")
+    // (2) 'primary key' inside a string literal / comment records nothing
+    SqlRewrites.recordPrimaryKey(
+      "CREATE TABLE pkq (k INT, v VARCHAR DEFAULT 'primary key')")
+    assert(TableConstraints.pkOf("pkq").isEmpty,
+      "quoted literal must not record a PK")
+    SqlRewrites.recordPrimaryKey(
+      "CREATE TABLE pkq2 (k INT, -- PRIMARY KEY\n v VARCHAR)")
+    assert(TableConstraints.pkOf("pkq2").isEmpty,
+      "comment must not record a PK")
+    SqlRewrites.recordPrimaryKey(
+      "CREATE TABLE pkq3 (k INT PRIMARY KEY, v VARCHAR DEFAULT 'x')")
+    assert(TableConstraints.pkOf("pkq3").contains(Seq("k")))
+    TableConstraints.clear("pkq3")
+    // (3) unsupported DML shapes fail with an actionable message, not
+    // a MatchError or a downstream parse error
+    q("DROP TABLE IF EXISTS dmlg")
+    q("CREATE TABLE dmlg (k INT, v VARCHAR)")
+    q("INSERT INTO dmlg VALUES (1,'a')")
+    val eU = intercept[IllegalArgumentException](
+      q("UPDATE dmlg SET v = 'x' FROM dmlg src"))
+    assert(eU.getMessage.contains("UPDATE ... FROM"))
+    val eD = intercept[IllegalArgumentException](
+      q("DELETE FROM dmlg USING a, b WHERE dmlg.k = a.k"))
+    assert(eD.getMessage.contains("DELETE ... USING"))
+    // a subquery FROM inside SET still routes through the plain arm
+    assert(q("UPDATE dmlg SET v = (SELECT 'z' FROM range(1)) WHERE k = 1")
+      .collect().head.getLong(0) == 1L)
+    assert(q("SELECT v FROM dmlg").collect().head.getString(0) == "z")
+    q("DROP TABLE dmlg")
+  }
+
   test("DELETE USING: flat-join scoping errors on ambiguous columns") {
     def q(s: String) = Engine.query(spark, s)
     q("DROP TABLE IF EXISTS delu")

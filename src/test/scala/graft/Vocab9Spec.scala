@@ -385,6 +385,14 @@ class Vocab9Spec extends SparkSpecBase {
     // SIMILAR TO binds looser than || — a concatenated pattern stays
     // whole (DuckDB: 'abc' SIMILAR TO 'a' || '.*' is true)
     assert(one("SELECT 'abc' SIMILAR TO 'a' || '.*' AS s").getBoolean(0))
+    // ... and the LEFT operand absorbs || chains too (probed 2026-08:
+    // all four true on DuckDB)
+    val lc = one("SELECT 'a' || 'bc' SIMILAR TO 'abc' AS x, " +
+      "'a' || 'b' || 'c' SIMILAR TO 'a.c' AS y, " +
+      "'zb' NOT SIMILAR TO 'a' || 'b' AS z, " +
+      "'q' || 'r' SIMILAR TO 'q' || '.' AS w")
+    assert(lc.getBoolean(0) && lc.getBoolean(1) && lc.getBoolean(2) &&
+      lc.getBoolean(3))
     // a column named distinct_vals passes the in-aggregate ORDER BY
     assert(one("SELECT list(distinct_vals ORDER BY distinct_vals DESC) " +
       "AS l FROM (VALUES (1),(2)) t(distinct_vals)")
