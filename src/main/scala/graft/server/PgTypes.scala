@@ -94,6 +94,51 @@ object PgTypes {
     })
   }
 
+  /** Types with a binary (format-1) result encoding — the fixed-width
+    * wire types, mirroring [[BindParams]]' binary *parameter* decoders
+    * in the encode direction. Everything else stays text-only and
+    * errors loudly when a client Binds it to format 1 (pg itself
+    * errors per-type at Execute; the reference is text-only for BOTH
+    * directions, cpp:136-164 — this exceeds parity for pgjdbc
+    * binaryTransfer=true and psycopg3 binary cursors).
+    */
+  def binarySupported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | BinaryType => true
+    case _ => false
+  }
+
+  /** Render one value in Postgres binary format; None = SQL NULL.
+    * int2/4/8 and float4/8 are big-endian fixed width, bool one byte,
+    * bytea raw — the pg send-function encodings.
+    */
+  def renderBinary(v: Any, dt: DataType): Option[Array[Byte]] = {
+    if (v == null) return None
+    def be(n: Int, x: Long): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((x >>> (8 * (n - 1 - i))) & 0xff).toByte; i += 1
+      }
+      out
+    }
+    Some(dt match {
+      case BooleanType => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ByteType => be(2, v.asInstanceOf[Byte].toLong) // int1 ships as int2
+      case ShortType => be(2, v.asInstanceOf[Short].toLong)
+      case IntegerType => be(4, v.asInstanceOf[Int].toLong)
+      case LongType => be(8, v.asInstanceOf[Long])
+      case FloatType =>
+        be(4, java.lang.Float.floatToIntBits(v.asInstanceOf[Float]).toLong)
+      case DoubleType =>
+        be(8, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+      case BinaryType => v.asInstanceOf[Array[Byte]]
+      case other => throw new UnsupportedOperationException(
+        s"binary result format is not supported for type $other; " +
+          "request text (format 0) for this column")
+    })
+  }
+
   private def quoteArrayElem(s: String): String =
     if (s.isEmpty || s.exists(c => c == ',' || c == '{' || c == '}' ||
         c == '"' || c == '\\' || c.isWhitespace))

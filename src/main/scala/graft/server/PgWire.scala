@@ -59,6 +59,11 @@ object PgWire {
       case Some(s) =>
         val b = s.getBytes(UTF_8); int32(b.length); bytes(b)
     }
+    /** length-prefixed binary (format-1) field value (-1 for NULL). */
+    def fieldBytes(v: Option[Array[Byte]]): MessageWriter = v match {
+      case None => int32(-1)
+      case Some(b) => int32(b.length); bytes(b)
+    }
 
     /** discard any partially-built payload (error recovery: an
       * exception mid-row must not corrupt the next message frame). */

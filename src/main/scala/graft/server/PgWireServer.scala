@@ -169,6 +169,9 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   /** prepared statements + portals for the extended protocol. */
   private var statements = Map.empty[String, Prepared]
   private var portals = Map.empty[String, String] // name -> bound SQL
+  /** per-portal result-format codes from Bind (0 text, 1 binary);
+    * absent/empty = all-text. Resolved per column at Execute. */
+  private var portalFmts = Map.empty[String, Array[Int]]
   /** open row streams for partially-executed portals (Execute with a
     * row limit → PortalSuspended, resumed by the next Execute). */
   private var portalIters =
@@ -206,7 +209,8 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       val r = msg.reader
       val kind = r.byte().toChar
       val name = r.cstr()
-      if (kind == 'P') { portals -= name; portalIters -= name }
+      if (kind == 'P') { portals -= name; portalIters -= name
+        portalFmts -= name }
       else statements -= name
       w.send('3') // CloseComplete
       true
@@ -274,18 +278,22 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
         BindParams.literal(prep.oidAt(i), fmt, data)
       }
-      // result-format codes: results ship in text format, like the
-      // reference's serializer (cpp:119-166). A client that asks for
-      // binary results gets an explicit feature error instead of
-      // silently mis-framed text bytes.
+      // result-format codes: 0 text / 1 binary per column (or one
+      // code for all, per protocol §Bind). The reference is text-only
+      // (cpp:119-166); binary encoding here covers the fixed-width
+      // types pgjdbc binaryTransfer / psycopg3 binary cursors request
+      // — a format-1 column whose type has no binary encoder errors
+      // loudly at Execute, like pg's missing-send-function error.
       val nResFmt = r.int16()
       val resFmts = Array.fill(nResFmt)(r.int16())
-      if (resFmts.exists(_ != 0))
+      if (resFmts.exists(f => f != 0 && f != 1))
         throw new UnsupportedOperationException(
-          "binary result format is not supported; request text (format 0)")
+          s"unknown result format code ${resFmts.find(f => f != 0 && f != 1).get}")
       portals += portal -> (
         if (prep.nParams == 0) prep.sql
         else BindParams.substitute(prep.sql, lits))
+      if (resFmts.exists(_ != 0)) portalFmts += portal -> resFmts
+      else portalFmts -= portal
       portalIters -= portal // re-binding resets any suspended stream
       w.send('2') // BindComplete
     } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
@@ -314,7 +322,11 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     if (sql.trim.isEmpty || !returnsRows(sql)) { w.send('n'); return } // NoData
     try {
       val df = Engine.query(session, sql)
-      rowDescription(df)
+      // a portal describe reports the formats Bind chose; a statement
+      // describe predates Bind, so its codes are always 0 (protocol)
+      rowDescription(df, if (kind == 'P')
+        portalFmts.getOrElse(name, Array.emptyIntArray)
+      else Array.emptyIntArray)
     } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
 
@@ -326,12 +338,22 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     if (sql.trim.isEmpty) { w.send('I'); return } // EmptyQueryResponse
     try {
       val resuming = portalIters.contains(portal)
-      if ((maxRows > 0 || resuming) && returnsRows(sql))
+      // a portal bound with binary result formats always streams
+      // through the format-aware path (runStatement is text-only)
+      val hasBinary = portalFmts.get(portal).exists(_.exists(_ != 0))
+      if ((maxRows > 0 || resuming || hasBinary) && returnsRows(sql))
         executeLimited(portal, sql,
           if (maxRows > 0) maxRows else Int.MaxValue)
       else runStatement(sql, describeFirst = false)
     } catch { case NonFatal(e) => errorResponse(e); skipTilSync = true }
   }
+
+  /** resolve a Bind result-format code for column `i`: zero codes =
+    * all text, one code applies to every column, else positional. */
+  private def fmtAt(fmts: Array[Int], i: Int): Int =
+    if (fmts.isEmpty) 0
+    else if (fmts.length == 1) fmts(0)
+    else if (i < fmts.length) fmts(i) else 0
 
   /** Execute with a row limit: stream up to `maxRows`, suspend the
     * portal ('s') if rows remain — how pgjdbc fetchSize pages results.
@@ -341,13 +363,29 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       val df = Engine.query(session, sql)
       (df.toLocalIterator(), df.schema.fields)
     })
+    val fmts = portalFmts.getOrElse(portal, Array.emptyIntArray)
+    // validate binary columns BEFORE streaming: a mid-stream error
+    // would leave a half-emitted row set on the wire
+    var v = 0
+    while (v < schema.length) {
+      if (fmtAt(fmts, v) == 1 && !PgTypes.binarySupported(schema(v).dataType))
+        throw new UnsupportedOperationException(
+          s"binary result format is not supported for column " +
+            s"'${schema(v).name}' of type ${schema(v).dataType.sql}; " +
+            "request text (format 0)")
+      v += 1
+    }
     var n = 0
     while (n < maxRows && it.hasNext) {
       val row = it.next()
       w.int16(schema.length)
       var i = 0
       while (i < schema.length) {
-        w.field(PgTypes.render(row.get(i), schema(i).dataType)); i += 1
+        if (fmtAt(fmts, i) == 1)
+          w.fieldBytes(PgTypes.renderBinary(row.get(i), schema(i).dataType))
+        else
+          w.field(PgTypes.render(row.get(i), schema(i).dataType))
+        i += 1
       }
       w.send('D')
       n += 1
@@ -745,14 +783,19 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     }
   }
 
-  private def rowDescription(df: DataFrame): Unit = {
+  private def rowDescription(df: DataFrame,
+      fmts: Array[Int] = Array.emptyIntArray): Unit = {
     val fields = df.schema.fields
     w.int16(fields.length)
-    fields.foreach { f =>
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
       w.cstr(f.name)
         .int32(0).int16(0)                 // table oid / attnum
         .int32(PgTypes.oidOf(f.dataType))
-        .int16(-1).int32(-1).int16(0)      // typlen / typmod / text format
+        .int16(-1).int32(-1)               // typlen / typmod
+        .int16(fmtAt(fmts, i))             // format from Bind (0 = text)
+      i += 1
     }
     w.send('T')
   }

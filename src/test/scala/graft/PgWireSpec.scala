@@ -96,6 +96,49 @@ class PgWireSpec extends SparkSpecBase {
       (cols, rows.result(), tags.result(), errs.result())
     }
 
+    /** like collect() but keeps DataRow fields as raw bytes and
+      * captures RowDescription per-column format codes — for
+      * binary-result-format assertions. */
+    def collectRaw(): (Seq[Int], Seq[Seq[Option[Array[Byte]]]], Seq[(String, String)]) = {
+      var fmts = Seq.empty[Int]
+      val rows = Seq.newBuilder[Seq[Option[Array[Byte]]]]
+      val errs = Seq.newBuilder[(String, String)]
+      var done = false
+      while (!done) {
+        val t = in.read().toChar
+        val len = in.readInt()
+        val p = new Array[Byte](len - 4); in.readFully(p)
+        val r = new graft.server.PgWire.PayloadReader(p)
+        t match {
+          case 'T' =>
+            val n = r.int16()
+            fmts = (0 until n).map { _ =>
+              r.cstr(); r.int32(); r.int16(); r.int32(); r.int16(); r.int32()
+              r.int16()
+            }
+          case 'D' =>
+            val n = r.int16()
+            rows += (0 until n).map { _ =>
+              val l = r.int32()
+              if (l == -1) None else Some(r.bytes(l))
+            }
+          case 'E' =>
+            var code = ""; var msg = ""
+            var f = r.byte()
+            while (f != 0) {
+              val v = r.cstr()
+              if (f == 'C') code = v
+              if (f == 'M') msg = v
+              f = r.byte()
+            }
+            errs += ((code, msg))
+          case 'Z' => done = true
+          case _ => // ignore
+        }
+      }
+      (fmts, rows.result(), errs.result())
+    }
+
     def close(): Unit = { send('X', Array.empty); sock.close() }
 
     /** COPY … FROM STDIN: send the query, wait for CopyInResponse,
@@ -355,15 +398,71 @@ class PgWireSpec extends SparkSpecBase {
     val (_, _, _, e4) = run("SELECT n_name FROM nation WHERE n_nationkey = $1",
       Seq(23), Seq.empty)
     assert(e4.nonEmpty && e4.head._1 == "08P01", e4)
-    // binary RESULT format request → explicit 0A000 (results are
-    // text-format, like the reference's serializer), not mis-framed text
+    // binary RESULT format for a fixed-width type now encodes (the
+    // reference is text-only, cpp:136-164 — this exceeds parity)
     c.send('P', cstr("") ++ cstr("SELECT 1 AS v") ++ i16(0))
     c.send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(0) ++ i16(1) ++ i16(1))
+    c.send('E', cstr("") ++ i32(0))
     c.send('S', Array.empty)
-    val (_, _, _, e4b) = c.collect()
-    assert(e4b.nonEmpty && e4b.head._1 == "0A000", e4b)
+    val (_, r4b, e4b) = c.collectRaw()
+    assert(e4b.isEmpty, e4b)
+    assert(r4b.map(_.map(_.map(_.toSeq))) ==
+      Seq(Seq(Some(Seq[Byte](0, 0, 0, 1)))), r4b)
     val (_, r5, _, e5) = c.query("SELECT 7 AS ok")
     assert(e5.isEmpty && r5 == Seq(Seq(Some("7"))))
+    c.close()
+  }
+
+  test("binary result format: fixed-width encodings, mixed columns, errors") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    def cstr(s: String) = (s + "\u0000").getBytes(UTF_8)
+    def i16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def i32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def run(sql: String, resFmts: Seq[Int]) = {
+      c.send('P', cstr("") ++ cstr(sql) ++ i16(0))
+      c.send('B', cstr("") ++ cstr("") ++ i16(0) ++ i16(0) ++
+        i16(resFmts.length) ++ resFmts.flatMap(i16).toArray)
+      c.send('D', Array[Byte]('P'.toByte) ++ cstr(""))
+      c.send('E', cstr("") ++ i32(0))
+      c.send('S', Array.empty)
+      c.collectRaw()
+    }
+    // per-column codes: every fixed-width type binary, last one text —
+    // psycopg3's mixed-format cursor shape
+    val (fmts, rows, errs) = run(
+      "SELECT CAST(7 AS INT) AS a, CAST(258 AS BIGINT) AS b, " +
+        "CAST(3 AS SMALLINT) AS c, CAST(1.5 AS DOUBLE) AS d, " +
+        "CAST(2.0 AS FLOAT) AS e, true AS f, CAST(NULL AS BIGINT) AS g, " +
+        "CAST('hi' AS BINARY) AS h, 'txt' AS t",
+      Seq(1, 1, 1, 1, 1, 1, 1, 1, 0))
+    assert(errs.isEmpty, errs)
+    // Describe(portal) advertises the Bind codes (statement describes
+    // stay 0 per protocol)
+    assert(fmts == Seq(1, 1, 1, 1, 1, 1, 1, 1, 0), fmts)
+    val row = rows.head.map(_.map(_.toSeq))
+    assert(row(0).contains(Seq[Byte](0, 0, 0, 7)))
+    assert(row(1).contains(Seq[Byte](0, 0, 0, 0, 0, 0, 1, 2)))
+    assert(row(2).contains(Seq[Byte](0, 3)))
+    // IEEE-754 big-endian: 1.5d = 0x3FF8…, 2.0f = 0x40000000
+    assert(row(3).contains(Seq[Byte](0x3f, 0xf8.toByte, 0, 0, 0, 0, 0, 0)))
+    assert(row(4).contains(Seq[Byte](0x40, 0, 0, 0)))
+    assert(row(5).contains(Seq[Byte](1)))
+    assert(row(6).isEmpty, "binary NULL ships as -1 length")
+    assert(row(7).contains("hi".getBytes(UTF_8).toSeq))
+    assert(row(8).contains("txt".getBytes(UTF_8).toSeq))
+    // ONE code applies to all columns (protocol shorthand)
+    val (_, rows2, errs2) = run("SELECT CAST(-2 AS INT) AS a", Seq(1))
+    assert(errs2.isEmpty, errs2)
+    assert(rows2.head.head.map(_.toSeq)
+      .contains(Seq[Byte](-1, -1, -1, -2)), rows2)
+    // format 1 on a type with no binary encoder → loud 0A000 at
+    // Execute, connection survives
+    val (_, _, errs3) = run("SELECT 'nope' AS s", Seq(1))
+    assert(errs3.nonEmpty && errs3.head._1 == "0A000", errs3)
+    val (_, r5, _, e5) = c.query("SELECT 9 AS ok")
+    assert(e5.isEmpty && r5 == Seq(Seq(Some("9"))))
     c.close()
   }
 
