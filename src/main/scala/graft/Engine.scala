@@ -63,6 +63,9 @@ object Engine {
     currentQuery.set(sql)
     Functions.registerAll(spark)
     sql match {
+      case ExplainRe(optsOrNull, analyzeOrNull, inner) =>
+        explainStmt(spark, analyzeOrNull != null ||
+          Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
       case AttachRe(path, alias) => attach(spark, path, Option(alias))
       case DetachRe(alias) => detach(spark, alias)
@@ -178,6 +181,46 @@ object Engine {
 
   private val DropTableNameRe =
     """(?is)\A\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*;?\s*\z""".r
+
+  /** DuckDB-surface `EXPLAIN [ANALYZE] stmt` (delegated via cpp:52) —
+    * returned as a result SET in DuckDB's two-column shape
+    * (explain_key, explain_value) so psql users and ORMs that probe
+    * EXPLAIN get rows, not a parse error. The plan text is Spark's
+    * formatted plan (documented divergence — the engines' physical
+    * operators differ, so the tree cannot match). Spark's own
+    * EXPLAIN EXTENDED/CODEGEN/COST/FORMATTED spellings pass through
+    * untouched. pg-style option lists `EXPLAIN (ANALYZE, ...)` are
+    * accepted; ANALYZE executes the statement and reports the final
+    * (AQE-replanned) plan.
+    */
+  private val ExplainRe =
+    ("""(?is)\A\s*EXPLAIN(?:\s*\(([^)]*)\))?\s+""" +
+      """(?!EXTENDED\b|CODEGEN\b|COST\b|FORMATTED\b)""" +
+      """(?:(ANALYZE)\s+)?(.+)\z""").r
+
+  private def explainStmt(spark: SparkSession, analyze: Boolean,
+      inner: String): DataFrame = {
+    import spark.implicits._
+    val head = inner.trim.takeWhile(!_.isWhitespace).toUpperCase
+    if (!Set("SELECT", "WITH", "VALUES", "TABLE", "FROM", "PIVOT",
+        "UNPIVOT", "SUMMARIZE").contains(head))
+      throw new IllegalArgumentException(
+        s"EXPLAIN of a $head statement is not supported — the DML/DDL " +
+          "paths here are imperative (EXPLAIN would execute them); " +
+          "EXPLAIN the equivalent SELECT instead")
+    val df = query(spark, inner)
+    if (analyze) {
+      // execute fully through THIS QueryExecution (no driver
+      // materialization) so the reported tree is the final
+      // AQE-replanned one, not a fresh unexecuted copy
+      df.queryExecution.toRdd.foreach(_ => ())
+      Seq(("analyzed_plan", df.queryExecution.executedPlan.toString))
+        .toDF("explain_key", "explain_value")
+    } else
+      Seq(("physical_plan", df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)))
+        .toDF("explain_key", "explain_value")
+  }
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
   private val CreateMacroRe =

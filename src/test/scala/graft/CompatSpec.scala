@@ -1255,6 +1255,40 @@ class CompatSpec extends SparkSpecBase {
     assert(unk.getMessage.contains("unrecognized"), unk.getMessage)
   }
 
+  test("EXPLAIN [ANALYZE] statement: DuckDB two-column result shape") {
+    def q(s: String) = Engine.query(spark, s)
+    Tables.registerAll(spark, sfDir)
+    // plain EXPLAIN: (explain_key, explain_value), no execution
+    val e1 = q("EXPLAIN SELECT n_name FROM nation WHERE n_nationkey < 3")
+    assert(e1.columns.toSeq == Seq("explain_key", "explain_value"))
+    val r1 = e1.collect()
+    assert(r1.length == 1 && r1.head.getString(0) == "physical_plan")
+    assert(r1.head.getString(1).contains("Scan"), r1.head.getString(1).take(200))
+    // the pushed filter is visible in the plan text (scan-level pruning)
+    assert(r1.head.getString(1).contains("PushedFilters"),
+      "formatted plan should show parquet pushdown")
+    // EXPLAIN ANALYZE executes and reports the final plan
+    val r2 = q("EXPLAIN ANALYZE SELECT count(*) AS c FROM nation").collect()
+    assert(r2.length == 1 && r2.head.getString(0) == "analyzed_plan")
+    // graft sugar inside the explained statement still rewrites
+    val r3 = q("EXPLAIN SELECT doc_id FROM documents QUALIFY " +
+      "row_number() OVER (ORDER BY doc_id) <= 2").collect()
+    assert(r3.head.getString(0) == "physical_plan")
+    // pg option-list spelling; ANALYZE inside the parens
+    val r4 = q("EXPLAIN (ANALYZE) SELECT 1 AS one").collect()
+    assert(r4.head.getString(0) == "analyzed_plan")
+    // Spark's own spellings pass through untouched (one `plan` column)
+    assert(q("EXPLAIN FORMATTED SELECT 1 AS one").columns.toSeq == Seq("plan"))
+    // DML under EXPLAIN is rejected loudly, never executed
+    q("DROP TABLE IF EXISTS expl_t")
+    q("CREATE TABLE expl_t (k INT)")
+    q("INSERT INTO expl_t VALUES (1)")
+    intercept[IllegalArgumentException](q("EXPLAIN DELETE FROM expl_t"))
+    assert(q("SELECT count(*) AS c FROM expl_t").collect().head.getLong(0) == 1L,
+      "EXPLAIN of DML must not execute the DML")
+    q("DROP TABLE expl_t")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
