@@ -33,9 +33,10 @@ object DuckAliases {
 
     alias("len")(e => LenPoly(e.head))
     alias("list_distinct")(e => ArrayDistinct(e.head))
-    // SELECT-position unnest (row-exploding projection, DuckDB's
-    // list-flattening form; FROM-position is the injected TVF)
-    alias("unnest")(e => Explode(e.head))
+    // SELECT-position unnest (row-exploding projection; FROM-position
+    // is the injected TVF) — full DuckDB surface incl. unnest(struct)
+    // and recursive/max_depth options, see DuckUnnest
+    alias("unnest")(e => DuckUnnest.fromArgs(e))
     alias("list_transform")(e => ArrayTransform(e(0), e(1)))
     alias("list_filter")(e => ArrayFilter(e(0), e(1)))
     alias("list_contains")(e => ArrayContains(e(0), e(1)))

@@ -57,17 +57,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Project(Seq(Alias(UnresolvedAttribute("col"), "generate_series")()), gen)
       }))
 
-    // table-valued unnest: `FROM unnest([10, 20]) t(x)` — the
-    // list-flattening form DuckDB serves in FROM position (struct /
-    // recursive unnest not bridged — Spark's inline() covers structs)
+    // table-valued unnest: `FROM unnest([10, 20]) t(x)` — the same
+    // DuckUnnest generator as the SELECT-position alias, so struct
+    // and recursive/max_depth forms work in FROM position too (the
+    // generator's elementSchema names the outputs, incl. the bare
+    // list form's `unnest` column)
     ext.injectTableFunction((
       FunctionIdentifier("unnest"),
       new ExpressionInfo("graft.GraftExtensions", "unnest"),
-      (exprs: Seq[Expression]) => {
-        val gen = Generate(Explode(exprs.head), Nil, outer = false, None,
-          Nil, OneRowRelation())
-        Project(Seq(Alias(UnresolvedAttribute("col"), "unnest")()), gen)
-      }))
+      (exprs: Seq[Expression]) =>
+        Generate(DuckUnnest.fromArgs(exprs), Nil, outer = false, None,
+          Nil, OneRowRelation())))
 
     // SQL-level file readers — the delegated-engine surface a wire
     // client expects (`SELECT * FROM read_parquet('f.parquet')`,

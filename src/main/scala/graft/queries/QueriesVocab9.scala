@@ -46,7 +46,10 @@ object QueriesVocab9 {
     // digit separators, SIMILAR TO — identical statement both engines
     "q_duckdb_syntax2" -> ((s, dir) => sql(s, dir, syntax2Sql)),
     // EXTRACT long-tail fields, ANSI OFFSET/FETCH, ordered first/last
-    "q_duckdb_syntax3" -> ((s, dir) => sql(s, dir, syntax3Sql)))
+    "q_duckdb_syntax3" -> ((s, dir) => sql(s, dir, syntax3Sql)),
+    // struct / recursive / max_depth unnest forms — DuckDB-native on
+    // the oracle side, the DuckUnnest generator on ours
+    "q_duckdb_unnest2" -> ((s, dir) => sql(s, dir, unnest2Sql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -60,7 +63,54 @@ object QueriesVocab9 {
     "q_duckdb_exclude" -> excludeSql,
     "q_duckdb_ordagg" -> ordaggSql,
     "q_duckdb_syntax2" -> syntax2Sql,
-    "q_duckdb_syntax3" -> syntax3Sql)
+    "q_duckdb_syntax3" -> syntax3Sql,
+    "q_duckdb_unnest2" -> unnest2Sql)
+
+  /** identical statement both engines: the full unnest option surface
+    * — NULL leaf elements (rows) vs NULL/empty nested lists (no rows),
+    * recursive list flattening, struct expansion to columns (nested
+    * structs too), list-of-struct recursive expansion, and a
+    * max_depth-bounded flatten. Every leaf re-aggregated to a string
+    * keyed by doc_id so row counts stay deterministic.
+    */
+  private val unnest2Sql: String =
+    """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 10),
+      |u1 AS (SELECT doc_id, unnest([doc_id % 3, NULL, doc_id % 5]) AS v
+      |       FROM base),
+      |a1 AS (SELECT doc_id,
+      |         string_agg(coalesce(CAST(v AS VARCHAR), 'N'), ','
+      |           ORDER BY v NULLS FIRST) AS s1
+      |       FROM u1 GROUP BY doc_id),
+      |u2 AS (SELECT doc_id,
+      |         unnest([[doc_id % 2, 7], [], [doc_id % 4]],
+      |           recursive := true) AS v
+      |       FROM base),
+      |a2 AS (SELECT doc_id,
+      |         string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) AS s2
+      |       FROM u2 GROUP BY doc_id),
+      |s3 AS (SELECT doc_id,
+      |         unnest({'a': doc_id % 3, 'n': {'x': doc_id % 7}},
+      |           recursive := true)
+      |       FROM base),
+      |u4 AS (SELECT doc_id,
+      |         unnest([{'p': doc_id % 2, 'q': 1},
+      |                 {'p': 9, 'q': doc_id % 4}], recursive := true)
+      |       FROM base),
+      |a4 AS (SELECT doc_id,
+      |         string_agg(CAST(p AS VARCHAR) || ':' || CAST(q AS VARCHAR),
+      |           ',' ORDER BY p, q) AS s4
+      |       FROM u4 GROUP BY doc_id),
+      |u5 AS (SELECT doc_id,
+      |         unnest([[doc_id % 3, 2], [5]], max_depth := 1) AS v
+      |       FROM base),
+      |u5b AS (SELECT doc_id, array_to_string(v, '-') AS vs FROM u5),
+      |a5 AS (SELECT doc_id, string_agg(vs, ',' ORDER BY vs) AS s5
+      |       FROM u5b GROUP BY doc_id)
+      |SELECT b.doc_id, s1, s2, a, x, s4, s5
+      |FROM base b JOIN a1 USING (doc_id) JOIN a2 USING (doc_id)
+      |  JOIN s3 USING (doc_id) JOIN a4 USING (doc_id)
+      |  JOIN a5 USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
 
   /** identical statement both engines: EXTRACT fields Spark lacks (or
     * defines differently — dow is Sun=0 in DuckDB), OFFSET/FETCH

@@ -399,6 +399,48 @@ class Vocab9Spec extends SparkSpecBase {
       .getSeq[Int](0) == Seq(2, 1))
   }
 
+  test("unnest: struct, recursive, max_depth (DuckDB probe-grid replay)") {
+    def rows(q: String) =
+      Engine.query(spark, q).collect().map(_.toSeq.map(Option(_).map(_.toString).orNull))
+    def cols(q: String) = Engine.query(spark, q).columns.toSeq
+    // NULL leaf elements emit rows; NULL list emits none
+    assert(rows("SELECT unnest([1, NULL, 2]) AS u").toSeq ==
+      Seq(Seq("1"), Seq(null), Seq("2")))
+    assert(rows("SELECT unnest(CAST(NULL AS ARRAY<INT>)) AS u").isEmpty)
+    // struct → one row, fields as columns; NULL struct → one NULL row
+    assert(cols("SELECT unnest({'a': 1, 'b': 'x'})") == Seq("a", "b"))
+    assert(rows("SELECT unnest({'a': 1, 'b': 'x'})").toSeq == Seq(Seq("1", "x")))
+    assert(rows("SELECT unnest(CAST(NULL AS STRUCT<a: INT>))").toSeq ==
+      Seq(Seq(null)))
+    // default depth 1 keeps nested structures
+    assert(cols("SELECT unnest({'a': 1, 'n': {'x': 9}})") == Seq("a", "n"))
+    // recursive flattens lists fully; NULL/empty nested lists vanish
+    assert(rows("SELECT unnest([[1,NULL],[],[3]], recursive := true) AS u")
+      .toSeq == Seq(Seq("1"), Seq(null), Seq("3")))
+    assert(rows("SELECT unnest([[1,2],NULL,[3]], recursive := true) AS u")
+      .toSeq == Seq(Seq("1"), Seq("2"), Seq("3")))
+    // recursive expands structs to leaf columns (never into lists)
+    assert(cols("SELECT unnest({'a': 1, 'n': {'x': 9}}, recursive := true)")
+      == Seq("a", "x"))
+    assert(cols("SELECT unnest({'l': array(1,2), 'b': 3}, recursive := true)")
+      == Seq("l", "b"))
+    assert(rows("SELECT unnest([{'p': 1, 'q': 2}, {'p': 3, 'q': 4}], " +
+      "recursive := true)").toSeq == Seq(Seq("1", "2"), Seq("3", "4")))
+    // non-recursive list-of-struct keeps the struct column
+    assert(cols("SELECT unnest([{'p': 1, 'q': 2}])") == Seq("unnest"))
+    // max_depth counts struct expansion as a level
+    assert(cols("SELECT unnest([{'a': 1}], max_depth := 2)") == Seq("a"))
+    assert(rows("SELECT unnest([[1,2],[3]], max_depth := 1) AS u").length == 2)
+    // FROM position shares the generator
+    assert(rows("SELECT * FROM unnest([10, 20]) t(x)").toSeq ==
+      Seq(Seq("10"), Seq("20")))
+    assert(cols("SELECT * FROM unnest({'a': 1, 'b': 2})") == Seq("a", "b"))
+    // MAP input errors with DuckDB's binder message
+    val e = intercept[Exception](
+      Engine.query(spark, "SELECT unnest(map(1, 2))").collect())
+    assert(e.getMessage.contains("lists, structs and NULL"), e.getMessage)
+  }
+
   test("EXTRACT long tail, OFFSET/FETCH, TABLESAMPLE methods, DDL constraints") {
     def one(q: String) = Engine.query(spark, q).collect().head
     // DuckDB-semantic fields (probed: dow Sun=0, epoch DOUBLE,
