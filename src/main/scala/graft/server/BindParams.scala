@@ -145,6 +145,19 @@ object BindParams {
       case Oid.Float4 => fp(java.lang.Float.intBitsToFloat(be(4).toInt).toDouble)
       case Oid.Float8 => fp(java.lang.Double.longBitsToDouble(be(8)))
       case Oid.Bytea => "X'" + d.map(b => f"$b%02x").mkString + "'"
+      case Oid.Date => // int4 days since 2000-01-01 (pg date_recv)
+        val day = java.time.LocalDate.ofEpochDay(be(4).toInt.toLong + 10957L)
+        s"DATE '$day'"
+      case Oid.Timestamp | Oid.TimestampTz =>
+        // int8 micros since 2000-01-01 (pg timestamp_recv)
+        val micros = be(8) + 946684800000000L
+        val i = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        val ldt = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        val frac = if (ldt.getNano == 0) ""
+          else "." + f"${ldt.getNano / 1000}%06d".reverse.dropWhile(_ == '0').reverse
+        val hms = f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+        s"TIMESTAMP '${ldt.toLocalDate} $hms$frac'"
       case _ => throw new UnsupportedOperationException(
         s"binary-format parameter with type OID $oid is not supported")
     }

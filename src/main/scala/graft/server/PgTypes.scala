@@ -104,9 +104,14 @@ object PgTypes {
     */
   def binarySupported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | BinaryType => true
+        FloatType | DoubleType | BinaryType | DateType |
+        _: TimestampType | TimestampNTZType => true
     case _ => false
   }
+
+  /** pg binary temporal encodings are relative to 2000-01-01. */
+  private val PgEpochDays = 10957L // days 1970-01-01 → 2000-01-01
+  private val PgEpochMicros = 946684800000000L
 
   /** Render one value in Postgres binary format; None = SQL NULL.
     * int2/4/8 and float4/8 are big-endian fixed width, bool one byte,
@@ -133,6 +138,27 @@ object PgTypes {
       case DoubleType =>
         be(8, java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
       case BinaryType => v.asInstanceOf[Array[Byte]]
+      case DateType => // int4 days since 2000-01-01 (pg date_send)
+        val epochDay = v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case ld: java.time.LocalDate => ld.toEpochDay
+          case other => java.time.LocalDate.parse(other.toString).toEpochDay
+        }
+        be(4, epochDay - PgEpochDays)
+      case _: TimestampType | TimestampNTZType =>
+        // int8 micros since 2000-01-01 (pg timestamp_send); NTZ values
+        // ship as their UTC-interpreted wall time, like the text path
+        val micros = v match {
+          case ts: java.sql.Timestamp =>
+            ts.getTime / 1000 * 1000000 + ts.getNanos / 1000
+          case i: java.time.Instant =>
+            i.getEpochSecond * 1000000L + i.getNano / 1000
+          case ldt: java.time.LocalDateTime =>
+            ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000
+          case other => throw new UnsupportedOperationException(
+            s"cannot binary-encode timestamp carrier ${other.getClass}")
+        }
+        be(8, micros - PgEpochMicros)
       case other => throw new UnsupportedOperationException(
         s"binary result format is not supported for type $other; " +
           "request text (format 0) for this column")

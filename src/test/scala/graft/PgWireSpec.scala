@@ -394,6 +394,17 @@ class PgWireSpec extends SparkSpecBase {
       Seq((1, Array[Byte](0, 0, 0, 41)), (0, null)))
     assert(e3.isEmpty, e3)
     assert(r3 == Seq(Seq(Some("42"), None)))
+    // binary DATE (int4 days since 2000-01-01) and TIMESTAMP (int8
+    // micros since 2000-01-01) params — pgjdbc binaryTransfer shapes
+    def be(n: Int, x: Long) = (0 until n).map(i =>
+      ((x >>> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+    val (_, rT, _, eT) = run(
+      "SELECT CAST($1 AS VARCHAR) AS d, CAST($2 AS VARCHAR) AS t",
+      Seq(1082, 1114),
+      Seq((1, be(4, java.time.LocalDate.of(2024, 3, 15).toEpochDay - 10957L)),
+        (1, be(8, 1577836800000000L + 500000L - 946684800000000L))))
+    assert(eT.isEmpty, eT)
+    assert(rT == Seq(Seq(Some("2024-03-15"), Some("2020-01-01 00:00:00.5"))), rT)
     // too few params → 08P01, connection survives
     val (_, _, _, e4) = run("SELECT n_name FROM nation WHERE n_nationkey = $1",
       Seq(23), Seq.empty)
@@ -457,6 +468,18 @@ class PgWireSpec extends SparkSpecBase {
     assert(errs2.isEmpty, errs2)
     assert(rows2.head.head.map(_.toSeq)
       .contains(Seq[Byte](-1, -1, -1, -2)), rows2)
+    // binary temporals: date = int4 days since 2000-01-01, timestamp =
+    // int8 micros since 2000-01-01 (pg send formats)
+    val (_, rowsT, errsT) = run(
+      "SELECT DATE '2024-03-15' AS d, TIMESTAMP '2020-01-01 00:00:00' AS t",
+      Seq(1, 1))
+    assert(errsT.isEmpty, errsT)
+    val dDays = java.time.LocalDate.of(2024, 3, 15).toEpochDay - 10957L
+    def be(n: Int, x: Long) = (0 until n).map(i =>
+      ((x >>> (8 * (n - 1 - i))) & 0xff).toByte)
+    assert(rowsT.head(0).map(_.toSeq).contains(be(4, dDays)), rowsT)
+    val tMicros = 1577836800000000L - 946684800000000L
+    assert(rowsT.head(1).map(_.toSeq).contains(be(8, tMicros)), rowsT)
     // format 1 on a type with no binary encoder → loud 0A000 at
     // Execute, connection survives
     val (_, _, errs3) = run("SELECT 'nope' AS s", Seq(1))
