@@ -435,6 +435,14 @@ class Vocab9Spec extends SparkSpecBase {
     assert(rows("SELECT * FROM unnest([10, 20]) t(x)").toSeq ==
       Seq(Seq("10"), Seq("20")))
     assert(cols("SELECT * FROM unnest({'a': 1, 'b': 2})") == Seq("a", "b"))
+    // correlated FROM-position via explicit LATERAL (implicit-lateral
+    // spelling `FROM t, unnest(col)` errors loudly with the
+    // unresolved column — documented; add LATERAL)
+    spark.sql("CREATE OR REPLACE TEMP VIEW un_lt AS SELECT * FROM " +
+      "VALUES (1, array(10,20)), (2, array(30)) AS t(id, ws)")
+    assert(rows("SELECT id, u FROM un_lt, LATERAL unnest(ws) AS t(u) " +
+      "ORDER BY id, u").toSeq == Seq(Seq("1", "10"), Seq("1", "20"),
+      Seq("2", "30")))
     // MAP input errors with DuckDB's binder message
     val e = intercept[Exception](
       Engine.query(spark, "SELECT unnest(map(1, 2))").collect())
