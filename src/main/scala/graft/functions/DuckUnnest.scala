@@ -135,6 +135,64 @@ case class DuckUnnest(child: Expression, depth: Int)
     copy(child = newChild)
 }
 
+/** Several `unnest` calls in ONE select list zip positionally in
+  * DuckDB — row i of each, padded with NULLs to the longest — they do
+  * NOT cross-product (probed: `SELECT unnest([1,2,3]), unnest([10,20])`
+  * → 3 rows, last = (3, NULL)). Spark's analyzer stacks the
+  * generators (nested Generate = cartesian), so [[ZipUnnestsRule]]
+  * collapses adjacent DuckUnnest Generates into one of these.
+  */
+case class ZippedGenerator(gens: Seq[Generator])
+    extends Expression with Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = gens
+  override def nullable: Boolean = false
+  override def prettyName: String = "unnest_zip"
+
+  // padding makes every output field nullable regardless of source
+  override def elementSchema: StructType = StructType(
+    gens.flatMap(_.elementSchema.fields.map(_.copy(nullable = true))))
+
+  /** a STRUCT unnest is column expansion, not row generation — DuckDB
+    * REPEATS its one row on every zipped row (probed: `unnest([1,2]),
+    * unnest({'p':9})` → (1,9),(2,9)); list unnests pad with NULL */
+  private def repeats(g: Generator): Boolean = g match {
+    case u: DuckUnnest => u.child.dataType.isInstanceOf[StructType]
+    case _ => false
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    // copy defensively: a generator may reuse its row buffer
+    val parts: Seq[IndexedSeq[InternalRow]] =
+      gens.map(_.eval(input).iterator.map(_.copy()).toIndexedSeq)
+    val widths = gens.map(_.elementSchema.length)
+    val n = parts.map(_.size).max
+    (0 until n).map { i =>
+      val vals = new Array[Any](widths.sum)
+      var off = 0
+      parts.indices.foreach { p =>
+        val w = widths(p)
+        val rowOpt =
+          if (repeats(gens(p)) && parts(p).nonEmpty) Some(parts(p)(0))
+          else if (i < parts(p).size) Some(parts(p)(i))
+          else None // leave nulls (the pad)
+        rowOpt.foreach { r =>
+          var j = 0
+          while (j < w) {
+            vals(off + j) = r.get(j, gens(p).elementSchema(j).dataType); j += 1
+          }
+        }
+        off += w
+      }
+      new GenericInternalRow(vals)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ZippedGenerator =
+    copy(gens = newChildren.map(_.asInstanceOf[Generator]))
+}
+
 object DuckUnnest {
 
   /** Build from the registry argument list. SqlRewrites lowers the

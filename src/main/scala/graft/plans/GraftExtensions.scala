@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ColumnsPlaceholder].getName, "columns"),
       (exprs: Seq[Expression]) => ColumnsPlaceholder(exprs)))
     ext.injectResolutionRule(_ => ExpandColumnsRule)
+    // DuckDB zip semantics for several unnests in one select list
+    // (post-hoc: runs after the analyzer stacked the Generates)
+    ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
 
     // real table-valued generate_series (inclusive bounds, like
     // DuckDB/pg — reference client/go/cmd/simple/main.go:27)

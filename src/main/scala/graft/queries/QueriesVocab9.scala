@@ -105,11 +105,20 @@ object QueriesVocab9 {
       |       FROM base),
       |u5b AS (SELECT doc_id, array_to_string(v, '-') AS vs FROM u5),
       |a5 AS (SELECT doc_id, string_agg(vs, ',' ORDER BY vs) AS s5
-      |       FROM u5b GROUP BY doc_id)
-      |SELECT b.doc_id, s1, s2, a, x, s4, s5
+      |       FROM u5b GROUP BY doc_id),
+      |u6 AS (SELECT doc_id,
+      |         unnest([doc_id % 4, 7, doc_id % 2]) AS z1,
+      |         unnest([doc_id % 5, 3]) AS z2
+      |       FROM base),
+      |a6 AS (SELECT doc_id,
+      |         string_agg(coalesce(CAST(z1 AS VARCHAR), 'N') || '/' ||
+      |             coalesce(CAST(z2 AS VARCHAR), 'N'), ','
+      |           ORDER BY z1 NULLS FIRST, z2 NULLS FIRST) AS s6
+      |       FROM u6 GROUP BY doc_id)
+      |SELECT b.doc_id, s1, s2, a, x, s4, s5, s6
       |FROM base b JOIN a1 USING (doc_id) JOIN a2 USING (doc_id)
       |  JOIN s3 USING (doc_id) JOIN a4 USING (doc_id)
-      |  JOIN a5 USING (doc_id)
+      |  JOIN a5 USING (doc_id) JOIN a6 USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
 
   /** identical statement both engines: EXTRACT fields Spark lacks (or

@@ -447,6 +447,21 @@ class Vocab9Spec extends SparkSpecBase {
     val e = intercept[Exception](
       Engine.query(spark, "SELECT unnest(map(1, 2))").collect())
     assert(e.getMessage.contains("lists, structs and NULL"), e.getMessage)
+    // several unnests in ONE select list ZIP positionally, NULL-padded
+    // to the longest (probed — NOT a cross product); a struct unnest
+    // repeats its row (column expansion); FROM-position comma unnests
+    // keep cross-product semantics (all probed on DuckDB)
+    assert(rows("SELECT unnest([1,2,3]) AS a, unnest([10,20]) AS b").toSeq ==
+      Seq(Seq("1", "10"), Seq("2", "20"), Seq("3", null)))
+    assert(rows("SELECT unnest([1,2]) AS a, unnest([10,20,30]) AS b, " +
+      "unnest(['x']) AS c").toSeq == Seq(Seq("1", "10", "x"),
+      Seq("2", "20", null), Seq(null, "30", null)))
+    assert(rows("SELECT unnest([1,2]) AS a, " +
+      "unnest(named_struct('p', 9, 'q', 8)) FROM (SELECT 1)").toSeq ==
+      Seq(Seq("1", "9", "8"), Seq("2", "9", "8")))
+    assert(rows("SELECT a, b FROM unnest([1,2]) t(a), unnest([10,20]) s(b) " +
+      "ORDER BY a, b").toSeq == Seq(Seq("1", "10"), Seq("1", "20"),
+      Seq("2", "10"), Seq("2", "20")))
   }
 
   test("EXTRACT long tail, OFFSET/FETCH, TABLESAMPLE methods, DDL constraints") {
