@@ -59,13 +59,14 @@ object DuckAliases {
     alias("duck_subscript")(e => SubscriptPoly(e(0), e(1)))
     alias("duck_slice")(e => SlicePoly(e(0), e(1), e(2)))
     alias("regexp_matches")(e => RLike(e(0), e(1)))
+    // end-exclusive, default step ALWAYS +1, wrong-direction/zero-step
+    // → [] — probed DuckDB semantics Sequence cannot express (it
+    // direction-infers the default step); timestamps + INTERVAL too
     alias("range") {
-      case Seq(stop) =>
-        new Sequence(Literal(0L), Subtract(stop, Literal(1L)), None, Some("UTC"))
-      case Seq(start, stop) =>
-        new Sequence(start, Subtract(stop, Literal(1L)), None, Some("UTC"))
+      case Seq(stop) => DuckSeries(Literal(0L), stop, None, exclusive = true)
+      case Seq(start, stop) => DuckSeries(start, stop, None, exclusive = true)
       case Seq(start, stop, step) =>
-        new Sequence(start, Subtract(stop, Literal(1L)), Some(step), Some("UTC"))
+        DuckSeries(start, stop, Some(step), exclusive = true)
     }
     // literal separators regex-quoted; non-literal falls through as
     // regex (DuckDB's string_split_regex is also mapped directly)

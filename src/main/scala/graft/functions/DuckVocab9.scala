@@ -741,13 +741,13 @@ object DuckVocab9 {
     alias("formatReadableDecimalSize")(e =>
       readable(e.head, 1000.0, Seq("KB", "MB", "GB")))
     // generate_series already exists as a TVF; the SCALAR form returns
-    // the list (probed: generate_series(3) = [0..3], INCLUSIVE ends)
+    // the list (probed: generate_series(3) = [0..3], INCLUSIVE ends;
+    // default step ALWAYS +1 — generate_series(5, 1) is EMPTY, never
+    // direction-inferred like Spark's sequence; zero step → [])
     alias("generate_series") {
-      case Seq(stop) =>
-        Sequence(Literal(0L), Cast(stop, LongType), None, Some("UTC"))
-      case Seq(start, stop) =>
-        Sequence(start, stop, None, Some("UTC"))
-      case e => Sequence(e(0), e(1), Some(e(2)), Some("UTC"))
+      case Seq(stop) => DuckSeries(Literal(0L), stop, None, exclusive = false)
+      case Seq(start, stop) => DuckSeries(start, stop, None, exclusive = false)
+      case e => DuckSeries(e(0), e(1), Some(e(2)), exclusive = false)
     }
     // ---- corpus round-2: names the generator could not synthesize
     // args for until r9's targeted samples (all probed) ----

@@ -47,17 +47,82 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (post-hoc: runs after the analyzer stacked the Generates)
     ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
 
+    // SCALAR range/generate_series (list-returning, DuckSeries
+    // semantics) — injected here as well as in Functions.registerAll
+    // because the dialect pre-pass lowers `FROM generate_series(...)`
+    // onto the scalar spelling, so an extensions-only session needs it
+    ext.injectFunction((
+      FunctionIdentifier("generate_series"),
+      new ExpressionInfo(classOf[DuckSeries].getName, "generate_series"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(stop) => DuckSeries(Literal(0L), stop, None, exclusive = false)
+        case Seq(a, b) => DuckSeries(a, b, None, exclusive = false)
+        case e => DuckSeries(e(0), e(1), Some(e(2)), exclusive = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("range"),
+      new ExpressionInfo(classOf[DuckSeries].getName, "range"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(stop) => DuckSeries(Literal(0L), stop, None, exclusive = true)
+        case Seq(a, b) => DuckSeries(a, b, None, exclusive = true)
+        case e => DuckSeries(e(0), e(1), Some(e(2)), exclusive = true)
+      }))
+
     // real table-valued generate_series (inclusive bounds, like
-    // DuckDB/pg — reference client/go/cmd/simple/main.go:27)
+    // DuckDB/pg — reference client/go/cmd/simple/main.go:27). The
+    // DuckSeries expression carries the probed default-step/empty
+    // semantics and timestamp+INTERVAL support; Sequence would
+    // direction-infer `generate_series(5, 1)` into a countdown.
     ext.injectTableFunction((
       FunctionIdentifier("generate_series"),
       new ExpressionInfo("graft.GraftExtensions", "generate_series"),
       (exprs: Seq[Expression]) => {
-        val seq = new Sequence(exprs(0), exprs(1),
-          exprs.lift(2), Some("UTC"))
-        val gen = Generate(Explode(seq), Nil, outer = false, None, Nil,
+        val seq = DuckSeries(exprs(0),
+          exprs.lift(1).getOrElse(exprs(0)), exprs.lift(2),
+          exclusive = false)
+        val fixed = if (exprs.length == 1)
+          seq.copy(start = Literal(0L), stop = exprs(0)) else seq
+        val gen = Generate(Explode(fixed), Nil, outer = false, None, Nil,
           OneRowRelation())
         Project(Seq(Alias(UnresolvedAttribute("col"), "generate_series")()), gen)
+      }))
+
+    // table-valued range: DuckDB names the column `range` and is
+    // end-exclusive. Literal integer bounds keep Spark's parallel
+    // Range node (renamed); everything else — timestamps, expressions,
+    // zero steps — evaluates through DuckSeries.
+    ext.injectTableFunction((
+      FunctionIdentifier("range"),
+      new ExpressionInfo("graft.GraftExtensions", "range"),
+      (exprs: Seq[Expression]) => {
+        val intLits = exprs.forall {
+          case Literal(_, org.apache.spark.sql.types.ByteType |
+              org.apache.spark.sql.types.ShortType |
+              org.apache.spark.sql.types.IntegerType |
+              org.apache.spark.sql.types.LongType) => true
+          case _ => false
+        }
+        def lit(i: Int): Long = exprs(i) match {
+          case Literal(v, _) => v.toString.toLong
+          case other => sys.error(s"unreachable: $other")
+        }
+        val stepLit = if (exprs.length > 2) lit(2) else 1L
+        if (intLits && exprs.nonEmpty && stepLit != 0L) {
+          val (s, e) = if (exprs.length == 1) (0L, lit(0)) else (lit(0), lit(1))
+          Project(Seq(Alias(UnresolvedAttribute("id"), "range")()),
+            org.apache.spark.sql.catalyst.plans.logical.Range(
+              s, e, stepLit, None))
+        } else {
+          val series = exprs.length match {
+            case 1 => DuckSeries(Literal(0L), exprs(0), None, exclusive = true)
+            case 2 => DuckSeries(exprs(0), exprs(1), None, exclusive = true)
+            case _ => DuckSeries(exprs(0), exprs(1), Some(exprs(2)),
+              exclusive = true)
+          }
+          val gen = Generate(Explode(series), Nil, outer = false, None, Nil,
+            OneRowRelation())
+          Project(Seq(Alias(UnresolvedAttribute("col"), "range")()), gen)
+        }
       }))
 
     // table-valued unnest: `FROM unnest([10, 20]) t(x)` — the same

@@ -1065,8 +1065,11 @@ object SqlRewrites {
         val kw = m.group(1)
         val args = m.group(2)
         val alias = Option(m.group(4)).getOrElse("generate_series")
+        // explode of the SCALAR generate_series (DuckSeries): Spark's
+        // sequence() would direction-infer `generate_series(5, 1)`
+        // into a countdown where DuckDB never counts down by default
         java.util.regex.Matcher.quoteReplacement(
-          s"$kw (SELECT explode(sequence($args)) AS $alias)")
+          s"$kw (SELECT explode(generate_series($args)) AS $alias)")
       })
     // information_schema (ORMs / SQL tools probe it; DuckDB serves it
     // natively) lowered onto the duckdb_* metadata TVFs with the

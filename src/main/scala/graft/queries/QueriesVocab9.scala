@@ -49,7 +49,10 @@ object QueriesVocab9 {
     "q_duckdb_syntax3" -> ((s, dir) => sql(s, dir, syntax3Sql)),
     // struct / recursive / max_depth unnest forms — DuckDB-native on
     // the oracle side, the DuckUnnest generator on ours
-    "q_duckdb_unnest2" -> ((s, dir) => sql(s, dir, unnest2Sql)))
+    "q_duckdb_unnest2" -> ((s, dir) => sql(s, dir, unnest2Sql)),
+    // range/generate_series list semantics incl. the default-step trap
+    // (never direction-inferred), zero steps, timestamp+INTERVAL
+    "q_duckdb_series" -> ((s, dir) => sql(s, dir, seriesSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -64,7 +67,37 @@ object QueriesVocab9 {
     "q_duckdb_ordagg" -> ordaggSql,
     "q_duckdb_syntax2" -> syntax2Sql,
     "q_duckdb_syntax3" -> syntax3Sql,
-    "q_duckdb_unnest2" -> unnest2Sql)
+    "q_duckdb_unnest2" -> unnest2Sql,
+    "q_duckdb_series" -> seriesSql)
+
+  /** identical statement both engines: range (end-exclusive) and
+    * generate_series (end-inclusive) over every probed edge — the
+    * default step is ALWAYS +1 (`range(5, 1)` is EMPTY, never a
+    * countdown), explicit negative steps count down, zero step is
+    * empty, timestamps walk calendar INTERVALs. Empty lists are
+    * coalesced ('' both sides: DuckDB's array_to_string of [] is
+    * NULL, Spark's is already '').
+    */
+  private val seriesSql: String =
+    """SELECT doc_id,
+      |  array_to_string(range(doc_id % 6), ',') AS r1,
+      |  array_to_string(range(2, 2 + doc_id % 4), ',') AS r2,
+      |  coalesce(array_to_string(range(5, 1), ','), '') AS r_empty,
+      |  array_to_string(range(5, 0, -2), ',') AS r_desc,
+      |  array_to_string(range(1, 10, 3), ',') AS r_step,
+      |  coalesce(array_to_string(range(1, 5, 0), ','), '') AS r_zero,
+      |  array_to_string(generate_series(doc_id % 4), ',') AS g1,
+      |  coalesce(array_to_string(generate_series(5, 1), ','), '') AS g_empty,
+      |  array_to_string(generate_series(5, 1, -2), ',') AS g_desc,
+      |  len(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-05',
+      |    INTERVAL '1 day')) AS t_n,
+      |  len(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-05',
+      |    INTERVAL '1 day')) AS t_ni,
+      |  CAST(epoch(range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-05',
+      |    INTERVAL '1 day')[2]) AS BIGINT) AS t_e2,
+      |  CAST(epoch(generate_series(TIMESTAMP '2024-01-02',
+      |    TIMESTAMP '2024-01-01', INTERVAL '-12 hours')[3]) AS BIGINT) AS t_e3
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
 
   /** identical statement both engines: the full unnest option surface
     * — NULL leaf elements (rows) vs NULL/empty nested lists (no rows),

@@ -37,10 +37,11 @@ class ExtensionsSpec extends SparkSpecBase {
     val rows = ext.sql("SELECT * FROM generate_series(0, 10)")
     assert(rows.columns.toSeq == Seq("generate_series"))
     assert(rows.count() == 11)
+    // BIGINT elements — DuckDB's generate_series type (probed)
     val stepped = ext.sql(
       "SELECT generate_series AS g FROM generate_series(1, 9, 2)")
-      .collect().map(_.getInt(0)).toSeq
-    assert(stepped == Seq(1, 3, 5, 7, 9))
+      .collect().map(_.getLong(0)).toSeq
+    assert(stepped == Seq(1L, 3L, 5L, 7L, 9L))
   }
 
   test("BinnedRangeJoinRule rewrites interval joins off the nested-loop path") {

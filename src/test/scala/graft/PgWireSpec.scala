@@ -782,7 +782,7 @@ class PgWireSpec extends SparkSpecBase {
       val c = new Client(port); c.startup()
       (1 to 5).foreach { i =>
         val (_, _, _, e) = c.query(
-          s"INSERT INTO dml_race SELECT id + ${i * 100}, 0 FROM range(10)")
+          s"INSERT INTO dml_race SELECT range + ${i * 100}, 0 FROM range(10)")
         assert(e.isEmpty, e)
       }
       c.close()
