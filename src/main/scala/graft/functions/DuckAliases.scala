@@ -52,12 +52,18 @@ object DuckAliases {
     alias("array_to_string")(e =>
       If(EqualTo(Size(e(0), legacySizeOfNull = false), Literal(0)),
         Literal(null, StringType), ArrayJoin(e(0), e(1), None)))
-    alias("list_slice")(e => SlicePoly(e(0), e(1), e(2)))
+    alias("list_slice") {
+      case Seq(l, a, b) => SlicePoly(l, a, b)
+      case Seq(l, a, b, st) => SlicePoly.steppedSlice(l, a, b, st)
+    }
     // DuckDB bracket syntax, lowered here by BracketRewrite: x[i] is
     // 1-based and polymorphic; x[a:b] is the inclusive slice. Both
     // are also callable directly.
     alias("duck_subscript")(e => SubscriptPoly(e(0), e(1)))
-    alias("duck_slice")(e => SlicePoly(e(0), e(1), e(2)))
+    alias("duck_slice") {
+      case Seq(l, a, b) => SlicePoly(l, a, b)
+      case Seq(l, a, b, st) => SlicePoly.steppedSlice(l, a, b, st)
+    }
     alias("regexp_matches")(e => RLike(e(0), e(1)))
     // end-exclusive, default step ALWAYS +1, wrong-direction/zero-step
     // → [] — probed DuckDB semantics Sequence cannot express (it

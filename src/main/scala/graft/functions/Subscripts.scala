@@ -97,4 +97,44 @@ object SlicePoly {
     val anyNullBound = Or(IsNull(Cast(a, IntegerType)), IsNull(Cast(b, IntegerType)))
     Slice(l, If(anyNullBound, Literal(null, IntegerType), start), len)
   }
+
+  /** 4-arg stepped slice — `list_slice(l, a, b, step)` / `l[a:b:s]`.
+    * Probed DuckDB 1.0: bounds 1-based inclusive and clamped; a
+    * NEGATIVE step walks down from `a` to `b` (list_slice(l, 5, 1,
+    * -2) = elements 5,3,1); wrong-direction bounds → []; step 0 is a
+    * loud error ("Slice step cannot be zero"). Lowered to
+    * element_at over an index sequence — codegen'd HOFs throughout.
+    */
+  def steppedSlice(l: Expression, a: Expression, b: Expression,
+      st: Expression): Expression = {
+    val sz = Size(l, legacySizeOfNull = false)
+    def norm(i: Expression) = {
+      val ii = Cast(i, IntegerType)
+      If(GreaterThanOrEqual(ii, Literal(0)), ii,
+        Add(Add(sz, ii), Literal(1)))
+    }
+    val stI = Cast(st, IntegerType)
+    val pos = GreaterThan(stI, Literal(0))
+    // the step-0 raise rides inside `start` (an integer-typed seam, so
+    // the If branches type-agree) and start is evaluated on every
+    // non-NULL path — DuckDB's "Slice step cannot be zero"
+    val start = If(EqualTo(stI, Literal(0)),
+      Cast(RaiseError(Literal(
+        "Invalid Input Error: Slice step cannot be zero")), IntegerType),
+      If(pos, Greatest(Seq(Literal(1), norm(a))),
+        Least(Seq(sz, norm(a)))))
+    val end = If(pos, Least(Seq(sz, norm(b))),
+      Greatest(Seq(Literal(1), norm(b))))
+    val empty = If(pos, GreaterThan(start, end), LessThan(start, end))
+    val i = UnresolvedNamedLambdaVariable(Seq("__sli"))
+    val vals = ArrayTransform(
+      new Sequence(start, end, Some(stI), Some("UTC")),
+      LambdaFunction(ElementAt(l, i), Seq(i)))
+    val anyNull = Or(Or(IsNull(Cast(a, IntegerType)),
+      IsNull(Cast(b, IntegerType))), IsNull(stI))
+    // NULL / empty results come from Slice itself so the element type
+    // is always right (l may still be unresolved here)
+    If(anyNull, Slice(l, Literal(null, IntegerType), Literal(1)),
+      If(empty, Slice(l, Literal(1), Literal(0)), vals))
+  }
 }

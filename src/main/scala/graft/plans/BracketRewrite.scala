@@ -796,6 +796,7 @@ object BracketRewrite {
               if (ps >= 0) {
                 // depth-0 colon inside the bracket ⇒ slice
                 var colonIdx = -1
+                var colonIdx2 = -1
                 var depth = 0
                 var j = ti + 1
                 var colons = 0
@@ -804,7 +805,9 @@ object BracketRewrite {
                     case Punct(_, _, "[") | Punct(_, _, "(") => depth += 1
                     case Punct(_, _, "]") | Punct(_, _, ")") => depth -= 1
                     case Punct(_, _, ":") if depth == 0 =>
-                      colons += 1; if (colonIdx < 0) colonIdx = j
+                      colons += 1
+                      if (colonIdx < 0) colonIdx = j
+                      else if (colonIdx2 < 0) colonIdx2 = j
                     case _ =>
                   }
                   j += 1
@@ -824,8 +827,23 @@ object BracketRewrite {
                   edits += Edit(co.start, co.end,
                     if (hiEmpty) ", -1" else ", ", { seq += 1; seq })
                   edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
+                } else if (colons == 2 && colonIdx2 != closeIdx - 1) {
+                  // [a:b:s] stepped slice (DuckDB; probed semantics in
+                  // SlicePoly.steppedSlice). An EMPTY step is a DuckDB
+                  // syntax error too — left untouched → loud error.
+                  val co1 = toks(colonIdx)
+                  val co2 = toks(colonIdx2)
+                  val loEmpty = colonIdx == ti + 1
+                  val hiEmpty = colonIdx2 == colonIdx + 1
+                  edits += Edit(ps, ps, "duck_slice(", { seq += 1; seq })
+                  edits += Edit(bst, bst + 1, if (loEmpty) ", 1" else ", ",
+                    { seq += 1; seq })
+                  edits += Edit(co1.start, co1.end,
+                    if (hiEmpty) ", -1" else ", ", { seq += 1; seq })
+                  edits += Edit(co2.start, co2.end, ", ", { seq += 1; seq })
+                  edits += Edit(cl.start, cl.end, ")", { seq += 1; seq })
                 }
-                // 2+ colons (step slices) — not bridged, left untouched
+                // other colon counts — not bridged, left untouched
               }
             }
           }

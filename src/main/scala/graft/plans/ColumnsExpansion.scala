@@ -47,9 +47,37 @@ object ExpandColumnsRule extends Rule[LogicalPlan] {
   private def hasPlaceholder(exprs: Seq[Expression]): Boolean =
     exprs.exists(_.exists(_.isInstanceOf[ColumnsPlaceholder]))
 
+  /** marker the SqlRewrites pass uses to smuggle a `COLUMNS(c -> …)`
+    * lambda past Spark's non-higher-order-function lambda check */
+  val LambdaMarker = "__colpred__:"
+
   /** Columns of `output` the placeholder selects, in output order. */
   private def matched(ph: ColumnsPlaceholder, output: Seq[Attribute]): Seq[Attribute] =
     ph.children match {
+      case Seq(Literal(s, StringType)) if s != null &&
+          s.toString.startsWith(LambdaMarker) =>
+        // COLUMNS(c -> predicate): filters column NAMES. The body is
+        // parsed back and evaluated with each name substituted for
+        // the variable — it must fold from literals alone (LIKE,
+        // comparisons, ||); anything else errors loudly.
+        val rest = s.toString.stripPrefix(LambdaMarker)
+        val ci = rest.indexOf(':')
+        val varName = rest.substring(0, ci)
+        val body = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(rest.substring(ci + 1))
+        output.filter { a =>
+          val sub = body.transform {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if u.nameParts == Seq(varName) =>
+              Literal(org.apache.spark.unsafe.types.UTF8String
+                .fromString(a.name), StringType)
+          }
+          try sub.eval(null) == true
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"COLUMNS(lambda): the predicate must evaluate from the " +
+              s"column name alone (LIKE/comparison/concat); failed on " +
+              s"'${a.name}': ${e.getMessage}", e) }
+        }
       case Seq(Literal(re, StringType)) if re != null =>
         val p = java.util.regex.Pattern.compile(re.toString)
         output.filter(a => p.matcher(a.name).find()) // partial, like DuckDB

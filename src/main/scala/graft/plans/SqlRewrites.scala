@@ -100,6 +100,14 @@ object SqlRewrites {
     * count; all lower onto Spark's TABLESAMPLE (engine RNG differs —
     * the USING SAMPLE precedent, CompatSpec-gated).
     */
+  /** `x AT TIME ZONE z` operand forms: a TIMESTAMP[TZ] literal, an
+    * identifier chain, or one non-nested call; zone = string literal
+    * or identifier. */
+  private val atTimeZoneRe =
+    ("""(?is)(TIMESTAMPTZ\s*'[^']*'|TIMESTAMP\s*'[^']*'|""" +
+      """[\w.$]+(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+""" +
+      """('(?:[^']|'')*'|[\w.]+)""").r
+
   private val tablesampleMethodRe =
     """(?i)\bTABLESAMPLE\s+(bernoulli|system|reservoir)\s*\(\s*(\d+(?:\.\d+)?)\s*(%|PERCENT)?\s*\)""".r
 
@@ -197,6 +205,96 @@ object SqlRewrites {
     * `col1_2` stay); fractional runs after `.` rewrite too.
     */
   private val numUnderscore = """(?<!\w)(\d[\d_]*\d)(?!\w)""".r
+
+  /** DuckDB `A POSITIONAL JOIN B`: pairs rows by position, NULL-
+    * padding the shorter side (probed: uneven inputs keep every row).
+    * Lowered to a FULL JOIN on per-side row_number over the input
+    * order (monotonically_increasing_id — Spark's notion of scan
+    * order). Output row ORDER is not guaranteed (standard SQL
+    * posture; DuckDB preserves it — ORDER BY for determinism). The
+    * helper columns ride the dropCols channel. One per statement;
+    * chains error loudly rather than mis-scope.
+    */
+  private val positionalJoinRe = """(?i)\bPOSITIONAL\s+JOIN\b""".r
+
+  private def kwAt(sql: String, i: Int, kw: String): Boolean =
+    sql.regionMatches(true, i, kw, 0, kw.length) &&
+      (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1)) &&
+        sql.charAt(i - 1) != '_') &&
+      (i + kw.length >= sql.length ||
+        !Character.isLetterOrDigit(sql.charAt(i + kw.length)) &&
+        sql.charAt(i + kw.length) != '_')
+
+  def rewritePositionalJoin(sql: String): String = {
+    val ms = positionalJoinRe.findAllMatchIn(sql).toList
+    if (ms.isEmpty) return sql
+    if (ms.length > 1) throw new IllegalArgumentException(
+      "POSITIONAL JOIN: one per statement is supported; nest subqueries")
+    val m = ms.head
+    // left relation: back to the nearest depth-0 FROM / JOIN / comma
+    var i = 0; var depth = 0; var inS = false
+    var lStart = -1
+    while (i < m.start) {
+      val c = sql.charAt(i)
+      if (inS) { if (c == '\'') inS = false; i += 1 }
+      else c match {
+        case '\'' => inS = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 => lStart = i + 1; i += 1
+        case _ =>
+          if (depth == 0 && (kwAt(sql, i, "FROM") || kwAt(sql, i, "JOIN"))) {
+            lStart = i + 4; i += 4
+          } else i += 1
+      }
+    }
+    if (lStart < 0) throw new IllegalArgumentException(
+      "POSITIONAL JOIN: could not locate the left relation")
+    val left = sql.substring(lStart, m.start).trim
+    // right relation: forward to the next depth-0 clause boundary
+    val stopKw = Seq("WHERE", "GROUP", "ORDER", "HAVING", "LIMIT",
+      "OFFSET", "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW",
+      "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON", "USING")
+    var j = m.end; depth = 0; inS = false
+    var rEnd = -1
+    while (j < sql.length && rEnd < 0) {
+      val c = sql.charAt(j)
+      if (inS) { if (c == '\'') inS = false; j += 1 }
+      else c match {
+        case '\'' => inS = true; j += 1
+        case '(' => depth += 1; j += 1
+        case ')' if depth == 0 => rEnd = j
+        case ')' => depth -= 1; j += 1
+        case ';' | ',' if depth == 0 => rEnd = j
+        case _ =>
+          if (depth == 0 && stopKw.exists(kwAt(sql, j, _))) rEnd = j
+          else j += 1
+      }
+    }
+    if (rEnd < 0) rEnd = sql.length
+    val right = sql.substring(m.end, rEnd).trim
+    def side(rel: String, col: String, alias: String) =
+      s"(SELECT *, row_number() OVER (ORDER BY " +
+        s"monotonically_increasing_id()) AS $col FROM $rel) $alias"
+    val repl = side(left, "__pjl", "__pjlt") + " FULL JOIN " +
+      side(right, "__pjr", "__pjrt") + " ON __pjlt.__pjl = __pjrt.__pjr"
+    sql.substring(0, lStart) + " " + repl + " " + sql.substring(rEnd)
+  }
+
+  /** `COLUMNS(c -> predicate)` — the name-filtering lambda form.
+    * Spark's analyzer rejects lambda arguments to non-higher-order
+    * functions before any rule can expand them, so the lambda is
+    * smuggled through as a marker string literal that
+    * [[ExpandColumnsRule]] parses back (body without nested parens —
+    * LIKE / comparisons / ||, the DuckDB-doc surface). */
+  private val columnsLambdaRe =
+    """(?is)\bCOLUMNS\s*\(\s*(\w+)\s*->\s*([^()]*?)\s*\)""".r
+
+  /** trailing comma before a clause keyword / bracket close / end —
+    * the spots DuckDB's parser accepts one (probed). */
+  private val trailingComma =
+    (""",(\s*)(?=(?i:FROM|WHERE|GROUP|HAVING|WINDOW|QUALIFY|ORDER|""" +
+      """LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b|[\]}]|;|\z)""").r
 
   /** pg/DuckDB dollar-quoted strings: `$$...$$`, `$tag$...$tag$` →
     * standard single-quoted literals (content quotes double). Runs
@@ -991,9 +1089,18 @@ object SqlRewrites {
       else replaceOutsideQuotes(numUnderscore, sqlEsc)(m =>
         if (m.group(1).indexOf('_') >= 0) m.group(1).replace("_", "")
         else m.group(1))
-    val lowIn = sqlNu.toLowerCase
+    // DuckDB trailing commas: accepted in the select list (before the
+    // next clause keyword or end of statement) and in [...] / {...}
+    // literals. The textual pass cannot see which clause a comma ends,
+    // so a trailing comma in GROUP/ORDER BY lists is accepted too — a
+    // documented SUPERSET (DuckDB errors there); call argument lists
+    // stay untouched (both engines error). Runs before the
+    // bracket/brace passes so `[1, 2,]` never reaches array().
+    val sqlTc = if (sqlNu.indexOf(',') < 0) sqlNu
+      else replaceOutsideQuotes(trailingComma, sqlNu)(m => m.group(1))
+    val lowIn = sqlTc.toLowerCase
     val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
-        lowIn.contains("enum_")) rewriteEnums(sqlNu) else sqlNu
+        lowIn.contains("enum_")) rewriteEnums(sqlTc) else sqlTc
     val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
     // array-typed casts before the bracket pass would misread them
@@ -1013,14 +1120,43 @@ object SqlRewrites {
     val sqlO = if (BracketRewrite.hasOperatorTrigger(sqlBr))
       BracketRewrite.rewriteOperators(sqlBr) else sqlBr
     val sqlB = if (sqlO.indexOf('[') >= 0) BracketRewrite.rewrite(sqlO) else sqlO
+    // `x AT TIME ZONE 'z'` (pg/DuckDB postfix operator) — runs BEFORE
+    // the typedLit collapse so the literal's TIMESTAMPTZ spelling can
+    // dispatch the direction (probed, session TZ UTC): a plain
+    // TIMESTAMP is a wall time INTERPRETED in the zone (→
+    // to_utc_timestamp); a TIMESTAMPTZ is an instant CONVERTED to the
+    // zone's wall time (→ from_utc_timestamp). Erased-tstz columns
+    // take the plain-timestamp reading (documented — graft's model
+    // stores UTC wall times). Covers literal / identifier-chain /
+    // single-call operands; parenthesized expressions fall through to
+    // a loud parse error.
+    val sqlAtz = if (!sqlB.toLowerCase.contains("at time zone")) sqlB
+      else {
+        var cur = sqlB
+        var guard = 0
+        var changed = true
+        while (changed && guard < 16) {
+          val next = replaceOutsideQuotes(atTimeZoneRe, cur) { m =>
+            val operand = m.group(1)
+            val zone = m.group(2)
+            if (operand.toLowerCase.startsWith("timestamptz"))
+              s"from_utc_timestamp(TIMESTAMP ${operand.drop(11).trim}, $zone)"
+            else s"to_utc_timestamp($operand, $zone)"
+          }
+          changed = next != cur
+          cur = next
+          guard += 1
+        }
+        cur
+      }
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering). Both
     // passes skip string/comment spans — 'timestamptz ' inside a
     // string literal is data. TIMESTAMPTZ keeps its literal (Spark's
     // TIMESTAMP literal parses zone offsets); TIMETZ consumes and
     // normalizes its literal (Spark TIME parses no offset).
-    val sqlT0 = if (sqlB.toLowerCase.contains("timestamptz"))
-      replaceOutsideQuotes(typedLit, sqlB)(_ => "TIMESTAMP ") else sqlB
+    val sqlT0 = if (sqlAtz.toLowerCase.contains("timestamptz"))
+      replaceOutsideQuotes(typedLit, sqlAtz)(_ => "TIMESTAMP ") else sqlAtz
     val sqlT = if (sqlT0.toLowerCase.contains("timetz"))
       replaceOutsideQuotes(timetzLit, sqlT0)(m =>
         s"TIME '${normalizeTimeTz(m.group(1))}'") else sqlT0
@@ -1054,12 +1190,19 @@ object SqlRewrites {
           bm => bm.group(1) + bm.group(2) + " => ").stripPrefix("(").stripSuffix(")")
         java.util.regex.Matcher.quoteReplacement(s"${m.group(1)}($body)")
       })
-    val sr0 = if (has("temp")) rewriteCreateTemp(sqlC) else sqlC
+    val sqlCl = if (!has("columns")) sqlC
+      else replaceOutsideQuotes(columnsLambdaRe, sqlC) { m =>
+        val body = m.group(2).trim.replace("'", "''")
+        s"COLUMNS('${ExpandColumnsRule.LambdaMarker}${m.group(1)}:$body')"
+      }
+    val sr0 = if (has("temp")) rewriteCreateTemp(sqlCl) else sqlCl
     val sr = if (has("replace")) rewriteStarReplace(sr0) else sr0
-    val s0 = if (has("asof")) rewriteAsofJoin(sr) else sr
+    val s0a = if (has("asof")) rewriteAsofJoin(sr) else sr
     // the ASOF interval rewrite adds a helper column that `SELECT *`
     // would otherwise surface
-    val asofDrop = if (s0 != sr) Seq("__asof_nb") else Nil
+    val asofDrop = if (s0a != sr) Seq("__asof_nb") else Nil
+    val s0 = if (has("positional")) rewritePositionalJoin(s0a) else s0a
+    val posDrop = if (s0 ne s0a) Seq("__pjl", "__pjr") else Nil
     val s1 = if (!has("generate_series")) s0 else
       genSeries.replaceAllIn(s0, m => {
         val kw = m.group(1)
@@ -1176,7 +1319,7 @@ object SqlRewrites {
     })
     val s5 = if (has("distinct") && has("on")) rewriteDistinctOn(s4) else s4
     (if ((s5 ne s4) || has("qualify")) findTopLevelQualify(s5) else None) match {
-      case None => Rewritten(s5, asofDrop)
+      case None => Rewritten(s5, asofDrop ++ posDrop)
       case Some(pos) =>
         val before = s5.substring(0, pos)
         val after = s5.substring(pos + "QUALIFY".length)
@@ -1198,7 +1341,7 @@ object SqlRewrites {
           s"""SELECT * EXCEPT (__qualify) FROM (
              |  SELECT __q.*, ($pred) AS __qualify FROM ($before) __q
              |) WHERE __qualify""".stripMargin)
-        Rewritten(s"$wrapped $tail", asofDrop)
+        Rewritten(s"$wrapped $tail", asofDrop ++ posDrop)
     }
   }
 

@@ -52,7 +52,13 @@ object QueriesVocab9 {
     "q_duckdb_unnest2" -> ((s, dir) => sql(s, dir, unnest2Sql)),
     // range/generate_series list semantics incl. the default-step trap
     // (never direction-inferred), zero steps, timestamp+INTERVAL
-    "q_duckdb_series" -> ((s, dir) => sql(s, dir, seriesSql)))
+    "q_duckdb_series" -> ((s, dir) => sql(s, dir, seriesSql)),
+    // r10 sugar wave: stepped slices, AT TIME ZONE both directions,
+    // trailing commas (the select list here ends with one)
+    "q_duckdb_sugar2" -> ((s, dir) => sql(s, dir, sugar2Sql)),
+    // POSITIONAL JOIN with NULL padding (single-partition parquet scan
+    // order is the shared input order at test scale)
+    "q_duckdb_posjoin" -> ((s, dir) => sql(s, dir, posjoinSql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -68,7 +74,44 @@ object QueriesVocab9 {
     "q_duckdb_syntax2" -> syntax2Sql,
     "q_duckdb_syntax3" -> syntax3Sql,
     "q_duckdb_unnest2" -> unnest2Sql,
-    "q_duckdb_series" -> seriesSql)
+    "q_duckdb_series" -> seriesSql,
+    "q_duckdb_sugar2" -> sugar2Sql,
+    "q_duckdb_posjoin" -> posjoinSql)
+
+  /** identical statement both engines: [a:b:s] stepped slices (incl.
+    * negative step and open lo), 4-arg list_slice, AT TIME ZONE in
+    * both directions (plain TIMESTAMP interprets the wall time in the
+    * zone; TIMESTAMPTZ converts the instant to the zone — epoch'd so
+    * the rendering divergence can't bite), and a TRAILING COMMA
+    * closing the select list (DuckDB accepts it; the rewrite strips
+    * it).
+    */
+  private val sugar2Sql: String =
+    """SELECT doc_id,
+      |  array_to_string(([1,2,3,4,5,6])[1:5:2], ',') AS sl1,
+      |  array_to_string(([1,2,3,4,5,6])[:4:2], ',') AS sl2,
+      |  array_to_string(([doc_id % 7, 1, 2, 3, 4])[5:1:-2], ',') AS sl3,
+      |  array_to_string(list_slice([doc_id % 5, 1, 2, 3, 4], 4, 1, -2),
+      |    ',') AS sl4,
+      |  CAST(epoch(TIMESTAMP '2024-01-01 12:00:00'
+      |    AT TIME ZONE 'America/New_York') AS BIGINT) AS atz1,
+      |  CAST(epoch(TIMESTAMPTZ '2024-01-01 12:00:00+00'
+      |    AT TIME ZONE 'America/New_York') AS BIGINT) AS atz2,
+      |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin
+
+  /** identical statement both engines: POSITIONAL JOIN pairs rows by
+    * position and NULL-pads the shorter side. Both engines scan the
+    * same single parquet file in row order at verify scale, so the
+    * positional pairing is shared; the graft lowering's scan-order
+    * contract is documented at SqlRewrites.rewritePositionalJoin.
+    */
+  private val posjoinSql: String =
+    """SELECT * FROM
+      |  (SELECT doc_id, lang FROM documents WHERE doc_id < 8)
+      |  POSITIONAL JOIN
+      |  (SELECT doc_id AS d2, n_chars FROM documents
+      |   WHERE doc_id >= 3 AND doc_id < 13)
+      |ORDER BY d2""".stripMargin
 
   /** identical statement both engines: range (end-exclusive) and
     * generate_series (end-inclusive) over every probed edge — the

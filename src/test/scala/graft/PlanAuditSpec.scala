@@ -138,7 +138,13 @@ class PlanAuditSpec extends SparkSpecBase {
       case _: WindowGroupLimitExec => true
       case _ => false
     }
-    val exempt = Set("q_window_frames_range") // global RANGE frame: DuckDB parity
+    val exempt = Set(
+      "q_window_frames_range", // global RANGE frame: DuckDB parity
+      // POSITIONAL JOIN is inherently a global-order operation (rows
+      // pair by scan position) — DuckDB runs it single-stream too;
+      // the lowering's per-side row_number is that order made
+      // explicit. Not a pipeline operator: parity surface only.
+      "q_duckdb_posjoin")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(exempt)
       .flatMap { name =>

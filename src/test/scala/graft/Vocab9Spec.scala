@@ -464,6 +464,46 @@ class Vocab9Spec extends SparkSpecBase {
       Seq("2", "10"), Seq("2", "20")))
   }
 
+  test("r10 sugar: stepped slices, AT TIME ZONE, trailing commas, " +
+      "POSITIONAL JOIN, COLUMNS lambda, series semantics") {
+    def one(q: String) = Engine.query(spark, q).collect().head
+    def rows(q: String) = Engine.query(spark, q).collect().map(_.toSeq)
+    // stepped slices (probed DuckDB grid; step 0 errors loudly)
+    assert(one("SELECT array_to_string(([1,2,3,4,5,6])[1:5:2], ',') AS v")
+      .getString(0) == "1,3,5")
+    assert(one("SELECT array_to_string(list_slice([1,2,3,4,5], 5, 1, -2), ',') AS v")
+      .getString(0) == "5,3,1")
+    intercept[Exception](
+      one("SELECT list_slice([1,2,3], 1, 3, 0) AS v"))
+    // AT TIME ZONE: TIMESTAMP interprets, TIMESTAMPTZ converts (probed)
+    assert(one("SELECT CAST(TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE " +
+      "'America/New_York' AS VARCHAR) AS v").getString(0)
+      .startsWith("2024-01-01 17:00:00"))
+    assert(one("SELECT CAST(TIMESTAMPTZ '2024-01-01 12:00:00+00' AT TIME ZONE " +
+      "'America/New_York' AS VARCHAR) AS v").getString(0)
+      .startsWith("2024-01-01 07:00:00"))
+    // trailing commas: select list and collection literals
+    assert(one("SELECT 1 AS a, 2 AS b,").getInt(1) == 2)
+    assert(one("SELECT len([1, 2,]) AS n").getInt(0) == 2)
+    // POSITIONAL JOIN zips by position, NULL-padding the short side
+    assert(rows("SELECT * FROM (VALUES (1),(2),(3)) a(x) POSITIONAL JOIN " +
+      "(VALUES ('p')) b(y) ORDER BY x").toSeq ==
+      Seq(Seq(1, "p"), Seq(2, null), Seq(3, null)))
+    intercept[IllegalArgumentException](Engine.query(spark,
+      "SELECT * FROM t1 POSITIONAL JOIN t2 POSITIONAL JOIN t3"))
+    // COLUMNS(c -> predicate) filters column names like the regex form
+    assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
+      "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
+      .columns.toSeq == Seq("n_name", "n_nope"))
+    // range/generate_series: default step never direction-inferred
+    assert(one("SELECT len(range(5, 1)) AS n").getInt(0) == 0)
+    assert(one("SELECT len(generate_series(5, 1)) AS n").getInt(0) == 0)
+    assert(one("SELECT array_to_string(range(5, 0, -2), ',') AS v")
+      .getString(0) == "5,3,1")
+    assert(one("SELECT len(range(TIMESTAMP '2024-01-01', " +
+      "TIMESTAMP '2024-01-05', INTERVAL '1 day')) AS n").getInt(0) == 4)
+  }
+
   test("EXTRACT long tail, OFFSET/FETCH, TABLESAMPLE methods, DDL constraints") {
     def one(q: String) = Engine.query(spark, q).collect().head
     // DuckDB-semantic fields (probed: dow Sun=0, epoch DOUBLE,
