@@ -125,6 +125,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
 
+    // table-valued repeat: `FROM repeat('ab', 3)` — n copies of the
+    // value, column named like DuckDB's
+    ext.injectTableFunction((
+      FunctionIdentifier("repeat"),
+      new ExpressionInfo("graft.GraftExtensions", "repeat"),
+      (exprs: Seq[Expression]) => {
+        val gen = Generate(
+          Explode(org.apache.spark.sql.catalyst.expressions.ArrayRepeat(
+            exprs(0), exprs(1))), Nil, outer = false, None, Nil,
+          OneRowRelation())
+        Project(Seq(Alias(UnresolvedAttribute("col"), "repeat")()), gen)
+      }))
+
     // table-valued unnest: `FROM unnest([10, 20]) t(x)` — the same
     // DuckUnnest generator as the SELECT-position alias, so struct
     // and recursive/max_depth forms work in FROM position too (the

@@ -290,6 +290,8 @@ object SqlRewrites {
   private val columnsLambdaRe =
     """(?is)\bCOLUMNS\s*\(\s*(\w+)\s*->\s*([^()]*?)\s*\)""".r
 
+  private val collateNocase = """(?i)\bCOLLATE\s+NOCASE\b""".r
+
   /** trailing comma before a clause keyword / bracket close / end —
     * the spots DuckDB's parser accepts one (probed). */
   private val trailingComma =
@@ -1089,6 +1091,11 @@ object SqlRewrites {
       else replaceOutsideQuotes(numUnderscore, sqlEsc)(m =>
         if (m.group(1).indexOf('_') >= 0) m.group(1).replace("_", "")
         else m.group(1))
+    // DuckDB collation names onto Spark's collation support (probed:
+    // UTF8_LCASE orders and compares like DuckDB NOCASE). Unknown
+    // names keep Spark's loud invalid-collation error.
+    val sqlColl = if (!sqlNu.toLowerCase.contains("collate")) sqlNu
+      else replaceOutsideQuotes(collateNocase, sqlNu)(_ => "COLLATE UTF8_LCASE")
     // DuckDB trailing commas: accepted in the select list (before the
     // next clause keyword or end of statement) and in [...] / {...}
     // literals. The textual pass cannot see which clause a comma ends,
@@ -1096,8 +1103,8 @@ object SqlRewrites {
     // documented SUPERSET (DuckDB errors there); call argument lists
     // stay untouched (both engines error). Runs before the
     // bracket/brace passes so `[1, 2,]` never reaches array().
-    val sqlTc = if (sqlNu.indexOf(',') < 0) sqlNu
-      else replaceOutsideQuotes(trailingComma, sqlNu)(m => m.group(1))
+    val sqlTc = if (sqlColl.indexOf(',') < 0) sqlColl
+      else replaceOutsideQuotes(trailingComma, sqlColl)(m => m.group(1))
     val lowIn = sqlTc.toLowerCase
     val sqlE = if (lowIn.contains("::") || lowIn.contains("cast") ||
         lowIn.contains("enum_")) rewriteEnums(sqlTc) else sqlTc

@@ -495,6 +495,13 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // COLLATE NOCASE → Spark UTF8_LCASE (probed: same order + equality)
+    assert(rows("SELECT x FROM (VALUES ('b'),('A'),('c')) t(x) " +
+      "ORDER BY x COLLATE NOCASE").map(_.head).toSeq == Seq("A", "b", "c"))
+    assert(one("SELECT 'ABC' COLLATE NOCASE = 'abc' AS v").getBoolean(0))
+    // repeat TVF (scalar string-repeat untouched)
+    assert(rows("SELECT * FROM repeat('ab', 3)").length == 3)
+    assert(one("SELECT repeat('xy', 2) AS s").getString(0) == "xyxy")
     // range/generate_series: default step never direction-inferred
     assert(one("SELECT len(range(5, 1)) AS n").getInt(0) == 0)
     assert(one("SELECT len(generate_series(5, 1)) AS n").getInt(0) == 0)
