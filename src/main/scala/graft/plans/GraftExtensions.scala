@@ -336,7 +336,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 class GraftParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(SqlRewrites.rewrite(sqlText))
+    UnnestHoist(delegate.parsePlan(SqlRewrites.rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(SqlRewrites.rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =

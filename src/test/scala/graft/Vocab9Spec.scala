@@ -462,6 +462,15 @@ class Vocab9Spec extends SparkSpecBase {
     assert(rows("SELECT a, b FROM unnest([1,2]) t(a), unnest([10,20]) s(b) " +
       "ORDER BY a, b").toSeq == Seq(Seq("1", "10"), Seq("1", "20"),
       Seq("2", "10"), Seq("2", "20")))
+    // unnest INSIDE select expressions hoists to a subquery (probed:
+    // DuckDB evaluates the expression per emitted row; several
+    // unnests in one expression zip)
+    assert(rows("SELECT unnest([1,2]) + 10 AS v").toSeq ==
+      Seq(Seq("11"), Seq("12")))
+    assert(rows("SELECT upper(unnest(['a','b'])) AS v").toSeq ==
+      Seq(Seq("A"), Seq("B")))
+    assert(rows("SELECT unnest([1,2]) + unnest([10,20]) AS v").toSeq ==
+      Seq(Seq("11"), Seq("22")))
   }
 
   test("r10 sugar: stepped slices, AT TIME ZONE, trailing commas, " +
