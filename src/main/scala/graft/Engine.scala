@@ -155,6 +155,46 @@ object Engine {
       case DropTableNameRe(name) =>
         graft.TableConstraints.clear(name) // stale PK records die here
         spark.sql(sql)
+      // DuckDB column DDL Spark's v1 tables reject — rebuilt
+      // copy-on-write like the DML paths (snapshot, drop, re-save)
+      case AlterRenameColRe(table, oldC, newC) =>
+        rebuildTable(spark, table) { df =>
+          require(df.columns.exists(_.equalsIgnoreCase(oldC)),
+            s"column $oldC does not exist in $table")
+          df.withColumnRenamed(oldC, newC)
+        }
+        TableConstraints.pkOf(table).foreach { pk =>
+          if (pk.exists(_.equalsIgnoreCase(oldC)))
+            TableConstraints.recordPk(table, pk.map(c =>
+              if (c.equalsIgnoreCase(oldC)) newC.toLowerCase else c))
+        }
+        spark.emptyDataFrame
+      case AlterDropColRe(table, ifExists, col) =>
+        rebuildTable(spark, table) { df =>
+          if (!df.columns.exists(_.equalsIgnoreCase(col))) {
+            require(ifExists != null, s"column $col does not exist in $table")
+            df
+          } else {
+            require(df.columns.length > 1,
+              s"cannot drop the only column of $table")
+            df.drop(col)
+          }
+        }
+        if (TableConstraints.pkOf(table).exists(_.exists(
+            _.equalsIgnoreCase(col))))
+          TableConstraints.clear(table) // the key is gone with its column
+        spark.emptyDataFrame
+      case AlterColTypeRe(table, col, newType, usingOrNull) =>
+        rebuildTable(spark, table) { df =>
+          require(df.columns.exists(_.equalsIgnoreCase(col)),
+            s"column $col does not exist in $table")
+          val expr = Option(usingOrNull)
+            .map(u => org.apache.spark.sql.functions.expr(u))
+            .getOrElse(org.apache.spark.sql.functions
+              .col(col).cast(SqlRewrites.mapTypeName(newType)))
+          df.withColumn(col, expr)
+        }
+        spark.emptyDataFrame
       case _ if """(?is)\A\s*UPDATE\s""".r.findFirstIn(sql).isDefined =>
         // library-level DML: same copy-on-write path the wire uses;
         // DuckDB returns a Count column for DML statements
@@ -178,6 +218,30 @@ object Engine {
 
   private def dmlCount(spark: SparkSession, n: Long) =
     spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
+
+  /** DuckDB column-DDL forms (RENAME/DROP COLUMN, ALTER ... TYPE).
+    * `ALTER TABLE t RENAME TO x` deliberately fails the rename-COLUMN
+    * pattern (no second TO) and reaches Spark's native handler.
+    */
+  private val AlterRenameColRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+(?:COLUMN\s+)?(\w+)\s+TO\s+(\w+)\s*;?\s*\z""".r
+  private val AlterDropColRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:COLUMN\s+)?(?:(IF\s+EXISTS)\s+)?(\w+)\s*;?\s*\z""".r
+  private val AlterColTypeRe =
+    """(?is)\A\s*ALTER\s+TABLE\s+([\w.]+)\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+([\w()<>, ]+?)(?:\s+USING\s+(.+?))?\s*;?\s*\z""".r
+
+  /** Copy-on-write table rebuild under the table's writer lock —
+    * snapshot BEFORE dropping, then re-save with the new schema (the
+    * Dml overwrite pattern; v1 parquet tables reject in-place column
+    * DDL).
+    */
+  private def rebuildTable(spark: SparkSession, table: String)(
+      transform: DataFrame => DataFrame): Unit =
+    server.Dml.lockFor(table).synchronized {
+      val df = transform(spark.table(table)).localCheckpoint()
+      spark.sql(s"DROP TABLE $table")
+      df.write.saveAsTable(table)
+    }
 
   private val DropTableNameRe =
     """(?is)\A\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w."]+)\s*;?\s*\z""".r

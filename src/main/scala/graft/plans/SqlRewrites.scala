@@ -62,6 +62,11 @@ object SqlRewrites {
     // JSON is modeled as STRING (json() returns canonical text)
     "json" -> "string")
   private val aliasAlt = pgTypeAliases.keys.mkString("|")
+
+  /** map a pg/DuckDB type NAME to Spark's (bare names only — used by
+    * the column-DDL rebuild path). */
+  def mapTypeName(t: String): String =
+    pgTypeAliases.getOrElse(t.trim.toLowerCase, t.trim)
   /** DuckDB star modifier `* EXCLUDE (cols)` → Spark's `* EXCEPT (cols)`
     * (bare or table-qualified `t.* EXCLUDE (...)`).
     */

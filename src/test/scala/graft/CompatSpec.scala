@@ -1255,6 +1255,38 @@ class CompatSpec extends SparkSpecBase {
     assert(unk.getMessage.contains("unrecognized"), unk.getMessage)
   }
 
+  test("column DDL: RENAME/DROP COLUMN, ALTER TYPE (copy-on-write rebuild)") {
+    def q(s: String) = Engine.query(spark, s)
+    q("DROP TABLE IF EXISTS cddl")
+    q("CREATE TABLE cddl (k INT PRIMARY KEY, v VARCHAR, w DOUBLE)")
+    q("INSERT INTO cddl VALUES (1, 'a', 1.5), (2, 'b', 2.5)")
+    q("ALTER TABLE cddl RENAME COLUMN v TO v2")
+    assert(q("SELECT * FROM cddl").columns.toSeq == Seq("k", "v2", "w"))
+    // values survive the rebuild
+    assert(q("SELECT v2 FROM cddl WHERE k = 1").collect().head
+      .getString(0) == "a")
+    q("ALTER TABLE cddl DROP COLUMN w")
+    assert(q("SELECT * FROM cddl").columns.toSeq == Seq("k", "v2"))
+    // IF EXISTS tolerates a missing column; bare form errors
+    q("ALTER TABLE cddl DROP COLUMN IF EXISTS nope")
+    intercept[Exception](q("ALTER TABLE cddl DROP COLUMN nope"))
+    // DuckDB's SET DATA TYPE spelling, pg alias mapped
+    q("ALTER TABLE cddl ALTER COLUMN k SET DATA TYPE int8")
+    assert(q("SELECT * FROM cddl").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // ... and a USING expression
+    q("ALTER TABLE cddl ALTER v2 TYPE INT USING length(v2)")
+    assert(q("SELECT v2 FROM cddl WHERE k = 2").collect().head.getInt(0) == 1)
+    // a renamed PK column keeps powering the recorded-PK upsert forms
+    q("DROP TABLE IF EXISTS cddl2")
+    q("CREATE TABLE cddl2 (id INT PRIMARY KEY, x VARCHAR)")
+    q("INSERT INTO cddl2 VALUES (1, 'a')")
+    q("ALTER TABLE cddl2 RENAME COLUMN id TO id2")
+    assert(TableConstraints.pkOf("cddl2").contains(Seq("id2")))
+    q("DROP TABLE cddl")
+    q("DROP TABLE cddl2")
+  }
+
   test("EXPLAIN [ANALYZE] statement: DuckDB two-column result shape") {
     def q(s: String) = Engine.query(spark, s)
     Tables.registerAll(spark, sfDir)
