@@ -137,9 +137,19 @@ object DuckAliases {
       // {{ / }} are literal-brace escapes (DuckDB fmt): shelter them
       // before the {} -> %s rewrite, restore after
       val sheltered = fmt.replace("{{", "\u0001").replace("}}", "\u0002")
-      require(!sheltered.matches(".*\\{[^}]+\\}.*"),
-        "format: only positional {} placeholders are supported")
-      val jfmt = sheltered.replace("%", "%%").replace("{}", "%s")
+      // fmt's indexed {N} placeholders (0-based) map onto Java's
+      // 1-based %N$s; fmt itself forbids mixing {} with {N}
+      val idxRe = "\\{(\\d+)\\}".r
+      val hasIdx = idxRe.findFirstIn(sheltered).isDefined
+      require(!sheltered.replaceAll("\\{\\d*\\}", "").contains("{"),
+        "format: only {} / {N} placeholders are supported")
+      require(!(hasIdx && sheltered.contains("{}")),
+        "format: cannot mix {} and {N} placeholders (fmt rule)")
+      val escaped = sheltered.replace("%", "%%")
+      val jfmt = (if (hasIdx)
+          idxRe.replaceAllIn(escaped,
+            m => "%" + (m.group(1).toInt + 1) + "\\$s")
+        else escaped.replace("{}", "%s"))
         .replace("\u0001", "{").replace("\u0002", "}")
       val args = e.tail.map(a => Cast(a, StringType))
       nullGuard(e.tail, FormatString(Literal(jfmt) +: args: _*))

@@ -409,9 +409,9 @@ object GraftCall {
   }
 
   /** DuckDB bar(): full blocks + one fractional eighth-block char for
-    * the remainder; the fraction clamps into [0, 1]; no padding.
-    * (Probed: bar(3, 0, 10) = 24 full blocks at the default width 80;
-    * bar(3.3, 0, 10, 10) = '███▎'.) */
+    * the remainder; the fraction clamps into [0, 1]; padded with
+    * spaces to `width` BYTES (each block char is 3 UTF-8 bytes —
+    * probed: bar(3, 0, 10, 10) = '███ ', bar(3, 0, 10) = 80 bytes). */
   private val eighths = Array("", "▏", "▎", "▍", "▌", "▋", "▊", "▉")
   def bar(v: Double, min: Double, max: Double, width: Double): String = {
     if (max <= min || width <= 0) return ""
@@ -419,7 +419,9 @@ object GraftCall {
     val units = frac * width
     val full = units.toInt
     val rem = ((units - full) * 8).toInt
-    "█" * full + eighths(math.min(rem, 7))
+    val blocks = "█" * full + eighths(math.min(rem, 7))
+    val chars = full + (if (rem > 0) 1 else 0)
+    blocks + (" " * math.max(0, width.toInt - chars * 3))
   }
 
   /** pg/DuckDB age(a, b): calendar decomposition months/days/time with

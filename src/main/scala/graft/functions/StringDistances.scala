@@ -275,13 +275,18 @@ object NumOps {
   def bar(x: Double, min: Double, max: Double, width: Double): UTF8String = {
     val frac = math.max(0.0, math.min(1.0, (x - min) / (max - min)))
     val eighths = math.floor(frac * width * 8).toInt
-    if (eighths == 0)
-      return UTF8String.fromString(" " * math.floor(width).toInt)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < eighths / 8) { sb.append('█'); i += 1 }
     val rem = eighths % 8
     if (rem > 0) sb.append((0x2590 - rem).toChar) // ▏..▉ are U+2589-258F
+    // DuckDB pads with spaces to `width` BYTES, not characters — each
+    // block char is 3 UTF-8 bytes (probed: bar(3,0,10,10) = '███ ',
+    // bar(1,0,10,10) = '█' + 7 spaces, bar(3,0,10) = 80 bytes)
+    val blockChars = eighths / 8 + (if (rem > 0) 1 else 0)
+    var bytes = blockChars * 3
+    val w = math.floor(width).toInt
+    while (bytes < w) { sb.append(' '); bytes += 1 }
     UTF8String.fromString(sb.toString)
   }
 }

@@ -504,6 +504,20 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // bar pads with spaces to width BYTES (block chars are 3 UTF-8
+    // bytes each — probed byte-exact against DuckDB)
+    val b = one("SELECT bar(3,0,10,10) AS a, bar(1,0,10,10) AS b, " +
+      "bar(0.99,0,10,10) AS c")
+    assert(b.getString(0) == "███ " &&
+      b.getString(0).getBytes("UTF-8").length == 10)
+    assert(b.getString(1).getBytes("UTF-8").length == 10 &&
+      b.getString(1).count(_ == '█') == 1)
+    assert(b.getString(2) == "▉" + " " * 7)
+    // fmt indexed {N} placeholders (0-based), literal braces, %
+    assert(one("SELECT format('{1} {0}', 'a', 'b') AS v")
+      .getString(0) == "b a")
+    assert(one("SELECT format('{0}% {{x}} {1}', 'a', 7) AS v")
+      .getString(0) == "a% {x} 7")
     // COLLATE NOCASE → Spark UTF8_LCASE (probed: same order + equality)
     assert(rows("SELECT x FROM (VALUES ('b'),('A'),('c')) t(x) " +
       "ORDER BY x COLLATE NOCASE").map(_.head).toSeq == Seq("A", "b", "c"))
