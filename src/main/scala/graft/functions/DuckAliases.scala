@@ -64,7 +64,24 @@ object DuckAliases {
       case Seq(l, a, b) => SlicePoly(l, a, b)
       case Seq(l, a, b, st) => SlicePoly.steppedSlice(l, a, b, st)
     }
-    alias("regexp_matches")(e => RLike(e(0), e(1)))
+    alias("regexp_matches") {
+      case Seq(s, p) => RLike(s, p)
+      case Seq(s, p, f) => RLike(s, DuckRegexpReplace.withFlags(p, f))
+    }
+    // DuckDB regexp_replace: FIRST match only unless the g flag —
+    // Spark's builtin always replaces all (probed; \1 backrefs too)
+    alias("regexp_replace") {
+      case Seq(s, p, r) =>
+        DuckRegexpReplace(s, p, r, global = false, inlineFlags = "")
+      case Seq(s, p, r, f) =>
+        val (g, inline) = f match {
+          case Literal(fs, StringType) if fs != null =>
+            DuckRegexpReplace.parseFlags(fs.toString)
+          case other => throw new IllegalArgumentException(
+            s"regexp options must be a string literal, got $other")
+        }
+        DuckRegexpReplace(s, p, r, global = g, inlineFlags = inline)
+    }
     // end-exclusive, default step ALWAYS +1, wrong-direction/zero-step
     // → [] — probed DuckDB semantics Sequence cannot express (it
     // direction-infers the default step); timestamps + INTERVAL too
@@ -80,7 +97,11 @@ object DuckAliases {
     alias("str_split")(e => StringSplit(e(0), quoteIfLiteral(e(1)), Literal(-1)))
     alias("string_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
     alias("str_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
-    alias("regexp_split_to_array")(e => StringSplit(e(0), e(1), Literal(-1)))
+    alias("regexp_split_to_array") {
+      case Seq(s, p) => StringSplit(s, p, Literal(-1))
+      case Seq(s, p, f) =>
+        StringSplit(s, DuckRegexpReplace.withFlags(p, f), Literal(-1))
+    }
 
     // ---- long-tail sweep: the v1.1.1 vocabulary a pgwire client
     // actually sends (each a native expression, codegen-visible) ----
@@ -590,9 +611,15 @@ object DuckAliases {
     alias("regexp_extract_all") {
       case Seq(s, re) => RegExpExtractAll(s, re, Literal(0))
       case Seq(s, re, g) => RegExpExtractAll(s, re, g)
+      case Seq(s, re, g, f) =>
+        RegExpExtractAll(s, DuckRegexpReplace.withFlags(re, f), g)
     }
-    alias("regexp_full_match")(e =>
-      RLike(e(0), Concat(Seq(Literal("^(?:"), e(1), Literal(")$")))))
+    alias("regexp_full_match") {
+      case Seq(s, p) =>
+        RLike(s, Concat(Seq(Literal("^(?:"), p, Literal(")$"))))
+      case Seq(s, p, f) => RLike(s, Concat(Seq(Literal("^(?:"),
+        DuckRegexpReplace.withFlags(p, f), Literal(")$"))))
+    }
     alias("regexp_escape")(e => RegexpEscape(e.head))
     // operator-spelling targets (BracketRewrite.rewriteOperators):
     // `a ~~~ p` GLOB and postfix `n!` factorial (HUGEINT-exact)

@@ -126,7 +126,9 @@ object DuckVocab9 {
     // where Spark's builtin defaults to group 1 (probed)
     alias("regexp_extract") {
       case Seq(s, re) => RegExpExtract(s, re, Literal(0))
-      case e => RegExpExtract(e(0), e(1), e(2))
+      case Seq(s, re, g) => RegExpExtract(s, re, g)
+      case Seq(s, re, g, f) =>
+        RegExpExtract(s, DuckRegexpReplace.withFlags(re, f), g)
     }
     alias("regexp_split_to_table")(e =>
       Explode(StringSplit(e(0), e(1), Literal(-1))))

@@ -417,9 +417,9 @@ object CorpusOps {
   def redactPii(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t0 = col(textCol)
-    val afterEmail = regexp_replace(t0, EmailRe, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
-    val clean = regexp_replace(afterPhone, Ipv4Re, "<IP>")
+    val afterEmail = DuckRegexpReplace.sparkReplaceAll(t0, EmailRe, "<EMAIL>")
+    val afterPhone = DuckRegexpReplace.sparkReplaceAll(afterEmail, PhoneRe, "<PHONE>")
+    val clean = DuckRegexpReplace.sparkReplaceAll(afterPhone, Ipv4Re, "<IP>")
     df.select(col(idCol),
       clean.as("clean_text"),
       size(regexp_extract_all(t0, lit(EmailRe), lit(0)))

@@ -57,7 +57,7 @@ object TextAnalysis {
     val words = split(text, " ")
     val nWords = size(words)
     val nChars = length(text)
-    val punct = nChars - length(regexp_replace(text, "[.,;:!?]", ""))
+    val punct = nChars - length(DuckRegexpReplace.sparkReplaceAll(text, "[.,;:!?]", ""))
     val sw = typedlit(stopwords("en"))
     val stopRatio = size(filter(words, w => array_contains(sw, w)))
       .cast("double") / greatest(nWords, lit(1))
@@ -306,7 +306,7 @@ object TextAnalysis {
     * mod 2^31-1 (keeps the ANSI-mode fold inside long range).
     */
   def fingerprint(text: Column): Column = {
-    val normalized = lower(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    val normalized = lower(DuckRegexpReplace.sparkReplaceAll(text, "[^a-zA-Z0-9 ]", ""))
     aggregate(split(normalized, ""), lit(0L),
       (acc, c) => (acc * 31 + ascii(c)) % 2147483647L)
   }

@@ -18,7 +18,7 @@ object QueriesScalar {
           lower(col("n_name")).as("lo"),
           upper(lower(col("n_name"))).as("up"),
           substring(col("n_name"), 1, 6).as("sub"),
-          regexp_replace(col("n_name"), "_", "-").as("repl"),
+          DuckRegexpReplace.sparkReplaceAll(col("n_name"), "_", "-").as("repl"),
           concat(col("n_name"), lit("|"), col("n_nationkey").cast("string"))
             .as("cat"),
           trim(lit("  x  ")).as("trimmed"),
@@ -32,7 +32,7 @@ object QueriesScalar {
       t(s, dir, "customer").select(
           col("c_custkey"),
           regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
-          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"),
+          DuckRegexpReplace.sparkReplaceAll(col("c_name"), "[0-9]+", "#").as("masked"),
           col("c_name").rlike("[02468]$").as("even_name"),
           col("c_name").like("%1%").as("has_one"),
           split(col("c_name"), "_").getItem(0).as("prefix"))

@@ -504,6 +504,25 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // regexp family with DuckDB options strings (probed grid): the
+    // default regexp_replace scope is FIRST match — g replaces all —
+    // and \1 backrefs are RE2-style (\\1 stays literal)
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b') AS v")
+      .getString(0) == "baa")
+    assert(one("SELECT regexp_replace('aaa', 'a', 'b', 'g') AS v")
+      .getString(0) == "bbb")
+    assert(one("SELECT regexp_replace('aAa', 'a', 'X', 'gi') AS v")
+      .getString(0) == "XXX")
+    assert(one("SELECT regexp_replace('abc', '(b)', '<\\1>') AS v")
+      .getString(0) == "a<b>c")
+    assert(one("SELECT regexp_matches('ABC', 'abc', 'i') AS v").getBoolean(0))
+    assert(one("SELECT regexp_extract('AxB', '([a-z])', 1, 'i') AS v")
+      .getString(0) == "A")
+    assert(one("SELECT regexp_full_match('ABC', 'abc', 'i') AS v")
+      .getBoolean(0))
+    val reErr = intercept[Exception](
+      one("SELECT regexp_matches('A', 'a', 'x') AS v"))
+    assert(reErr.getMessage.contains("Unrecognized Regex option"))
     // bar pads with spaces to width BYTES (block chars are 3 UTF-8
     // bytes each — probed byte-exact against DuckDB)
     val b = one("SELECT bar(3,0,10,10) AS a, bar(1,0,10,10) AS b, " +
