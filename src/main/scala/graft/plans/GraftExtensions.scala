@@ -46,6 +46,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB zip semantics for several unnests in one select list
     // (post-hoc: runs after the analyzer stacked the Generates)
     ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
+    // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts
+    ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
 
     // SCALAR range/generate_series (list-returning, DuckSeries
     // semantics) — injected here as well as in Functions.registerAll

@@ -504,6 +504,16 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // struct→VARCHAR cast renders DuckDB's {'key': value} shape
+    // (raw values, NULL uppercase, nested lists/structs; probed grid)
+    assert(one("SELECT CAST({'a': 1, 'b': 'x y'} AS VARCHAR) AS v")
+      .getString(0) == "{'a': 1, 'b': x y}")
+    assert(one("SELECT CAST({'a': NULL} AS VARCHAR) AS v")
+      .getString(0) == "{'a': NULL}")
+    assert(one("SELECT CAST({'l': [1,2]} AS VARCHAR) AS v")
+      .getString(0) == "{'l': [1, 2]}")
+    assert(one("SELECT CAST([{'a':1},{'a':2}] AS VARCHAR) AS v")
+      .getString(0) == "[{'a': 1}, {'a': 2}]")
     // regexp family with DuckDB options strings (probed grid): the
     // default regexp_replace scope is FIRST match — g replaces all —
     // and \1 backrefs are RE2-style (\\1 stays literal)
