@@ -297,6 +297,57 @@ object SqlRewrites {
 
   private val collateNocase = """(?i)\bCOLLATE\s+NOCASE\b""".r
 
+  /** `x IN (VALUES (...), ...)` — pg/DuckDB treat the VALUES list as
+    * a subquery; Spark's parser wants an explicit SELECT. Wrapped as
+    * `IN (SELECT * FROM (VALUES ...))` with quote-aware paren
+    * matching. */
+  private val inValuesRe = """(?i)\bIN\s*\(\s*VALUES\b""".r
+
+  def rewriteInValues(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 32) {
+      changed = false
+      guard += 1
+      // first IN(VALUES whose open paren is not already wrapped
+      val m = inValuesRe.findAllMatchIn(cur).find { mm =>
+        !insideQuotes(cur, mm.start)
+      }
+      m.foreach { mm =>
+        val open = cur.indexOf('(', mm.start)
+        var depth = 0; var i = open; var inS = false; var close = -1
+        while (i < cur.length && close < 0) {
+          val c = cur.charAt(i)
+          if (inS) { if (c == '\'') inS = false }
+          else c match {
+            case '\'' => inS = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > open) {
+          cur = cur.substring(0, open + 1) + "SELECT * FROM (" +
+            cur.substring(open + 1, close) + ") __iv" + cur.substring(close)
+          changed = true
+        }
+      }
+    }
+    cur
+  }
+
+  /** is position `pos` inside a single-quoted literal? */
+  private def insideQuotes(s: String, pos: Int): Boolean = {
+    var inS = false; var i = 0
+    while (i < pos) {
+      if (s.charAt(i) == '\'') inS = !inS
+      i += 1
+    }
+    inS
+  }
+
   /** trailing comma before a clause keyword / bracket close / end —
     * the spots DuckDB's parser accepts one (probed). */
   private val trailingComma =
@@ -1213,8 +1264,9 @@ object SqlRewrites {
     // the ASOF interval rewrite adds a helper column that `SELECT *`
     // would otherwise surface
     val asofDrop = if (s0a != sr) Seq("__asof_nb") else Nil
-    val s0 = if (has("positional")) rewritePositionalJoin(s0a) else s0a
-    val posDrop = if (s0 ne s0a) Seq("__pjl", "__pjr") else Nil
+    val s0p = if (has("positional")) rewritePositionalJoin(s0a) else s0a
+    val posDrop = if (s0p ne s0a) Seq("__pjl", "__pjr") else Nil
+    val s0 = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
     val s1 = if (!has("generate_series")) s0 else
       genSeries.replaceAllIn(s0, m => {
         val kw = m.group(1)

@@ -504,6 +504,10 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // IN (VALUES ...) is a subquery in pg/DuckDB
+    assert(one("SELECT 2 IN (VALUES (1),(2)) AS v").getBoolean(0))
+    assert(one("SELECT 5 NOT IN (VALUES (1),(2)) AS v").getBoolean(0))
+    assert(one("SELECT 'IN (VALUES' AS v").getString(0) == "IN (VALUES")
     // struct→VARCHAR cast renders DuckDB's {'key': value} shape
     // (raw values, NULL uppercase, nested lists/structs; probed grid)
     assert(one("SELECT CAST({'a': 1, 'b': 'x y'} AS VARCHAR) AS v")
