@@ -534,11 +534,16 @@ object DuckVocab9 {
         MakeTimestamp(i32(e(0)), i32(e(1)), i32(e(2)), i32(e(3)), i32(e(4)),
           Cast(e(5), DecimalType(16, 6)))
     }
-    // session TZ is pinned UTC → offsets are 0; the 2-arg form is
-    // AT TIME ZONE (wall time of the instant in the named zone)
+    // session TZ is pinned UTC → offsets are 0. The 2-arg form is
+    // AT TIME ZONE, whose direction depends on the input TYPE: a
+    // plain TIMESTAMP is a wall time INTERPRETED in the zone (probed:
+    // timezone('America/New_York', TIMESTAMP '12:00') = 17:00 UTC) —
+    // graft's columns are all TIMESTAMP, so that is the type-correct
+    // default here; TIMESTAMPTZ literals dispatch to from_utc at the
+    // SqlRewrites seam before the tz-literal collapse erases them.
     alias("timezone") {
       case Seq(_) => Literal(0L)
-      case e => FromUTCTimestamp(Cast(e(1), TimestampType), e(0))
+      case e => ToUTCTimestamp(Cast(e(1), TimestampType), e(0))
     }
     alias("timezone_hour")(e => Literal(0L))
     alias("timezone_minute")(e => Literal(0L))

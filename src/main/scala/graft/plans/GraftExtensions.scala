@@ -182,6 +182,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           read(pathArgs(exprs, name)).queryExecution.analyzed))
     def active = org.apache.spark.sql.SparkSession.active
     injectReader("read_parquet")(p => active.read.parquet(p: _*))
+    injectReader("parquet_scan")(p => active.read.parquet(p: _*)) // legacy alias
     injectReader("read_json")(p => active.read.json(p: _*))
     // DuckDB spells the auto-detecting and newline-delimited variants
     // as distinct TVFs; Spark's json reader IS schema-inferring NDJSON

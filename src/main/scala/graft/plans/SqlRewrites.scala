@@ -108,6 +108,18 @@ object SqlRewrites {
   /** `x AT TIME ZONE z` operand forms: a TIMESTAMP[TZ] literal, an
     * identifier chain, or one non-nested call; zone = string literal
     * or identifier. */
+  /** DuckDB allows omitting WHERE in the aggregate FILTER clause:
+    * `count(*) FILTER (x > 1)`. The clause always follows the
+    * aggregate's closing paren — the list-HOF `filter(arr, λ)` never
+    * does, so the lookbehind keeps it untouched. */
+  private val filterNoWhere =
+    """(?i)(?<=\))(\s*FILTER\s*\(\s*)(?!WHERE\b)""".r
+
+  /** timezone(zone, TIMESTAMPTZ '...') — dispatched pre-collapse */
+  private val timezoneTstz =
+    ("""(?is)\btimezone\s*\(\s*('(?:[^']|'')*'|[\w.]+)\s*,\s*""" +
+      """TIMESTAMPTZ\s*('[^']*')\s*\)""").r
+
   private val atTimeZoneRe =
     ("""(?is)(TIMESTAMPTZ\s*'[^']*'|TIMESTAMP\s*'[^']*'|""" +
       """[\w.$]+(?:\([^()]*\))?)\s+AT\s+TIME\s+ZONE\s+""" +
@@ -1147,11 +1159,15 @@ object SqlRewrites {
       else replaceOutsideQuotes(numUnderscore, sqlEsc)(m =>
         if (m.group(1).indexOf('_') >= 0) m.group(1).replace("_", "")
         else m.group(1))
+    // FILTER clause with the WHERE keyword omitted (DuckDB accepts)
+    val sqlFw = if (!sqlNu.toLowerCase.contains("filter")) sqlNu
+      else replaceOutsideQuotes(filterNoWhere, sqlNu)(m =>
+        m.group(1) + "WHERE ")
     // DuckDB collation names onto Spark's collation support (probed:
     // UTF8_LCASE orders and compares like DuckDB NOCASE). Unknown
     // names keep Spark's loud invalid-collation error.
-    val sqlColl = if (!sqlNu.toLowerCase.contains("collate")) sqlNu
-      else replaceOutsideQuotes(collateNocase, sqlNu)(_ => "COLLATE UTF8_LCASE")
+    val sqlColl = if (!sqlFw.toLowerCase.contains("collate")) sqlFw
+      else replaceOutsideQuotes(collateNocase, sqlFw)(_ => "COLLATE UTF8_LCASE")
     // DuckDB trailing commas: accepted in the select list (before the
     // next clause keyword or end of statement) and in [...] / {...}
     // literals. The textual pass cannot see which clause a comma ends,
@@ -1212,14 +1228,21 @@ object SqlRewrites {
         }
         cur
       }
+    // timezone(zone, TIMESTAMPTZ '...') — the instant-to-wall
+    // direction — must dispatch BEFORE the tz-literal collapse below
+    // erases the spelling (the registry alias then serves the
+    // TIMESTAMP/default reading)
+    val sqlTzf = if (!sqlAtz.toLowerCase.contains("timezone")) sqlAtz
+      else replaceOutsideQuotes(timezoneTstz, sqlAtz)(m =>
+        s"from_utc_timestamp(TIMESTAMP ${m.group(2)}, ${m.group(1)})")
     // tz-qualified typed literals collapse onto the plain spellings
     // (session TZ pinned UTC, matching DuckDB's rendering). Both
     // passes skip string/comment spans — 'timestamptz ' inside a
     // string literal is data. TIMESTAMPTZ keeps its literal (Spark's
     // TIMESTAMP literal parses zone offsets); TIMETZ consumes and
     // normalizes its literal (Spark TIME parses no offset).
-    val sqlT0 = if (sqlAtz.toLowerCase.contains("timestamptz"))
-      replaceOutsideQuotes(typedLit, sqlAtz)(_ => "TIMESTAMP ") else sqlAtz
+    val sqlT0 = if (sqlTzf.toLowerCase.contains("timestamptz"))
+      replaceOutsideQuotes(typedLit, sqlTzf)(_ => "TIMESTAMP ") else sqlTzf
     val sqlT = if (sqlT0.toLowerCase.contains("timetz"))
       replaceOutsideQuotes(timetzLit, sqlT0)(m =>
         s"TIME '${normalizeTimeTz(m.group(1))}'") else sqlT0

@@ -504,6 +504,18 @@ class Vocab9Spec extends SparkSpecBase {
     assert(Engine.query(spark, "SELECT COLUMNS(c -> c LIKE 'n_n%') " +
       "FROM (SELECT 1 AS n_name, 2 AS n_nope, 3 AS other)")
       .columns.toSeq == Seq("n_name", "n_nope"))
+    // timezone(zone, ts) directions mirror AT TIME ZONE (probed)
+    assert(one("SELECT CAST(timezone('America/New_York', " +
+      "TIMESTAMP '2024-01-01 12:00:00') AS VARCHAR) AS v").getString(0)
+      .startsWith("2024-01-01 17:00:00"))
+    assert(one("SELECT CAST(timezone('America/New_York', " +
+      "TIMESTAMPTZ '2024-01-01 12:00:00+00') AS VARCHAR) AS v").getString(0)
+      .startsWith("2024-01-01 07:00:00"))
+    // aggregate FILTER clause may omit WHERE; the list HOF filter(
+    // arr, lambda) is untouched
+    assert(one("SELECT count(*) FILTER (x > 1) AS v FROM " +
+      "(VALUES (1),(2),(3)) t(x)").getLong(0) == 2L)
+    assert(one("SELECT len(filter([1,2,3], x -> x > 1)) AS v").getInt(0) == 2)
     // IN (VALUES ...) is a subquery in pg/DuckDB
     assert(one("SELECT 2 IN (VALUES (1),(2)) AS v").getBoolean(0))
     assert(one("SELECT 5 NOT IN (VALUES (1),(2)) AS v").getBoolean(0))
