@@ -713,7 +713,10 @@ object DuckAliases {
     def yearOf(e: Expression): Expression = Year(Cast(e, DateType))
     def ordinalPeriod(e: Expression, span: Int): Expression = {
       val y = yearOf(e)
-      val mag = Divide(Add(Abs(y), Literal(span - 1)), Literal(span))
+      // Floor on the non-negative magnitude = the intended toward-zero
+      // truncation (a bare double→long cast would round via
+      // DuckNumericCastRule: century(2000) must stay 20, not 20.99→21)
+      val mag = Floor(Divide(Add(Abs(y), Literal(span - 1)), Literal(span)))
       Cast(If(GreaterThanOrEqual(y, Literal(0)), mag, UnaryMinus(mag)),
         LongType)
     }

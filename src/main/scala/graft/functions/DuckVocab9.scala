@@ -76,9 +76,12 @@ object DuckVocab9 {
     // date_add(DATE, 7) = DATE + 7 days — AddPoly keeps both alive)
     alias("date_add")(e => AddPoly(e(0), e(1)))
     // 1-arg trunc is numeric truncation toward zero (2-arg stays
-    // Spark's date trunc)
+    // Spark's date trunc). Explicit Floor/Ceil split: a bare
+    // fractional→long cast rounds under DuckNumericCastRule.
     alias("trunc") {
-      case Seq(x) => Cast(x, LongType)
+      case Seq(x) =>
+        Cast(If(GreaterThanOrEqual(x, Literal(0)), Floor(x), Ceil(x)),
+          LongType)
       case e => TruncDate(e(0), e(1))
     }
     alias("round_even")(e => BRound(e(0), e(1)))
@@ -320,8 +323,11 @@ object DuckVocab9 {
       val sorted = new SortArray(ArrayTransform(nn(l0), lam1(dbl)))
       val n = Size(sorted, legacySizeOfNull = false)
       def at(i: Expression) = ElementAt(sorted, i, None, failOnError = false)
-      val lo = at(Cast(Divide(Add(n, Literal(1)), Literal(2)), IntegerType))
-      val hi = at(Cast(Divide(Add(n, Literal(2)), Literal(2)), IntegerType))
+      // Floor, not bare Cast: the index arithmetic must TRUNCATE, and
+      // DuckNumericCastRule turns bare fractional→int casts into
+      // DuckDB's round-half-away
+      val lo = at(Cast(Floor(Divide(Add(n, Literal(1)), Literal(2))), IntegerType))
+      val hi = at(Cast(Floor(Divide(Add(n, Literal(2)), Literal(2))), IntegerType))
       If(EqualTo(n, Literal(0)), Literal(null, DoubleType),
         Divide(Add(lo, hi), Literal(2.0d)))
     }
@@ -1100,7 +1106,10 @@ case class EpochPoly(child: Expression, unit: Int)
   import EpochPoly._
   private def fromMicros(us: Expression): Expression = unit match {
     case S => Divide(Cast(us, DoubleType), Literal(1e6))
-    case MS => Cast(Divide(Cast(us, DoubleType), Literal(1e3)), LongType)
+    // integer division: DuckDB TRUNCATES sub-ms toward zero (probed:
+    // epoch_ms('...00.0009') = 0 both sides of epoch) — and a bare
+    // fractional→long cast would now round via DuckNumericCastRule
+    case MS => IntegralDivide(Cast(us, LongType), Literal(1000L))
     case US => Cast(us, LongType)
     case NS => Multiply(Cast(us, LongType), Literal(1000L))
   }
@@ -1138,7 +1147,7 @@ case class MinuteFracPoly(child: Expression, micros: Boolean)
     }
     val frac = Pmod(us, Literal(60000000L))
     if (micros) frac
-    else Cast(Divide(Cast(frac, DoubleType), Literal(1e3)), LongType)
+    else IntegralDivide(frac, Literal(1000L)) // truncating, like DuckDB
   }
   override protected def withNewChildInternal(c: Expression): MinuteFracPoly =
     copy(child = c)

@@ -153,6 +153,9 @@ object Functions {
       // DuckAliases so its refinements (arg_max null-skip, polymorphic
       // epoch, list_unique non-null count) win the name
       DuckVocab9.registerAll(spark)
+      // round-10 probe-driven semantics wave (1-based index lambdas,
+      // NULL-skipping concat, pg-window substr) — last wins
+      DuckVocab10.registerAll(spark)
       spark.conf.set(marker, "true")
     }
   }

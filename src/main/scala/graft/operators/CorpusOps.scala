@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.rawConcat
 
 /** Corpus-management operators for training-data pipelines:
   * reproducible sampling, train/val/test splitting, and token-budget
@@ -528,7 +529,7 @@ object CorpusOps {
       .withColumn("cls", pmod(col("pos") + seed, lit(period)))
       .withColumn("k",
         ((col("pos") + seed - maskStart) / period).cast("int"))
-    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val sentinel = rawConcat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
     // a continuation position only masks when its span START is
     // inside the document — the head of a doc can land mid-pattern
     // (doc_id 4, s=4: pos 0 is a continuation with no start)
@@ -544,7 +545,7 @@ object CorpusOps {
           .as("in_pieces"),
         collect_list(
           when(col("cls") === maskStart,
-            struct(col("pos"), concat(sentinel, lit(" "), col("w")).as("p")))
+            struct(col("pos"), rawConcat(sentinel, lit(" "), col("w")).as("p")))
             .when(masked, struct(col("pos"), col("w").as("p"))))
           .as("t_pieces"))
     def joined(c: String) = nullif(

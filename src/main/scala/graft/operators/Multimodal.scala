@@ -636,7 +636,7 @@ object Multimodal {
     media
       .select(col("doc_id"), expr(
         s"""posexplode(transform(
-           |  sequence(0, greatest(CAST(length(media) / $frameBytes AS INT) - 1, 0), $stride),
+           |  sequence(0, greatest(CAST(floor(length(media) / $frameBytes) AS INT) - 1, 0), $stride),
            |  i -> substring(media, i * $frameBytes + 1, $frameBytes)))"""
           .stripMargin))
       .select(col("doc_id"), col("pos").as("frame_no"),

@@ -48,6 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
     // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts
     ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
+    // DATE-DATE day counts + round-half-away narrowing casts
+    ext.injectPostHocResolutionRule(_ => DuckNumericCastRule)
+    // quantified comparisons: x op ANY|ALL (list | subquery)
+    ext.injectFunction((
+      FunctionIdentifier("duck_q_cmp"),
+      new ExpressionInfo(classOf[QuantPredMarker].getName, "duck_q_cmp"),
+      (exprs: Seq[Expression]) => QuantPredMarker.fromArgs(exprs)))
+    ext.injectResolutionRule(_ => QuantPredRewriteRule)
 
     // SCALAR range/generate_series (list-returning, DuckSeries
     // semantics) — injected here as well as in Functions.registerAll

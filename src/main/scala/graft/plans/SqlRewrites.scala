@@ -315,6 +315,54 @@ object SqlRewrites {
     * matching. */
   private val inValuesRe = """(?i)\bIN\s*\(\s*VALUES\b""".r
 
+  /** `x op ANY|SOME|ALL (operand)` — quantified comparisons, valid in
+    * DuckDB over both LIST values and subqueries; Spark's parser has
+    * no form for them. Lowered to `x = duck_q_cmp('op', 'any', ...)`
+    * so [[QuantPredRewriteRule]] can expand against the LEFT operand
+    * (which a textual suffix rewrite cannot see). Subquery operands
+    * get an extra paren pair to parse as a scalar-subquery argument;
+    * everything else (list literals, columns) passes through as a
+    * plain argument. The comparison operator itself is carried as a
+    * string literal — the textual `=` is only a parse vehicle. */
+  private val quantRe =
+    """(?i)(=|<>|!=|<=|>=|<|>)\s*\b(ANY|SOME|ALL)\s*\(""".r
+
+  def rewriteQuantified(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val m = quantRe.findAllMatchIn(cur).find(mm => !insideQuotes(cur, mm.start))
+      m.foreach { mm =>
+        val open = mm.end - 1
+        val close = matchParen(cur, open)
+        if (close > open) {
+          val content = cur.substring(open + 1, close)
+          val head = content.trim.takeWhile(c => c.isLetter).toLowerCase
+          val operand = head match {
+            // VALUES/TABLE parse as queries but not as bare scalar-
+            // subquery expressions — route through FROM
+            case "values" | "table" => s"(SELECT * FROM ($content) __qv)"
+            case "select" | "with" | "from" => s"($content)"
+            case _ => content
+          }
+          val op = mm.group(1)
+          val quant = mm.group(2).toLowerCase match {
+            case "some" => "any"
+            case q => q
+          }
+          cur = cur.substring(0, mm.start) +
+            s"= duck_q_cmp('$op', '$quant', $operand)" +
+            cur.substring(close + 1)
+          changed = true
+        }
+      }
+    }
+    cur
+  }
+
   def rewriteInValues(sql: String): String = {
     var cur = sql
     var guard = 0
@@ -1289,7 +1337,9 @@ object SqlRewrites {
     val asofDrop = if (s0a != sr) Seq("__asof_nb") else Nil
     val s0p = if (has("positional")) rewritePositionalJoin(s0a) else s0a
     val posDrop = if (s0p ne s0a) Seq("__pjl", "__pjr") else Nil
-    val s0 = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
+    val s0v = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
+    val s0 = if (has("any") || has("all") || has("some"))
+      rewriteQuantified(s0v) else s0v
     val s1 = if (!has("generate_series")) s0 else
       genSeries.replaceAllIn(s0, m => {
         val kw = m.group(1)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.rawConcat
 
 import QueryDsl._
 
@@ -24,7 +25,7 @@ object QueriesCuration {
       val words = split(col("text"), " ")
       val nl = ceil(size(words) / lit(6.0)).cast("int")
       val line = (i: org.apache.spark.sql.Column) =>
-        concat(
+        rawConcat(
           when(pmod(col("doc_id") * 3 + i, lit(7)) === 0, lit("javascript "))
             .otherwise(lit("")),
           array_join(slice(words, i * 6 + 1, lit(6)), " "),
@@ -33,9 +34,9 @@ object QueriesCuration {
       val page = array_join(transform(sequence(lit(0), nl - 1), line), "\n")
       val withJunk =
         when(col("doc_id") % 17 === 0,
-          concat(page, lit("\nlorem ipsum dolor sit amet.")))
+          rawConcat(page, lit("\nlorem ipsum dolor sit amet.")))
         .when(col("doc_id") % 23 === 0,
-          concat(page, lit("\nif (x) { return 1; } done.")))
+          rawConcat(page, lit("\nif (x) { return 1; } done.")))
         .otherwise(page)
       val pages = t(s, dir, "documents")
         .select(col("doc_id"), withJunk.as("text"))
@@ -98,7 +99,7 @@ object QueriesCuration {
     // pattern) so extraction has real matches in both engines.
     "q_text_urls" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
+        rawConcat(col("text"),
           lit(" see https://www.site"), pmod(col("doc_id"), lit(7)),
           lit(".example.com/page/"), col("doc_id"),
           lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.rawConcat
 import QueryDsl._
 
 /** Scalar function families (SURVEY §2.2 "Scalar function families"):
@@ -19,7 +20,7 @@ object QueriesScalar {
           upper(lower(col("n_name"))).as("up"),
           substring(col("n_name"), 1, 6).as("sub"),
           DuckRegexpReplace.sparkReplaceAll(col("n_name"), "_", "-").as("repl"),
-          concat(col("n_name"), lit("|"), col("n_nationkey").cast("string"))
+          rawConcat(col("n_name"), lit("|"), col("n_nationkey").cast("string"))
             .as("cat"),
           trim(lit("  x  ")).as("trimmed"),
           levenshtein(col("n_name"), lit("NATION_1")).as("lev"),
@@ -189,7 +190,7 @@ object QueriesScalar {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_cast_funcs" ->
       """SELECT c_custkey,
-        |  CAST(trunc(c_acctbal) AS INT) AS bal_int,
+        |  CAST(c_acctbal AS INT) AS bal_int,
         |  CAST(c_custkey AS VARCHAR) AS key_str,
         |  CAST(c_custkey AS DOUBLE) AS key_dbl,
         |  TRY_CAST(c_mktsegment AS INT) AS seg_int,

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DoubleType, Floa
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Null-propagating concat built directly on catalyst — internal
+    * operators must use THIS, not `functions.concat`: Spark 4 resolves
+    * `functions.*` through the session registry by name, and graft
+    * re-registers `concat` with DuckDB's NULL-skipping stringify
+    * semantics (DuckVocab10). */
+  def rawConcat(cols: Column*): Column =
+    column(org.apache.spark.sql.catalyst.expressions.Concat(
+      cols.map(expression)))
   val floatArrayBinaryInput: Seq[AbstractDataType] =
     Seq(ArrayType(FloatType), ArrayType(FloatType))
   val stringBinaryInput: Seq[AbstractDataType] = Seq(StringType, StringType)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.rawConcat
 
 /** Corpus-management operators: reproducible sampling, splitting,
   * and token-budget packing.
@@ -345,11 +346,11 @@ class CorpusOpsSpec extends SparkSpecBase {
       t => t =!= "")
     val bigrams = when(size(words) >= 2,
         transform(sequence(lit(1), size(words) - 1),
-          i => concat(element_at(words, i), lit(" "),
+          i => rawConcat(element_at(words, i), lit(" "),
             element_at(words, i + 1))))
       .otherwise(typedlit(Seq.empty[String]))
     val slow = docs
-      .select(col("doc_id"), explode(concat(words, bigrams)).as("gram"))
+      .select(col("doc_id"), explode(rawConcat(words, bigrams)).as("gram"))
       .select(col("doc_id"),
         (aggregate(split(col("gram"), ""), lit(0L),
           (a, c) => (a * 31 + ascii(c)) % 2147483647L) % 256).as("b"))

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Round-10 probe-driven semantics wave. Every expected value below
+  * was probed on DuckDB v1.0 this round (/tmp/probe_r10d / r10e
+  * batches, 68 + 25 rows all value-MATCH via tools/check_conformance):
+  * 1-based lambda index parameters, NULL-skipping stringify concat(),
+  * pg-window substr, DATE-DATE day counts, round-half-away narrowing
+  * casts, and quantified ANY/SOME/ALL comparisons over both lists and
+  * subqueries with exact three-valued logic.
+  */
+class Vocab10Spec extends SparkSpecBase {
+
+  private def one(sql: String): Row =
+    Engine.query(spark, sql).collect().head
+
+  test("lambda index parameters are 1-based (probed)") {
+    assert(one("SELECT list_transform([9,8], (x,i) -> i) AS v")
+      .getSeq[Int](0) == Seq(1, 2))
+    assert(one("SELECT list_transform(['a','b','c'], (x, i) -> x || i) AS v")
+      .getSeq[String](0) == Seq("a1", "b2", "c3"))
+    assert(one("SELECT filter([5,6,7], (x,i) -> i % 2 = 1) AS v")
+      .getSeq[Int](0) == Seq(5, 7))
+    assert(one("SELECT list_filter([10,20,30], (x, i) -> i > 2) AS v")
+      .getSeq[Int](0) == Seq(30))
+    assert(one("SELECT list_reduce([1,2,3], (a, b, i) -> a + b * i) AS v")
+      .getInt(0) == 9)
+    assert(one("SELECT list_reduce(['a','b'], (a,b,i) -> a || b || i) AS v")
+      .getString(0) == "ab1")
+    // 1-arg lambdas keep Spark's plain element semantics
+    assert(one("SELECT list_transform([1,2], x -> x * 2) AS v")
+      .getSeq[Int](0) == Seq(2, 4))
+  }
+
+  test("concat stringifies and skips NULLs; || does not (probed)") {
+    val r = one("SELECT concat('a', 1, NULL, 2.5) a, concat(NULL, NULL) b, " +
+      "'a' || NULL c, concat(TRUE, DATE '2024-01-01') d")
+    assert(r.getString(0) == "a12.5")
+    assert(r.getString(1) == "")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "true2024-01-01")
+  }
+
+  test("substr pg-window semantics (probed grid)") {
+    val r = one("SELECT substr('abcdef', 0, 3) a, substr('abcdef', -1, 3) b, " +
+      "substr('abcdef', -2, 2) c, substr('abcdef', 2, -1) d, " +
+      "substr('abcdef', -1, -2) e, substr('abcdef', -8, 5) f, " +
+      "substr('abcdef', -8) g, substr('abcdef', 3, 0) h, " +
+      "substring('abcdef', 0, 3) i, substr('abcdef', 2, 3) j")
+    assert(r.getString(0) == "ab" && r.getString(1) == "f")
+    assert(r.getString(2) == "ef" && r.getString(3) == "a")
+    assert(r.getString(4) == "de" && r.getString(5) == "abc")
+    assert(r.getString(6) == "abcdef" && r.getString(7) == "")
+    assert(r.getString(8) == "ab" && r.getString(9) == "bcd")
+    val n = one("SELECT substr('abcdef', NULL, 2) a, substr('abcdef', 2, NULL) b")
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("DATE - DATE is a BIGINT day count (probed)") {
+    val r = one("SELECT DATE '2024-03-01' - DATE '2024-02-01' AS v, " +
+      "DATE '2024-01-01' - DATE '2024-01-31' AS w")
+    assert(r.getLong(0) == 29L && r.getLong(1) == -30L)
+  }
+
+  test("fractional->integral casts round half away from zero (probed)") {
+    val r = one("SELECT CAST(2.5 AS INTEGER) a, CAST(-2.5 AS INTEGER) b, " +
+      "CAST(2.49 AS INTEGER) c, CAST(2.51 AS INTEGER) d, " +
+      "CAST('2.5' AS INTEGER) e, CAST('2.5e1' AS BIGINT) f, " +
+      "'3.7'::DOUBLE::INTEGER g, TRY_CAST(2.5 AS INTEGER) h, " +
+      "CAST('9007199254740993' AS BIGINT) i, CAST('  42  ' AS INTEGER) j")
+    assert(r.getInt(0) == 3 && r.getInt(1) == -3)
+    assert(r.getInt(2) == 2 && r.getInt(3) == 3)
+    assert(r.getInt(4) == 3 && r.getLong(5) == 25L)
+    assert(r.getInt(6) == 4 && r.getInt(7) == 3)
+    assert(r.getLong(8) == 9007199254740993L) // no double detour
+    assert(r.getInt(9) == 42)
+    // tie mode splits by source: DOUBLE/FLOAT round half to EVEN
+    // (C nearbyint), DECIMAL/VARCHAR half away (probed)
+    val t = one("SELECT CAST(2.5::DOUBLE AS INT) a, CAST(3.5::DOUBLE AS INT) b, " +
+      "CAST(-2.5::DOUBLE AS INT) c, CAST('3.5' AS INT) d, CAST('-2.5' AS INT) e")
+    assert(t.getInt(0) == 2 && t.getInt(1) == 4 && t.getInt(2) == -2)
+    assert(t.getInt(3) == 4 && t.getInt(4) == -3)
+    // truncating internals stay truncating (list_median index math)
+    assert(one("SELECT list_median([1,2,3]) AS v").getDouble(0) == 2.0)
+    assert(one("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.0009') AS v")
+      .getLong(0) == 1704067200000L)
+  }
+
+  test("quantified ANY/ALL over lists: 3VL (probed)") {
+    val r = one("SELECT 3 = ANY([1, 2, 3]) a, 3 > ALL([1, 2]) b, " +
+      "3 > ANY([]) c, 3 > ALL([]) d, NULL > ALL([]) e")
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(!r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4))
+    val n = one("SELECT 3 = ANY([1, NULL]) a, 1 = ANY([1, NULL]) b, " +
+      "3 <> ANY([3, NULL]) c, 3 = ALL([3, NULL]) d, " +
+      "2 > ALL([1, NULL]) e, 0 > ALL([1, NULL]) f")
+    assert(n.isNullAt(0) && n.getBoolean(1) && n.isNullAt(2))
+    assert(n.isNullAt(3) && n.isNullAt(4) && !n.getBoolean(5))
+  }
+
+  test("quantified ANY/ALL over subqueries: exact 3VL + scalable plan") {
+    assert(one("SELECT 3 = ANY (SELECT x FROM (VALUES (1),(3)) t(x)) AS v")
+      .getBoolean(0))
+    // Spark's bare IN-subquery answers FALSE here; DuckDB (standard
+    // 3VL) answers NULL — the CASE wrapper restores it
+    assert(one("SELECT 3 = ANY (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS v")
+      .isNullAt(0))
+    assert(one("SELECT 3 > ALL (SELECT x FROM (VALUES (1),(NULL)) t(x)) AS v")
+      .isNullAt(0))
+    assert(one("SELECT 5 > ALL (SELECT x FROM (VALUES (1),(2)) t(x)) AS v")
+      .getBoolean(0))
+    // empty set: ALL -> TRUE, before any null-x consideration
+    assert(one("SELECT 0 > ALL (SELECT x FROM (VALUES (1),(2)) t(x) " +
+      "WHERE x > 5) AS v").getBoolean(0))
+    assert(one("SELECT 3 >= SOME (SELECT x FROM (VALUES (3)) t(x)) AS v")
+      .getBoolean(0))
+    assert(one("SELECT 1 < ANY (VALUES (1),(2)) AS v").getBoolean(0))
+    assert(one("SELECT 2 <> ALL (SELECT x FROM (VALUES (1),(2)) t(x)) AS v")
+      .getBoolean(0) == false)
+    assert(one("SELECT 3 = ALL (SELECT x FROM (VALUES (3),(3)) t(x)) AS v")
+      .getBoolean(0))
+    assert(one("SELECT count(*) AS v FROM (VALUES (1),(2),(3),(4)) t(x) " +
+      "WHERE x > ANY (SELECT y FROM (VALUES (2)) s(y))").getLong(0) == 2L)
+  }
+
+  test("list_zip pads to the longest input with NULL (probed)") {
+    val r = Engine.query(spark,
+      "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
+    val rows = r.getSeq[Row](0)
+    assert(rows.length == 3)
+    assert(rows(0) == Row(1, "a") && rows(1) == Row(2, null) &&
+      rows(2) == Row(3, null))
+  }
+}

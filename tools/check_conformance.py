@@ -106,9 +106,12 @@ def norm(v):
                                [norm(x) for x in v["value"]]),
                            key=lambda kv: kv[0])
             return ["__map__"] + [x for kv in pairs for x in kv]
-        # structs: compare field VALUES in order (names may
-        # legitimately differ for unnamed structs)
-        return [norm(x) for x in v.values()]
+        # structs carry BOTH shapes: by-key (graft's toJSON DROPS null
+        # fields, so a key-subset compare refills them as None) and
+        # positional (unnamed-struct field names legitimately differ)
+        return {"__struct__": {str(k).lower(): norm(x)
+                               for k, x in v.items()},
+                "__order__": [norm(x) for x in v.values()]}
     if isinstance(v, str):
         return v
     return str(v)
@@ -121,11 +124,18 @@ def graft_map_like(name):
                     "histogram", "list_histogram"}
 
 
-def norm_graft_json(doc, map_like=False):
+def norm_graft_json(doc, map_like=False, cols=None):
     """graft's df.toJSON row → list of normalized column values.
-    toJSON DROPS null fields, so a missing 'v' key means NULL."""
+    toJSON DROPS null fields, so a missing 'v' key means NULL — with
+    the oracle's column list we refill them positionally."""
     parsed = json.loads(doc)
-    vals = list(parsed.values())
+    lower_cols = [str(c).lower() for c in (cols or [])]
+    by_lower = {str(k).lower(): v for k, v in parsed.items()}
+    if cols and all(k in lower_cols for k in by_lower):
+        vals = [by_lower.get(c) for c in lower_cols]
+    else:
+        # column names differ (unnamed expressions) — positional
+        vals = list(parsed.values())
     if not vals:
         return [None]
     out = []
@@ -136,6 +146,8 @@ def norm_graft_json(doc, map_like=False):
             out.append(norm(maybe_temporal(s)))
         elif isinstance(v, str) and _INTERVAL.match(v):
             out.append(f"interval:{interval_to_seconds(v)}")
+        elif isinstance(v, str) and spark_interval_seconds(v) is not None:
+            out.append(f"interval:{spark_interval_seconds(v)}")
         elif map_like and isinstance(v, dict):
             pairs = sorted(((str(norm(k)), norm(x)) for k, x in v.items()),
                            key=lambda kv: kv[0])
@@ -154,7 +166,51 @@ def maybe_temporal(s):
     return s
 
 
+_SPARK_DT_INTERVAL = re.compile(
+    r"^INTERVAL '(-?)(?:(\d+) )?(\d+):(\d+):(\d+(?:\.\d+)?)' "
+    r"(?:DAY|HOUR|MINUTE) TO SECOND$")
+
+
+def spark_interval_seconds(s):
+    """Spark's ANSI day-time interval rendering → seconds, or None"""
+    m = _SPARK_DT_INTERVAL.match(s)
+    if not m:
+        return None
+    sign = -1.0 if m.group(1) == "-" else 1.0
+    days = int(m.group(2) or 0)
+    total = days * 86400 + int(m.group(3)) * 3600 + \
+        int(m.group(4)) * 60 + float(m.group(5))
+    return sign * total
+
+
+def _struct_vs_list(s, lst):
+    """graft struct (keyed, null fields DROPPED by toJSON) vs a duckdb
+    tuple rendered as a plain list. Digit keys (arrays_zip fields) give
+    exact positions; otherwise positional with trailing-None refill."""
+    ks = s["__struct__"]
+    if ks and all(re.fullmatch(r"\d+", k) for k in ks):
+        vals = [ks.get(str(i)) for i in range(len(lst))]
+        return all(values_equal(x, y) for x, y in zip(vals, lst))
+    order = list(s["__order__"])
+    if len(order) < len(lst):
+        order += [None] * (len(lst) - len(order))
+    return len(order) == len(lst) and all(
+        values_equal(x, y) for x, y in zip(order, lst))
+
+
 def values_equal(a, b):
+    if isinstance(a, dict) and "__struct__" in a and isinstance(b, list):
+        return _struct_vs_list(a, b)
+    if isinstance(b, dict) and "__struct__" in b and isinstance(a, list):
+        return _struct_vs_list(b, a)
+    if isinstance(a, dict) and isinstance(b, dict) and \
+            "__struct__" in a and "__struct__" in b:
+        ka, kb = set(a["__struct__"]), set(b["__struct__"])
+        if ka <= kb or kb <= ka:
+            return all(values_equal(a["__struct__"].get(k),
+                                    b["__struct__"].get(k))
+                       for k in ka | kb)
+        return values_equal(a["__order__"], b["__order__"])
     # graft renders int128 (md5_number family) as decimal digit
     # strings — Spark has no HUGEINT — while duckdb hands back a
     # python int. Same number, different carrier.
@@ -213,8 +269,19 @@ def main():
         if kind == "setup":
             continue
         if status == "FAIL":
-            counts["FAIL"] += 1
-            diverged.append((name, "ENGINE FAIL", detail[:100]))
+            # parity in rejection: if duckdb itself rejects the same
+            # statement, both engines agree it is invalid
+            both_reject = False
+            if corpus.get(name) is not None:
+                try:
+                    con.execute(corpus[name]).fetchall()
+                except Exception:
+                    both_reject = True
+            if both_reject:
+                counts["MATCH"] += 1
+            else:
+                counts["FAIL"] += 1
+                diverged.append((name, "ENGINE FAIL", detail[:100]))
             continue
         if name in NONDET or name in ENGINE_SPECIFIC:
             counts["EXEC_ONLY"] += 1
@@ -247,11 +314,13 @@ def main():
         if sql is None:
             continue
         try:
-            expected_rows = con.execute(sql).fetchall()
+            cur = con.execute(sql)
+            expected_rows = cur.fetchall()
+            exp_cols = [d[0] for d in (cur.description or [])]
         except Exception as e:
             counts["EXEC_ONLY"] += 1
             continue
-        got_rows = [norm_graft_json(doc, graft_map_like(name))
+        got_rows = [norm_graft_json(doc, graft_map_like(name), exp_cols)
                     for doc in detail.split("\x01")]
         exp_rows = [[norm(v) for v in row] for row in expected_rows]
         if name in ORDER_AGNOSTIC:
