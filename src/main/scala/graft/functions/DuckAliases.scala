@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, IntegerType, LongType, MapType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, IntegerType, LongType, MapType, StringType, TimestampType}
 
 /** DuckDB-named function aliases over Spark's own expressions — the
   * delegated-surface names a wire client actually types (reference
@@ -156,26 +156,64 @@ object DuckAliases {
           s"format: the template must be a string literal, got $other")
       }
       // {{ / }} are literal-brace escapes (DuckDB fmt): shelter them
-      // before the {} -> %s rewrite, restore after
+      // before the placeholder rewrite, restore after
       val sheltered = fmt.replace("{{", "\u0001").replace("}}", "\u0002")
-      // fmt's indexed {N} placeholders (0-based) map onto Java's
-      // 1-based %N$s; fmt itself forbids mixing {} with {N}
-      val idxRe = "\\{(\\d+)\\}".r
-      val hasIdx = idxRe.findFirstIn(sheltered).isDefined
-      require(!sheltered.replaceAll("\\{\\d*\\}", "").contains("{"),
-        "format: only {} / {N} placeholders are supported")
-      require(!(hasIdx && sheltered.contains("{}")),
+      // fmt placeholders: {}, {N}, {:spec}, {N:spec} with the spec
+      // subset [align<|>][0][width][,][.prec][type dfeExXogs] (probed:
+      // format('{:05.1f}', 2.25) = '002.2', '{:x}' hex, '{:,}'
+      // grouping). fmt forbids mixing auto {} with indexed {N}.
+      val phRe = "\\{(\\d+)?(?::([^}]*))?\\}".r
+      val phs = phRe.findAllMatchIn(sheltered).toList
+      require(!phRe.replaceAllIn(sheltered, "").contains("{"),
+        "format: unsupported placeholder form")
+      val hasIdx = phs.exists(_.group(1) != null)
+      val hasAuto = phs.exists(_.group(1) == null)
+      require(!(hasIdx && hasAuto),
         "format: cannot mix {} and {N} placeholders (fmt rule)")
+      // arg position (0-based) -> required cast / f-spec precision
+      val argCast = scala.collection.mutable.Map[Int, DataType]()
+      val fPrec = scala.collection.mutable.Map[Int, Int]()
+      var auto = -1
       val escaped = sheltered.replace("%", "%%")
-      val jfmt = (if (hasIdx)
-          idxRe.replaceAllIn(escaped,
-            m => "%" + (m.group(1).toInt + 1) + "\\$s")
-        else escaped.replace("{}", "%s"))
-        .replace("\u0001", "{").replace("\u0002", "}")
-      val args = e.tail.map(a => Cast(a, StringType))
+      val jfmt = phRe.replaceAllIn(escaped, m => {
+        auto += 1
+        val pos = Option(m.group(1)).map(_.toInt).getOrElse(auto)
+        val spec = Option(m.group(2)).getOrElse("")
+        val sp = "(?:([<>])?(0)?(\\d+)?(,)?(?:\\.(\\d+))?([dfeExXogs])?)".r
+        val sm = sp.findFirstMatchIn(spec).filter(_.matched == spec)
+          .getOrElse(throw new IllegalArgumentException(
+            s"format: unsupported spec '{:$spec}'"))
+        val (align, zero, width, comma, prec, typ) = (Option(sm.group(1)),
+          Option(sm.group(2)), Option(sm.group(3)), Option(sm.group(4)),
+          Option(sm.group(5)), Option(sm.group(6)))
+        val conv = typ.getOrElse(if (comma.isDefined) "d" else "s")
+        val cast: DataType = conv match {
+          case "d" | "x" | "X" | "o" => LongType
+          case "f" | "e" | "E" | "g" => DoubleType
+          case _ => StringType
+        }
+        argCast(pos) = cast
+        if (conv == "f") prec.foreach(pr => fPrec(pos) = pr.toInt)
+        val flags = (if (align.contains("<")) "-" else "") +
+          zero.getOrElse("") + comma.map(_ => ",").getOrElse("")
+        java.util.regex.Matcher.quoteReplacement(
+          "%" + (pos + 1) + "$" + flags + width.getOrElse("") +
+            prec.map("." + _).getOrElse("") + conv)
+      }).replace("\u0001", "{").replace("\u0002", "}")
+      val args = e.tail.zipWithIndex.map { case (a, i) =>
+        argCast.getOrElse(i, StringType) match {
+          // fmt rounds ties half-to-EVEN ('{:05.1f}' of 2.25 =
+          // '002.2'); Java's Formatter rounds HALF_UP — pre-round
+          case DoubleType if fPrec.contains(i) =>
+            Cast(BRound(Cast(a, DoubleType), Literal(fPrec(i))), DoubleType)
+          case t => Cast(a, t)
+        }
+      }
       nullGuard(e.tail, FormatString(Literal(jfmt) +: args: _*))
     }
-    alias("printf")(e => nullGuard(e.tail, FormatString(e: _*)))
+    // Java's Formatter rejects Spark's Decimal for %f — PrintfPoly
+    // re-types decimal args to double once resolved
+    alias("printf")(e => nullGuard(e.tail, PrintfPoly(e)))
     // ---- vector math on plain lists (r7): DuckDB's list_* vector
     // family over arbitrary numeric lists, composed from codegen'd
     // HOFs (the float-array fast path stays ArrayCosineSimilarity) ----

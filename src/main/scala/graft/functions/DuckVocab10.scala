@@ -14,6 +14,49 @@ import org.apache.spark.sql.types._
   * Registered AFTER DuckVocab9 — later createOrReplaceTempFunction
   * wins, so the overrides here refine the earlier spellings.
   */
+/** printf over Java's Formatter, with DecimalType arguments re-typed
+  * to double once resolved — Formatter's %f rejects Spark's Decimal
+  * carrier (probed: DuckDB printf('%.2f', 2.5) = '2.50'). `%.Nf` args
+  * are pre-rounded half-to-EVEN (C printf ties-to-even; Java's
+  * Formatter rounds HALF_UP — printf('%.1f', 2.25) must be '2.2'). */
+case class PrintfPoly(children: Seq[Expression]) extends RuntimeReplaceable {
+  private lazy val fPrecByArg: Map[Int, Int] = children.head match {
+    case Literal(s, StringType) if s != null =>
+      val spec = """%(\d+\$)?[-+ 0#,]*\d*(?:\.(\d+))?([a-zA-Z%])""".r
+      var auto = -1
+      spec.findAllMatchIn(String.valueOf(s)).flatMap { m =>
+        if (m.group(3) == "%") None
+        else {
+          auto += 1
+          val pos = Option(m.group(1))
+            .map(_.stripSuffix("$").toInt - 1).getOrElse(auto)
+          if (m.group(3) == "f")
+            Some(pos -> Option(m.group(2)).map(_.toInt).getOrElse(6))
+          else None
+        }
+      }.toMap
+    case _ => Map.empty
+  }
+  override lazy val replacement: Expression = {
+    val fixed = children.head +: children.tail.zipWithIndex.map {
+      case (a, i) =>
+        val dbl = a.dataType match {
+          case _: DecimalType => Cast(a, DoubleType)
+          case _ => a
+        }
+        if (fPrecByArg.contains(i) &&
+            (dbl.dataType == DoubleType || dbl.dataType == FloatType))
+          Cast(BRound(Cast(dbl, DoubleType), Literal(fPrecByArg(i))),
+            DoubleType)
+        else dbl
+    }
+    FormatString(fixed: _*)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PrintfPoly =
+    copy(children = newChildren)
+}
+
 object DuckVocab10 {
 
   private var uid = 0
@@ -172,6 +215,123 @@ object DuckVocab10 {
       case Seq() => throw new IllegalArgumentException(
         "concat() needs at least one argument")
       case e => ConcatWs(Literal("") +: e.map(str))
+    }
+
+    // ============ simple case mapping (probed) ============
+    // DuckDB's upper/lower are utf8proc SIMPLE per-codepoint maps —
+    // upper('straße') = 'STRAẞE', lower('İ') = 'i', ligatures stay
+    def caseMap(method: String, e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        DuckStrings.getClass, StringType, method, Seq(str(e)),
+        Seq(StringType), propagateNull = true, returnNullable = true)
+    for (n <- Seq("upper", "ucase"))
+      alias(n)(e => caseMap("upperSimple", e.head))
+    for (n <- Seq("lower", "lcase"))
+      alias(n)(e => caseMap("lowerSimple", e.head))
+
+    // ============ math domain errors (probed) ============
+    // DuckDB errors OUT of these domains where Spark returns NaN/NULL
+    // silently: sqrt(-x), ln/log/log10/log2 of <= 0, asin/acos outside
+    // [-1, 1] — the loud-or-right posture wants the error.
+    def domain(x0: Expression, bad: Expression => Expression, msg: String,
+        f: Expression => Expression): Expression = {
+      val x = Cast(x0, DoubleType)
+      If(IsNull(x), Literal(null, DoubleType),
+        If(bad(x), Cast(RaiseError(Literal(msg)), DoubleType), f(x)))
+    }
+    alias("sqrt")(e => domain(e.head, LessThan(_, Literal(0.0d)),
+      "cannot take square root of a negative number", Sqrt))
+    def logGuard(name: String, f: Expression => Expression): Unit =
+      alias(name) {
+        case Seq(x) => domain(x, LessThanOrEqual(_, Literal(0.0d)),
+          "cannot take logarithm of a non-positive number", f)
+        case e => Logarithm(e(0), e(1)) // 2-arg log(base, x)
+      }
+    logGuard("ln", Log)
+    logGuard("log10", Log10)
+    logGuard("log2", Log2)
+    logGuard("log", Log10) // DuckDB's 1-arg log is log10 (probed r9)
+    def rangeGuard(name: String, f: Expression => Expression): Unit =
+      alias(name)(e => domain(e.head,
+        x => Or(LessThan(x, Literal(-1.0d)), GreaterThan(x, Literal(1.0d))),
+        s"${name.toUpperCase} is undefined outside [-1,1]", f))
+    rangeGuard("asin", Asin)
+    rangeGuard("acos", Acos)
+
+    // ============ trim family arg order ============
+    // DuckDB/pg: trim(string, characters); Spark's 2-arg SQL spelling
+    // is trim(trimStr, srcStr) — REVERSED (probed: Spark
+    // trim('xxabcxx','x') = ''). Built directly on the catalyst
+    // constructors with DuckDB's order.
+    alias("trim") {
+      case Seq(s0) => StringTrim(s0)
+      case Seq(s0, c) => StringTrim(s0, c)
+    }
+    alias("ltrim") {
+      case Seq(s0) => StringTrimLeft(s0)
+      case Seq(s0, c) => StringTrimLeft(s0, c)
+    }
+    alias("rtrim") {
+      case Seq(s0) => StringTrimRight(s0)
+      case Seq(s0, c) => StringTrimRight(s0, c)
+    }
+
+    // ============ chr / list_sort (probed) ============
+    // DuckDB chr() is the full unicode CODEPOINT; Spark's builtin
+    // wraps at 256 (chr(9731) = '\x03')
+    alias("chr")(e => org.apache.spark.sql.catalyst.expressions.objects
+      .StaticInvoke(DuckStrings.getClass, StringType, "codepointChr",
+        Seq(i32(e.head)), Seq(IntegerType), propagateNull = true,
+        returnNullable = true))
+    // list_sort defaults: ASC NULLS LAST; direction/null-order string
+    // args (probed: list_sort([3,NULL,1]) = [1,3,NULL];
+    // 'DESC' = [3,1,NULL]; 'ASC','NULLS FIRST' = [NULL,1,3]).
+    // Spark's pieces map exactly: ArraySort = asc nulls-last,
+    // SortArray(true) = asc nulls-first, SortArray(false) = desc
+    // nulls-last, Reverse(ArraySort) = desc nulls-first.
+    def sortLit(e: Expression, what: String): String = e match {
+      case Literal(s, StringType) if s != null =>
+        String.valueOf(s).trim.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"list_sort: $what must be a string literal, got $other")
+    }
+    def listSortOf(l: Expression, desc: Boolean, nullsFirst: Boolean): Expression =
+      (desc, nullsFirst) match {
+        case (false, false) => new ArraySort(l)
+        case (false, true) => SortArray(l, Literal(true))
+        case (true, false) => SortArray(l, Literal(false))
+        case (true, true) => Reverse(new ArraySort(l))
+      }
+    def sortDir(s: String): Boolean = s match {
+      case "asc" | "ascending" => false
+      case "desc" | "descending" => true
+      case other => throw new IllegalArgumentException(
+        s"list_sort: unknown order '$other'")
+    }
+    def nullOrd(s: String, desc: Boolean): Boolean = s match {
+      case "nulls first" => true
+      case "nulls last" => false
+      case other => throw new IllegalArgumentException(
+        s"list_sort: unknown null order '$other'")
+    }
+    alias("list_sort") {
+      case Seq(l) => new ArraySort(l)
+      case Seq(l, o) =>
+        listSortOf(l, sortDir(sortLit(o, "order")), nullsFirst = false)
+      case Seq(l, o, n) =>
+        val d = sortDir(sortLit(o, "order"))
+        listSortOf(l, d, nullOrd(sortLit(n, "null order"), d))
+    }
+    alias("array_sort") {
+      case Seq(l) => new ArraySort(l)
+      // Spark's comparator-lambda form stays available — OrderedAgg's
+      // in-aggregate ORDER BY builds on it
+      case Seq(l, f: LambdaFunction) => new ArraySort(l, f)
+      case Seq(l, o) =>
+        listSortOf(l, sortDir(sortLit(o, "order")), nullsFirst = false)
+      case Seq(l, o, n) =>
+        val d = sortDir(sortLit(o, "order"))
+        listSortOf(l, d, nullOrd(sortLit(n, "null order"), d))
     }
 
     // ============ substr family (probed) ============

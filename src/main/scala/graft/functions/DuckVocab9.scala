@@ -105,12 +105,14 @@ object DuckVocab9 {
     // DuckDB encode: VARCHAR → BLOB (utf8 bytes); decode: BLOB →
     // VARCHAR — 1-arg forms only; Spark's own 2-arg charset forms
     // keep their builtins
+    // RAW utf8 converters, not casts: CAST(varchar AS BLOB) now
+    // decodes \xHH escapes (DuckBlobCastRule) — encode/decode never do
     alias("encode") {
-      case Seq(x) => Cast(x, BinaryType)
+      case Seq(x) => Encode(x, Literal("UTF-8"))
       case e => Encode(e(0), e(1))
     }
     alias("decode") {
-      case Seq(x) => Cast(x, StringType)
+      case Seq(x) => StringDecode(x, Literal("UTF-8"))
       case e => StringDecode(e(0), e(1))
     }
     alias("length_grapheme")(e =>

@@ -63,3 +63,229 @@ object DuckNumericCastRule extends Rule[LogicalPlan] {
           Literal(0))))
     }
 }
+
+/** DuckDB's division/remainder by zero is NULL for EVERY numeric type
+  * (probed: 1/0, 1.0/0.0, 1 % 0, 0/0, 1e0/0 all NULL — doubles do NOT
+  * produce IEEE infinity), where Spark ANSI errors on exact types and
+  * doubles return Infinity. The zero-divisor If guards the value; the
+  * inner operator flips ANSI→TRY so the rule cannot re-match its own
+  * output (TRY's only extra reach beyond the guard is integral
+  * MinValue/-1 overflow — DuckDB errors there, documented skew).
+  */
+object DuckDivZeroRule extends Rule[LogicalPlan] {
+  private def zeroOf(dt: DataType): Expression = Cast(Literal(0), dt)
+
+  private def guard(b: BinaryArithmetic, rebuilt: Expression): Expression = {
+    markGuarded(rebuilt) // the rebuilt node must not re-match either
+    If(EqualTo(b.right, zeroOf(b.right.dataType)),
+      Literal(null, b.dataType), rebuilt)
+  }
+
+  // Spark 4.1 carries the mode inside NumericEvalContext — a bare
+  // EvalMode pattern never matches
+  private def tryCtx(c: NumericEvalContext) =
+    NumericEvalContext(EvalMode.TRY, c.allowDecimalPrecisionLoss)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case d @ Divide(l, r, ctx)
+          if d.resolved && ctx.evalMode == EvalMode.ANSI &&
+            r.dataType.isInstanceOf[NumericType] =>
+        guard(d, Divide(l, r, tryCtx(ctx)))
+      case d @ IntegralDivide(l, r, ctx)
+          if d.resolved && ctx.evalMode == EvalMode.ANSI =>
+        guard(d, IntegralDivide(l, r, tryCtx(ctx)))
+      case d @ Remainder(l, r, ctx)
+          if d.resolved && ctx.evalMode == EvalMode.ANSI =>
+        guard(d, Remainder(l, r, tryCtx(ctx)))
+      case d @ Pmod(l, r, ctx)
+          if d.resolved && ctx.evalMode == EvalMode.ANSI =>
+        guard(d, Pmod(l, r, tryCtx(ctx)))
+      // doubles/floats never error — they yield IEEE inf/NaN, which
+      // DuckDB's NULL contract also forbids
+      case d: Divide
+          if d.resolved && (d.dataType == DoubleType || d.dataType == FloatType) &&
+            !isGuarded(d) =>
+        markGuarded(d)
+        guard(d, d)
+      case d: Remainder
+          if d.resolved && (d.dataType == DoubleType || d.dataType == FloatType) &&
+            !isGuarded(d) =>
+        markGuarded(d)
+        guard(d, d)
+    }
+
+  // double-typed arithmetic carries no TRY/ANSI distinction we can
+  // flip, so re-match protection uses an expression tag
+  private val guardedTag = org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.divZeroGuarded")
+  private def isGuarded(e: Expression): Boolean =
+    e.getTagValue(guardedTag).contains(true)
+  private def markGuarded(e: Expression): Unit =
+    e.setTagValue(guardedTag, true)
+}
+
+/** DuckDB's LIKE/ILIKE has NO default escape character (probed:
+  * '10%' LIKE '10\%' is FALSE — the backslash is a literal; pg and
+  * Spark treat backslash as an implicit escape). An explicit
+  * `ESCAPE 'x'` clause still works: the parser only produces the
+  * default '\\' when no clause was written (writing ESCAPE '\'
+  * explicitly is indistinguishable and keeps DuckDB's reading).
+  */
+/** DuckDB's DOUBLE/FLOAT→VARCHAR rendering (see
+  * [[DuckStrings.renderDouble]]; probed grid) replaces Spark's Java
+  * `1.0E20` style wherever a floating cast to string appears —
+  * including the casts the NULL-skipping concat() builds. The pgwire
+  * TEXT format keeps its pg-style rendering (that surface follows the
+  * protocol, not CAST semantics). */
+object DuckFloatRenderRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case c: Cast
+          if c.dataType == StringType && c.child.resolved &&
+            c.child.dataType == DoubleType =>
+        StaticInvoke(DuckStrings.getClass, StringType, "renderDouble",
+          Seq(c.child), Seq(DoubleType), propagateNull = true,
+          returnNullable = true)
+      case c: Cast
+          if c.dataType == StringType && c.child.resolved &&
+            c.child.dataType == FloatType =>
+        StaticInvoke(DuckStrings.getClass, StringType, "renderFloat",
+          Seq(c.child), Seq(FloatType), propagateNull = true,
+          returnNullable = true)
+    }
+}
+
+object DuckLikeNoEscapeRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case l @ Like(left, right, '\\') => Like(left, right, '\u0000')
+      case l @ ILike(left, right, '\\') => ILike(left, right, '\u0000')
+    }
+}
+
+/** DuckDB's BLOB↔VARCHAR casts use the `\xHH` escape model (probed:
+  * '\xFF'::BLOB is one byte; CAST(unhex('ff') AS VARCHAR) = '\xFF';
+  * printable ASCII except backslash/quote renders literally; invalid
+  * escapes error). Spark's casts are raw UTF-8 both ways. */
+object DuckBlobCastRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case c: Cast
+          if c.dataType == BinaryType && c.child.resolved &&
+            c.child.dataType == StringType =>
+        StaticInvoke(DuckStrings.getClass, BinaryType, "blobBytes",
+          Seq(c.child), Seq(StringType), propagateNull = true,
+          returnNullable = true)
+      case c: Cast
+          if c.dataType == StringType && c.child.resolved &&
+            c.child.dataType == BinaryType =>
+        StaticInvoke(DuckStrings.getClass, StringType, "renderBlob",
+          Seq(c.child), Seq(BinaryType), propagateNull = true,
+          returnNullable = true)
+    }
+}
+
+/** Row/struct comparisons follow per-field three-valued logic in
+  * DuckDB (probed: (1, NULL) = (1, 2) is NULL, (1, NULL) < (1, 2) is
+  * NULL), where Spark's struct comparison treats NULL fields as
+  * ordinary comparable values. Equality expands to a field-wise AND;
+  * orderings expand lexicographically — both propagate NULL through
+  * ordinary AND/OR semantics. Nested structs recurse naturally (the
+  * expanded field comparisons re-enter the rule). */
+object DuckStructCompareRule extends Rule[LogicalPlan] {
+  private def fields(l: Expression, r: Expression): Seq[(Expression, Expression)] = {
+    val st = l.dataType.asInstanceOf[StructType]
+    st.fields.indices.map(i =>
+      (GetStructField(l, i, Some(st.fields(i).name)): Expression,
+        GetStructField(r, i, Some(st.fields(i).name)): Expression))
+  }
+
+  private def lex(fs: Seq[(Expression, Expression)],
+      strict: (Expression, Expression) => Expression,
+      last: (Expression, Expression) => Expression): Expression =
+    fs match {
+      case Seq((l, r)) => last(l, r)
+      case (l, r) +: rest =>
+        Or(strict(l, r), And(EqualTo(l, r), lex(rest, strict, last)))
+    }
+
+  private def structs(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved && l.dataType.isInstanceOf[StructType] &&
+      r.dataType.isInstanceOf[StructType] &&
+      l.dataType.asInstanceOf[StructType].length ==
+        r.dataType.asInstanceOf[StructType].length &&
+      l.dataType.asInstanceOf[StructType].nonEmpty
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case EqualTo(l, r) if structs(l, r) =>
+        fields(l, r).map { case (a, b) => EqualTo(a, b): Expression }
+          .reduce(And)
+      case LessThan(l, r) if structs(l, r) =>
+        lex(fields(l, r), LessThan, LessThan)
+      case LessThanOrEqual(l, r) if structs(l, r) =>
+        lex(fields(l, r), LessThan, LessThanOrEqual)
+      case GreaterThan(l, r) if structs(l, r) =>
+        lex(fields(l, r), GreaterThan, GreaterThan)
+      case GreaterThanOrEqual(l, r) if structs(l, r) =>
+        lex(fields(l, r), GreaterThan, GreaterThanOrEqual)
+    }
+}
+
+/** Interval comparisons: Spark's CalendarInterval is not orderable at
+  * all; DuckDB compares intervals by the normalized key months→30
+  * days, days→24 h (probed: '1 month' = '30 days' is TRUE). Every
+  * BinaryComparison on CalendarIntervalType compares that key. */
+object DuckIntervalCompareRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+
+  private def isInterval(dt: DataType): Boolean = dt match {
+    case CalendarIntervalType => true
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => true
+    case _ => false
+  }
+
+  /** normalized comparison key in microseconds (month = 30 d) */
+  private def key(e: Expression): Expression = e.dataType match {
+    case CalendarIntervalType =>
+      StaticInvoke(DuckStrings.getClass, LongType, "intervalMicros30",
+        Seq(e), Seq(CalendarIntervalType), propagateNull = true,
+        returnNullable = true)
+    case _: YearMonthIntervalType =>
+      // post-hoc output gets no further coercion — every operand is
+      // cast to LONG explicitly
+      val months = Add(
+        Multiply(Cast(ExtractANSIIntervalYears(e), LongType), Literal(12L)),
+        Cast(ExtractANSIIntervalMonths(e), LongType))
+      Multiply(months, Literal(30L * 86400000000L))
+    case _: DayTimeIntervalType =>
+      Add(
+        Multiply(Cast(ExtractANSIIntervalDays(e), LongType),
+          Literal(86400000000L)),
+        Add(
+          Multiply(Cast(ExtractANSIIntervalHours(e), LongType),
+            Literal(3600000000L)),
+          Add(
+            Multiply(Cast(ExtractANSIIntervalMinutes(e), LongType),
+              Literal(60000000L)),
+            Cast(Multiply(Cast(ExtractANSIIntervalSeconds(e), DoubleType),
+              Literal(1000000.0d)), LongType))))
+    case other => throw new IllegalStateException(s"not an interval: $other")
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      // same-class ANSI comparisons already work natively (and agree
+      // with the normalized key); rewrite the combinations Spark
+      // rejects — CalendarInterval anywhere, or mixed YM vs DT
+      case cmp: BinaryComparison
+          if cmp.left.resolved && cmp.right.resolved &&
+            isInterval(cmp.left.dataType) && isInterval(cmp.right.dataType) &&
+            (cmp.left.dataType == CalendarIntervalType ||
+              cmp.right.dataType == CalendarIntervalType ||
+              cmp.left.dataType.getClass != cmp.right.dataType.getClass) =>
+        cmp.withNewChildren(Seq(key(cmp.left), key(cmp.right)))
+    }
+}

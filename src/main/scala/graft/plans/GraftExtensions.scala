@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
     // DATE-DATE day counts + round-half-away narrowing casts
     ext.injectPostHocResolutionRule(_ => DuckNumericCastRule)
+    // division/remainder by zero is NULL (every numeric type)
+    ext.injectPostHocResolutionRule(_ => DuckDivZeroRule)
+    // LIKE/ILIKE without ESCAPE has no default escape character
+    ext.injectPostHocResolutionRule(_ => DuckLikeNoEscapeRule)
+    // DOUBLE/FLOAT→VARCHAR uses DuckDB's shortest/positional format
+    ext.injectPostHocResolutionRule(_ => DuckFloatRenderRule)
+    // BLOB↔VARCHAR casts use the \xHH escape model
+    ext.injectPostHocResolutionRule(_ => DuckBlobCastRule)
+    // row/struct comparisons follow per-field three-valued logic
+    ext.injectPostHocResolutionRule(_ => DuckStructCompareRule)
+    // intervals compare by the months->30d, days->24h normalized key
+    ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
     // quantified comparisons: x op ANY|ALL (list | subquery)
     ext.injectFunction((
       FunctionIdentifier("duck_q_cmp"),

@@ -327,6 +327,51 @@ object SqlRewrites {
   private val quantRe =
     """(?i)(=|<>|!=|<=|>=|<|>)\s*\b(ANY|SOME|ALL)\s*\(""".r
 
+  /** Mixed-class interval literals — `INTERVAL '2 months 5 days'` —
+    * are valid DuckDB (its interval is the (months, days, micros)
+    * triple) but Spark's ANSI interval literals reject mixing
+    * year-month with day-time fields. Lowered onto `make_interval()`,
+    * the one Spark builtin that still produces CalendarInterval.
+    * Single-class literals stay with Spark's parser. */
+  private val intervalLitRe = """(?i)\bINTERVAL\s*'([^']*)'(?!\s*(?:YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND|MILLISECOND|MICROSECOND|TO\b))""".r
+  private val intervalPartRe = """([+-]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)""".r
+  private val intervalTimeRe = """(?<![\d.a-zA-Z])([+-]?\d+):(\d+):(\d+(?:\.\d+)?)""".r
+
+  def rewriteMixedIntervals(sql: String): String =
+    replaceOutsideQuotes(intervalLitRe, sql) { m =>
+      val body = m.group(1)
+      var y, mo, w, d = 0L
+      var h, mi = 0L
+      var s = BigDecimal(0)
+      var ym = false; var dt = false; var bad = false
+      for (pm <- intervalPartRe.findAllMatchIn(
+          intervalTimeRe.replaceAllIn(body, ""))) {
+        val n = BigDecimal(pm.group(1))
+        pm.group(2).toLowerCase match {
+          case "year" | "years" | "y" => y += n.toLong; ym = true
+          case "month" | "months" | "mon" | "mons" => mo += n.toLong; ym = true
+          case "week" | "weeks" => w += n.toLong; dt = true
+          case "day" | "days" | "d" => d += n.toLong; dt = true
+          case "hour" | "hours" | "hr" | "hrs" | "h" => h += n.toLong; dt = true
+          case "minute" | "minutes" | "min" | "mins" => mi += n.toLong; dt = true
+          case "second" | "seconds" | "sec" | "secs" => s += n; dt = true
+          case "millisecond" | "milliseconds" | "ms" => s += n / 1000; dt = true
+          case "microsecond" | "microseconds" | "us" => s += n / 1000000; dt = true
+          case _ => bad = true
+        }
+      }
+      for (tm <- intervalTimeRe.findAllMatchIn(body)) {
+        val sign = if (tm.group(1).trim.startsWith("-")) -1 else 1
+        h += tm.group(1).toLong
+        mi += sign * tm.group(2).toLong
+        s += sign * BigDecimal(tm.group(3))
+        dt = true
+      }
+      if (bad || !(ym && dt)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else java.util.regex.Matcher.quoteReplacement(
+        s"make_interval($y, $mo, $w, $d, $h, $mi, $s)")
+    }
+
   def rewriteQuantified(sql: String): String = {
     var cur = sql
     var guard = 0
@@ -1338,8 +1383,9 @@ object SqlRewrites {
     val s0p = if (has("positional")) rewritePositionalJoin(s0a) else s0a
     val posDrop = if (s0p ne s0a) Seq("__pjl", "__pjr") else Nil
     val s0v = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
-    val s0 = if (has("any") || has("all") || has("some"))
+    val s0q = if (has("any") || has("all") || has("some"))
       rewriteQuantified(s0v) else s0v
+    val s0 = if (has("interval")) rewriteMixedIntervals(s0q) else s0q
     val s1 = if (!has("generate_series")) s0 else
       genSeries.replaceAllIn(s0, m => {
         val kw = m.group(1)

@@ -48,6 +48,8 @@ case class DuckStructString(child: Expression)
         DateTimeUtils.microsToLocalDateTime(v.asInstanceOf[Long])
           .toString.replace('T', ' ')
       case BooleanType => if (v.asInstanceOf[Boolean]) "true" else "false"
+      case DoubleType => DuckStrings.doubleString(v.asInstanceOf[Double])
+      case FloatType => DuckStrings.floatString(v.asInstanceOf[Float])
       case _ => v.toString
     }
 

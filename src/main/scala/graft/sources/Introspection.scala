@@ -90,8 +90,11 @@ object Introspection {
       s"read_${if (asText) "text" else "blob"}: no files match " +
         patterns.mkString(", "))
     val raw = sp.read.format("binaryFile").load(paths: _*)
+    // decode(), not a cast: read_text is a raw UTF-8 byte decode,
+    // while CAST(blob AS VARCHAR) renders DuckDB's \xHH escape form
+    // (DuckBlobCastRule)
     val contentCol =
-      if (asText) col("content").cast("string") else col("content")
+      if (asText) decode(col("content"), "UTF-8") else col("content")
     raw.select(
       regexp_replace(col("path"), "^file:(//)?", "").as("filename"),
       contentCol.as("content"),

@@ -14,8 +14,10 @@ object ProbeSql {
   def main(args: Array[String]): Unit = {
     val spark = Engine.session("local[4]")
     spark.sparkContext.setLogLevel("ERROR")
-    val src = scala.io.Source.fromFile(args(0))
-    val out = new java.io.PrintWriter(args(1))
+    // explicit UTF-8: the container JVM defaults to US-ASCII, which
+    // chokes on unicode probe rows
+    val src = scala.io.Source.fromFile(args(0), "UTF-8")
+    val out = new java.io.PrintWriter(args(1), "UTF-8")
     for (line <- src.getLines() if line.nonEmpty && !line.startsWith("--")) {
       val Array(name, kind, sql) = line.split("\t", 3)
       val res =

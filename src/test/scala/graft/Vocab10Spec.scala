@@ -124,6 +124,125 @@ class Vocab10Spec extends SparkSpecBase {
       "WHERE x > ANY (SELECT y FROM (VALUES (2)) s(y))").getLong(0) == 2L)
   }
 
+  test("division/remainder by zero is NULL for every numeric type (probed)") {
+    val r = one("SELECT 1/0 a, 1.0/0.0 b, 1 % 0 c, 0/0 d, 1e0/0 e, " +
+      "mod(5, 0) f, 1.5 % 0 g, 7 // 0 h")
+    (0 until 8).foreach(i => assert(r.isNullAt(i), s"col $i"))
+    // non-zero divisors keep exact values
+    val v = one("SELECT 7/2 a, 7 % 3 b, 7 // 2 c")
+    assert(v.getDouble(0) == 3.5 && v.getInt(1) == 1 && v.getLong(2) == 3L)
+  }
+
+  test("LIKE has no default escape character (probed)") {
+    val r = one("SELECT '10%' LIKE '10\\%' a, 'a_c' LIKE 'a\\_c' b, " +
+      "'a%b' LIKE 'a!%b' ESCAPE '!' c, '10x' LIKE '10\\%' d")
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+  }
+
+  test("chr is the full unicode codepoint (probed)") {
+    assert(one("SELECT chr(9731) AS v").getString(0) == "☃")
+    assert(one("SELECT chr(65) AS v").getString(0) == "A")
+  }
+
+  test("list_sort direction/null-order grid (probed)") {
+    def arr(sql: String) = one(sql).getSeq[Any](0)
+    assert(arr("SELECT list_sort([3, NULL, 1]) AS v") == Seq(1, 3, null))
+    assert(arr("SELECT list_sort([3, NULL, 1], 'DESC') AS v") == Seq(3, 1, null))
+    assert(arr("SELECT list_sort([3, NULL, 1], 'ASC', 'NULLS FIRST') AS v")
+      == Seq(null, 1, 3))
+    assert(arr("SELECT list_sort([3, NULL, 1], 'DESC', 'NULLS FIRST') AS v")
+      == Seq(null, 3, 1))
+    assert(arr("SELECT list_reverse_sort([1, 3, NULL]) AS v") == Seq(3, 1, null))
+  }
+
+  test("trim family: DuckDB argument order (probed)") {
+    val r = one("SELECT trim('xxabcxx', 'x') a, ltrim('xxab', 'x') b, " +
+      "rtrim('abxx', 'x') c, trim('  a  ') d")
+    assert(r.getString(0) == "abc" && r.getString(1) == "ab")
+    assert(r.getString(2) == "ab" && r.getString(3) == "a")
+  }
+
+  test("DOUBLE/FLOAT -> VARCHAR rendering grid (probed)") {
+    val r = one("SELECT CAST(1e20::DOUBLE AS VARCHAR) a, " +
+      "CAST(1e15::DOUBLE AS VARCHAR) b, CAST(1e16::DOUBLE AS VARCHAR) c, " +
+      "CAST(1.5::DOUBLE AS VARCHAR) d, CAST(1e-4::DOUBLE AS VARCHAR) e, " +
+      "CAST(9.99e-5::DOUBLE AS VARCHAR) f, CAST(1.0::DOUBLE AS VARCHAR) g, " +
+      "CAST('inf'::DOUBLE AS VARCHAR) h, CAST('nan'::DOUBLE AS VARCHAR) i, " +
+      "CAST(0.1::FLOAT AS VARCHAR) j, CAST(1.5e20::DOUBLE AS VARCHAR) k")
+    assert(r.getString(0) == "1e+20" && r.getString(1) == "1000000000000000.0")
+    assert(r.getString(2) == "1e+16" && r.getString(3) == "1.5")
+    assert(r.getString(4) == "0.0001" && r.getString(5) == "9.99e-05")
+    assert(r.getString(6) == "1.0" && r.getString(7) == "inf")
+    assert(r.getString(8) == "nan" && r.getString(9) == "0.1")
+    assert(r.getString(10) == "1.5e+20")
+  }
+
+  test("BLOB <-> VARCHAR casts use the \\xHH escape model (probed)") {
+    val r = one("SELECT octet_length('\\xFF'::BLOB) a, " +
+      "CAST(unhex('ff') AS VARCHAR) b, CAST('ab'::BLOB AS VARCHAR) c, " +
+      "octet_length('ab\\x41'::BLOB) d, CAST(unhex('5c') AS VARCHAR) e")
+    assert(r.getInt(0) == 1 && r.getString(1) == "\\xFF")
+    assert(r.getString(2) == "ab" && r.getInt(3) == 3)
+    assert(r.getString(4) == "\\x5C")
+    intercept[Exception] {
+      one("SELECT '\\q'::BLOB AS v")
+    }
+  }
+
+  test("row/struct comparisons use per-field 3VL (probed)") {
+    val r = one("SELECT (1, NULL) = (1, 2) a, (1, NULL) < (1, 2) b, " +
+      "(1, 2) = (1, 2) c, (1, 2) < (1, 3) d, (2, 1) < (1, 9) e, " +
+      "(1, NULL) IS NOT DISTINCT FROM (1, NULL) f")
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getBoolean(5))
+  }
+
+  test("mixed interval literals + normalized interval comparisons (probed)") {
+    assert(one("SELECT age(TIMESTAMP '2024-03-15', TIMESTAMP '2024-01-10') " +
+      "= INTERVAL '2 months 5 days' AS v").getBoolean(0))
+    val r = one("SELECT INTERVAL '1 month' = INTERVAL '30 days' a, " +
+      "INTERVAL '1 month' < INTERVAL '31 days' b, " +
+      "INTERVAL '1 day' = INTERVAL '24 hours' c")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(one("SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + " +
+      "INTERVAL '1 month 2 days 03:00:00' AS VARCHAR) AS v").getString(0)
+      .startsWith("2024-02-03 03:00:00"))
+  }
+
+  test("printf decimals and fmt format specs (probed)") {
+    val r = one("SELECT printf('%d-%s-%.2f', 7, 'x', 2.5) a, " +
+      "format('{:.2f}', 3.14159) b, format('{:5}|', 42) c, " +
+      "format('{:05.1f}', 2.25) d, format('{:x}', 255) e, " +
+      "format('{:,}', 1234567) f, format('{}-{}', 'a', 7) g")
+    assert(r.getString(0) == "7-x-2.50" && r.getString(1) == "3.14")
+    assert(r.getString(2) == "   42|" && r.getString(3) == "002.2")
+    assert(r.getString(4) == "ff" && r.getString(5) == "1,234,567")
+    assert(r.getString(6) == "a-7")
+  }
+
+  test("upper/lower use simple per-codepoint case mapping (probed)") {
+    val r = one("SELECT upper('straße') a, lower('İ') b, upper('ﬁle') c, " +
+      "upper('ǅungla') d, lower('ÀÉÎÕÜ') e")
+    assert(r.getString(0) == "STRAẞE")
+    assert(r.getString(1) == "i")
+    assert(r.getString(2) == "ﬁLE")
+    assert(r.getString(3) == "ǄUNGLA")
+    assert(r.getString(4) == "àéîõü")
+  }
+
+  test("math domain errors are loud like DuckDB (probed)") {
+    intercept[Exception] { one("SELECT sqrt(-1.0) AS v") }
+    intercept[Exception] { one("SELECT ln(0.0) AS v") }
+    intercept[Exception] { one("SELECT log10(0) AS v") }
+    intercept[Exception] { one("SELECT asin(2.0) AS v") }
+    val ok = one("SELECT sqrt(2.25) a, ln(1.0) b, asin(1.0) c, cbrt(-8.0) d")
+    assert(ok.getDouble(0) == 1.5 && ok.getDouble(1) == 0.0)
+    assert(math.abs(ok.getDouble(2) - math.Pi / 2) < 1e-12)
+    assert(ok.getDouble(3) == -2.0)
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
