@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
-import org.apache.spark.sql.types.{ArrayType, DataType, DateType, DoubleType, IntegerType, LongType, MapType, StringType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DateType, DoubleType, IntegerType, LongType, MapType, ShortType, StringType, TimestampType}
 
 /** DuckDB-named function aliases over Spark's own expressions — the
   * delegated-surface names a wire client actually types (reference
@@ -951,6 +951,24 @@ case class BitCountPoly(child: Expression) extends RuntimeReplaceable
   override lazy val replacement: Expression = child.dataType match {
     case StringType => Subtract(Length(child),
       Length(StringReplace(child, Literal("1"), Literal(""))))
+    // DuckDB counts within the INPUT type's width (probed:
+    // bit_count(-1::INTEGER) = 32, ::TINYINT = 8); Spark's
+    // BitwiseCount sign-extends everything to 64 bits
+    case ByteType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Integer], IntegerType, "bitCount",
+        Seq(BitwiseAnd(Cast(child, IntegerType), Literal(0xFF))),
+        Seq(IntegerType), propagateNull = true, returnNullable = true)
+    case ShortType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Integer], IntegerType, "bitCount",
+        Seq(BitwiseAnd(Cast(child, IntegerType), Literal(0xFFFF))),
+        Seq(IntegerType), propagateNull = true, returnNullable = true)
+    case IntegerType =>
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        classOf[java.lang.Integer], IntegerType, "bitCount",
+        Seq(child), Seq(IntegerType), propagateNull = true,
+        returnNullable = true)
     case _ => BitwiseCount(child)
   }
   override protected def withNewChildInternal(newChild: Expression): BitCountPoly =

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedExtractValue}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
 import org.apache.spark.sql.types._
 
 /** Round-10 DuckDB semantics wave, driven by the differential probe
@@ -228,6 +229,94 @@ object DuckVocab10 {
       alias(n)(e => caseMap("upperSimple", e.head))
     for (n <- Seq("lower", "lcase"))
       alias(n)(e => caseMap("lowerSimple", e.head))
+
+    // ============ aggregate defaults (probed) ============
+    // string_agg's 1-arg separator defaults to ',' (probed:
+    // string_agg over {a, b} = 'a,b'); NULL inputs are skipped
+    // (CollectList's contract); all-skipped groups yield NULL, not ''
+    def stringAgg(x: Expression, sep: Expression): Expression = {
+      val collected = CollectList(str(x)).toAggregateExpression()
+      If(EqualTo(Size(collected, legacySizeOfNull = false), Literal(0)),
+        Literal(null, StringType), ArrayJoin(collected, sep, None))
+    }
+    for (n <- Seq("string_agg", "group_concat", "listagg"))
+      alias(n) {
+        case Seq(x) => stringAgg(x, Literal(","))
+        case Seq(x, sep) => stringAgg(x, sep)
+      }
+    // list()/array_agg KEEP NULL inputs (probed: list over {1, NULL,
+    // 2} = [1, NULL, 2]); Spark's CollectList drops them — the value
+    // rides inside a struct, then projects back out
+    def listKeepNulls(x: Expression): Expression = {
+      val v = lv()
+      ArrayTransform(
+        CollectList(CreateNamedStruct(Seq(Literal("v"), x)))
+          .toAggregateExpression(),
+        LambdaFunction(UnresolvedExtractValue(v, Literal("v")), Seq(v)))
+    }
+    alias("list")(e => listKeepNulls(e.head))
+    alias("array_agg")(e => listKeepNulls(e.head))
+    // list_distinct DROPS NULLs (probed: [1,1,NULL,2] -> {1,2})
+    def nn10(l: Expression): Expression = {
+      val v = lv()
+      ArrayFilter(l, LambdaFunction(IsNotNull(v), Seq(v)))
+    }
+    alias("list_distinct")(e => ArrayDistinct(nn10(e.head)))
+    alias("array_distinct")(e => ArrayDistinct(nn10(e.head)))
+    // list_contains: a missing needle is FALSE even among NULL
+    // elements (probed: list_contains([1,NULL], 3) = false); a NULL
+    // list or needle stays NULL
+    def listContains(l: Expression, n: Expression): Expression = (l, n) match {
+      // an untyped NULL operand fails ArrayContains' type check —
+      // the answer is just NULL
+      case (Literal(null, NullType), _) | (_, Literal(null, NullType)) =>
+        Literal(null, BooleanType)
+      case _ =>
+        If(Or(IsNull(l), IsNull(n)), Literal(null, BooleanType),
+          Coalesce(Seq(ArrayContains(l, n), Literal(false))))
+    }
+    alias("list_contains")(e => listContains(e(0), e(1)))
+    alias("list_has")(e => listContains(e(0), e(1)))
+    alias("array_contains")(e => listContains(e(0), e(1)))
+    alias("array_has")(e => listContains(e(0), e(1)))
+
+    // ============ date_part list form (probed) ============
+    // date_part(['year','month'], d) returns a STRUCT keyed by the
+    // requested parts; special DuckDB fields route through the same
+    // registered functions the EXTRACT rewrite uses
+    def onePart(p: String, d: Expression): Expression =
+      SqlRewrites.extractFieldMap.get(p.toLowerCase) match {
+        case Some(fn) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            fn, Seq(d), isDistinct = false)
+        case None => DatePart.parseExtractField(p, d)
+      }
+    alias("date_part") {
+      case Seq(CreateArray(parts, _), d) =>
+        CreateNamedStruct(parts.flatMap {
+          case Literal(p, StringType) if p != null =>
+            Seq(Literal(String.valueOf(p)), onePart(String.valueOf(p), d))
+          case other => throw new IllegalArgumentException(
+            s"date_part: part names must be string literals, got $other")
+        })
+      case Seq(Literal(p, StringType), d) if p != null =>
+        onePart(String.valueOf(p), d)
+      case other => throw new IllegalArgumentException(
+        "date_part: the part must be a string literal or a literal list")
+    }
+    alias("datepart") {
+      case Seq(CreateArray(parts, _), d) =>
+        CreateNamedStruct(parts.flatMap {
+          case Literal(p, StringType) if p != null =>
+            Seq(Literal(String.valueOf(p)), onePart(String.valueOf(p), d))
+          case other => throw new IllegalArgumentException(
+            s"datepart: part names must be string literals, got $other")
+        })
+      case Seq(Literal(p, StringType), d) if p != null =>
+        onePart(String.valueOf(p), d)
+      case other => throw new IllegalArgumentException(
+        "datepart: the part must be a string literal or a literal list")
+    }
 
     // ============ math domain errors (probed) ============
     // DuckDB errors OUT of these domains where Spark returns NaN/NULL

@@ -78,7 +78,7 @@ object SqlRewrites {
     * functions. `EXTRACT(field FROM x)` → `field_fn(x)` — replacing
     * `EXTRACT(field FROM` with `fn(` keeps the paren balance.
     */
-  private val extractFieldMap: Map[String, String] = Map(
+  private[graft] val extractFieldMap: Map[String, String] = Map(
     "epoch" -> "epoch", "julian" -> "julian", "era" -> "era",
     "millennium" -> "millennium", "millenniums" -> "millennium",
     "millennia" -> "millennium",

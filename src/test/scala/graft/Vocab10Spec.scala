@@ -243,6 +243,41 @@ class Vocab10Spec extends SparkSpecBase {
     assert(ok.getDouble(3) == -2.0)
   }
 
+  test("aggregate defaults: string_agg separator, list keeps NULLs (probed)") {
+    assert(one("SELECT string_agg(s) AS v FROM (VALUES ('a'),('b')) t(s)")
+      .getString(0) == "a,b")
+    assert(one("SELECT string_agg(s, '; ') AS v FROM " +
+      "(VALUES ('a'),(NULL),('b')) t(s)").getString(0) == "a; b")
+    assert(one("SELECT string_agg(s) AS v FROM (VALUES ('a')) t(s) " +
+      "WHERE s = 'z'").isNullAt(0))
+    assert(one("SELECT list(x) AS v FROM (VALUES (1),(NULL),(2)) t(x)")
+      .getSeq[Any](0) == Seq(1, null, 2))
+    assert(one("SELECT array_agg(x) AS v FROM (VALUES (1),(NULL)) t(x)")
+      .getSeq[Any](0) == Seq(1, null))
+  }
+
+  test("list_distinct drops NULLs; list_contains misses are FALSE (probed)") {
+    assert(one("SELECT list_sort(list_distinct([1, 1, NULL, 2])) AS v")
+      .getSeq[Int](0) == Seq(1, 2))
+    val r = one("SELECT list_contains([1, NULL], 3) a, " +
+      "list_contains([1, NULL], 1) b, list_contains(NULL, 3) c")
+    assert(!r.getBoolean(0) && r.getBoolean(1) && r.isNullAt(2))
+  }
+
+  test("date_part list form returns a struct (probed)") {
+    val r = one("SELECT date_part(['year', 'month'], DATE '2024-08-14') AS v")
+      .getStruct(0)
+    assert(r.getInt(0) == 2024 && r.getInt(1) == 8)
+    assert(one("SELECT date_part('era', DATE '2024-01-01') AS v").getInt(0) == 1)
+  }
+
+  test("bit_count counts within the input type's width (probed)") {
+    val r = one("SELECT bit_count(7) a, bit_count(-1) b, " +
+      "bit_count(CAST(-1 AS BIGINT)) c, bit_count(CAST(-1 AS TINYINT)) d")
+    assert(r.getInt(0) == 3 && r.getInt(1) == 32)
+    assert(r.getInt(2) == 64 && r.getInt(3) == 8)
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head

@@ -75,6 +75,8 @@ def norm(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        if math.isinf(f):
+            return "Infinity" if f > 0 else "-Infinity"
         if f == int(f) and abs(f) < 1e15:
             return int(f)
         return float(f"{f:.9g}")
