@@ -116,6 +116,15 @@ object DuckStrings {
   def intervalMicros30(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
     (i.months * 30L + i.days) * 86400000000L + i.microseconds
 
+  /** the raw (months, days, micros) triple — DuckDB's own interval
+    * model, which CalendarInterval carries 1:1 */
+  def ivMonths(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
+    i.months.toLong
+  def ivDays(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
+    i.days.toLong
+  def ivMicros(i: org.apache.spark.unsafe.types.CalendarInterval): Long =
+    i.microseconds
+
   private def fmtFloating(d: Double, shortest: String): String = {
     if (d.isNaN) return "nan"
     if (d == Double.PositiveInfinity) return "inf"

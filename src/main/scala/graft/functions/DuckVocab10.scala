@@ -280,6 +280,16 @@ object DuckVocab10 {
     alias("array_contains")(e => listContains(e(0), e(1)))
     alias("array_has")(e => listContains(e(0), e(1)))
 
+    // ============ list_concat family (probed) ============
+    // DuckDB treats a NULL operand as empty — list_concat([1], NULL)
+    // = [1] — and yields NULL only when EVERY operand is NULL
+    def listCat(e: Seq[Expression]): Expression =
+      If(e.map(IsNull(_): Expression).reduce(And),
+        Literal.create(null, ArrayType(NullType)),
+        Concat(e.map(a => Coalesce(Seq(a, CreateArray(Nil))))))
+    for (n <- Seq("list_concat", "list_cat", "array_concat", "array_cat"))
+      alias(n)(e => listCat(e))
+
     // ============ date_part list form (probed) ============
     // date_part(['year','month'], d) returns a STRUCT keyed by the
     // requested parts; special DuckDB fields route through the same

@@ -255,8 +255,12 @@ object GraftCall {
     for (step <- steps) {
       if (n == null) return null
       n =
-        if (n.isArray && (step.forall(_.isDigit) || (step.startsWith("-") && step.drop(1).forall(_.isDigit)))) {
-          val i = step.toInt
+        if (n.isArray && (step.forall(_.isDigit) ||
+            ((step.startsWith("-") || step.startsWith("#-")) &&
+              step.dropWhile(c => c == '#' || c == '-').forall(_.isDigit) &&
+              step.length > (if (step.startsWith("#-")) 2 else 1)))) {
+          // [#-N] is DuckDB's from-the-end form (probed: [#-1] = last)
+          val i = step.stripPrefix("#").toInt
           n.get(if (i < 0) n.size() + i else i)
         } else n.get(step)
     }
@@ -278,8 +282,30 @@ object GraftCall {
   }
 
   /** node-equality containment at any depth (probed DuckDB v1.0). */
+  /** pg-style structural containment (probed grid 2026-08-14):
+    * object needles require every key present and contained; array
+    * needles require every element contained in SOME hay element;
+    * scalars match by equality; the search also descends into nested
+    * values ({"a":{"b":1}} contains {"b":1}). */
   private def contains(hay: JsonNode, needle: JsonNode): Boolean = {
-    if (hay == needle) return true
+    if (hay.isObject && needle.isObject) {
+      val ft = needle.fields(); var all = true
+      while (ft.hasNext && all) {
+        val e = ft.next()
+        val h = hay.get(e.getKey)
+        all = h != null && contains(h, e.getValue)
+      }
+      if (all) return true
+    } else if (hay.isArray && needle.isArray) {
+      val it = needle.elements(); var all = true
+      while (it.hasNext && all) {
+        val x = it.next(); var found = false
+        val ht = hay.elements()
+        while (ht.hasNext && !found) found = contains(ht.next(), x)
+        all = found
+      }
+      if (all) return true
+    } else if (hay == needle) return true
     val it = hay.elements(); while (it.hasNext) if (contains(it.next(), needle)) return true
     val ft = hay.fields(); while (ft.hasNext) if (contains(ft.next().getValue, needle)) return true
     false

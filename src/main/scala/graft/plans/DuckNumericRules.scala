@@ -289,3 +289,97 @@ object DuckIntervalCompareRule extends Rule[LogicalPlan] {
         cmp.withNewChildren(Seq(key(cmp.left), key(cmp.right)))
     }
 }
+
+/** Interval date-part extraction and DATE+TIME addition — DuckDB
+  * forms Spark's resolver turns into date-typed expressions that then
+  * fail the type check (probed: day(INTERVAL '3 days 4 hours') = 3,
+  * year(INTERVAL '14 months') = 1, DATE + TIME = the combined
+  * timestamp). Rewritten post-hoc, before CheckAnalysis fires. */
+object DuckTemporalPolyRule extends Rule[LogicalPlan] {
+  private def isIv(dt: DataType): Boolean = dt == CalendarIntervalType ||
+    dt.isInstanceOf[YearMonthIntervalType] || dt.isInstanceOf[DayTimeIntervalType]
+
+  /** DuckDB decomposes its (months, days, micros) triple directly —
+    * months NEVER fold into days, micros never fold into days, but
+    * micros DO normalize up to hours (probed: hour('90 minutes') = 1,
+    * day('100 hours') = 0, hour('5 days') = 0, year('14 months') = 1,
+    * month(-'14 months') = -2). Spark's ANSI intervals are a single
+    * number in end-field units (probed: CAST(INTERVAL '100' HOUR AS
+    * BIGINT) = 100), so the triple is reconstructed from the type's
+    * field range; Spark's own ExtractANSIInterval* would reject
+    * fields outside that range. */
+  private def part(p: String, c: Expression): Expression = {
+    val legacy = NumericEvalContext(EvalMode.LEGACY, true)
+    def idiv(l: Expression, r: Long) =
+      IntegralDivide(l, Literal(r), legacy)
+    def rem(l: Expression, r: Long) = Remainder(l, Literal(r), legacy)
+    def inv(m: String) =
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        DuckStrings.getClass, LongType, m, Seq(c),
+        Seq(CalendarIntervalType), propagateNull = true,
+        returnNullable = true)
+    val (months, days, timeUs): (Expression, Expression, Expression) =
+      c.dataType match {
+        case CalendarIntervalType =>
+          (inv("ivMonths"), inv("ivDays"), inv("ivMicros"))
+        case t: YearMonthIntervalType =>
+          val total =
+            if (t.endField == YearMonthIntervalType.MONTH) Cast(c, LongType)
+            else Multiply(Cast(c, LongType), Literal(12L))
+          (total, Literal(0L), Literal(0L))
+        case t: DayTimeIntervalType =>
+          val mult = t.endField match {
+            case DayTimeIntervalType.DAY => 86400000000L
+            case DayTimeIntervalType.HOUR => 3600000000L
+            case DayTimeIntervalType.MINUTE => 60000000L
+            case _ => 1000000L
+          }
+          val totalUs = Multiply(Cast(c, LongType), Literal(mult))
+          if (t.startField == DayTimeIntervalType.DAY) {
+            val d = idiv(totalUs, 86400000000L)
+            (Literal(0L), d,
+              Subtract(totalUs, Multiply(d, Literal(86400000000L))))
+          } else (Literal(0L), Literal(0L), totalUs)
+        case other => throw new IllegalStateException(s"not an interval: $other")
+      }
+    p match {
+      case "year" => idiv(months, 12L)
+      case "month" => rem(months, 12L)
+      case "day" => days
+      case "hour" => idiv(timeUs, 3600000000L)
+      case "minute" => rem(idiv(timeUs, 60000000L), 60L)
+      case "second" => rem(idiv(timeUs, 1000000L), 60L)
+      case other => throw new IllegalStateException(s"no interval part $other")
+    }
+  }
+  private def isTime(dt: DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.TimeType]
+  private def combine(d: Expression, t: Expression): Expression =
+    MicrosToTimestamp(Add(
+      UnixMicros(Cast(d, TimestampType, Some("UTC"))),
+      GraftCall("time_micros_of", Seq(Cast(t, StringType)), LongType)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case e: Year if e.child.resolved && isIv(e.child.dataType) =>
+        part("year", e.child)
+      case e: Month if e.child.resolved && isIv(e.child.dataType) =>
+        part("month", e.child)
+      case e: DayOfMonth if e.child.resolved && isIv(e.child.dataType) =>
+        part("day", e.child)
+      case e: Hour if e.child.resolved && isIv(e.child.dataType) =>
+        part("hour", e.child)
+      case e: Minute if e.child.resolved && isIv(e.child.dataType) =>
+        part("minute", e.child)
+      case e: Second if e.child.resolved && isIv(e.child.dataType) =>
+        part("second", e.child)
+      case d @ DateAdd(l, r)
+          if l.resolved && r.resolved && l.dataType == DateType &&
+            isTime(r.dataType) =>
+        combine(l, r)
+      case d @ DateAdd(l, r)
+          if l.resolved && r.resolved && isTime(l.dataType) &&
+            r.dataType == DateType =>
+        combine(r, l)
+    }
+}

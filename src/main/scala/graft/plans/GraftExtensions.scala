@@ -62,6 +62,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => DuckStructCompareRule)
     // intervals compare by the months->30d, days->24h normalized key
     ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
+    // interval dateparts + DATE + TIME combination
+    ext.injectPostHocResolutionRule(_ => DuckTemporalPolyRule)
     // quantified comparisons: x op ANY|ALL (list | subquery)
     ext.injectFunction((
       FunctionIdentifier("duck_q_cmp"),

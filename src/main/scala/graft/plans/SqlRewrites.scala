@@ -344,8 +344,10 @@ object SqlRewrites {
       var h, mi = 0L
       var s = BigDecimal(0)
       var ym = false; var dt = false; var bad = false
+      var parts = 0
       for (pm <- intervalPartRe.findAllMatchIn(
           intervalTimeRe.replaceAllIn(body, ""))) {
+        parts += 1
         val n = BigDecimal(pm.group(1))
         pm.group(2).toLowerCase match {
           case "year" | "years" | "y" => y += n.toLong; ym = true
@@ -366,8 +368,13 @@ object SqlRewrites {
         mi += sign * tm.group(2).toLong
         s += sign * BigDecimal(tm.group(3))
         dt = true
+        parts += 2 // an hh:mm:ss block is a composite
       }
-      if (bad || !(ym && dt)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      // multi-part literals ALWAYS lower to make_interval: Spark
+      // would otherwise fold same-class parts into one end-field
+      // value ('3 days 30 hours' → 4d6h), losing DuckDB's per-field
+      // decomposition (probed: day(INTERVAL '3 days 30 hours') = 3)
+      if (bad || parts < 2) java.util.regex.Matcher.quoteReplacement(m.matched)
       else java.util.regex.Matcher.quoteReplacement(
         s"make_interval($y, $mo, $w, $d, $h, $mi, $s)")
     }
@@ -771,6 +778,97 @@ object SqlRewrites {
     */
   private val jsonArrow =
     """('(?:[^']|'')*'|[\w.)\]]+)\s*(->>|->)\s*(?:'([^']+)'|(\d+))""".r
+
+  /** DuckDB spells IGNORE/RESPECT NULLS INSIDE the window function's
+    * argument list — Spark wants it after the closing paren. */
+  private val nullsTreatRe = """(?i)\s+(IGNORE|RESPECT)\s+NULLS\s*\)""".r
+
+  /** JSON arrows, iteratively and paren-aware so CHAINS lower
+    * left-associatively (`x -> 'a' ->> 'b'`), `::`-cast operands are
+    * absorbed whole, and numeric keys (`-> 1`) work when the lhs is
+    * not a bare identifier (which keeps Spark's lambda reading of
+    * `x -> 1`). */
+  private def rewriteJsonArrows(sql: String): String = {
+    val opRe = """(->>|->)\s*(?:'([^']+)'|(\d+))""".r
+
+    def tryAt(cur: String, mm: scala.util.matching.Regex.Match): Option[String] = {
+      if (insideQuotes(cur, mm.start)) return None
+
+      // start index of the single operand whose LAST char is at `j`
+      // (string literal, balanced ()/[] group + callee name, or a
+      // dotted identifier); -1 if none
+      def operandStart(j: Int): Int = {
+        if (j < 0) return -1
+        if (cur(j) == '\'') {
+          var k = j - 1
+          var done = false
+          while (k >= 0 && !done) {
+            if (cur(k) == '\'') {
+              if (k > 0 && cur(k - 1) == '\'') k -= 2 else done = true
+            } else k -= 1
+          }
+          k
+        } else if (cur(j) == ')' || cur(j) == ']') {
+          val close = cur(j)
+          val open = if (close == ')') '(' else '['
+          var depth = 0; var k = j; var st = -1
+          while (k >= 0 && st < 0) {
+            if (cur(k) == close) depth += 1
+            else if (cur(k) == open) { depth -= 1; if (depth == 0) st = k }
+            k -= 1
+          }
+          if (st < 0) -1
+          else {
+            var k2 = st - 1
+            while (k2 >= 0 && (isWordChar(cur(k2)) || cur(k2) == '.')) k2 -= 1
+            k2 + 1
+          }
+        } else if (isWordChar(cur(j))) {
+          var k = j
+          while (k >= 0 && (isWordChar(cur(k)) || cur(k) == '.')) k -= 1
+          k + 1
+        } else -1
+      }
+
+      var j = mm.start - 1
+      while (j >= 0 && cur(j).isWhitespace) j -= 1
+      if (j < 0) return None
+      val lhsEnd = j + 1
+      var lhsStart = operandStart(j)
+      if (lhsStart < 0 || lhsEnd <= lhsStart) return None
+      // absorb `operand::type` cast chains down to the base operand
+      var more = true
+      while (more && lhsStart >= 2 &&
+          cur(lhsStart - 1) == ':' && cur(lhsStart - 2) == ':') {
+        var j2 = lhsStart - 3
+        while (j2 >= 0 && cur(j2).isWhitespace) j2 -= 1
+        val st = operandStart(j2)
+        if (st >= 0) lhsStart = st else more = false
+      }
+      val isNum = mm.group(3) != null
+      val bareIdent = cur(lhsStart) != '\'' && cur(lhsEnd - 1) != ')' &&
+        cur(lhsEnd - 1) != ']' && !cur.substring(lhsStart, lhsEnd).contains("::")
+      if (isNum && bareIdent) return None
+      val lhs = cur.substring(lhsStart, lhsEnd)
+      val path = if (!isNum) s"$$.${mm.group(2)}" else s"$$[${mm.group(3)}]"
+      Some(cur.substring(0, lhsStart) +
+        s"get_json_object($lhs, '$path')" + cur.substring(mm.end))
+    }
+
+    var out = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      opRe.findAllMatchIn(out).toList.iterator
+        .flatMap(mm => tryAt(out, mm)).nextOption() match {
+        case Some(next) => out = next; changed = true
+        case None =>
+      }
+    }
+    out
+  }
 
   /** SQL identifier characters — keyword boundary checks must treat
     * `_` as a word char or identifiers like `__qualify` read as the
@@ -1483,23 +1581,11 @@ object SqlRewrites {
       m => "::" + pgTypeAliases(m.group(1).toLowerCase))
     val s3 = if (!aliasFound) s2 else castAs.replaceAllIn(s2,
       m => "AS " + pgTypeAliases(m.group(1).toLowerCase) + ")")
-    val s4 = if (!has("->")) s3 else jsonArrow.replaceAllIn(s3, m => {
-      val op = m.group(2)
-      val isNum = m.group(4) != null
-      val lhs = m.group(1)
-      // `x -> 2` is ambiguous with Spark lambda syntax — only `->>`
-      // takes numeric subscripts; `->` requires a quoted key. A `)`
-      // without its `(` means the regex bit off the tail of a paren
-      // expression — leave those alone rather than mangle them.
-      if ((op == "->" && isNum) ||
-          lhs.count(_ == ')') > lhs.count(_ == '('))
-        java.util.regex.Matcher.quoteReplacement(m.matched)
-      else {
-        val path = if (!isNum) s"$$.${m.group(3)}" else s"$$[${m.group(4)}]"
-        java.util.regex.Matcher.quoteReplacement(
-          s"get_json_object(${m.group(1)}, '$path')")
-      }
-    })
+    // IGNORE/RESPECT NULLS inside the call parens → after them
+    val s3i = if (!has("nulls")) s3
+      else replaceOutsideQuotes(nullsTreatRe, s3)(m =>
+        ") " + m.group(1).toUpperCase + " NULLS")
+    val s4 = if (!has("->")) s3i else rewriteJsonArrows(s3i)
     val s5 = if (has("distinct") && has("on")) rewriteDistinctOn(s4) else s4
     (if ((s5 ne s4) || has("qualify")) findTopLevelQualify(s5) else None) match {
       case None => Rewritten(s5, asofDrop ++ posDrop)

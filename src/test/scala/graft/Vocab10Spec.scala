@@ -278,6 +278,47 @@ class Vocab10Spec extends SparkSpecBase {
     assert(r.getInt(2) == 64 && r.getInt(3) == 8)
   }
 
+  test("JSON arrows: chains, numeric keys, #-N paths, containment (probed)") {
+    assert(one("SELECT '{\"a\": {\"b\": 2}}'::JSON -> 'a' ->> 'b' AS v")
+      .getString(0) == "2")
+    assert(one("SELECT '[10, 20, 30]'::JSON -> 1 AS v").getString(0) == "20")
+    assert(one("SELECT json_extract('[1,2,3]', '$[#-1]') AS v")
+      .getString(0) == "3")
+    val c = one("SELECT json_contains('{\"a\":1,\"b\":2}', '{\"a\":1}') a, " +
+      "json_contains('[1,2,3]', '[1,3]') b, " +
+      "json_contains('{\"a\":{\"b\":1}}', '{\"b\":1}') c, " +
+      "json_contains('{\"a\":1}', '{\"a\":2}') d")
+    assert(c.getBoolean(0) && c.getBoolean(1) && c.getBoolean(2))
+    assert(!c.getBoolean(3))
+  }
+
+  test("IGNORE NULLS inside the argument list (probed)") {
+    val rows = Engine.query(spark, "SELECT x, last_value(y IGNORE NULLS) " +
+      "OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) l " +
+      "FROM (VALUES (1, 'a'), (2, NULL), (3, 'c')) t(x, y) ORDER BY x")
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("a", "a", "c"))
+  }
+
+  test("list_concat treats NULL operands as empty (probed)") {
+    assert(one("SELECT list_concat([1], NULL) AS v").getSeq[Int](0) == Seq(1))
+    assert(one("SELECT list_concat(NULL, [2]) AS v").getSeq[Int](0) == Seq(2))
+    assert(one("SELECT list_concat(NULL, NULL) AS v").isNullAt(0))
+    assert(one("SELECT list_concat([1], [2, 3]) AS v")
+      .getSeq[Int](0) == Seq(1, 2, 3))
+  }
+
+  test("interval dateparts and DATE + TIME (probed)") {
+    val r = one("SELECT day(INTERVAL '3 days 4 hours') a, " +
+      "hour(INTERVAL '3 days 4 hours') b, year(INTERVAL '14 months') c, " +
+      "month(INTERVAL '14 months') d, " +
+      "date_part('day', INTERVAL '3 days 4 hours') e")
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 2L && r.getLong(4) == 3L)
+    assert(one("SELECT CAST(DATE '2024-01-01' + TIME '10:30:00' AS VARCHAR) AS v")
+      .getString(0).startsWith("2024-01-01 10:30:00"))
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head

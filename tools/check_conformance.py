@@ -200,7 +200,22 @@ def _struct_vs_list(s, lst):
         values_equal(x, y) for x, y in zip(order, lst))
 
 
+def _map_vs_struct(m, s):
+    """duckdb MAP (normalized ['__map__', k, v, ...]) vs graft's JSON
+    object rendering of a map result (e.g. histogram)"""
+    pairs = dict(zip(m[1::2], m[2::2]))
+    st = s["__struct__"]
+    return len(pairs) == len(st) and all(
+        k in st and values_equal(v, st[k]) for k, v in pairs.items())
+
+
 def values_equal(a, b):
+    if isinstance(a, list) and a[:1] == ["__map__"] and \
+            isinstance(b, dict) and "__struct__" in b:
+        return _map_vs_struct(a, b)
+    if isinstance(b, list) and b[:1] == ["__map__"] and \
+            isinstance(a, dict) and "__struct__" in a:
+        return _map_vs_struct(b, a)
     if isinstance(a, dict) and "__struct__" in a and isinstance(b, list):
         return _struct_vs_list(a, b)
     if isinstance(b, dict) and "__struct__" in b and isinstance(a, list):
