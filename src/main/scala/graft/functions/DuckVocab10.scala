@@ -280,6 +280,17 @@ object DuckVocab10 {
     alias("array_contains")(e => listContains(e(0), e(1)))
     alias("array_has")(e => listContains(e(0), e(1)))
 
+    // list_intersect DROPS NULLs (probed: [NULL,2] ∩ [2,NULL] = [2])
+    alias("list_intersect")(e => ArrayIntersect(nn10(e(0)), e(1)))
+    alias("array_intersect")(e => ArrayIntersect(nn10(e(0)), e(1)))
+    // factorial of a NEGATIVE is 1 in DuckDB (probed: its loop from 2
+    // to n is simply empty); Spark's builtin answers NULL
+    alias("factorial")(e => {
+      val n = Cast(e.head, IntegerType)
+      If(IsNull(n), Literal(null, LongType),
+        If(LessThan(n, Literal(0)), Literal(1L), Factorial(n)))
+    })
+
     // ============ list_concat family (probed) ============
     // DuckDB treats a NULL operand as empty — list_concat([1], NULL)
     // = [1] — and yields NULL only when EVERY operand is NULL

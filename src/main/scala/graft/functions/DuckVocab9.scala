@@ -523,8 +523,10 @@ object DuckVocab9 {
 
     // ================= date / time =================
     alias("age") {
+      // anchored at now() INCLUDING time of day (probed vs DuckDB —
+      // pg anchors current_date, DuckDB does not)
       case Seq(a) => GraftCall("age",
-        Seq(UnixMicros(Cast(CurrentDate(), TimestampType)),
+        Seq(UnixMicros(CurrentTimestamp()),
           UnixMicros(Cast(a, TimestampType))), CalendarIntervalType)
       case e => GraftCall("age",
         Seq(UnixMicros(Cast(e(0), TimestampType)),
@@ -569,6 +571,9 @@ object DuckVocab9 {
           // same 1900-01-01 missing-year default as strptime (probed)
           TryEval(if (jfmt.contains("y")) parsed
             else TimestampAdd("YEAR", Literal(-70), parsed))
+        case Literal(null, _) => Literal(null, TimestampType)
+        // a NULL inside a format LIST arrives coercion-wrapped
+        case Cast(Literal(null, _), _, _, _) => Literal(null, TimestampType)
         case other => throw new IllegalArgumentException(
           s"try_strptime: the format must be a string literal, got $other")
       }

@@ -71,11 +71,18 @@ object GraftCall {
       val g = graphemes(s(a(0))); val n = a(1).asInstanceOf[Long].toInt
       utf8(clampTake(g.reverse, n).reverse.mkString)
     case "substring_grapheme" =>
+      // the same pg-window model as substr (probed: start -7 counts
+      // from the END, start 0 clamps, negative length walks backward)
       val g = graphemes(s(a(0)))
-      val start = a(1).asInstanceOf[Long]; val len = a(2).asInstanceOf[Long]
-      val from = math.max(0L, start - 1).min(g.length.toLong).toInt
-      val take = math.max(0L, len).min(g.length.toLong).toInt // pre-clamp: no overflow
-      utf8(g.slice(from, math.min(from + take, g.length)).mkString)
+      val n = g.length.toLong
+      val cl = n + 1
+      val start = a(1).asInstanceOf[Long].max(-cl).min(cl)
+      val len = a(2).asInstanceOf[Long].max(-cl).min(cl)
+      val start0 = if (start < 0) n + 1 + start else start
+      val (lo, hi) = if (len >= 0) (start0, start0 + len) else (start0 + len, start0)
+      val lo1 = lo.max(1L)
+      if (hi <= lo1) utf8("")
+      else utf8(g.slice((lo1 - 1).toInt, (hi - 1).min(n).toInt).mkString)
     // ---- JSON (Jackson; DuckDB type-name vocabulary) ----
     case "json_canon" =>
       utf8(mapper.writeValueAsString(parse(s(a(0)))))

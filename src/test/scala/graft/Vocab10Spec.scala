@@ -319,6 +319,21 @@ class Vocab10Spec extends SparkSpecBase {
       .getString(0).startsWith("2024-01-01 10:30:00"))
   }
 
+  test("hard-args sweep pins: grapheme window, intersect NULLs, factorial (probed)") {
+    val g = one("SELECT substring_grapheme('héllo wörld', -7) a, " +
+      "substring_grapheme('héllo wörld', -3, 2) b, " +
+      "substring_grapheme('héllo', 0, 3) c")
+    assert(g.getString(0) == "o wörld" && g.getString(1) == "rl")
+    assert(g.getString(2) == "hé")
+    assert(one("SELECT list_intersect([NULL, 2], [2, NULL]) AS v")
+      .getSeq[Int](0) == Seq(2))
+    assert(one("SELECT factorial(-7) AS v").getLong(0) == 1L)
+    assert(one("SELECT try_strptime('x', ['b', NULL]) AS v").isNullAt(0))
+    // age anchors at now() INCLUDING time of day (probed vs DuckDB)
+    assert(one("SELECT epoch(age(TIMESTAMP '2024-01-01 00:00:00')) > " +
+      "80000000 AS v").getBoolean(0))
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
