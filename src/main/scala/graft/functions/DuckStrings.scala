@@ -16,6 +16,18 @@ object DuckStrings {
     UTF8String.fromString(new String(Character.toChars(cp)))
   }
 
+  /** DECIMAL→DECIMAL scale reduction TRUNCATES toward zero in DuckDB
+    * (probed grid: CAST(2.46 AS DECIMAL(3,1)) = 2.4, 2.5→(3,0) = 2,
+    * -3.5→(3,0) = -3, 9.99→(2,1) = 9.9) — where Spark rounds HALF_UP.
+    * Only the decimal→decimal path truncates: DOUBLE and VARCHAR
+    * sources round half away from zero (2.5::DOUBLE→3), which Spark's
+    * HALF_UP cast already matches. */
+  def decTruncate(d: org.apache.spark.sql.types.Decimal, s: Int)
+      : org.apache.spark.sql.types.Decimal =
+    if (d == null) null
+    else org.apache.spark.sql.types.Decimal(
+      d.toJavaBigDecimal.setScale(s, java.math.RoundingMode.DOWN))
+
   /** DuckDB's DOUBLE/FLOAT→VARCHAR rendering (probed grid 2026-08-14):
     * shortest round-trip digits; positional for decimal exponents in
     * [-4, 15], scientific (`1.5e+20`, `9.99e-05` — no trailing `.0`

@@ -148,6 +148,16 @@ object DuckVocab10 {
     def alias(name: String)(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, b, "built-in")
 
+    // grouping() is VARIADIC in DuckDB — grouping(a, b) is the
+    // composite grouping_id bitmask, first argument most significant
+    // (probed CUBE grid: (a,p)→0, (a,∅)→1, (∅,p)→2, (∅,∅)→3, which
+    // is exactly Spark's grouping_id encoding). Spark's builtin takes
+    // exactly one argument; the 1-arg form is byte-identical.
+    alias("grouping") {
+      case Seq(e) => Grouping(e)
+      case es => GroupingID(es)
+    }
+
     // ============ 1-based index lambdas (probed) ============
     for (name <- Seq("list_transform", "array_transform", "apply",
         "list_apply", "array_apply"))

@@ -974,10 +974,21 @@ case class DividePoly(left: Expression, right: Expression)
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
+  // the integral result keeps the WIDER input type, not BIGINT
+  // (probed: typeof(7 // 2) = INTEGER, SMALLINT // SMALLINT = SMALLINT)
+  private def wider(a: DataType, b: DataType): DataType = {
+    def rank(d: DataType): Int = d match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType => 2
+      case _ => 3
+    }
+    if (rank(a) >= rank(b)) a else b
+  }
   override lazy val replacement: Expression =
     if (integral(left.dataType) && integral(right.dataType))
-      TryEval(IntegralDivide(Cast(left, LongType), Cast(right, LongType),
-        EvalMode.TRY))
+      Cast(TryEval(IntegralDivide(Cast(left, LongType), Cast(right, LongType),
+        EvalMode.TRY)), wider(left.dataType, right.dataType))
     else TryEval(Divide(Cast(left, DoubleType), Cast(right, DoubleType),
       EvalMode.TRY))
   override protected def withNewChildrenInternal(

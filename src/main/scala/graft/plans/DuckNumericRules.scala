@@ -61,6 +61,23 @@ object DuckNumericCastRule extends Rule[LogicalPlan] {
         c.withNewChildren(Seq(Round(
           Cast(c.child, DecimalType(38, 10), None, c.evalMode),
           Literal(0))))
+      // DECIMAL→DECIMAL scale reduction TRUNCATES toward zero in
+      // DuckDB (probed: 2.46→(3,1) = 2.4, 2.5→(3,0) = 2, -3.5→(3,0)
+      // = -3); Spark's cast rounds HALF_UP. The truncation runs at
+      // scale 38 and the original cast then only range-checks (equal
+      // scales never re-round), so ANSI/TRY overflow behavior is
+      // preserved and the rule cannot re-match its own output.
+      case c: Cast
+          if c.dataType.isInstanceOf[DecimalType] && c.child.resolved &&
+            c.child.dataType.isInstanceOf[DecimalType] &&
+            c.dataType.asInstanceOf[DecimalType].scale <
+              c.child.dataType.asInstanceOf[DecimalType].scale =>
+        val s2 = c.dataType.asInstanceOf[DecimalType].scale
+        c.withNewChildren(Seq(
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrings.getClass, DecimalType(38, s2), "decTruncate",
+            Seq(c.child, Literal(s2)), Seq(c.child.dataType, IntegerType),
+            propagateNull = true, returnNullable = true)))
     }
 }
 
@@ -88,6 +105,16 @@ object DuckDivZeroRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithSubqueries {
+      // `/` produces DOUBLE for EVERY operand combination in DuckDB
+      // (probed: typeof(1.0/3.0) = typeof(1.5/2) = DOUBLE) — Spark
+      // keeps DECIMAL division decimal-typed. `%` stays decimal in
+      // both engines. The zero guard is folded in directly because
+      // the NULL branch must be DOUBLE-typed too.
+      case d @ Divide(l, r, ctx)
+          if d.resolved && d.dataType.isInstanceOf[DecimalType] =>
+        val dbl = Divide(Cast(l, DoubleType), Cast(r, DoubleType), tryCtx(ctx))
+        markGuarded(dbl)
+        If(EqualTo(r, zeroOf(r.dataType)), Literal(null, DoubleType), dbl)
       case d @ Divide(l, r, ctx)
           if d.resolved && ctx.evalMode == EvalMode.ANSI &&
             r.dataType.isInstanceOf[NumericType] =>

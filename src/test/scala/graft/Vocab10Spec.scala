@@ -130,7 +130,7 @@ class Vocab10Spec extends SparkSpecBase {
     (0 until 8).foreach(i => assert(r.isNullAt(i), s"col $i"))
     // non-zero divisors keep exact values
     val v = one("SELECT 7/2 a, 7 % 3 b, 7 // 2 c")
-    assert(v.getDouble(0) == 3.5 && v.getInt(1) == 1 && v.getLong(2) == 3L)
+    assert(v.getDouble(0) == 3.5 && v.getInt(1) == 1 && v.getInt(2) == 3)
   }
 
   test("LIKE has no default escape character (probed)") {
@@ -332,6 +332,23 @@ class Vocab10Spec extends SparkSpecBase {
     // age anchors at now() INCLUDING time of day (probed vs DuckDB)
     assert(one("SELECT epoch(age(TIMESTAMP '2024-01-01 00:00:00')) > " +
       "80000000 AS v").getBoolean(0))
+  }
+
+  test("decimal `/` is DOUBLE, decimal→decimal casts truncate, `//` keeps width, variadic grouping (probed)") {
+    val d = one("SELECT typeof(1.0/3.0) a, 1.0/3.0 b, 1.5/0 c")
+    assert(d.getString(0) == "DOUBLE" &&
+      math.abs(d.getDouble(1) - 1.0 / 3.0) < 1e-12 && d.isNullAt(2))
+    val t = one("SELECT CAST(2.5 AS DECIMAL(3,0)) a, " +
+      "CAST(-2.5 AS DECIMAL(3,0)) b, CAST(2.46 AS DECIMAL(3,1)) c")
+    assert(t.getDecimal(0).intValue == 2 && t.getDecimal(1).intValue == -2)
+    assert(t.getDecimal(2).toString == "2.4")
+    val f = one("SELECT typeof(7 // 2) a, typeof(5::SMALLINT // 2::SMALLINT) b, -7 // 2 c")
+    assert(f.getString(0) == "INTEGER" && f.getString(1) == "SMALLINT" &&
+      f.getInt(2) == -3)
+    val g = Engine.query(spark,
+      "SELECT grouping(g, h) AS gid FROM (VALUES ('a','p')) t(g, h) " +
+        "GROUP BY CUBE (g, h) ORDER BY gid").collect().map(_.getLong(0))
+    assert(g.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
   test("list_zip pads to the longest input with NULL (probed)") {

@@ -17,7 +17,7 @@ class Vocab9Spec extends SparkSpecBase {
       "multiply(7,3) e, divide(7,2) f, divide(-7,2) g, divide(7,0) h")
     assert(r.getInt(0) == 10 && r.getInt(1) == 7 && r.getInt(2) == 4)
     assert(r.getInt(3) == -7 && r.getInt(4) == 21)
-    assert(r.getLong(5) == 3L && r.getLong(6) == -3L && r.isNullAt(7))
+    assert(r.getInt(5) == 3 && r.getInt(6) == -3 && r.isNullAt(7))
     val f = one("SELECT divide(7.5,2) a, fdiv(-7,2) b, fmod(-7,2) c, " +
       "fmod(7,-2) d, fmod(-7.5,2) e")
     assert(f.getDouble(0) == 3.75 && f.getDouble(1) == -4.0)
@@ -257,10 +257,10 @@ class Vocab9Spec extends SparkSpecBase {
     val r = one("SELECT 7 // 2 a, -7 // 2 b, 7.5 // 2 c, 2 ** 3 d, " +
       "2 ** -1 e, -2 ** 2 f, 2 ^ 3 g, 2 ^ 2 ^ 3 h, " +
       "(1+6) // 2 i, abs(-7) // 2 j, 3 * 2 ** 2 k")
-    assert(r.getLong(0) == 3L && r.getLong(1) == -3L && r.getDouble(2) == 3.75)
+    assert(r.getInt(0) == 3 && r.getInt(1) == -3 && r.getDouble(2) == 3.75)
     assert(r.getDouble(3) == 8.0 && r.getDouble(4) == 0.5 && r.getDouble(5) == 4.0)
     assert(r.getDouble(6) == 8.0 && r.getDouble(7) == 64.0) // left-assoc
-    assert(r.getLong(8) == 3L && r.getLong(9) == 3L && r.getDouble(10) == 12.0)
+    assert(r.getInt(8) == 3 && r.getInt(9) == 3 && r.getDouble(10) == 12.0)
     // regex strings keep their carets
     val s2 = one("SELECT regexp_matches('abc', '^a') m")
     assert(s2.getBoolean(0))
