@@ -39,7 +39,10 @@ object BracketRewrite {
     "intersect", "except", "limit", "offset", "values", "qualify",
     "like", "ilike", "between", "returning", "exclude", "replace",
     "filter", "partition", "order", "using", "if", "is", "unnest",
-    "set", "return", "array")
+    "set", "return", "array",
+    // IS [NOT] DISTINCT FROM [1,2] — the list after FROM is a literal
+    // (no DuckDB form subscripts the FROM keyword itself)
+    "from")
 
   /** Type names whose bracket suffix is an ARRAY TYPE (CAST targets),
     * never a subscript: `CAST(x AS INTEGER[3])`.

@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** DuckDB compares LIST/MAP values with a sequential three-valued
+  * walk (probed grid 2026-08-14; the reference delegates comparison
+  * semantics verbatim, src/duckdb_pgwire_extension.cpp:52):
+  *
+  *   - elements compare pairwise left to right; the first NULL element
+  *     on EITHER side makes the whole result NULL immediately — even
+  *     when a later pair or a length mismatch could decide it
+  *     ([NULL] = [NULL, 2] is NULL, [NULL, 1] = [NULL, 2] is NULL)
+  *   - the first definite inequality decides before any later NULL
+  *     ([1, NULL] = [2, NULL] is FALSE, [2] < [1, NULL] is FALSE)
+  *   - exhaustion falls back to the length comparison
+  *     ([1] < [1, NULL] is TRUE — the NULL is never reached)
+  *   - MAPs compare as their entry lists, key then value, insertion
+  *     order significant (map([1,2], …) ≠ map([2,1], …))
+  *   - IS [NOT] DISTINCT FROM stays on Spark's total order (NULLs
+  *     equal) — probed identical
+  *
+  * Spark's native array comparison treats NULL elements as ordinary
+  * smallest values, so any nullable-element comparison can silently
+  * differ. Evaluation is an interpreted recursive walk
+  * (CodegenFallback): comparisons on nested types never sit in a
+  * columnar hot path here, and the rule leaves comparisons whose types
+  * provably contain no NULLs (non-nullable all the way down) on
+  * Spark's codegen'd native path — which also preserves the
+  * equi-join planning of joins keyed on clean arrays.
+  */
+case class DuckNestedCompare(left: Expression, right: Expression, op: String)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"duck_nested_cmp_$op"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    cmp(left.dataType, a, b) match {
+      case None => null
+      case Some(c) =>
+        op match {
+          case "=" => c == 0
+          case "<" => c < 0
+          case "<=" => c <= 0
+          case ">" => c > 0
+          case ">=" => c >= 0
+        }
+    }
+
+  /** None = a NULL element halted the walk (SQL UNKNOWN) */
+  private def cmp(dt: DataType, a: Any, b: Any): Option[Int] = dt match {
+    case ArrayType(et, _) =>
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return None
+        cmp(et, x.get(i, et), y.get(i, et)) match {
+          case None => return None
+          case Some(0) =>
+          case other => return other
+        }
+        i += 1
+      }
+      Some(Integer.compare(x.numElements(), y.numElements()))
+    case st: StructType =>
+      val x = a.asInstanceOf[InternalRow]
+      val y = b.asInstanceOf[InternalRow]
+      var i = 0
+      while (i < st.length) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return None
+        val ft = st.fields(i).dataType
+        cmp(ft, x.get(i, ft), y.get(i, ft)) match {
+          case None => return None
+          case Some(0) =>
+          case other => return other
+        }
+        i += 1
+      }
+      Some(0)
+    case mt: MapType =>
+      val x = a.asInstanceOf[MapData]
+      val y = b.asInstanceOf[MapData]
+      val (xk, xv) = (x.keyArray(), x.valueArray())
+      val (yk, yv) = (y.keyArray(), y.valueArray())
+      val n = math.min(x.numElements(), y.numElements())
+      var i = 0
+      while (i < n) {
+        // map keys are never NULL; values can be
+        cmp(mt.keyType, xk.get(i, mt.keyType), yk.get(i, mt.keyType)) match {
+          case None => return None
+          case Some(0) =>
+            if (xv.isNullAt(i) || yv.isNullAt(i)) return None
+            cmp(mt.valueType, xv.get(i, mt.valueType),
+              yv.get(i, mt.valueType)) match {
+              case None => return None
+              case Some(0) =>
+              case other => return other
+            }
+          case other => return other
+        }
+        i += 1
+      }
+      Some(Integer.compare(x.numElements(), y.numElements()))
+    case other =>
+      Some(TypeUtils.getInterpretedOrdering(other).compare(a, b))
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DuckNestedCompare = copy(left = l, right = r)
+}
+
+object DuckNestedCompareRule extends Rule[LogicalPlan] {
+
+  /** can Spark's native semantics differ? Only where a NULL can sit
+    * inside the value. */
+  def mayDiverge(dt: DataType): Boolean = dt match {
+    case ArrayType(et, cn) => cn || mayDiverge(et)
+    case st: StructType => st.fields.exists(f => f.nullable || mayDiverge(f.dataType))
+    case mt: MapType => true // entry ORDER matters in DuckDB regardless
+    case _ => false
+  }
+
+  private def nested(dt: DataType): Boolean =
+    dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType]
+
+  private def rewritable(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved && nested(l.dataType) && nested(r.dataType) &&
+      (mayDiverge(l.dataType) || mayDiverge(r.dataType))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case EqualTo(l, r) if rewritable(l, r) => DuckNestedCompare(l, r, "=")
+      case LessThan(l, r) if rewritable(l, r) => DuckNestedCompare(l, r, "<")
+      case LessThanOrEqual(l, r) if rewritable(l, r) =>
+        DuckNestedCompare(l, r, "<=")
+      case GreaterThan(l, r) if rewritable(l, r) => DuckNestedCompare(l, r, ">")
+      case GreaterThanOrEqual(l, r) if rewritable(l, r) =>
+        DuckNestedCompare(l, r, ">=")
+      // IN over nested values is the 3VL OR of the walks (probed:
+      // [1,NULL] IN ([1,NULL], [2]) is NULL)
+      case In(v, list)
+          if v.resolved && list.forall(_.resolved) &&
+            (nested(v.dataType) || v.dataType.isInstanceOf[StructType]) &&
+            (mayDiverge(v.dataType) || list.exists(e => mayDiverge(e.dataType))) =>
+        list.map(e => DuckNestedCompare(v, e, "="): Expression).reduce(Or)
+    }
+}
+
+/** ORDER BY over nested values: DuckDB's sort comparator treats a NULL
+  * element/field as LARGER than every value (probed: ASC yields [1] <
+  * [1, 9] < [1, NULL] < [2, 1] < [NULL]; {'a': 1} < {'a': NULL}; DESC
+  * is the exact reverse; the TOP-LEVEL NULL keeps DuckDB's
+  * both-directions NULLS LAST default, handled upstream). Spark sorts
+  * NULL elements smallest. The sort key maps every nullable position
+  * to struct(isnull, value) — false < true puts NULLs after values in
+  * either direction, recursively. Applied only when the type can hold
+  * an inner NULL; clean types keep Spark's native (codegen) sort. */
+object DuckNestedSortKeyRule extends Rule[LogicalPlan] {
+  import DuckNestedCompareRule.mayDiverge
+
+  private def lamVar(et: DataType, cn: Boolean): NamedLambdaVariable =
+    NamedLambdaVariable("x", et, cn)
+
+  private def sortKey(e: Expression): Expression = e.dataType match {
+    case ArrayType(et, cn) if mayDiverge(e.dataType) =>
+      val v = lamVar(et, cn)
+      ArrayTransform(e,
+        LambdaFunction(CreateStruct(Seq(IsNull(v), sortKey(v))), Seq(v)))
+    case st: StructType if mayDiverge(st) =>
+      val parts = st.fields.indices.flatMap { i =>
+        val f = GetStructField(e, i, Some(st.fields(i).name))
+        Seq(IsNull(f), sortKey(f))
+      }
+      // the struct itself stays NULL when the input is NULL, so the
+      // top-level NULLS FIRST/LAST placement is untouched
+      If(IsNull(e), Literal(null, CreateStruct(parts).dataType),
+        CreateStruct(parts))
+    case mt: MapType => sortKey(MapEntries(e))
+    case _ => e
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case so @ SortOrder(child, _, _, _)
+          if child.resolved &&
+            (child.dataType.isInstanceOf[ArrayType] ||
+              child.dataType.isInstanceOf[StructType] ||
+              child.dataType.isInstanceOf[MapType]) &&
+            mayDiverge(child.dataType) =>
+        so.copy(child = sortKey(child))
+    }
+}

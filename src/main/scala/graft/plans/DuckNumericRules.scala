@@ -238,18 +238,59 @@ object DuckStructCompareRule extends Rule[LogicalPlan] {
         Or(strict(l, r), And(EqualTo(l, r), lex(rest, strict, last)))
     }
 
+  /** rewrite only when a NULL can sit in a field: non-nullable
+    * structs compare identically on Spark's native path, which keeps
+    * struct-keyed equalities extractable as equi-join keys (the LSH
+    * bucket joins rely on this — a CaseWhen key would demote them to
+    * nested-loop joins). */
   private def structs(l: Expression, r: Expression): Boolean =
     l.resolved && r.resolved && l.dataType.isInstanceOf[StructType] &&
       r.dataType.isInstanceOf[StructType] &&
       l.dataType.asInstanceOf[StructType].length ==
         r.dataType.asInstanceOf[StructType].length &&
-      l.dataType.asInstanceOf[StructType].nonEmpty
+      l.dataType.asInstanceOf[StructType].nonEmpty &&
+      (DuckNestedCompareRule.mayDiverge(l.dataType) ||
+        DuckNestedCompareRule.mayDiverge(r.dataType))
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case EqualTo(l, r) if structs(l, r) =>
-        fields(l, r).map { case (a, b) => EqualTo(a, b): Expression }
-          .reduce(And)
+  /** equality is a SEQUENTIAL walk, not a plain AND: the first NULL
+    * field halts with NULL even when a LATER field differs (probed:
+    * {'a': NULL, 'b': 1} = {'a': NULL, 'b': 2} is NULL — AND would
+    * give FALSE). The ordering lex() expansion is already equivalent
+    * to the sequential walk under 3VL. */
+  private def eqSeq(fs: Seq[(Expression, Expression)]): Expression =
+    fs match {
+      case Seq((l, r)) => EqualTo(l, r)
+      case (l, r) +: rest =>
+        CaseWhen(Seq(
+          (IsNull(EqualTo(l, r)), Literal(null, BooleanType)),
+          (Not(EqualTo(l, r)), Literal(false))), eqSeq(rest))
+    }
+
+  /** Inside a join condition, UNKNOWN and FALSE both reject the row,
+    * so struct equality can expand to the plain field-wise AND — which
+    * Spark's planner still extracts as equi-join keys (the LSH bucket
+    * joins hash-join on struct keys; the sequential CaseWhen form
+    * would demote them to nested-loop joins). The expansion applies at
+    * positive conjunctive/disjunctive positions only; under NOT /
+    * IS NULL / CASE the UNKNOWN value is observable and the sequential
+    * walk below still applies. */
+  private def joinSafe(e: Expression): Expression = e match {
+    case And(l, r) => And(joinSafe(l), joinSafe(r))
+    case Or(l, r) => Or(joinSafe(l), joinSafe(r))
+    case EqualTo(l, r) if structs(l, r) =>
+      fields(l, r).map { case (a, b) => EqualTo(a, b): Expression }
+        .reduce(And)
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val joins = plan.transformWithSubqueries {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined =>
+        j.copy(condition = Some(joinSafe(j.condition.get)))
+    }
+    joins.transformAllExpressionsWithSubqueries {
+      case EqualTo(l, r) if structs(l, r) => eqSeq(fields(l, r))
       case LessThan(l, r) if structs(l, r) =>
         lex(fields(l, r), LessThan, LessThan)
       case LessThanOrEqual(l, r) if structs(l, r) =>
@@ -259,6 +300,7 @@ object DuckStructCompareRule extends Rule[LogicalPlan] {
       case GreaterThanOrEqual(l, r) if structs(l, r) =>
         lex(fields(l, r), GreaterThan, GreaterThanOrEqual)
     }
+  }
 }
 
 /** Interval comparisons: Spark's CalendarInterval is not orderable at

@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // row/struct comparisons follow per-field three-valued logic
     ext.injectPostHocResolutionRule(_ => DuckStructCompareRule)
     // intervals compare by the months->30d, days->24h normalized key
+    ext.injectPostHocResolutionRule(_ => DuckNestedCompareRule)
+
+    ext.injectPostHocResolutionRule(_ => DuckNestedSortKeyRule)
+
     ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
     // interval dateparts + DATE + TIME combination
     ext.injectPostHocResolutionRule(_ => DuckTemporalPolyRule)

@@ -1228,6 +1228,83 @@ object SqlRewrites {
   private val createTempSchema =
     """(?is)^\s*CREATE\s+TEMP(?:ORARY)?\s+TABLE\s+""".r
 
+  /** DuckDB defaults EVERY order-by key to NULLS LAST in BOTH
+    * directions (probed: bare `ORDER BY x` yields 1,2,NULL and
+    * `ORDER BY x DESC` yields 2,1,NULL); Spark's ascending default is
+    * NULLS FIRST. Each key without an explicit NULLS spelling gets
+    * `NULLS LAST` appended — top-level, window-spec, and WITHIN GROUP
+    * order-bys alike (in-aggregate ORDER BYs were consumed by
+    * OrderedAgg earlier, which pins the same default). `ORDER BY ALL`
+    * is left to Spark's native expansion (documented edge: its keys
+    * keep Spark's defaults). Idempotent: keys already spelling NULLS
+    * are untouched. */
+  private val nullsTailRe = """(?i)NULLS\s+(FIRST|LAST)\s*$""".r
+  private val orderTermKw = Seq("limit", "offset", "fetch", "union",
+    "intersect", "except", "rows", "range", "groups", "window", "for",
+    "into", "returning", "qualify")
+  def pinOrderNullsLast(sql: String): String = {
+    val low = sql.toLowerCase
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = low.indexOf("order")
+    while (i >= 0) {
+      if (kwAt(sql, i, "ORDER") && !insideQuotes(sql, i)) {
+        var j = i + 5
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (kwAt(sql, j, "BY")) {
+          var k = j + 2
+          var depth = 0
+          var keyStart = k
+          var done = false
+          def endKey(endExcl: Int): Unit = {
+            val raw = sql.substring(keyStart, endExcl)
+            val seg = raw.trim
+            if (seg.nonEmpty && !seg.equalsIgnoreCase("all") &&
+                nullsTailRe.findFirstIn(seg).isEmpty)
+              inserts += keyStart + raw.lastIndexWhere(!_.isWhitespace) + 1
+          }
+          while (k < sql.length && !done) {
+            val c = sql.charAt(k)
+            if (c == '\'') {
+              k += 1
+              var closed = false
+              while (k < sql.length && !closed) {
+                if (sql.charAt(k) == '\'') {
+                  if (k + 1 < sql.length && sql.charAt(k + 1) == '\'') k += 2
+                  else { closed = true; k += 1 }
+                } else k += 1
+              }
+            } else if (c == '"') {
+              k += 1
+              while (k < sql.length && sql.charAt(k) != '"') k += 1
+              k += 1
+            } else if (c == '(' || c == '[') { depth += 1; k += 1 }
+            else if (c == ')' || c == ']') {
+              if (depth == 0) { endKey(k); done = true }
+              else { depth -= 1; k += 1 }
+            } else if (c == ',' && depth == 0) {
+              endKey(k); k += 1; keyStart = k
+            } else if (c == ';' && depth == 0) { endKey(k); done = true }
+            else if (depth == 0 && c.isLetter &&
+                orderTermKw.exists(t => kwAt(sql, k, t))) {
+              endKey(k); done = true
+            } else k += 1
+          }
+          if (!done) endKey(sql.length)
+        }
+      }
+      i = low.indexOf("order", i + 5)
+    }
+    if (inserts.isEmpty) sql
+    else {
+      val sb = new StringBuilder
+      var prev = 0
+      for (p <- inserts.sorted) {
+        sb.append(sql.substring(prev, p)).append(" NULLS LAST"); prev = p
+      }
+      sb.append(sql.substring(prev)).toString
+    }
+  }
+
   private def rewriteCreateTemp(sql: String): String =
     createTempAs.findFirstMatchIn(sql) match {
       case Some(m) =>
@@ -1586,7 +1663,11 @@ object SqlRewrites {
       else replaceOutsideQuotes(nullsTreatRe, s3)(m =>
         ") " + m.group(1).toUpperCase + " NULLS")
     val s4 = if (!has("->")) s3i else rewriteJsonArrows(s3i)
-    val s5 = if (has("distinct") && has("on")) rewriteDistinctOn(s4) else s4
+    val s5a = if (has("distinct") && has("on")) rewriteDistinctOn(s4) else s4
+    // DuckDB's NULLS LAST default in both sort directions — checked
+    // against s5a itself since earlier passes can generate ORDER BYs
+    val s5 = if (!s5a.toLowerCase.contains("order")) s5a
+      else pinOrderNullsLast(s5a)
     (if ((s5 ne s4) || has("qualify")) findTopLevelQualify(s5) else None) match {
       case None => Rewritten(s5, asofDrop ++ posDrop)
       case Some(pos) =>

@@ -51,7 +51,7 @@ class CompatSpec extends SparkSpecBase {
       "SELECT e.id, o.ts FROM ev e ASOF LEFT JOIN ord o " +
         "ON e.k = o.k AND e.ts >= o.ts ORDER BY e.id")
     assert(a.contains("LEFT JOIN (SELECT o.*, lead(o.ts) OVER " +
-      "(PARTITION BY o.k ORDER BY o.ts)"), a)
+      "(PARTITION BY o.k ORDER BY o.ts NULLS LAST)"), a)
     assert(a.contains("AND (e.ts < o.__asof_nb OR o.__asof_nb IS NULL)"), a)
     // forward ASOF (strict) uses lag with the dual filter
     val f = SqlRewrites.rewrite(

@@ -85,10 +85,21 @@ class PropertySpec extends SparkSpecBase {
     })
   }
 
-  test("SqlRewrites is identity on plain Spark SQL") {
+  test("SqlRewrites is identity on plain Spark SQL (modulo the NULLS LAST default pin)") {
     val ident = Gen.identifier.suchThat(_.nonEmpty)
     holds(Prop.forAll(ident, Gen.chooseNum(0, 1000)) { (name, n) =>
-      val sql = s"SELECT $name, $n FROM t$name WHERE $name > $n ORDER BY $name"
+      val sql = s"SELECT $name, $n FROM t$name WHERE $name > $n"
+      SqlRewrites.rewrite(sql) == sql
+    })
+    // an ORDER BY key picks up DuckDB's NULLS LAST default — and
+    // nothing else changes
+    holds(Prop.forAll(ident, Gen.chooseNum(0, 1000)) { (name, n) =>
+      val sql = s"SELECT $name, $n FROM t$name ORDER BY $name"
+      SqlRewrites.rewrite(sql) == sql + " NULLS LAST"
+    })
+    // already-explicit NULLS spellings are untouched (idempotence)
+    holds(Prop.forAll(ident) { name =>
+      val sql = s"SELECT $name FROM t ORDER BY $name DESC NULLS FIRST"
       SqlRewrites.rewrite(sql) == sql
     })
   }
