@@ -92,15 +92,18 @@ object DuckAliases {
         DuckSeries(start, stop, Some(step), exclusive = true)
     }
     // literal separators regex-quoted; non-literal falls through as
-    // regex (DuckDB's string_split_regex is also mapped directly)
-    alias("string_split")(e => StringSplit(e(0), quoteIfLiteral(e(1)), Literal(-1)))
-    alias("str_split")(e => StringSplit(e(0), quoteIfLiteral(e(1)), Literal(-1)))
-    alias("string_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
-    alias("str_split_regex")(e => StringSplit(e(0), e(1), Literal(-1)))
+    // regex (DuckDB's string_split_regex is also mapped directly).
+    // An EMPTY separator splits to characters WITHOUT Spark's
+    // trailing '' element (probed: string_split('abc','') is
+    // [a, b, c] in the whole family, [''] on empty input).
+    alias("string_split")(e => duckSplit(e(0), quoteIfLiteral(e(1))))
+    alias("str_split")(e => duckSplit(e(0), quoteIfLiteral(e(1))))
+    alias("string_split_regex")(e => duckSplit(e(0), e(1)))
+    alias("str_split_regex")(e => duckSplit(e(0), e(1)))
     alias("regexp_split_to_array") {
-      case Seq(s, p) => StringSplit(s, p, Literal(-1))
+      case Seq(s, p) => duckSplit(s, p)
       case Seq(s, p, f) =>
-        StringSplit(s, DuckRegexpReplace.withFlags(p, f), Literal(-1))
+        duckSplit(s, DuckRegexpReplace.withFlags(p, f))
     }
 
     // ---- long-tail sweep: the v1.1.1 vocabulary a pgwire client
@@ -924,6 +927,26 @@ object DuckAliases {
       Literal(java.util.regex.Pattern.quote(v.toString))
     case other => other
   }
+
+  /** Spark's split('abc', '') yields a trailing '' element; DuckDB's
+    * whole split family drops it (['a','b','c']), with [''] for the
+    * empty input. Literal separators decide statically; a non-literal
+    * separator gets the runtime guard. NULL inputs flow through every
+    * branch as NULL. Note Pattern.quote('') is '\Q\E' — also empty. */
+  private def charSplit(s: Expression): Expression =
+    CaseWhen(Seq((EqualTo(Length(s), Literal(0)),
+      CreateArray(Seq(Literal(""))))),
+      Slice(StringSplit(s, Literal(""), Literal(-1)), Literal(1), Length(s)))
+
+  private def duckSplit(s: Expression, sep: Expression): Expression =
+    sep match {
+      case Literal(v, _) if v != null &&
+          v.toString.replace("\\Q\\E", "").isEmpty => charSplit(s)
+      case Literal(_, _) => StringSplit(s, sep, Literal(-1))
+      case _ =>
+        CaseWhen(Seq((EqualTo(Length(sep), Literal(0)), charSplit(s))),
+          StringSplit(s, sep, Literal(-1)))
+    }
 }
 
 /** DuckDB's polymorphic `len`: element count for arrays/maps,

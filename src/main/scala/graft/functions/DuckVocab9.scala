@@ -911,14 +911,17 @@ object DuckVocab9 {
         }
       }
 
-    // greatest/least accept a single argument in DuckDB
+    // greatest/least accept a single argument in DuckDB; the marker
+    // routes the n-ary forms through DuckDB's typed-overload
+    // resolution (all-integral→BIGINT, any-fractional→DOUBLE,
+    // VARCHAR casts to the other side) in DuckVarargCoerceRule
     alias("greatest") {
       case Seq(x) => x
-      case e => Greatest(e)
+      case e => VarargCoerceMarker(e, greatest = true)
     }
     alias("least") {
       case Seq(x) => x
-      case e => Least(e)
+      case e => VarargCoerceMarker(e, greatest = false)
     }
   }
 

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.catalyst.analysis.{AnsiTypeCoercion, TypeCoercion}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** DuckDB's greatest/least resolve through typed OVERLOADS, not a
+  * widest-common-type walk (probed grid 2026-08-14; delegated surface
+  * via src/duckdb_pgwire_extension.cpp:52): every integral mix lands
+  * on the BIGINT overload (even greatest(1, 2)), any
+  * fractional/decimal presence lands on DOUBLE (even pure decimals:
+  * greatest(2.5, 1.5) is DOUBLE), and VARCHAR arguments cast to the
+  * non-string side — least('5', 10) is BIGINT 5,
+  * greatest(DATE '…', '2024-06-01') is the DATE — erroring loudly on
+  * unconvertible text exactly like DuckDB's ConversionError (the
+  * session runs ANSI casts). Spark instead keeps the widest input
+  * type and refuses string/number mixes outright (DATATYPE_MISMATCH),
+  * so this fires before CheckAnalysis. BOOLEAN stays un-coerced:
+  * DuckDB's binder rejects least('true', TRUE).
+  *
+  * Injected into the MAIN resolution batch (not post-hoc): an
+  * enclosing call — typeof(least('5', 10)) — can only resolve after
+  * the Least it wraps does, so the repair must land inside the
+  * fixpoint.
+  *
+  * Scoped through [[VarargCoerceMarker]], which only the registry
+  * aliases for `greatest`/`least` emit: the repo's OWN lowerings
+  * build catalyst `Greatest` directly as an index/size clamp feeding
+  * INT-typed consumers (array_repeat, element_at) — promoting those
+  * to BIGINT breaks them, and DuckDB semantics only attach to the
+  * user-spelled call anyway.
+  */
+case class VarargCoerceMarker(children: Seq[Expression], greatest: Boolean)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def dataType: DataType = children.head.dataType
+  override def nullable: Boolean = true
+  // stays unresolved so CheckAnalysis is loud if the rule never runs
+  // (a session with the registry but without GraftExtensions)
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): VarargCoerceMarker = copy(children = cs)
+}
+
+object DuckVarargCoerceRule extends Rule[LogicalPlan] {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def temporal(dt: DataType): Boolean = dt match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** the DuckDB overload the argument types land on — None leaves the
+    * expression alone (Spark's own behavior/error stands in) */
+  private def target(ts: Seq[DataType]): Option[DataType] = {
+    val nonStr = ts.filterNot(_ == StringType).distinct
+    if (nonStr.isEmpty) None
+    else if (nonStr.forall(integral)) Some(LongType)
+    else if (nonStr.forall(_.isInstanceOf[NumericType])) Some(DoubleType)
+    else if (ts.contains(StringType) && nonStr.forall(temporal))
+      Some(nonStr.find(_ != DateType).getOrElse(DateType))
+    else None
+  }
+
+  private def coerce(cs: Seq[Expression]): Seq[Expression] = {
+    val ts = cs.map(_.dataType)
+    target(ts) match {
+      case Some(t) =>
+        cs.map(c =>
+          if (c.dataType == t) c
+          else Cast(c, t, Some(SQLConf.get.sessionLocalTimeZone)))
+      case None => cs // Spark's own coercion/error stands in
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case m: VarargCoerceMarker if m.children.forall(_.resolved) =>
+        val cs = coerce(m.children)
+        if (m.greatest) Greatest(cs) else Least(cs)
+    }
+}
+
+/** DuckDB resolves a set-operation column that mixes VARCHAR with a
+  * scalar type to VARCHAR (probed: 1 UNION ALL 'x' is VARCHAR rows
+  * '1','x'; DATE UNION VARCHAR is VARCHAR; DECIMAL(4,2) renders
+  * '2.50'; LIST UNION VARCHAR errors — left loud here too). Spark's
+  * analyzer instead widens toward the non-string side
+  * (INT+STRING→DECIMAL(38,10), DATE+STRING→DATE), which either dies
+  * at runtime on non-numeric text or silently keeps the wrong type.
+  *
+  * This repairs the plan AFTER Spark's WidenSetOperationTypes ran
+  * (post-hoc): it strips the widen-inserted casts whose operand is a
+  * STRING attribute, re-casts every sibling position to VARCHAR
+  * (DuckDB renderings come from the cast-render rules that run later
+  * in this batch), and re-types the operation's output attribute
+  * upstream. The strip only fires when Spark's own widening of the
+  * stripped types reproduces the observed common type — so a
+  * user-written `CAST(s AS INT) AS s` directly under a union is never
+  * mistaken for an analyzer cast.
+  */
+object DuckSetOpVarcharRule extends Rule[LogicalPlan] {
+
+  private def renderable(dt: DataType): Boolean = dt match {
+    case _: NumericType | BooleanType | DateType | TimestampType |
+        TimestampNTZType => true
+    case _ => false
+  }
+
+  /** per output position: the pre-widen expression (the cast operand
+    * when the top project item is the analyzer's Alias(Cast(attr))
+    * shape, the item itself otherwise) */
+  private def preWiden(child: LogicalPlan): Seq[(NamedExpression, Expression)] =
+    child match {
+      case Project(items, _) => items.map {
+        case a @ Alias(Cast(ar: AttributeReference, _, _, _), name)
+            if name == ar.name => (a, ar)
+        case other => (other, other)
+      }
+      case other => other.output.map(a => (a, a))
+    }
+
+  private def widerOf(ts: Seq[DataType]): Option[DataType] =
+    if (SQLConf.get.ansiEnabled) AnsiTypeCoercion.findWiderCommonType(ts)
+    else TypeCoercion.findWiderCommonType(ts)
+
+  /** rebuild one child so the columns at `fix` positions are VARCHAR,
+    * keeping each position's output exprId (upstream references are
+    * re-typed by the caller) */
+  private def rebuild(child: LogicalPlan, fix: Set[Int]): LogicalPlan = {
+    val pre = preWiden(child)
+    val items = pre.zipWithIndex.map { case ((item, preE), i) =>
+      if (!fix(i)) item
+      else if (preE.dataType == StringType)
+        // already a string: drop the widen cast if one was there
+        Alias(preE, item.name)(exprId = item.exprId)
+      else
+        Alias(Cast(preE, StringType,
+          Some(SQLConf.get.sessionLocalTimeZone)), item.name)(
+          exprId = item.exprId)
+    }
+    child match {
+      case Project(_, grand) => Project(items, grand)
+      case other => Project(items, other)
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val retyped = scala.collection.mutable.HashSet.empty[ExprId]
+
+    def fixChildren(children: Seq[LogicalPlan]): Option[Seq[LogicalPlan]] = {
+      if (children.exists(!_.resolved)) return None
+      val width = children.head.output.length
+      if (children.exists(_.output.length != width)) return None
+      val pres = children.map(preWiden)
+      val fix = (0 until width).filter { i =>
+        val preTs = pres.map(_(i)._2.dataType)
+        val curTs = children.map(_.output(i).dataType).distinct
+        val widened = curTs.length == 1 && curTs.head != StringType &&
+          preTs.contains(StringType) &&
+          preTs.exists(t => t != StringType && renderable(t)) &&
+          preTs.forall(t => t == StringType || renderable(t)) &&
+          // the analyzer-cast hypothesis must reproduce what we see
+          widerOf(preTs).contains(curTs.head)
+        // a nested set-op this rule already retyped (transformUp:
+        // children first) leaves the ENCLOSING op with a string
+        // column vs the siblings' stale widen-casts — same repair,
+        // minus the reproduction check (the plan is past saving for
+        // Spark anyway; DuckDB's answer for the mix is VARCHAR)
+        val innerRetyped = curTs.length > 1 && curTs.contains(StringType) &&
+          preTs.contains(StringType) &&
+          preTs.forall(t => t == StringType || renderable(t))
+        widened || innerRetyped
+      }.toSet
+      if (fix.isEmpty) None
+      else {
+        children.foreach(c => fix.foreach(i => retyped += c.output(i).exprId))
+        Some(children.map(rebuild(_, fix)))
+      }
+    }
+
+    val fixed = plan.transformUpWithSubqueries {
+      case u: Union =>
+        fixChildren(u.children).map(cs => u.withNewChildren(cs)).getOrElse(u)
+      case s: Intersect =>
+        fixChildren(s.children).map(cs => s.withNewChildren(cs)).getOrElse(s)
+      case s: Except =>
+        fixChildren(s.children).map(cs => s.withNewChildren(cs)).getOrElse(s)
+    }
+    if (retyped.isEmpty) fixed
+    else fixed.transformAllExpressionsWithSubqueries {
+      case a: AttributeReference
+          if retyped.contains(a.exprId) && a.dataType != StringType =>
+        a.copy(dataType = StringType)(a.exprId, a.qualifier)
+    }
+  }
+}

@@ -170,7 +170,7 @@ object DuckNestedSortKeyRule extends Rule[LogicalPlan] {
   private def lamVar(et: DataType, cn: Boolean): NamedLambdaVariable =
     NamedLambdaVariable("x", et, cn)
 
-  private def sortKey(e: Expression): Expression = e.dataType match {
+  private[graft] def sortKey(e: Expression): Expression = e.dataType match {
     case ArrayType(et, cn) if mayDiverge(e.dataType) =>
       val v = lamVar(et, cn)
       ArrayTransform(e,
@@ -188,14 +188,28 @@ object DuckNestedSortKeyRule extends Rule[LogicalPlan] {
     case _ => e
   }
 
+  private def nestedDiverging(e: Expression): Boolean =
+    e.resolved &&
+      (e.dataType.isInstanceOf[ArrayType] ||
+        e.dataType.isInstanceOf[StructType] ||
+        e.dataType.isInstanceOf[MapType]) &&
+      mayDiverge(e.dataType)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressionsWithSubqueries {
-      case so @ SortOrder(child, _, _, _)
-          if child.resolved &&
-            (child.dataType.isInstanceOf[ArrayType] ||
-              child.dataType.isInstanceOf[StructType] ||
-              child.dataType.isInstanceOf[MapType]) &&
-            mayDiverge(child.dataType) =>
+      case so @ SortOrder(child, _, _, _) if nestedDiverging(child) =>
         so.copy(child = sortKey(child))
+      // min/max AGGREGATES over nested values use the same
+      // NULLs-largest order (probed: max of [1,NULL],[1,9] is
+      // [1,NULL]); Spark's Max/Min would pick by NULLs-smallest.
+      // MaxBy/MinBy keep the original value while ordering by the
+      // mapped key, and skip NULL keys exactly where Max skips NULL
+      // values (the key is NULL iff the value is).
+      case mx @ org.apache.spark.sql.catalyst.expressions.aggregate.Max(c)
+          if nestedDiverging(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(c, sortKey(c))
+      case mn @ org.apache.spark.sql.catalyst.expressions.aggregate.Min(c)
+          if nestedDiverging(c) =>
+        org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(c, sortKey(c))
     }
 }

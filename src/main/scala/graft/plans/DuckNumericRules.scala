@@ -452,3 +452,87 @@ object DuckTemporalPolyRule extends Rule[LogicalPlan] {
         combine(r, l)
     }
 }
+
+/** DuckDB's width-checked bit shifts (probed grid 2026-08-14):
+  * `<<` raises Out of Range on a negative shift (even for value 0),
+  * on shift ≥ the INPUT type's bit width, on a negative value, and on
+  * any overflow past the type's max (1 << 31 errors on INT32;
+  * 100::TINYINT << 1 errors) — value 0 short-circuits to 0 for any
+  * non-negative shift. `>>` never errors: out-of-range or negative
+  * shifts give 0 (even for negative values: -8 >> 64 is 0), in-range
+  * shifts are arithmetic. Spark's shiftleft/shiftright instead mask
+  * the shift mod the width (1 << 40 is 256) — silent divergence.
+  * The width is the ORIGINAL operand's (the analyzer's short/byte →
+  * int promotion cast is looked through, so 1::SMALLINT << 15 errors
+  * at width 16); the RESULT keeps Spark's promoted type, a documented
+  * width edge (typeof SMALLINT in DuckDB).
+  */
+case class DuckShift(
+    left: Expression,
+    right: Expression,
+    leftShift: Boolean,
+    width: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (leftShift) "duck_shiftleft" else "duck_shiftright"
+
+  private def maxFor: Long = (1L << (width - 1)) - 1
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a match {
+      case i: Int => i.toLong
+      case l: Long => l
+    }
+    val s = b.asInstanceOf[Int]
+    val out: Long =
+      if (leftShift) {
+        if (s < 0) throw new ArithmeticException(
+          s"Out of Range Error: Cannot left-shift by negative number $s")
+        else if (v == 0L) 0L
+        else if (s >= width) throw new ArithmeticException(
+          s"Out of Range Error: Left-shift value $s is out of range")
+        else if (v < 0L) throw new ArithmeticException(
+          s"Out of Range Error: Cannot left-shift negative number $v")
+        else if (v > (maxFor >> s)) throw new ArithmeticException(
+          s"Out of Range Error: Overflow in left shift ($v << $s)")
+        else v << s
+      } else {
+        if (s < 0 || s >= width) 0L else v >> s
+      }
+    left.dataType match {
+      case IntegerType => out.toInt
+      case _ => out
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DuckShift = copy(left = l, right = r)
+}
+
+object DuckShiftRule extends Rule[LogicalPlan] {
+
+  /** the pre-promotion width: the analyzer casts short/byte operands
+    * to int before ShiftLeft/ShiftRight, so look through that cast */
+  private def widthOf(e: Expression): Int = e match {
+    case Cast(c, IntegerType, _, _) if c.dataType == ShortType => 16
+    case Cast(c, IntegerType, _, _) if c.dataType == ByteType => 8
+    case _ => e.dataType match {
+      case LongType => 64
+      case ShortType => 16
+      case ByteType => 8
+      case _ => 32
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case ShiftLeft(l, r) if l.resolved && r.resolved =>
+        DuckShift(l, r, leftShift = true, widthOf(l))
+      case ShiftRight(l, r) if l.resolved && r.resolved =>
+        DuckShift(l, r, leftShift = false, widthOf(l))
+    }
+}

@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DuckDB zip semantics for several unnests in one select list
     // (post-hoc: runs after the analyzer stacked the Generates)
     ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
+    // VARCHAR-mixing set-op columns resolve to VARCHAR (before the
+    // cast-render rules below so the inserted casts pick up DuckDB
+    // renderings); greatest/least cast string args to the other side
+    // (main-batch: enclosing calls must still be able to resolve)
+    ext.injectPostHocResolutionRule(_ => DuckSetOpVarcharRule)
+    ext.injectResolutionRule(_ => DuckVarargCoerceRule)
     // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts
     ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
     // DATE-DATE day counts + round-half-away narrowing casts
@@ -68,6 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
     // interval dateparts + DATE + TIME combination
     ext.injectPostHocResolutionRule(_ => DuckTemporalPolyRule)
+    // width-checked << / >> (DuckDB errors on out-of-range left
+    // shifts; right shifts clamp to 0)
+    ext.injectPostHocResolutionRule(_ => DuckShiftRule)
     // quantified comparisons: x op ANY|ALL (list | subquery)
     ext.injectFunction((
       FunctionIdentifier("duck_q_cmp"),

@@ -588,6 +588,19 @@ object SqlRewrites {
     * ARRAY<T> spelling (DuckDB fixed-size arrays map onto plain
     * Spark arrays — the size bound is not enforced). */
   private val castOpArr = """::\s*([A-Za-z_]\w*)\s*\[\s*\d*\s*\]""".r
+  /** pg/DuckDB bind `::` TIGHTER than unary minus (`-0.0::DOUBLE` is
+    * -(0.0::DOUBLE) = signed zero; `-128::TINYINT` is an out-of-range
+    * error), while Spark's grammar folds MINUS into the number token
+    * so the cast sees the negated literal. Parenthesize the cast when
+    * the minus is provably unary — preceded by start-of-text, an
+    * operator/open-paren/comma, or a clause keyword; any other
+    * context (a binary minus after an identifier) is left alone. */
+  private val negLitCast =
+    ("""(?i)(^|[(,\[=+*/%<>|-]|\b(?:select|where|when|then|else|and|or|not|in|""" +
+      """by|as|on|having|return|values|limit|offset|set|is|union|except|""" +
+      """intersect|all|distinct|between)\b)(\s*)-\s*""" +
+      """((?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)""" +
+      """(\s*::\s*[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(?!\s*\[)""").r
   private val castAsArr = """(?i)\bAS\s+([A-Za-z_]\w*)\s*\[\s*\d*\s*\](\s*\))""".r
 
   /** Character spans of single-quoted strings ('' escapes), quoted
@@ -1450,10 +1463,15 @@ object SqlRewrites {
         lowIn.contains("enum_")) rewriteEnums(sqlTc) else sqlTc
     val sqlU = if (lowIn.contains("union_") || lowIn.contains("::") ||
         lowIn.contains("cast")) rewriteUnions(sqlE) else sqlE
-    // array-typed casts before the bracket pass would misread them
-    val sqlA0 = if (sqlU.contains("::"))
-      replaceOutsideQuotes(castOpArr, sqlU)(m => s"::ARRAY<${m.group(1)}>")
+    // unary minus binds LOOSER than `::` in pg/DuckDB
+    val sqlNm = if (sqlU.contains("::"))
+      replaceOutsideQuotes(negLitCast, sqlU)(m =>
+        s"${m.group(1)}${m.group(2)}(-(${m.group(3)}${m.group(4)}))")
       else sqlU
+    // array-typed casts before the bracket pass would misread them
+    val sqlA0 = if (sqlNm.contains("::"))
+      replaceOutsideQuotes(castOpArr, sqlNm)(m => s"::ARRAY<${m.group(1)}>")
+      else sqlNm
     val sqlA = if (sqlA0.toLowerCase.contains("cast"))
       replaceOutsideQuotes(castAsArr, sqlA0)(m =>
         s"AS ARRAY<${m.group(1)}>${m.group(2)}") else sqlA0

@@ -480,8 +480,9 @@ class CompatSpec extends SparkSpecBase {
     // macro default values may contain calls (balanced parens)
     Engine.query(spark,
       "CREATE MACRO edge_d(a, b := least(1, 2)) AS a + b")
+    // least(1, 2) resolves on the BIGINT overload, so a + b is BIGINT
     assert(Engine.query(spark, "SELECT edge_d(5) AS v")
-      .collect().head.getInt(0) == 6)
+      .collect().head.getLong(0) == 6L)
     // a quote inside a literal doesn't derail expansion. DuckDB's only
     // in-literal quote spellings: '' doubling and E'\''  (a plain
     // 'it\'s' is a PARSER ERROR there — probed — so that Spark-ism is
@@ -489,7 +490,7 @@ class CompatSpec extends SparkSpecBase {
     val esc = Engine.query(spark,
       "SELECT 'it''s', E'a\\'b', edge_d(1) AS v").collect().head
     assert(esc.getString(0) == "it's" && esc.getString(1) == "a'b" &&
-      esc.getInt(2) == 2)
+      esc.getLong(2) == 2L)
     Engine.query(spark, "DROP MACRO edge_m")
     Engine.query(spark, "DROP MACRO edge_d")
   }

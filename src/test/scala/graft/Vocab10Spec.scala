@@ -351,6 +351,89 @@ class Vocab10Spec extends SparkSpecBase {
     assert(g.toSeq == Seq(0L, 1L, 2L, 3L))
   }
 
+  test("width-checked shifts: << errors out-of-range, >> clamps to 0 (probed grid)") {
+    val r = one("SELECT 1 << 3 a, 1::BIGINT << 40 b, 0 << 100 c, " +
+      "1::TINYINT << 6 d, 16 >> 2 e, 16 >> 40 f, 16 >> -1 g, " +
+      "-8 >> 1 h, -8 >> 64 i, 16::SMALLINT >> 20 j")
+    assert(r.getInt(0) == 8 && r.getLong(1) == 1L << 40 && r.getInt(2) == 0)
+    assert(r.getInt(3) == 64)
+    assert(r.getInt(4) == 4 && r.getInt(5) == 0 && r.getInt(6) == 0)
+    assert(r.getInt(7) == -4 && r.getInt(8) == 0 && r.getInt(9) == 0)
+    // Spark's mask-mod-width silently returns 256 for 1 << 40;
+    // DuckDB raises Out of Range — so do we, for each error class
+    for (bad <- Seq("1 << 40", "1 << 31", "1 << -1", "-2 << 1",
+        "100::SMALLINT << 9", "1::TINYINT << 7")) {
+      val e = intercept[Exception](
+        Engine.query(spark, s"SELECT $bad AS v").collect())
+      assert(e.getMessage.contains("Out of Range"), s"$bad: ${e.getMessage}")
+    }
+  }
+
+  test("empty-separator split yields characters, no trailing '' (probed)") {
+    val r = one("SELECT string_split('abc', '') a, string_split('', '') b, " +
+      "string_split('héllo', '') c, regexp_split_to_array('abc', '') d, " +
+      "string_split('a,b', ',') e, str_split_regex('abc', '') f")
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq(""))
+    assert(r.getSeq[String](2) == Seq("h", "é", "l", "l", "o"))
+    assert(r.getSeq[String](3) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](4) == Seq("a", "b"))
+    assert(r.getSeq[String](5) == Seq("a", "b", "c"))
+    assert(one("SELECT string_split(NULL, '') AS v").isNullAt(0))
+  }
+
+  test("greatest/least resolve through DuckDB's typed overloads (probed)") {
+    val r = one("SELECT typeof(greatest(1, 2)) a, least('5', 10) b, " +
+      "typeof(least('5', 10)) c, typeof(greatest(2.5, 1.5)) d, " +
+      "typeof(greatest(1, 2.5)) e, typeof(greatest(1::TINYINT, 2::SMALLINT)) f, " +
+      "typeof(greatest('b', 'a')) g")
+    assert(r.getString(0) == "BIGINT" && r.getLong(1) == 5L)
+    assert(r.getString(2) == "BIGINT" && r.getString(3) == "DOUBLE")
+    assert(r.getString(4) == "DOUBLE" && r.getString(5) == "BIGINT")
+    assert(r.getString(6) == "VARCHAR")
+    // string casts to the temporal side
+    assert(one("SELECT greatest(DATE '2024-01-01', '2024-06-01') AS v")
+      .getDate(0).toString == "2024-06-01")
+    // unconvertible text errors loudly (DuckDB ConversionError parity)
+    intercept[Exception](
+      Engine.query(spark, "SELECT least('abc', 10) AS v").collect())
+  }
+
+  test("VARCHAR-mixing set-op columns resolve to VARCHAR (probed)") {
+    val u1 = Engine.query(spark,
+      "SELECT v, typeof(v) t FROM (SELECT 1 AS v UNION ALL SELECT 'x') ORDER BY v")
+      .collect()
+    assert(u1.map(_.getString(0)).toSeq == Seq("1", "x"))
+    assert(u1.forall(_.getString(1) == "VARCHAR"))
+    // DECIMAL renders its scale; nested unions repair outward
+    assert(Engine.query(spark,
+      "SELECT v FROM (SELECT 2.50::DECIMAL(4,2) AS v UNION ALL SELECT 'x') ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("2.50", "x"))
+    assert(Engine.query(spark,
+      "SELECT v FROM (SELECT 1.5 AS v UNION ALL SELECT 'x' UNION ALL SELECT 'y') ORDER BY v")
+      .collect().map(_.getString(0)).toSeq == Seq("1.5", "x", "y"))
+    // INTERSECT/EXCEPT compare as VARCHAR
+    assert(one("SELECT count(*) c FROM (SELECT 1 AS v EXCEPT SELECT '1')")
+      .getLong(0) == 0L)
+    assert(Engine.query(spark,
+      "SELECT v FROM (SELECT 1 AS v INTERSECT SELECT '1')")
+      .collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
+  test("min/max aggregates over nested values use NULLs-largest order (probed)") {
+    val r = one("SELECT max(v) AS a, min(v) AS b " +
+      "FROM (VALUES ([1, NULL]), ([1, 9])) t(v)")
+    assert(r.getSeq[Any](0) == Seq(1, null))
+    assert(r.getSeq[Any](1) == Seq(1, 9))
+    val s = one("SELECT max(v) AS a " +
+      "FROM (VALUES ({'a': 1, 'b': NULL}), ({'a': 1, 'b': 5})) t(v)")
+    assert(s.getStruct(0) == Row(1, null))
+    // NULL rows are skipped like any aggregate input
+    val m = one("SELECT min(v) AS a, max(v) AS b " +
+      "FROM (VALUES ([3]), ([1, 2]), (NULL)) t(v)")
+    assert(m.getSeq[Any](0) == Seq(1, 2) && m.getSeq[Any](1) == Seq(3))
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
