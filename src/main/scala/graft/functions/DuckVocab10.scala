@@ -256,13 +256,19 @@ object DuckVocab10 {
       }
     // list()/array_agg KEEP NULL inputs (probed: list over {1, NULL,
     // 2} = [1, NULL, 2]); Spark's CollectList drops them — the value
-    // rides inside a struct, then projects back out
+    // rides inside a struct, then projects back out. Over EMPTY input
+    // DuckDB returns NULL where CollectList gives [] — the else-less
+    // CaseWhen types the NULL from the branch (the duplicated
+    // aggregate is computed once: physical planning dedupes
+    // semantically-equal aggregate expressions)
     def listKeepNulls(x: Expression): Expression = {
       val v = lv()
-      ArrayTransform(
+      def arr = ArrayTransform(
         CollectList(CreateNamedStruct(Seq(Literal("v"), x)))
           .toAggregateExpression(),
         LambdaFunction(UnresolvedExtractValue(v, Literal("v")), Seq(v)))
+      CaseWhen(Seq((GreaterThan(
+        Size(arr, legacySizeOfNull = false), Literal(0)), arr)), None)
     }
     alias("list")(e => listKeepNulls(e.head))
     alias("array_agg")(e => listKeepNulls(e.head))

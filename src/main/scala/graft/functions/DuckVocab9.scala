@@ -76,14 +76,16 @@ object DuckVocab9 {
     // date_add(DATE, 7) = DATE + 7 days — AddPoly keeps both alive)
     alias("date_add")(e => AddPoly(e(0), e(1)))
     // 1-arg trunc is numeric truncation toward zero (2-arg stays
-    // Spark's date trunc). Explicit Floor/Ceil split: a bare
-    // fractional→long cast rounds under DuckNumericCastRule.
+    // Spark's date trunc); ceil/floor keep FLOAT/DOUBLE input types
+    // like DuckDB (marker resolves once the argument type is known —
+    // Spark's builtins return BIGINT for floating input)
     alias("trunc") {
-      case Seq(x) =>
-        Cast(If(GreaterThanOrEqual(x, Literal(0)), Floor(x), Ceil(x)),
-          LongType)
+      case Seq(x) => FloatingRoundMarker(Seq(x), "trunc")
       case e => TruncDate(e(0), e(1))
     }
+    alias("ceil")(e => FloatingRoundMarker(Seq(e.head), "ceil"))
+    alias("ceiling")(e => FloatingRoundMarker(Seq(e.head), "ceil"))
+    alias("floor")(e => FloatingRoundMarker(Seq(e.head), "floor"))
     alias("round_even")(e => BRound(e(0), e(1)))
     alias("roundbankers")(e => BRound(e(0), e(1)))
     alias("gamma")(e => GraftCall("gamma", Seq(dbl(e.head)), DoubleType))
@@ -471,8 +473,13 @@ object DuckVocab9 {
       case e => stringAgg(e(0), e(1))
     }
     alias("list")(e => CollectList(e.head).toAggregateExpression())
-    alias("histogram")(e =>
-      listHistogram(CollectList(e.head).toAggregateExpression()))
+    // over EMPTY input DuckDB's histogram is NULL, not {} — the
+    // else-less CaseWhen types the NULL from the branch
+    alias("histogram") { e =>
+      def m = listHistogram(CollectList(e.head).toAggregateExpression())
+      CaseWhen(Seq((GreaterThan(
+        Size(m, legacySizeOfNull = false), Literal(0)), m)), None)
+    }
     alias("sem") { e =>
       // stddev_pop / sqrt(n) (probed: sem of (1,2,3,10) = 1.7678;
       // single value → 0.0)

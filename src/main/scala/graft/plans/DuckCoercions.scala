@@ -201,3 +201,203 @@ object DuckSetOpVarcharRule extends Rule[LogicalPlan] {
     }
   }
 }
+
+/** DuckDB binds a string argument of CASE/COALESCE to the NON-STRING
+  * side's own common type, not to a widened one (probed grid
+  * 2026-08-14: CASE 1 ELSE 'x' is INTEGER, 1::SMALLINT ELSE '9' is
+  * SMALLINT, 1.5::FLOAT ELSE '9' is FLOAT, 1 WHEN 2.5 ELSE 'x' is
+  * DECIMAL(11,1) — and a non-convertible string raises a
+  * ConversionError). Spark's ANSI coercion instead widens the mix to
+  * BIGINT/DOUBLE. This strips the analyzer's widen casts when the
+  * stripped types reproduce the observed common type (the same
+  * analyzer-cast hypothesis as [[DuckSetOpVarcharRule]]) and re-casts
+  * every value to the non-string sides' own widened type. Scoped to
+  * numeric targets — BOOLEAN/temporal string mixes keep Spark's
+  * resolution (documented edge).
+  */
+object DuckCaseStringBindRule extends Rule[LogicalPlan] {
+
+  private def widerOf(ts: Seq[DataType]): Option[DataType] =
+    if (SQLConf.get.ansiEnabled) AnsiTypeCoercion.findWiderCommonType(ts)
+    else TypeCoercion.findWiderCommonType(ts)
+
+  private def rebind(vals: Seq[Expression]): Option[Seq[Expression]] = {
+    if (vals.isEmpty || !vals.forall(_.resolved)) return None
+    val wide = vals.head.dataType
+    if (!vals.forall(_.dataType == wide)) return None
+    // BIGINT/DOUBLE are ANSI Spark's two string-mix widen targets
+    if (wide != LongType && wide != DoubleType) return None
+    val pres = vals.map {
+      case c @ Cast(ch, dt, _, _)
+          if dt == wide &&
+            c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => ch
+      case other => other
+    }
+    // an untyped NULL branch is a wildcard in both engines
+    val preTs = pres.map(_.dataType).distinct.filterNot(_ == NullType)
+    val nonStr = preTs.filterNot(_ == StringType)
+    if (!preTs.contains(StringType) || nonStr.isEmpty ||
+        !nonStr.forall(_.isInstanceOf[NumericType])) return None
+    val t = widerOf(nonStr).getOrElse(return None)
+    if (t == wide) return None // already DuckDB's binding
+    if (!widerOf(preTs).contains(wide)) return None // not the analyzer's cast
+    Some(pres.map(p =>
+      if (p.dataType == t) p
+      else Cast(p, t, Some(SQLConf.get.sessionLocalTimeZone))))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case cw @ CaseWhen(branches, elseV) =>
+        rebind(branches.map(_._2) ++ elseV.toSeq) match {
+          case Some(fixed) =>
+            if (elseV.isDefined)
+              CaseWhen(branches.map(_._1).zip(fixed.init), Some(fixed.last))
+            else CaseWhen(branches.map(_._1).zip(fixed), None)
+          case None => cw
+        }
+      case co @ Coalesce(cs) =>
+        rebind(cs).map(Coalesce(_)).getOrElse(co)
+    }
+}
+
+/** DuckDB compares BOOLEAN against integers by casting the boolean to
+  * the integer side (probed: 2 = true is FALSE, 0 = false is TRUE),
+  * and strings against BOOLEAN by casting the string (true > '0' is
+  * TRUE). Spark rejects both mixes outright, so this only ever fires
+  * on comparisons Spark left unresolved — zero risk to queries that
+  * already work. Main-batch: an enclosing call must still resolve.
+  */
+object DuckBoolCompareRule extends Rule[LogicalPlan] {
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def tz = Some(SQLConf.get.sessionLocalTimeZone)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case cmp: BinaryComparison
+          if !cmp.resolved && cmp.left.resolved && cmp.right.resolved =>
+        (cmp.left.dataType, cmp.right.dataType) match {
+          case (BooleanType, r) if integral(r) =>
+            cmp.withNewChildren(Seq(Cast(cmp.left, r, tz), cmp.right))
+          case (l, BooleanType) if integral(l) =>
+            cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, l, tz)))
+          case (StringType, BooleanType) =>
+            cmp.withNewChildren(Seq(Cast(cmp.left, BooleanType, tz), cmp.right))
+          case (BooleanType, StringType) =>
+            cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
+          case _ => cmp
+        }
+    }
+}
+
+/** DuckDB computes arithmetic mixing FLOAT with integers/decimals IN
+  * FLOAT (probed: typeof(1 + 1.5::FLOAT) is FLOAT, 2::SMALLINT *
+  * 1.5::FLOAT is FLOAT, 7 / 2::FLOAT is FLOAT; only an actual DOUBLE
+  * operand widens to DOUBLE). ANSI Spark widens the same mix to
+  * DOUBLE. Strips the analyzer's float→double widen cast and
+  * re-coerces the other side to FLOAT. A user-written `::DOUBLE` cast
+  * carries Cast.USER_SPECIFIED_CAST and is never stripped — so
+  * `1.5::FLOAT + 1.5::DOUBLE` stays DOUBLE, matching DuckDB.
+  */
+object DuckFloatArithRule extends Rule[LogicalPlan] {
+
+  /** a Divide this rule already wrapped in a float cast — re-analysis
+    * of a derived plan must not wrap it again */
+  private val narrowed =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit](
+      "graft.floatArithNarrowed")
+
+  private def eligible(dt: DataType): Boolean = dt match {
+    case FloatType | ByteType | ShortType | IntegerType | LongType |
+        _: DecimalType => true
+    case _ => false
+  }
+
+  private def strip(e: Expression): Expression = e match {
+    case c @ Cast(ch, DoubleType, _, _)
+        if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => ch
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case q => q.transformExpressionsUp {
+        // DuckDivZeroRule's guard shape: once the divide below was
+        // narrowed to FLOAT (bottom-up, the case underneath), the
+        // guard's NULL branch must follow it
+        case If(cond, Literal(null, DoubleType),
+            c @ Cast(_: Divide, FloatType, _, _)) =>
+          If(cond, Literal(null, FloatType), c)
+        case b: BinaryArithmetic if b.resolved && b.dataType == DoubleType =>
+          val (l, r) = (strip(b.left), strip(b.right))
+          val floatMix =
+            (l.dataType == FloatType || r.dataType == FloatType) &&
+              eligible(l.dataType) && eligible(r.dataType) &&
+              // something was actually stripped — a genuine double
+              // operand ((l eq b.left) && (r eq b.right)) stays DOUBLE
+              !((l eq b.left) && (r eq b.right)) &&
+              // never inside lambda bodies: the repo's own HOF
+              // lowerings cast float elements to double deliberately
+              // (untagged, indistinguishable from analyzer widening),
+              // and retyping under an already-bound accumulator
+              // breaks evaluation
+              !b.exists(_.isInstanceOf[NamedLambdaVariable])
+          if (!floatMix || b.getTagValue(narrowed).isDefined) b
+          else b match {
+            case d: Divide =>
+              // Spark's Divide only takes DOUBLE/DECIMAL operands —
+              // compute in double, narrow the result (ulp-level skew
+              // from DuckDB's float-native division at most)
+              d.setTagValue(narrowed, ())
+              Cast(d, FloatType, Some(SQLConf.get.sessionLocalTimeZone))
+            case _ =>
+              def f(e: Expression) =
+                if (e.dataType == FloatType) e
+                else Cast(e, FloatType, Some(SQLConf.get.sessionLocalTimeZone))
+              b.withNewChildren(Seq(f(l), f(r)))
+          }
+      }
+    }
+}
+
+/** ceil/floor/trunc/round keep a FLOAT/DOUBLE input's own type in
+  * DuckDB (probed: typeof(ceil(2.5::FLOAT)) is FLOAT,
+  * floor(2.5::DOUBLE) is DOUBLE) where Spark's ceil/floor return
+  * BIGINT. Marker emitted only by the registry aliases — the repo's
+  * internal Ceil/Floor uses feed INT-typed consumers and must keep
+  * Spark's types.
+  */
+case class FloatingRoundMarker(children: Seq[Expression], op: String)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override lazy val resolved: Boolean = false
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): FloatingRoundMarker = copy(children = cs)
+}
+
+object DuckFloatingRoundRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case m: FloatingRoundMarker if m.children.forall(_.resolved) =>
+        val x = m.children.head
+        val floating =
+          x.dataType == FloatType || x.dataType == DoubleType
+        val base: Expression = m.op match {
+          case "ceil" => Ceil(x)
+          case "floor" => Floor(x)
+          case _ => // trunc: toward zero; bare fractional→long cast
+            // would round under DuckNumericCastRule, so Floor/Ceil split
+            Cast(If(GreaterThanOrEqual(x, Literal(0)), Floor(x), Ceil(x)),
+              LongType, Some(SQLConf.get.sessionLocalTimeZone))
+        }
+        if (floating)
+          Cast(base, x.dataType, Some(SQLConf.get.sessionLocalTimeZone))
+        else base
+    }
+}

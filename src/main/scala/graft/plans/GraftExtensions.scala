@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (main-batch: enclosing calls must still be able to resolve)
     ext.injectPostHocResolutionRule(_ => DuckSetOpVarcharRule)
     ext.injectResolutionRule(_ => DuckVarargCoerceRule)
+    // CASE/COALESCE bind strings to the non-string side's own type
+    ext.injectPostHocResolutionRule(_ => DuckCaseStringBindRule)
+    // BOOLEAN vs integer / string vs BOOLEAN comparisons cast across
+    ext.injectResolutionRule(_ => DuckBoolCompareRule)
+    // FLOAT-mixing arithmetic computes in FLOAT, not DOUBLE
+    ext.injectPostHocResolutionRule(_ => DuckFloatArithRule)
+    // ceil/floor/trunc keep FLOAT/DOUBLE input types (marker-scoped)
+    ext.injectResolutionRule(_ => DuckFloatingRoundRule)
     // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts
     ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
     // DATE-DATE day counts + round-half-away narrowing casts

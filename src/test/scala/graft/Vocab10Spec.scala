@@ -434,6 +434,82 @@ class Vocab10Spec extends SparkSpecBase {
     assert(m.getSeq[Any](0) == Seq(1, 2) && m.getSeq[Any](1) == Seq(3))
   }
 
+  test("CASE/COALESCE bind strings to the non-string side's type (probed)") {
+    val r = one("SELECT CASE WHEN true THEN 1 ELSE 'x' END a, " +
+      "typeof(CASE WHEN true THEN 1 ELSE 'x' END) b, " +
+      "typeof(CASE WHEN true THEN 1::SMALLINT ELSE '9' END) c, " +
+      "typeof(CASE WHEN true THEN 1.5::FLOAT ELSE '9' END) d, " +
+      "typeof(COALESCE('5', 1)) e, NULLIF(1, '1') f")
+    assert(r.getInt(0) == 1 && r.getString(1) == "INTEGER")
+    assert(r.getString(2) == "SMALLINT" && r.getString(3) == "FLOAT")
+    assert(r.getString(4) == "INTEGER" && r.isNullAt(5))
+    // a reached unconvertible string errors loudly like DuckDB
+    intercept[Exception](Engine.query(spark,
+      "SELECT CASE WHEN false THEN 1 ELSE 'x' END v").collect())
+    // user-written casts are not mistaken for the analyzer's widening
+    assert(one("SELECT typeof(CASE WHEN true THEN 1::BIGINT ELSE '9' END) v")
+      .getString(0) == "BIGINT")
+  }
+
+  test("BOOLEAN casts across in integer and string comparisons (probed)") {
+    val r = one("SELECT 1 = true a, 2 = true b, 0 = false c, true > '0' d")
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("FLOAT-mixing arithmetic computes in FLOAT (probed)") {
+    val r = one("SELECT typeof(1 + 1.5::FLOAT) a, " +
+      "typeof(1.5::FLOAT + 1.5::DOUBLE) b, " +
+      "typeof(2::SMALLINT * 1.5::FLOAT) c, typeof(7 / 2::FLOAT) d, " +
+      "typeof(1.5::FLOAT + 2.5) e, 7 / 2::FLOAT f")
+    assert(r.getString(0) == "FLOAT")
+    assert(r.getString(1) == "DOUBLE") // user ::DOUBLE wins
+    assert(r.getString(2) == "FLOAT" && r.getString(3) == "FLOAT")
+    assert(r.getString(4) == "FLOAT" && r.getFloat(5) == 3.5f)
+  }
+
+  test("ceil/floor/trunc keep FLOAT/DOUBLE input types (probed)") {
+    val r = one("SELECT typeof(ceil(2.5::DOUBLE)) a, " +
+      "typeof(ceil(2.5::FLOAT)) b, typeof(floor(2.5::DOUBLE)) c, " +
+      "ceil(2.5::DOUBLE) d, trunc(2.7::DOUBLE) e, " +
+      "typeof(trunc(2.7::DOUBLE)) f, ceil(2.5) g")
+    assert(r.getString(0) == "DOUBLE" && r.getString(1) == "FLOAT")
+    assert(r.getString(2) == "DOUBLE")
+    assert(r.getDouble(3) == 3.0 && r.getDouble(4) == 2.0)
+    assert(r.getString(5) == "DOUBLE")
+  }
+
+  test("list/array_agg/histogram over empty input are NULL (probed)") {
+    val r = one("SELECT list(x) l, array_agg(x) aa, histogram(x) h, " +
+      "count(x) c FROM (VALUES (1)) t(x) WHERE x > 99")
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getLong(3) == 0L)
+    // non-empty keeps values (and NULL inputs)
+    val s = one("SELECT list(v) l, histogram(v) h " +
+      "FROM (VALUES (10), (NULL::INT), (20)) t(v)")
+    assert(s.getSeq[Any](0) == Seq(10, null, 20))
+    assert(s.getMap[Int, Long](1) == Map(10 -> 1L, 20 -> 1L))
+  }
+
+  test("string-number comparisons cast the string side (probed)") {
+    val r = one("SELECT '5' = 5 a, 5 < '10' b, " +
+      "'2024-01-02' > DATE '2024-01-01' c, 5 BETWEEN '1' AND '10' d")
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3))
+    intercept[Exception](
+      Engine.query(spark, "SELECT 'abc' = 5 AS v").collect())
+  }
+
+  test("integer overflow errors loudly like DuckDB (probed)") {
+    for (bad <- Seq("2147483647 + 1", "9223372036854775807 + 1",
+        "127::TINYINT + 1::TINYINT", "-(-9223372036854775807 - 1)")) {
+      intercept[Exception](
+        Engine.query(spark, s"SELECT $bad AS v").collect())
+    }
+    // SMALLINT abs(min) fits and stays SMALLINT
+    assert(one("SELECT abs(-128::SMALLINT) AS v").getShort(0) == 128.toShort)
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
