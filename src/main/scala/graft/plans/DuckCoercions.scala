@@ -401,3 +401,23 @@ object DuckFloatingRoundRule extends Rule[LogicalPlan] {
         else base
     }
 }
+
+/** DuckDB evaluates an uncorrelated scalar subquery that yields more
+  * than one row to an ARBITRARY single row — no error (probed:
+  * `SELECT (SELECT x FROM (VALUES (3),(1),(2)) t(x))` is 3). Spark
+  * raises SCALAR_SUBQUERY_TOO_MANY_ROWS at runtime. A LIMIT 1 inside
+  * the subquery reproduces DuckDB's pick-one semantics AND stops the
+  * subquery from materializing its full result — strictly cheaper at
+  * scale. Correlated subqueries are left alone: wrapping them risks
+  * breaking Spark's decorrelation for queries that work today, and
+  * their multi-row case stays a loud runtime error (documented).
+  */
+object DuckScalarSubqueryRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case s: ScalarSubquery
+          if s.outerAttrs.isEmpty && s.plan.resolved &&
+            !s.plan.maxRows.exists(_ <= 1L) =>
+        s.copy(plan = Limit(Literal(1), s.plan))
+    }
+}

@@ -35,8 +35,26 @@ object DuckNumericCastRule extends Rule[LogicalPlan] {
   /** already integral-valued — rewriting would only churn the plan */
   private def alreadyRounded(e: Expression): Boolean = e match {
     case _: Round | _: Floor | _: Ceil | _: BRound => true
+    case _: Conv => true // this rule's own hex/binary reading
     case c: Cast => alreadyRounded(c.child)
     case _ => false
+  }
+
+  /** DuckDB integral casts read 0x/0X hex and 0b/0B binary strings
+    * (probed: '0x1F'::BIGINT = 31, '0B11'::SMALLINT = 3 — no sign,
+    * no whitespace, malformed/oversized text errors like any other
+    * conversion). Digit counts bound to 16/64 so Conv's unsigned
+    * 64-bit space covers them; the final integral cast range-checks
+    * in the ORIGINAL eval mode, so ANSI errors and TRY nulls. */
+  private def radixAware(c: Cast, decimalPath: Expression): Expression = {
+    val s = c.child
+    def read(skip: Int, base: Int): Expression =
+      Cast(Conv(new Substring(s, Literal(skip + 1)), Literal(base),
+        Literal(10)), c.dataType, None, c.evalMode)
+    CaseWhen(Seq(
+      (RLike(s, Literal("^0[xX][0-9a-fA-F]{1,16}$")), read(2, 16)),
+      (RLike(s, Literal("^0[bB][01]{1,64}$")), read(2, 2))),
+      decimalPath)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -58,9 +76,9 @@ object DuckNumericCastRule extends Rule[LogicalPlan] {
             c.child.dataType == StringType && !alreadyRounded(c.child) =>
         // same eval mode end to end: ANSI still errors on garbage,
         // TRY still nulls — only the numeric reading changes
-        c.withNewChildren(Seq(Round(
+        radixAware(c, c.withNewChildren(Seq(Round(
           Cast(c.child, DecimalType(38, 10), None, c.evalMode),
-          Literal(0))))
+          Literal(0)))))
       // DECIMAL→DECIMAL scale reduction TRUNCATES toward zero in
       // DuckDB (probed: 2.46→(3,1) = 2.4, 2.5→(3,0) = 2, -3.5→(3,0)
       // = -3); Spark's cast rounds HALF_UP. The truncation runs at

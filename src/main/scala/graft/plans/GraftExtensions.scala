@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => DuckBoolCompareRule)
     // FLOAT-mixing arithmetic computes in FLOAT, not DOUBLE
     ext.injectPostHocResolutionRule(_ => DuckFloatArithRule)
+    // uncorrelated multi-row scalar subqueries pick one row (LIMIT 1)
+    ext.injectPostHocResolutionRule(_ => DuckScalarSubqueryRule)
     // ceil/floor/trunc keep FLOAT/DOUBLE input types (marker-scoped)
     ext.injectResolutionRule(_ => DuckFloatingRoundRule)
     // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts

@@ -602,6 +602,16 @@ object SqlRewrites {
       """((?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)""" +
       """(\s*::\s*[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(?!\s*\[)""").r
   private val castAsArr = """(?i)\bAS\s+([A-Za-z_]\w*)\s*\[\s*\d*\s*\](\s*\))""".r
+  /** `INTERVAL (expr) UNIT` — DuckDB's parameterized interval; Spark
+    * only takes a literal quantity. One paren-nesting level. */
+  private val intervalParen =
+    """(?i)\bINTERVAL\s*(\((?:[^()]|\([^()]*\))*\))\s*([A-Za-z]+)""".r
+  /** `[ORDER BY keys] LIMIT p%` — DuckDB's percentage limit
+    * (floor(count*p/100) rows, 0–100 only). The ORDER BY capture
+    * stops at the LIMIT keyword; one paren-nesting level inside. */
+  private val limitPercent =
+    ("""(?i)(\bORDER\s+BY\s+((?:[^()';]|\([^()]*\))*?))?\s*""" +
+      """\bLIMIT\s+(\d+(?:\.\d+)?)\s*%""").r
 
   /** Character spans of single-quoted strings ('' escapes), quoted
     * identifiers and comments. Raw-text regex passes must leave these
@@ -1578,7 +1588,59 @@ object SqlRewrites {
     val s0v = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
     val s0q = if (has("any") || has("all") || has("some"))
       rewriteQuantified(s0v) else s0v
-    val s0 = if (has("interval")) rewriteMixedIntervals(s0q) else s0q
+    // DuckDB's parameterized interval: INTERVAL (1+2) DAYS — lowered
+    // to make_interval so it renders/combines like the rest of the
+    // dialect's CalendarInterval forms (an unknown unit falls
+    // through to the parser's own error)
+    val s0ip = if (has("interval") && s0q.contains("("))
+      replaceOutsideQuotes(intervalParen, s0q) { m =>
+        val slot = m.group(2).toLowerCase.stripSuffix("s") match {
+          case "year" => Some(0)
+          case "month" => Some(1)
+          case "week" => Some(2)
+          case "day" => Some(3)
+          case "hour" => Some(4)
+          case "minute" | "min" => Some(5)
+          case "second" | "sec" => Some(6)
+          case _ => None
+        }
+        slot match {
+          case Some(i) =>
+            val args = Seq.tabulate(7)(j =>
+              if (j == i) s"(${m.group(1)})" else "0")
+            s"make_interval(${args.mkString(", ")})"
+          case None => m.matched
+        }
+      }
+      else s0q
+    // DuckDB's LIMIT p% = the first floor(count*p/100) rows — lowered
+    // onto a QUALIFY row_number window (the QUALIFY pass below then
+    // injects the predicate); >100 errors loudly like DuckDB.
+    // TOP-LEVEL only: the QUALIFY lowering does not reach into
+    // subqueries, so a nested LIMIT % keeps its loud parse error.
+    val s0lp = if (!has("limit") || !has("%")) s0ip
+      else replaceOutsideQuotes(limitPercent, s0ip) { m =>
+        val depth = s0ip.substring(0, m.start)
+          .count(_ == '(') - s0ip.substring(0, m.start).count(_ == ')')
+        if (depth > 0) m.matched
+        else {
+          val p = m.group(3).toDouble
+          if (p > 100.0) throw new IllegalArgumentException(
+            "Limit percent out of range, should be between 0% and 100%")
+          val keys = Option(m.group(2)).map(_.trim).filter(_.nonEmpty)
+          // a constant window order: DuckDB's row pick without ORDER
+          // BY is arbitrary anyway, and Spark requires SOME ordering
+          val win = keys.map(k => s"OVER (ORDER BY $k)")
+            .getOrElse("OVER (ORDER BY 'x')")
+          val tail = keys.map(k => s" ORDER BY $k").getOrElse("")
+          // 100e0: a DOUBLE literal keeps the division out of the
+          // decimal-divide post-hoc retype (which would re-type under
+          // the already-resolved floor)
+          s" QUALIFY row_number() $win <= " +
+            s"floor(count(*) OVER () * ${m.group(3)} / 100e0)$tail"
+        }
+      }
+    val s0 = if (has("interval")) rewriteMixedIntervals(s0lp) else s0lp
     val s1 = if (!has("generate_series")) s0 else
       genSeries.replaceAllIn(s0, m => {
         val kw = m.group(1)

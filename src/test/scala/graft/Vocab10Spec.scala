@@ -510,6 +510,51 @@ class Vocab10Spec extends SparkSpecBase {
     assert(one("SELECT abs(-128::SMALLINT) AS v").getShort(0) == 128.toShort)
   }
 
+  test("hex/binary string casts to integral types (probed)") {
+    val r = one("SELECT '0x1F'::BIGINT a, '0B11'::SMALLINT b, " +
+      "'0x10'::INT c, TRY_CAST('0x1F' AS INT) d, '0x10' = 16 e")
+    assert(r.getLong(0) == 31L && r.getShort(1) == 3.toShort)
+    assert(r.getInt(2) == 16 && r.getInt(3) == 31 && r.getBoolean(4))
+    // no sign, no whitespace, no hex doubles — loud like DuckDB
+    for (bad <- Seq("'-0x10'::INT", "' 0x10 '::INT", "'0x'::INT",
+        "'0xg'::INT", "'0xFFFFFFFFFFFFFFFFF'::INT", "'0x10'::DOUBLE")) {
+      intercept[Exception](
+        Engine.query(spark, s"SELECT $bad AS v").collect())
+    }
+  }
+
+  test("uncorrelated multi-row scalar subqueries pick one row (probed)") {
+    assert(one("SELECT (SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x) v")
+      .getInt(0) == 1)
+    assert(one(
+      "SELECT (SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x DESC) v")
+      .getInt(0) == 2)
+    // the plan carries the limit — no full materialization
+    val plan = Engine.query(spark,
+      "SELECT (SELECT x FROM (VALUES (1),(2)) t(x) ORDER BY x) v")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Limit") || plan.contains("limit"), plan)
+  }
+
+  test("LIMIT percent takes floor(count*p/100) rows (probed)") {
+    def rows(sql: String): Seq[Int] =
+      Engine.query(spark, sql).collect().map(_.getInt(0)).toSeq
+    assert(rows("SELECT x FROM (VALUES (1),(2),(3),(4),(5),(6),(7)," +
+      "(8),(9),(10)) t(x) ORDER BY x LIMIT 20%") == Seq(1, 2))
+    assert(rows("SELECT x FROM (VALUES (1),(2),(3)) t(x) " +
+      "ORDER BY x DESC LIMIT 34%") == Seq(3))
+    assert(rows("SELECT x FROM (VALUES (1),(2),(3)) t(x) LIMIT 0%").isEmpty)
+    intercept[Exception](Engine.query(spark,
+      "SELECT x FROM (VALUES (1),(2),(3)) t(x) ORDER BY x LIMIT 150%"))
+  }
+
+  test("INTERVAL (expr) UNIT is the parameterized interval (probed)") {
+    assert(one("SELECT DATE '2024-01-01' + INTERVAL (1+1) DAYS v")
+      .get(0).toString.startsWith("2024-01-03"))
+    assert(one("SELECT INTERVAL (2) MONTHS = INTERVAL 2 MONTHS v")
+      .getBoolean(0))
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
