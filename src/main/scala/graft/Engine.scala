@@ -31,6 +31,10 @@ object Engine {
       // DuckDB's TIME / TIMETZ surface needs Spark 4.1's TimeType
       // (collection-side encoder support is gated behind this flag)
       .config("spark.sql.timeType.enabled", "true")
+      // pg/DuckDB double quotes are IDENTIFIERS ("my col", "select"),
+      // never string literals — Spark's default reads them as strings,
+      // a silent wrong-answer for every quoting wire client
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       // NOTE on string literals: DuckDB (like pg with
       // standard_conforming_strings) keeps backslashes in '...'
       // literals LITERAL. Spark's default parser escape-processes
@@ -67,6 +71,18 @@ object Engine {
         explainStmt(spark, analyzeOrNull != null ||
           Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
+      case PrepareRe(name, body) =>
+        prepared.put(prepKey(spark, name), body)
+        spark.emptyDataFrame
+      case DeallocateRe(name) =>
+        prepared.remove(prepKey(spark, name))
+        spark.emptyDataFrame
+      case ExecuteStmtRe(name, argsOrNull)
+          if !name.equalsIgnoreCase("immediate") =>
+        val body = Option(prepared.get(prepKey(spark, name))).getOrElse(
+          throw new IllegalArgumentException(
+            s"""Prepared statement "$name" does not exist"""))
+        query(spark, substParams(body, splitArgs(argsOrNull)))
       case AttachRe(path, alias) => attach(spark, path, Option(alias))
       case DetachRe(alias) => detach(spark, alias)
       case CreateOrReplaceRe(name, rest) =>
@@ -287,6 +303,70 @@ object Engine {
   }
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
+
+  // ---- SQL-level prepared statements (DuckDB surface: PREPARE name
+  // AS …, EXECUTE name(args), DEALLOCATE [PREPARE] name — delegated
+  // via cpp:52). Per-session (keyed by SparkSession identity) like
+  // DuckDB's per-connection statements; EXECUTE substitutes $N /
+  // positional ? parameters textually outside string literals, which
+  // matches DuckDB's re-bind semantics for literal arguments.
+  private val PrepareRe =
+    """(?is)\A\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?);?\s*\z""".r
+  private val ExecuteStmtRe =
+    """(?is)\A\s*EXECUTE\s+([A-Za-z_]\w*)\s*(?:\(\s*(.*?)\s*\))?\s*;?\s*\z""".r
+  private val DeallocateRe =
+    """(?is)\A\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_]\w*)\s*;?\s*\z""".r
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+  private def prepKey(spark: SparkSession, name: String): (Int, String) =
+    (System.identityHashCode(spark), name.toLowerCase)
+
+  /** top-level comma split, quote- and paren-aware */
+  private def splitArgs(s: String): Seq[String] = {
+    if (s == null || s.trim.isEmpty) return Nil
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { c =>
+      if (inStr) { cur += c; if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true; cur += c
+        case '(' | '[' => depth += 1; cur += c
+        case ')' | ']' => depth -= 1; cur += c
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim)
+  }
+
+  /** replace $N / ? parameter markers outside string literals */
+  private def substParams(sql: String, args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0; var inStr = false; var pos = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb += c; if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; sb += c; i += 1
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1).isDigit =>
+          var j = i + 1
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+          val n = sql.substring(i + 1, j).toInt
+          require(n >= 1 && n <= args.length,
+            s"prepared parameter $$$n has no binding " +
+              s"(${args.length} argument(s) given)")
+          sb ++= s"(${args(n - 1)})"; i = j
+        case '?' =>
+          require(pos < args.length,
+            s"prepared statement expects more than ${args.length} argument(s)")
+          sb ++= s"(${args(pos)})"; pos += 1; i += 1
+        case other => sb += other; i += 1
+      }
+    }
+    sb.toString
+  }
   private val CreateMacroRe =
     // the param list matches lazily up to the first ")  AS" so default
     // values may themselves contain calls: m(a, b := least(1, 2)) AS …

@@ -1322,6 +1322,41 @@ class CompatSpec extends SparkSpecBase {
     q("DROP TABLE expl_t")
   }
 
+  test("double-quoted identifiers: spaces, reserved words, full DDL-to-query path") {
+    def q(sql: String) = Engine.query(spark, sql)
+    q("""CREATE TABLE dqi_t ("my col" INT, "select" INT)""")
+    q("INSERT INTO dqi_t VALUES (1, 2)")
+    val r = q("""SELECT "my col", "select" FROM dqi_t WHERE "my col" = 1""")
+      .collect().head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2)
+    assert(q("""SELECT 1 AS "a b"""").columns.toSeq == Seq("a b"))
+    // double quotes are NEVER string literals (pg/DuckDB rule)
+    val lit = q("""SELECT 'text''s' AS v""").collect().head
+    assert(lit.getString(0) == "text's")
+    q("DROP TABLE dqi_t")
+  }
+
+  test("SQL-level PREPARE / EXECUTE / DEALLOCATE") {
+    def q(sql: String) = Engine.query(spark, sql)
+    q("PREPARE cs_p1 AS SELECT $1::INT + $2::INT AS v, $1::INT AS w")
+    val r = q("EXECUTE cs_p1(40, 2)").collect().head
+    assert(r.getInt(0) == 42 && r.getInt(1) == 40)
+    q("PREPARE cs_p2 AS SELECT upper(?) AS v")
+    assert(q("EXECUTE cs_p2('ab')").collect().head.getString(0) == "AB")
+    // $N inside a string literal is data, not a parameter
+    q("PREPARE cs_p3 AS SELECT '$1' AS v, ? AS w")
+    val s = q("EXECUTE cs_p3(7)").collect().head
+    assert(s.getString(0) == "$1" && s.getInt(1) == 7)
+    q("DEALLOCATE cs_p1")
+    val e = intercept[IllegalArgumentException](q("EXECUTE cs_p1(1, 2)"))
+    assert(e.getMessage.contains("does not exist"))
+    // re-PREPARE replaces; per-session isolation matches DuckDB's
+    // per-connection statements
+    q("PREPARE cs_p2 AS SELECT lower(?) AS v")
+    assert(q("EXECUTE cs_p2('AB')").collect().head.getString(0) == "ab")
+    q("DEALLOCATE cs_p2"); q("DEALLOCATE PREPARE cs_p3")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
