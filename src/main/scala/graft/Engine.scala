@@ -71,6 +71,18 @@ object Engine {
         explainStmt(spark, analyzeOrNull != null ||
           Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
+      case TruncateRe(name) =>
+        // DuckDB's TRUNCATE omits TABLE and answers the removed-row
+        // count like any DML
+        val n = spark.table(name).count()
+        spark.sql(s"TRUNCATE TABLE $name")
+        dmlCount(spark, n)
+      case InsertDefaultsRe(name) =>
+        // one all-DEFAULT row (Spark resolves DEFAULT to the declared
+        // column default or NULL, same as DuckDB)
+        val width = spark.table(name).schema.size
+        query(spark,
+          s"INSERT INTO $name VALUES (${Seq.fill(width)("DEFAULT").mkString(", ")})")
       case PrepareRe(name, body) =>
         prepared.put(prepKey(spark, name), body)
         spark.emptyDataFrame
@@ -310,6 +322,10 @@ object Engine {
   // DuckDB's per-connection statements; EXECUTE substitutes $N /
   // positional ? parameters textually outside string literals, which
   // matches DuckDB's re-bind semantics for literal arguments.
+  private val TruncateRe =
+    """(?is)\A\s*TRUNCATE\s+(?!TABLE\b)([\w."]+)\s*;?\s*\z""".r
+  private val InsertDefaultsRe =
+    """(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s+DEFAULT\s+VALUES\s*;?\s*\z""".r
   private val PrepareRe =
     """(?is)\A\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?);?\s*\z""".r
   private val ExecuteStmtRe =

@@ -547,6 +547,15 @@ object DuckAliases {
         case "min" => ArrayMin(e.head)
         case "max" => ArrayMax(e.head)
         case "count" => listCount(e.head)
+        case "string_agg" | "group_concat" | "listagg" =>
+          // extra argument = separator (DuckDB default ','); NULL
+          // elements are skipped like the aggregate form
+          val sep = e.lift(2).getOrElse(Literal(","))
+          val vt = dvar("lat"); val vf = dvar("laf")
+          ArrayJoin(ArrayFilter(
+            ArrayTransform(e.head,
+              LambdaFunction(Cast(vt, StringType), Seq(vt))),
+            LambdaFunction(IsNotNull(vf), Seq(vf))), sep, None)
         case other => throw new IllegalArgumentException(
           s"list_aggregate: unsupported function '$other'")
       }

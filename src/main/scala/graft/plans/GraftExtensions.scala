@@ -383,8 +383,61 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * ParserInterface delegating to SparkSqlParser").
   */
 class GraftParser(delegate: ParserInterface) extends ParserInterface {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.{Distinct, SubqueryAlias, Union}
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    UnnestHoist(delegate.parsePlan(SqlRewrites.rewrite(sqlText)))
+    planByName(SqlRewrites.rewrite(sqlText))
+
+  /** name-based set union: Spark has no SQL spelling for
+    * `UNION [ALL] BY NAME`, so the statement is split at the BY NAME
+    * boundaries and assembled as a byName Union (missing columns
+    * NULL-pad, like DuckDB). FROM-position subqueries containing one
+    * are lifted out onto placeholder relations recursively; trailing
+    * ORDER BY/LIMIT of the LAST segment bind to the whole union.
+    */
+  private def planByName(sqlIn: String): LogicalPlan = {
+    val holders = scala.collection.mutable.Map.empty[String, LogicalPlan]
+    var cur = sqlIn
+    var idx = 0
+    var nested = SqlRewrites.findNestedByNameSpan(cur)
+    while (nested.isDefined && idx < 32) {
+      val (open, close) = nested.get
+      val name = s"__graft_ubn_$idx"; idx += 1
+      holders(name) = planByName(cur.substring(open + 1, close))
+      cur = cur.substring(0, open) + " " + name + " " + cur.substring(close + 1)
+      nested = SqlRewrites.findNestedByNameSpan(cur)
+    }
+    val top = SqlRewrites.splitUnionByName(cur) match {
+      case Some((segs, alls)) =>
+        val (lastSel, tail) = SqlRewrites.splitTailClauses(segs.last)
+        val plans = (segs.init :+ lastSel)
+          .map(s => UnnestHoist(delegate.parsePlan(s)))
+        var acc = plans.head
+        plans.tail.zip(alls).foreach { case (p, all) =>
+          val u = Union(Seq(acc, p), byName = true, allowMissingCol = true)
+          acc = if (all) u else Distinct(u)
+        }
+        tail match {
+          case Some(t) =>
+            delegate.parsePlan(s"SELECT * FROM __graft_ubn $t").transform {
+              case r: UnresolvedRelation
+                  if r.multipartIdentifier == Seq("__graft_ubn") =>
+                SubqueryAlias("__graft_ubn", acc)
+            }
+          case None => acc
+        }
+      case None => UnnestHoist(delegate.parsePlan(cur))
+    }
+    if (holders.isEmpty) top
+    else top.transform {
+      case r: UnresolvedRelation
+          if r.multipartIdentifier.length == 1 &&
+            holders.contains(r.multipartIdentifier.head) =>
+        SubqueryAlias(r.multipartIdentifier.head,
+          holders(r.multipartIdentifier.head))
+    }
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(SqlRewrites.rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =

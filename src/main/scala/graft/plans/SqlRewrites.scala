@@ -732,6 +732,115 @@ object SqlRewrites {
     sb.toString
   }
 
+  /** Top-level `UNION [ALL] BY NAME` boundaries — Spark's parser has
+    * no spelling for name-based set union, so [[GraftParser]] splits
+    * the statement here and assembles a byName Union plan. Returns
+    * (segments, per-boundary ALL flags); None when the statement has
+    * no top-level BY NAME union (nested ones stay loud parse errors).
+    */
+  private val unionByNameRe =
+    """(?i)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
+  def splitUnionByName(sql: String): Option[(Seq[String], Seq[Boolean])] = {
+    if (!sql.toLowerCase.contains("by name")) return None
+    val spans = quotedSpans(sql)
+    def depthAt(pos: Int): Int = {
+      var d = 0; var i = 0
+      while (i < pos) {
+        if (!spans.exists(sp => i >= sp._1 && i < sp._2)) {
+          val c = sql.charAt(i)
+          if (c == '(') d += 1 else if (c == ')') d -= 1
+        }
+        i += 1
+      }
+      d
+    }
+    val ms = unionByNameRe.findAllMatchIn(sql).toList.filter(m =>
+      !spans.exists(sp => m.start >= sp._1 && m.start < sp._2) &&
+        depthAt(m.start) == 0)
+    if (ms.isEmpty) None
+    else {
+      val bounds = ms.map(m => (m.start, m.end, m.group(1) != null))
+      val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+      var from = 0
+      bounds.foreach { case (s, e, _) =>
+        segs += sql.substring(from, s).trim; from = e
+      }
+      segs += sql.substring(from).trim
+      Some((segs.toSeq, bounds.map(_._3)))
+    }
+  }
+
+  /** the enclosing paren span of the first NESTED (depth>0) BY NAME
+    * union — lets [[GraftParser]] lift FROM-position subqueries like
+    * `FROM (A UNION BY NAME B) t` out recursively */
+  def findNestedByNameSpan(sql: String): Option[(Int, Int)] = {
+    if (!sql.toLowerCase.contains("by name")) return None
+    val spans = quotedSpans(sql)
+    def quoted(i: Int) = spans.exists(sp => i >= sp._1 && i < sp._2)
+    val m = unionByNameRe.findAllMatchIn(sql).find { m =>
+      if (quoted(m.start)) false
+      else {
+        var d = 0
+        (0 until m.start).foreach { i =>
+          if (!quoted(i)) {
+            if (sql.charAt(i) == '(') d += 1
+            else if (sql.charAt(i) == ')') d -= 1
+          }
+        }
+        d > 0
+      }
+    }
+    m.map { mm =>
+      // scan back to the '(' that opened the current depth, forward
+      // to its matching ')'
+      var d = 0; var open = -1; var i = mm.start - 1
+      while (i >= 0 && open < 0) {
+        if (!quoted(i)) {
+          if (sql.charAt(i) == ')') d += 1
+          else if (sql.charAt(i) == '(') {
+            if (d == 0) open = i else d -= 1
+          }
+        }
+        i -= 1
+      }
+      d = 0; var close = -1; i = open + 1
+      while (i < sql.length && close < 0) {
+        if (!quoted(i)) {
+          if (sql.charAt(i) == '(') d += 1
+          else if (sql.charAt(i) == ')') {
+            if (d == 0) close = i else d -= 1
+          }
+        }
+        i += 1
+      }
+      (open, close)
+    }
+  }
+
+  /** split a statement's trailing top-level ORDER BY/LIMIT/OFFSET off
+    * the select — for the LAST BY NAME segment those clauses bind to
+    * the whole union */
+  private val tailClauseRe = """(?i)\b(ORDER\s+BY|LIMIT|OFFSET)\b""".r
+  def splitTailClauses(sql: String): (String, Option[String]) = {
+    val spans = quotedSpans(sql)
+    var depth = 0
+    var i = 0
+    while (i < sql.length) {
+      if (!spans.exists(sp => i >= sp._1 && i < sp._2)) {
+        val c = sql.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0) {
+          val m = tailClauseRe.findPrefixMatchOf(sql.substring(i))
+          if (m.isDefined && (i == 0 || !sql.charAt(i - 1).isLetterOrDigit))
+            return (sql.substring(0, i).trim, Some(sql.substring(i).trim))
+        }
+      }
+      i += 1
+    }
+    (sql, None)
+  }
+
   private def quotedSpans(s: String): Array[(Int, Int)] = {
     val spans = Array.newBuilder[(Int, Int)]
     var i = 0; val n = s.length

@@ -1357,6 +1357,32 @@ class CompatSpec extends SparkSpecBase {
     q("DEALLOCATE cs_p2"); q("DEALLOCATE PREPARE cs_p3")
   }
 
+  test("UNION [ALL] BY NAME, TRUNCATE, INSERT DEFAULT VALUES, list_aggregate extras") {
+    def q(sql: String) = Engine.query(spark, sql)
+    // name-based union: reordered columns align, missing ones NULL-pad
+    val u = q("SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 9 AS a ORDER BY a")
+      .collect()
+    assert(u.map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1)))
+      .toSeq == Seq((1, 2), (9, null)))
+    assert(q("SELECT count(*) AS c FROM " +
+      "(SELECT 1 AS a, 2 AS b UNION ALL BY NAME SELECT 2 AS b, 1 AS a)")
+      .collect().head.getLong(0) == 2L)
+    // non-ALL dedups
+    assert(q("SELECT 1 AS a UNION BY NAME SELECT 1 AS a").count() == 1L)
+    q("CREATE TABLE cmp_tr (a INT)")
+    q("INSERT INTO cmp_tr VALUES (1), (2)")
+    assert(q("TRUNCATE cmp_tr").collect().head.getLong(0) == 2L)
+    assert(q("SELECT count(*) c FROM cmp_tr").collect().head.getLong(0) == 0L)
+    q("DROP TABLE cmp_tr")
+    q("CREATE TABLE cmp_dv (a INT, c VARCHAR DEFAULT 'dv')")
+    q("INSERT INTO cmp_dv DEFAULT VALUES")
+    val d = q("SELECT * FROM cmp_dv").collect().head
+    assert(d.isNullAt(0) && d.getString(1) == "dv")
+    q("DROP TABLE cmp_dv")
+    assert(q("SELECT list_aggregate(['a', NULL, 'b'], 'string_agg', '|') v")
+      .collect().head.getString(0) == "a|b")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
