@@ -230,6 +230,10 @@ object Engine {
       case _ if """(?is)\A\s*DELETE\s""".r.findFirstIn(sql).isDefined =>
         dmlCount(spark, server.Dml.delete(spark, sql))
       case _ =>
+        (if ("""(?is)\A\s*WITH\s+RECURSIVE\b""".r.findFirstIn(sql).isDefined)
+          recursiveUnionDistinct(spark, sql) else None) match {
+          case Some(df) => df
+          case None =>
         (if (sql.toLowerCase.contains("conflict") ||
             """(?is)^\s*INSERT\s+OR\s""".r.findFirstIn(sql).isDefined)
           server.Dml.insertOnConflict(spark, sql) else None) match {
@@ -240,6 +244,7 @@ object Engine {
               SqlRewrites.recordPrimaryKey(sql)
             val r = SqlRewrites.rewriteFull(Macros.expand(sql))
             r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+        }
         }
     }
   }
@@ -322,6 +327,69 @@ object Engine {
   // DuckDB's per-connection statements; EXECUTE substitutes $N /
   // positional ? parameters textually outside string literals, which
   // matches DuckDB's re-bind semantics for literal arguments.
+  // ---- WITH RECURSIVE … UNION (distinct) — Spark 4.1's native
+  // recursion only takes UNION ALL; DuckDB's UNION form dedups per
+  // round and terminates on cycles. Semi-naive fixpoint: each round
+  // runs the step over the previous frontier only, keeps rows not
+  // already accumulated (EXCEPT), and stops when a round adds none.
+  private val RecursiveUnionRe =
+    """(?is)\A\s*WITH\s+RECURSIVE\s+(\w+)\s*(?:\(([^)]*)\))?\s*AS\s*\(""".r
+
+  private def recursiveUnionDistinct(
+      spark: SparkSession, sql: String): Option[DataFrame] = {
+    val m = RecursiveUnionRe.findFirstMatchIn(sql).getOrElse(return None)
+    val name = m.group(1)
+    val cols = Option(m.group(2))
+    // match the AS(...) span
+    var depth = 1; var i = m.end
+    while (i < sql.length && depth > 0) {
+      val c = sql.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return None
+    val body = sql.substring(m.end, i - 1)
+    val outer = sql.substring(i).trim
+    if (!outer.toUpperCase.startsWith("SELECT")) return None
+    // split at the FIRST top-level UNION that is NOT `UNION ALL`
+    val unionRe = """(?i)\bUNION\b(\s+ALL\b)?""".r
+    var d = 0; var inS = false
+    val split = unionRe.findAllMatchIn(body).find { um =>
+      val pre = body.substring(0, um.start)
+      d = pre.count(_ == '(') - pre.count(_ == ')')
+      inS = pre.count(_ == '\'') % 2 == 1
+      d == 0 && !inS && um.group(1) == null
+    }.getOrElse(return None)
+    val init = body.substring(0, split.start)
+    val step = body.substring(split.end)
+    val acc0raw = query(spark, init).distinct()
+    val acc0 = (cols match {
+      case Some(cs) => acc0raw.toDF(cs.split(",").map(_.trim): _*)
+      case None => acc0raw
+    }).localCheckpoint(eager = true)
+    var acc = acc0
+    var frontier = acc0
+    var it = 0
+    while (!frontier.isEmpty && it < 1000) {
+      frontier.createOrReplaceTempView(name)
+      // each round's result re-takes the CTE's column names (the
+      // step's own output names — expression texts — must not leak
+      // into the next round's view)
+      val next = query(spark, step).toDF(acc.columns: _*)
+        .distinct().except(acc)
+        .localCheckpoint(eager = true)
+      if (!next.isEmpty)
+        acc = acc.union(next).localCheckpoint(eager = true)
+      frontier = next
+      it += 1
+    }
+    acc.createOrReplaceTempView(name)
+    // materialize the OUTER result before the temp view goes away
+    val res = query(spark, outer).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    Some(res)
+  }
+
   private val TruncateRe =
     """(?is)\A\s*TRUNCATE\s+(?!TABLE\b)([\w."]+)\s*;?\s*\z""".r
   private val InsertDefaultsRe =

@@ -24,7 +24,11 @@ object SqlRewrites {
     * inclusive bounds) → lateral explode of Spark's `sequence`.
     */
   private val genSeries =
-    """(?i)(from|join)\s+generate_series\s*\(([^()]*)\)(\s+(?:as\s+)?(\w+))?""".r
+    ("""(?i)(from|join)\s+generate_series\s*\(([^()]*)\)""" +
+      """(\s+(?:as\s+)?(\w+)(?:\s*\(\s*(\w+)\s*\))?)?""").r
+  /** CTE materialization hints — Spark picks its own strategy */
+  private val cteMaterialized =
+    """(?i)\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(""".r
 
   /** DuckDB 3-arg date functions with a QUOTED unit — the spelling
     * Spark's parser special-cases away from the registry.
@@ -1750,16 +1754,23 @@ object SqlRewrites {
         }
       }
     val s0 = if (has("interval")) rewriteMixedIntervals(s0lp) else s0lp
-    val s1 = if (!has("generate_series")) s0 else
-      genSeries.replaceAllIn(s0, m => {
+    val s0m = if (has("materialized"))
+      replaceOutsideQuotes(cteMaterialized, s0)(_ => "AS (") else s0
+    val s1 = if (!has("generate_series")) s0m else
+      genSeries.replaceAllIn(s0m, m => {
         val kw = m.group(1)
         val args = m.group(2)
-        val alias = Option(m.group(4)).getOrElse("generate_series")
+        // `t(x)`: table alias with a column list names the column x;
+        // a bare alias doubles as the column name (pragmatic — DuckDB
+        // resolves both spellings)
+        val col = Option(m.group(5))
+          .orElse(Option(m.group(4))).getOrElse("generate_series")
+        val tbl = if (m.group(5) != null) s" AS ${m.group(4)}" else ""
         // explode of the SCALAR generate_series (DuckSeries): Spark's
         // sequence() would direction-infer `generate_series(5, 1)`
         // into a countdown where DuckDB never counts down by default
         java.util.regex.Matcher.quoteReplacement(
-          s"$kw (SELECT explode(generate_series($args)) AS $alias)")
+          s"$kw (SELECT explode(generate_series($args)) AS $col)$tbl")
       })
     // information_schema (ORMs / SQL tools probe it; DuckDB serves it
     // natively) lowered onto the duckdb_* metadata TVFs with the

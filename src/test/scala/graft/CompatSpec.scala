@@ -1383,6 +1383,26 @@ class CompatSpec extends SparkSpecBase {
       .collect().head.getString(0) == "a|b")
   }
 
+  test("recursive UNION dedup-fixpoint, MATERIALIZED hints, series column aliases") {
+    def q(sql: String) = Engine.query(spark, sql)
+    // UNION (distinct) recursion terminates on cycles — Spark's
+    // native recursion only takes UNION ALL
+    assert(q("WITH RECURSIVE r(n) AS (SELECT 1 UNION " +
+      "SELECT (n % 3) + 1 FROM r) SELECT count(*) AS c FROM r")
+      .collect().head.getLong(0) == 3L)
+    assert(q("WITH RECURSIVE f(a, b) AS (SELECT 0, 1 UNION " +
+      "SELECT b, a + b FROM f WHERE b < 10) " +
+      "SELECT max(b) AS m FROM f").collect().head.getInt(0) == 13)
+    // materialization hints strip (Spark picks its own strategy)
+    assert(q("WITH m AS MATERIALIZED (SELECT 1 AS a) SELECT * FROM m")
+      .collect().head.getInt(0) == 1)
+    assert(q("WITH m AS NOT MATERIALIZED (SELECT 2 AS a) SELECT * FROM m")
+      .collect().head.getInt(0) == 2)
+    // t(x) column-alias on the series TVF
+    assert(q("SELECT x FROM generate_series(1, 5) t(x) WHERE x % 2 = 0")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
