@@ -21,31 +21,17 @@ import org.apache.spark.sql.types._
   * so this fires before CheckAnalysis. BOOLEAN stays un-coerced:
   * DuckDB's binder rejects least('true', TRUE).
   *
-  * Injected into the MAIN resolution batch (not post-hoc): an
-  * enclosing call — typeof(least('5', 10)) — can only resolve after
-  * the Least it wraps does, so the repair must land inside the
-  * fixpoint.
-  *
-  * Scoped through [[VarargCoerceMarker]], which only the registry
-  * aliases for `greatest`/`least` emit: the repo's OWN lowerings
-  * build catalyst `Greatest` directly as an index/size clamp feeding
-  * INT-typed consumers (array_repeat, element_at) — promoting those
-  * to BIGINT breaks them, and DuckDB semantics only attach to the
-  * user-spelled call anyway.
+  * A self-resolving RuntimeReplaceable (like TypeofExpr): the lazy
+  * replacement means enclosing calls — typeof(least('5', 10)) —
+  * resolve inside the normal fixpoint with NO extra analyzer rule.
+  * Emitted only by the registry aliases for `greatest`/`least`: the
+  * repo's OWN lowerings build catalyst `Greatest` directly as an
+  * index/size clamp feeding INT-typed consumers (array_repeat,
+  * element_at) — promoting those to BIGINT would break them, and
+  * DuckDB semantics only attach to the user-spelled call anyway.
   */
 case class VarargCoerceMarker(children: Seq[Expression], greatest: Boolean)
-    extends Expression
-    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
-  override def dataType: DataType = children.head.dataType
-  override def nullable: Boolean = true
-  // stays unresolved so CheckAnalysis is loud if the rule never runs
-  // (a session with the registry but without GraftExtensions)
-  override lazy val resolved: Boolean = false
-  override protected def withNewChildrenInternal(
-      cs: IndexedSeq[Expression]): VarargCoerceMarker = copy(children = cs)
-}
-
-object DuckVarargCoerceRule extends Rule[LogicalPlan] {
+    extends Expression with RuntimeReplaceable {
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -56,8 +42,8 @@ object DuckVarargCoerceRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** the DuckDB overload the argument types land on — None leaves the
-    * expression alone (Spark's own behavior/error stands in) */
+  /** the DuckDB overload the argument types land on — None leaves
+    * Spark's own behavior/error in place */
   private def target(ts: Seq[DataType]): Option[DataType] = {
     val nonStr = ts.filterNot(_ == StringType).distinct
     if (nonStr.isEmpty) None
@@ -68,23 +54,29 @@ object DuckVarargCoerceRule extends Rule[LogicalPlan] {
     else None
   }
 
-  private def coerce(cs: Seq[Expression]): Seq[Expression] = {
-    val ts = cs.map(_.dataType)
-    target(ts) match {
+  override lazy val replacement: Expression = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val ts = children.map(_.dataType)
+    val cs = target(ts) match {
       case Some(t) =>
-        cs.map(c =>
-          if (c.dataType == t) c
-          else Cast(c, t, Some(SQLConf.get.sessionLocalTimeZone)))
-      case None => cs // Spark's own coercion/error stands in
+        children.map(c => if (c.dataType == t) c else Cast(c, t, tz))
+      case None if ts.distinct.length <= 1 => children
+      case None =>
+        // a replacement must resolve AS BUILT: widen mixed non-overload
+        // types ourselves (no analyzer coercion runs inside), loud on
+        // genuinely incompatible arguments like DuckDB's binder
+        val wider =
+          (if (SQLConf.get.ansiEnabled) AnsiTypeCoercion
+           else TypeCoercion).findWiderCommonType(ts).getOrElse(
+            throw new IllegalArgumentException(
+              s"${if (greatest) "greatest" else "least"}: arguments have " +
+                s"incompatible types ${ts.map(_.sql).mkString(", ")}"))
+        children.map(c => if (c.dataType == wider) c else Cast(c, wider, tz))
     }
+    if (greatest) Greatest(cs) else Least(cs)
   }
-
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case m: VarargCoerceMarker if m.children.forall(_.resolved) =>
-        val cs = coerce(m.children)
-        if (m.greatest) Greatest(cs) else Least(cs)
-    }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): VarargCoerceMarker = copy(children = cs)
 }
 
 /** DuckDB resolves a set-operation column that mixes VARCHAR with a
@@ -202,25 +194,86 @@ object DuckSetOpVarcharRule extends Rule[LogicalPlan] {
   }
 }
 
-/** DuckDB binds a string argument of CASE/COALESCE to the NON-STRING
-  * side's own common type, not to a widened one (probed grid
-  * 2026-08-14: CASE 1 ELSE 'x' is INTEGER, 1::SMALLINT ELSE '9' is
-  * SMALLINT, 1.5::FLOAT ELSE '9' is FLOAT, 1 WHEN 2.5 ELSE 'x' is
-  * DECIMAL(11,1) — and a non-convertible string raises a
-  * ConversionError). Spark's ANSI coercion instead widens the mix to
-  * BIGINT/DOUBLE. This strips the analyzer's widen casts when the
-  * stripped types reproduce the observed common type (the same
-  * analyzer-cast hypothesis as [[DuckSetOpVarcharRule]]) and re-casts
-  * every value to the non-string sides' own widened type. Scoped to
-  * numeric targets — BOOLEAN/temporal string mixes keep Spark's
-  * resolution (documented edge).
+/** ceil/floor/trunc keep a FLOAT/DOUBLE input's own type in DuckDB
+  * (probed: typeof(ceil(2.5::FLOAT)) is FLOAT, floor(2.5::DOUBLE) is
+  * DOUBLE) where Spark's ceil/floor return BIGINT. Self-resolving
+  * RuntimeReplaceable emitted only by the registry aliases — the
+  * repo's internal Ceil/Floor uses feed INT-typed consumers and must
+  * keep Spark's types.
   */
-object DuckCaseStringBindRule extends Rule[LogicalPlan] {
+case class FloatingRoundMarker(children: Seq[Expression], op: String)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val tz = Some(SQLConf.get.sessionLocalTimeZone)
+    val x0 = children.head
+    def integral = x0.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    // an integral trunc is the identity AT ITS OWN TYPE; integral
+    // ceil/floor are DOUBLE (probed: typeof(ceil(3)) is DOUBLE,
+    // trunc(3::SMALLINT) is SMALLINT)
+    if (op == "trunc" && integral) x0
+    else {
+      val floating = x0.dataType == FloatType || x0.dataType == DoubleType
+      // a replacement must resolve AS BUILT — no analyzer coercion
+      // runs inside it, so every widen cast is spelled out here
+      val x = x0.dataType match {
+        case FloatType | StringType => Cast(x0, DoubleType, tz)
+        case _ if integral => Cast(x0, DoubleType, tz)
+        case _ => x0
+      }
+      val base: Expression = op match {
+        case "ceil" => Ceil(x)
+        case "floor" => Floor(x)
+        case _ => // trunc: toward zero; bare fractional->long cast
+          // would round under DuckNumericCastRule, so Floor/Ceil split
+          Cast(If(GreaterThanOrEqual(x, Cast(Literal(0), x.dataType, tz)),
+            Floor(x), Ceil(x)), LongType, tz)
+      }
+      if (floating) Cast(base, x0.dataType, tz)
+      else if (integral) Cast(base, DoubleType, tz) // ceil/floor only
+      else base
+    }
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): FloatingRoundMarker = copy(children = cs)
+}
+
+/** The fused expression-tail pass — ONE bottom-up traversal for the
+  * round-10 coercion semantics that previously each cost their own
+  * full-tree walk per analysis (pipeline operators analyze hundreds
+  * of growing plans, so per-analysis traversals are the hot path):
+  *
+  *  - CASE/COALESCE bind a string branch to the NON-STRING side's own
+  *    common type (probed: CASE 1 ELSE 'x' is INTEGER, 1::SMALLINT
+  *    ELSE '9' is SMALLINT, 1.5::FLOAT ELSE '9' is FLOAT, 1 WHEN 2.5
+  *    ELSE 'x' is DECIMAL(11,1); bad text raises a ConversionError).
+  *    Strips only analyzer casts (Cast.USER_SPECIFIED_CAST respected)
+  *    and only when Spark's own widening reproduces the observed
+  *    type.
+  *  - BOOLEAN vs integer comparisons cast the bool (2 = true is
+  *    FALSE); string vs BOOLEAN casts the string (true > '0'). Fires
+  *    only on comparisons Spark left unresolved.
+  *  - FLOAT-mixing arithmetic computes in FLOAT, not DOUBLE (probed:
+  *    typeof(1 + 1.5::FLOAT) is FLOAT); Divide narrows its RESULT
+  *    (Spark's Divide is double/decimal-only); user ::DOUBLE casts
+  *    and lambda-body operands are left alone.
+  *  - width-checked << / >> (DuckShift): DuckDB raises Out of Range
+  *    where Spark masks the shift mod the width.
+  *  - uncorrelated multi-row scalar subqueries pick one row via an
+  *    injected LIMIT 1 (DuckDB's non-error semantics, cheaper at any
+  *    scale).
+  */
+object DuckExprTailRule extends Rule[LogicalPlan] {
+
+  private def tz = Some(SQLConf.get.sessionLocalTimeZone)
 
   private def widerOf(ts: Seq[DataType]): Option[DataType] =
     if (SQLConf.get.ansiEnabled) AnsiTypeCoercion.findWiderCommonType(ts)
     else TypeCoercion.findWiderCommonType(ts)
 
+  // ---- CASE/COALESCE string binding
   private def rebind(vals: Seq[Expression]): Option[Seq[Expression]] = {
     if (vals.isEmpty || !vals.forall(_.resolved)) return None
     val wide = vals.head.dataType
@@ -242,85 +295,41 @@ object DuckCaseStringBindRule extends Rule[LogicalPlan] {
     if (t == wide) return None // already DuckDB's binding
     if (!widerOf(preTs).contains(wide)) return None // not the analyzer's cast
     Some(pres.map(p =>
-      if (p.dataType == t) p
-      else Cast(p, t, Some(SQLConf.get.sessionLocalTimeZone))))
+      if (p.dataType == t) p else Cast(p, t, tz)))
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case cw @ CaseWhen(branches, elseV) =>
-        rebind(branches.map(_._2) ++ elseV.toSeq) match {
-          case Some(fixed) =>
-            if (elseV.isDefined)
-              CaseWhen(branches.map(_._1).zip(fixed.init), Some(fixed.last))
-            else CaseWhen(branches.map(_._1).zip(fixed), None)
-          case None => cw
-        }
-      case co @ Coalesce(cs) =>
-        rebind(cs).map(Coalesce(_)).getOrElse(co)
-    }
-}
-
-/** DuckDB compares BOOLEAN against integers by casting the boolean to
-  * the integer side (probed: 2 = true is FALSE, 0 = false is TRUE),
-  * and strings against BOOLEAN by casting the string (true > '0' is
-  * TRUE). Spark rejects both mixes outright, so this only ever fires
-  * on comparisons Spark left unresolved — zero risk to queries that
-  * already work. Main-batch: an enclosing call must still resolve.
-  */
-object DuckBoolCompareRule extends Rule[LogicalPlan] {
-
+  // ---- bool/string comparison coercion
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
-  private def tz = Some(SQLConf.get.sessionLocalTimeZone)
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case cmp: BinaryComparison
-          if !cmp.resolved && cmp.left.resolved && cmp.right.resolved =>
-        (cmp.left.dataType, cmp.right.dataType) match {
-          case (BooleanType, r) if integral(r) =>
-            cmp.withNewChildren(Seq(Cast(cmp.left, r, tz), cmp.right))
-          case (l, BooleanType) if integral(l) =>
-            cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, l, tz)))
-          case (StringType, BooleanType) =>
-            cmp.withNewChildren(Seq(Cast(cmp.left, BooleanType, tz), cmp.right))
-          case (BooleanType, StringType) =>
-            cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
-          case _ => cmp
-        }
-    }
-}
-
-/** DuckDB computes arithmetic mixing FLOAT with integers/decimals IN
-  * FLOAT (probed: typeof(1 + 1.5::FLOAT) is FLOAT, 2::SMALLINT *
-  * 1.5::FLOAT is FLOAT, 7 / 2::FLOAT is FLOAT; only an actual DOUBLE
-  * operand widens to DOUBLE). ANSI Spark widens the same mix to
-  * DOUBLE. Strips the analyzer's float→double widen cast and
-  * re-coerces the other side to FLOAT. A user-written `::DOUBLE` cast
-  * carries Cast.USER_SPECIFIED_CAST and is never stripped — so
-  * `1.5::FLOAT + 1.5::DOUBLE` stays DOUBLE, matching DuckDB.
-  */
-object DuckFloatArithRule extends Rule[LogicalPlan] {
-
-  /** a Divide this rule already wrapped in a float cast — re-analysis
-    * of a derived plan must not wrap it again */
+  // ---- FLOAT-mixing arithmetic
   private val narrowed =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit](
       "graft.floatArithNarrowed")
-
-  private def eligible(dt: DataType): Boolean = dt match {
+  private def floatEligible(dt: DataType): Boolean = dt match {
     case FloatType | ByteType | ShortType | IntegerType | LongType |
         _: DecimalType => true
     case _ => false
   }
-
-  private def strip(e: Expression): Expression = e match {
+  private def stripDbl(e: Expression): Expression = e match {
     case c @ Cast(ch, DoubleType, _, _)
         if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => ch
     case other => other
+  }
+
+  // ---- DuckShift width: the analyzer's short/byte -> int promotion
+  // cast is looked through so 1::SMALLINT << 15 errors at width 16
+  private def widthOf(e: Expression): Int = e match {
+    case Cast(c, IntegerType, _, _) if c.dataType == ShortType => 16
+    case Cast(c, IntegerType, _, _) if c.dataType == ByteType => 8
+    case _ => e.dataType match {
+      case LongType => 64
+      case ShortType => 16
+      case ByteType => 8
+      case _ => 32
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -332,19 +341,48 @@ object DuckFloatArithRule extends Rule[LogicalPlan] {
         case If(cond, Literal(null, DoubleType),
             c @ Cast(_: Divide, FloatType, _, _)) =>
           If(cond, Literal(null, FloatType), c)
+        case cw @ CaseWhen(branches, elseV) =>
+          rebind(branches.map(_._2) ++ elseV.toSeq) match {
+            case Some(fixed) =>
+              if (elseV.isDefined)
+                CaseWhen(branches.map(_._1).zip(fixed.init),
+                  Some(fixed.last))
+              else CaseWhen(branches.map(_._1).zip(fixed), None)
+            case None => cw
+          }
+        case co @ Coalesce(cs) =>
+          rebind(cs).map(Coalesce(_)).getOrElse(co)
+        case cmp: BinaryComparison
+            if !cmp.resolved && cmp.left.resolved && cmp.right.resolved =>
+          (cmp.left.dataType, cmp.right.dataType) match {
+            case (BooleanType, r) if integral(r) =>
+              cmp.withNewChildren(Seq(Cast(cmp.left, r, tz), cmp.right))
+            case (l, BooleanType) if integral(l) =>
+              cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, l, tz)))
+            case (StringType, BooleanType) =>
+              cmp.withNewChildren(
+                Seq(Cast(cmp.left, BooleanType, tz), cmp.right))
+            case (BooleanType, StringType) =>
+              cmp.withNewChildren(
+                Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
+            case _ => cmp
+          }
+        case ShiftLeft(l, r) if l.resolved && r.resolved =>
+          DuckShift(l, r, leftShift = true, widthOf(l))
+        case ShiftRight(l, r) if l.resolved && r.resolved =>
+          DuckShift(l, r, leftShift = false, widthOf(l))
         case b: BinaryArithmetic if b.resolved && b.dataType == DoubleType =>
-          val (l, r) = (strip(b.left), strip(b.right))
+          val (l, r) = (stripDbl(b.left), stripDbl(b.right))
           val floatMix =
             (l.dataType == FloatType || r.dataType == FloatType) &&
-              eligible(l.dataType) && eligible(r.dataType) &&
+              floatEligible(l.dataType) && floatEligible(r.dataType) &&
               // something was actually stripped — a genuine double
-              // operand ((l eq b.left) && (r eq b.right)) stays DOUBLE
+              // operand stays DOUBLE
               !((l eq b.left) && (r eq b.right)) &&
               // never inside lambda bodies: the repo's own HOF
               // lowerings cast float elements to double deliberately
-              // (untagged, indistinguishable from analyzer widening),
-              // and retyping under an already-bound accumulator
-              // breaks evaluation
+              // (untagged), and retyping under an already-bound
+              // accumulator breaks evaluation
               !b.exists(_.isInstanceOf[NamedLambdaVariable])
           if (!floatMix || b.getTagValue(narrowed).isDefined) b
           else b match {
@@ -353,71 +391,16 @@ object DuckFloatArithRule extends Rule[LogicalPlan] {
               // compute in double, narrow the result (ulp-level skew
               // from DuckDB's float-native division at most)
               d.setTagValue(narrowed, ())
-              Cast(d, FloatType, Some(SQLConf.get.sessionLocalTimeZone))
+              Cast(d, FloatType, tz)
             case _ =>
               def f(e: Expression) =
-                if (e.dataType == FloatType) e
-                else Cast(e, FloatType, Some(SQLConf.get.sessionLocalTimeZone))
+                if (e.dataType == FloatType) e else Cast(e, FloatType, tz)
               b.withNewChildren(Seq(f(l), f(r)))
           }
+        case s: ScalarSubquery
+            if s.outerAttrs.isEmpty && s.plan.resolved &&
+              !s.plan.maxRows.exists(_ <= 1L) =>
+          s.copy(plan = Limit(Literal(1), s.plan))
       }
-    }
-}
-
-/** ceil/floor/trunc/round keep a FLOAT/DOUBLE input's own type in
-  * DuckDB (probed: typeof(ceil(2.5::FLOAT)) is FLOAT,
-  * floor(2.5::DOUBLE) is DOUBLE) where Spark's ceil/floor return
-  * BIGINT. Marker emitted only by the registry aliases — the repo's
-  * internal Ceil/Floor uses feed INT-typed consumers and must keep
-  * Spark's types.
-  */
-case class FloatingRoundMarker(children: Seq[Expression], op: String)
-    extends Expression
-    with org.apache.spark.sql.catalyst.expressions.Unevaluable {
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
-  override lazy val resolved: Boolean = false
-  override protected def withNewChildrenInternal(
-      cs: IndexedSeq[Expression]): FloatingRoundMarker = copy(children = cs)
-}
-
-object DuckFloatingRoundRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case m: FloatingRoundMarker if m.children.forall(_.resolved) =>
-        val x = m.children.head
-        val floating =
-          x.dataType == FloatType || x.dataType == DoubleType
-        val base: Expression = m.op match {
-          case "ceil" => Ceil(x)
-          case "floor" => Floor(x)
-          case _ => // trunc: toward zero; bare fractional→long cast
-            // would round under DuckNumericCastRule, so Floor/Ceil split
-            Cast(If(GreaterThanOrEqual(x, Literal(0)), Floor(x), Ceil(x)),
-              LongType, Some(SQLConf.get.sessionLocalTimeZone))
-        }
-        if (floating)
-          Cast(base, x.dataType, Some(SQLConf.get.sessionLocalTimeZone))
-        else base
-    }
-}
-
-/** DuckDB evaluates an uncorrelated scalar subquery that yields more
-  * than one row to an ARBITRARY single row — no error (probed:
-  * `SELECT (SELECT x FROM (VALUES (3),(1),(2)) t(x))` is 3). Spark
-  * raises SCALAR_SUBQUERY_TOO_MANY_ROWS at runtime. A LIMIT 1 inside
-  * the subquery reproduces DuckDB's pick-one semantics AND stops the
-  * subquery from materializing its full result — strictly cheaper at
-  * scale. Correlated subqueries are left alone: wrapping them risks
-  * breaking Spark's decorrelation for queries that work today, and
-  * their multi-row case stays a loud runtime error (documented).
-  */
-object DuckScalarSubqueryRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case s: ScalarSubquery
-          if s.outerAttrs.isEmpty && s.plan.resolved &&
-            !s.plan.maxRows.exists(_ <= 1L) =>
-        s.copy(plan = Limit(Literal(1), s.plan))
     }
 }

@@ -530,27 +530,3 @@ case class DuckShift(
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DuckShift = copy(left = l, right = r)
 }
-
-object DuckShiftRule extends Rule[LogicalPlan] {
-
-  /** the pre-promotion width: the analyzer casts short/byte operands
-    * to int before ShiftLeft/ShiftRight, so look through that cast */
-  private def widthOf(e: Expression): Int = e match {
-    case Cast(c, IntegerType, _, _) if c.dataType == ShortType => 16
-    case Cast(c, IntegerType, _, _) if c.dataType == ByteType => 8
-    case _ => e.dataType match {
-      case LongType => 64
-      case ShortType => 16
-      case ByteType => 8
-      case _ => 32
-    }
-  }
-
-  override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressionsWithSubqueries {
-      case ShiftLeft(l, r) if l.resolved && r.resolved =>
-        DuckShift(l, r, leftShift = true, widthOf(l))
-      case ShiftRight(l, r) if l.resolved && r.resolved =>
-        DuckShift(l, r, leftShift = false, widthOf(l))
-    }
-}

@@ -48,20 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => ZipUnnestsRule)
     // VARCHAR-mixing set-op columns resolve to VARCHAR (before the
     // cast-render rules below so the inserted casts pick up DuckDB
-    // renderings); greatest/least cast string args to the other side
-    // (main-batch: enclosing calls must still be able to resolve)
+    // renderings)
     ext.injectPostHocResolutionRule(_ => DuckSetOpVarcharRule)
-    ext.injectResolutionRule(_ => DuckVarargCoerceRule)
-    // CASE/COALESCE bind strings to the non-string side's own type
-    ext.injectPostHocResolutionRule(_ => DuckCaseStringBindRule)
-    // BOOLEAN vs integer / string vs BOOLEAN comparisons cast across
-    ext.injectResolutionRule(_ => DuckBoolCompareRule)
-    // FLOAT-mixing arithmetic computes in FLOAT, not DOUBLE
-    ext.injectPostHocResolutionRule(_ => DuckFloatArithRule)
-    // uncorrelated multi-row scalar subqueries pick one row (LIMIT 1)
-    ext.injectPostHocResolutionRule(_ => DuckScalarSubqueryRule)
-    // ceil/floor/trunc keep FLOAT/DOUBLE input types (marker-scoped)
-    ext.injectResolutionRule(_ => DuckFloatingRoundRule)
+    // CASE/COALESCE string binding, bool/int comparisons,
+    // FLOAT-mixing arithmetic, width-checked shifts, and one-row
+    // scalar subqueries — fused into a single traversal (each
+    // analysis of the heavy pipeline operators pays per-rule tree
+    // walks, so the expression tail ships as one pass); greatest/
+    // least and ceil/floor markers self-resolve (RuntimeReplaceable)
+    // and need no rule at all
+    ext.injectPostHocResolutionRule(_ => DuckExprTailRule)
     // DuckDB's `{'key': value}` rendering for struct→VARCHAR casts
     ext.injectPostHocResolutionRule(_ => StructCastRenderRule)
     // DATE-DATE day counts + round-half-away narrowing casts
@@ -84,9 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
     // interval dateparts + DATE + TIME combination
     ext.injectPostHocResolutionRule(_ => DuckTemporalPolyRule)
-    // width-checked << / >> (DuckDB errors on out-of-range left
-    // shifts; right shifts clamp to 0)
-    ext.injectPostHocResolutionRule(_ => DuckShiftRule)
     // quantified comparisons: x op ANY|ALL (list | subquery)
     ext.injectFunction((
       FunctionIdentifier("duck_q_cmp"),
