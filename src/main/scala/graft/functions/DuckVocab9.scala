@@ -86,6 +86,27 @@ object DuckVocab9 {
     alias("ceil")(e => FloatingRoundMarker(Seq(e.head), "ceil"))
     alias("ceiling")(e => FloatingRoundMarker(Seq(e.head), "ceil"))
     alias("floor")(e => FloatingRoundMarker(Seq(e.head), "floor"))
+    // UUID model: canonical lowercase-hyphenated VARCHAR. DuckDB
+    // accepts hyphenless and uppercase inputs and canonicalizes
+    // (probed: '550E...000'::UUID renders hyphenated lowercase);
+    // invalid text raises a ConversionError — RaiseError here.
+    alias("graft_uuid") { e =>
+      val lx = Lower(Cast(e.head, StringType))
+      val hyph = Literal(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+      def seg(from: Int, len: Int) =
+        Substring(lx, Literal(from), Literal(len))
+      CaseWhen(Seq(
+        (IsNull(e.head), Literal(null, StringType)),
+        (RLike(lx, hyph), lx),
+        (RLike(lx, Literal("^[0-9a-f]{32}$")),
+          Concat(Seq(seg(1, 8), Literal("-"), seg(9, 4), Literal("-"),
+            seg(13, 4), Literal("-"), seg(17, 4), Literal("-"),
+            seg(21, 12))))),
+        Cast(RaiseError(Concat(Seq(
+          Literal("Conversion Error: Could not convert string '"),
+          Cast(e.head, StringType), Literal("' to UUID")))), StringType))
+    }
     alias("round_even")(e => BRound(e(0), e(1)))
     alias("roundbankers")(e => BRound(e(0), e(1)))
     alias("gamma")(e => GraftCall("gamma", Seq(dbl(e.head)), DoubleType))

@@ -29,6 +29,18 @@ object SqlRewrites {
   /** CTE materialization hints — Spark picks its own strategy */
   private val cteMaterialized =
     """(?i)\bAS\s+(?:NOT\s+)?MATERIALIZED\s*\(""".r
+  /** the GLOB keyword operator ≡ `~~~` (whose rewrite already lowers
+    * to duck_glob); the file-listing TVF `FROM glob(...)` is guarded
+    * by the no-following-paren lookahead + from/join lookbehinds */
+  private val globKeyword =
+    """(?i)(?<!\bfrom\s)(?<!\bjoin\s)\bGLOB\b(?!\s*\()""".r
+  /** `x::UUID` / `CAST(x AS UUID)` — Spark has no UUID type; lowered
+    * onto graft_uuid (canonicalizing VARCHAR model, loud on invalid
+    * text like DuckDB's ConversionError; typeof divergence doc'd) */
+  private val uuidPostfixCast =
+    """(?i)('(?:[^']|'')*'|[\w."]+)\s*::\s*UUID\b""".r
+  private val uuidCastAsRe =
+    """(?i)\b(CAST|TRY_CAST)\s*\(\s*([^()]+?)\s+AS\s+UUID\s*\)""".r
 
   /** DuckDB 3-arg date functions with a QUOTED unit — the spelling
     * Spark's parser special-cases away from the registry.
@@ -1754,8 +1766,20 @@ object SqlRewrites {
         }
       }
     val s0 = if (has("interval")) rewriteMixedIntervals(s0lp) else s0lp
-    val s0m = if (has("materialized"))
+    val s0m0 = if (has("materialized"))
       replaceOutsideQuotes(cteMaterialized, s0)(_ => "AS (") else s0
+    val s0m1 = if (has("glob"))
+      replaceOutsideQuotes(globKeyword, s0m0)(_ => "~~~") else s0m0
+    // plain replaceAllIn (like the enum casts): the operand capture
+    // group itself STARTS at a string literal, which the
+    // outside-quotes guard would skip
+    val s0m = if (has("uuid")) {
+      val q = java.util.regex.Matcher.quoteReplacement _
+      val u1 = uuidCastAsRe.replaceAllIn(s0m1, m =>
+        q(s"graft_uuid(${m.group(2)})"))
+      uuidPostfixCast.replaceAllIn(u1, m =>
+        q(s"graft_uuid(${m.group(1)})"))
+    } else s0m1
     val s1 = if (!has("generate_series")) s0m else
       genSeries.replaceAllIn(s0m, m => {
         val kw = m.group(1)

@@ -555,6 +555,21 @@ class Vocab10Spec extends SparkSpecBase {
       .getBoolean(0))
   }
 
+  test("GLOB keyword operator and UUID casts (probed)") {
+    val r = one("SELECT 'abc.txt' GLOB '*.txt' a, 'abc' GLOB 'a?c' b, " +
+      "'abc' GLOB 'x*' c")
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2))
+    // UUID canonicalizes: hyphenless + uppercase accepted, rendered
+    // lowercase-hyphenated; equality is canonical; invalid is loud
+    val u = one("SELECT '550E8400E29B41D4A716446655440000'::UUID a, " +
+      "'550e8400-e29b-41d4-a716-446655440000'::UUID = " +
+      "'550E8400-E29B-41D4-A716-446655440000'::UUID b")
+    assert(u.getString(0) == "550e8400-e29b-41d4-a716-446655440000")
+    assert(u.getBoolean(1))
+    intercept[Exception](
+      Engine.query(spark, "SELECT 'xyz'::UUID AS v").collect())
+  }
+
   test("list_zip pads to the longest input with NULL (probed)") {
     val r = Engine.query(spark,
       "SELECT list_zip([1,2,3], ['a']) AS v").collect().head
