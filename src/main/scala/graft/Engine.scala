@@ -71,6 +71,7 @@ object Engine {
         explainStmt(spark, analyzeOrNull != null ||
           Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
+      case DescribeRe(target) => describeStmt(spark, target)
       case TruncateRe(name) =>
         // DuckDB's TRUNCATE omits TABLE and answers the removed-row
         // count like any DML
@@ -320,6 +321,29 @@ object Engine {
   }
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
+
+  /** DuckDB's DESCRIBE result shape — (column_name, column_type in
+    * DuckDB spelling, null='YES', key/default/extra NULL) — for both
+    * `DESCRIBE t` and `DESCRIBE SELECT …` (DESC alias included). */
+  private val DescribeRe =
+    "(?is)\\A\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(.+?);?\\s*\\z".r
+
+  private def describeStmt(spark: SparkSession, target: String): DataFrame = {
+    import spark.implicits._
+    val head = target.trim.takeWhile(!_.isWhitespace).toUpperCase
+    val schema =
+      if (Set("SELECT", "WITH", "VALUES", "FROM", "TABLE", "PIVOT",
+          "UNPIVOT").contains(head)) query(spark, target).schema
+      else spark.table(target.trim).schema
+    schema.fields.toSeq
+      // DuckDB's "null" column reflects DECLARED constraints — YES
+      // unless NOT NULL was declared, which parquet-backed tables do
+      // not track; a literal's Spark non-nullability must not leak
+      .map(f => (f.name, TypeofExpr.duckName(f.dataType), "YES",
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        null.asInstanceOf[String]))
+      .toDF("column_name", "column_type", "null", "key", "default", "extra")
+  }
 
   // ---- SQL-level prepared statements (DuckDB surface: PREPARE name
   // AS …, EXECUTE name(args), DEALLOCATE [PREPARE] name — delegated

@@ -1032,9 +1032,10 @@ case class MapExtractAsList(left: Expression, right: Expression)
   * BIGINT / DOUBLE / FLOAT / VARCHAR / BOOLEAN / DATE / TIMESTAMP /
   * DECIMAL(p,s) / T[] for lists / '"NULL"' for the untyped NULL.
   */
-case class TypeofExpr(child: Expression) extends RuntimeReplaceable
-    with UnaryLike[Expression] {
-  private def duckName(dt: org.apache.spark.sql.types.DataType): String = {
+object TypeofExpr {
+  /** DuckDB's spelling of a Spark type — shared by typeof() and the
+    * DESCRIBE statement shape */
+  def duckName(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType => "TINYINT"
@@ -1058,7 +1059,12 @@ case class TypeofExpr(child: Expression) extends RuntimeReplaceable
       case other => other.simpleString.toUpperCase
     }
   }
-  override lazy val replacement: Expression = Literal(duckName(child.dataType))
+}
+
+case class TypeofExpr(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression =
+    Literal(TypeofExpr.duckName(child.dataType))
   override protected def withNewChildInternal(c: Expression): TypeofExpr =
     copy(child = c)
 }

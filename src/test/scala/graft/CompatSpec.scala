@@ -1403,6 +1403,18 @@ class CompatSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
   }
 
+  test("DESCRIBE answers DuckDB's six-column shape with DuckDB type names") {
+    val r = Engine.query(spark, "DESCRIBE SELECT 1 AS a, 'x' AS b").collect()
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getString(2)))
+      .toSeq == Seq(("a", "INTEGER", "YES"), ("b", "VARCHAR", "YES")))
+    Engine.query(spark, "CREATE TABLE dsc_t (k BIGINT, v VARCHAR)")
+    val t = Engine.query(spark, "DESCRIBE dsc_t").collect()
+    assert(t.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("k", "BIGINT"), ("v", "VARCHAR")))
+    assert(Engine.query(spark, "DESC TABLE dsc_t").count() == 2)
+    Engine.query(spark, "DROP TABLE dsc_t")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
