@@ -224,6 +224,10 @@ object Engine {
           df.withColumn(col, expr)
         }
         spark.emptyDataFrame
+      case _ if """(?is)\A\s*(INSERT|UPDATE|DELETE)\b""".r
+          .findFirstIn(sql).isDefined &&
+          splitReturning(sql).isDefined =>
+        returningStmt(spark, sql)
       case _ if """(?is)\A\s*UPDATE\s""".r.findFirstIn(sql).isDefined =>
         // library-level DML: same copy-on-write path the wire uses;
         // DuckDB returns a Count column for DML statements
@@ -412,6 +416,119 @@ object Engine {
     val res = query(spark, outer).localCheckpoint(eager = true)
     spark.catalog.dropTempView(name)
     Some(res)
+  }
+
+  // ---- RETURNING (DuckDB surface on INSERT/UPDATE/DELETE): the
+  // clause is split off, the DML runs through the normal paths, and
+  // the returned rows are computed from a pre-DML snapshot — for
+  // DELETE the doomed rows, for UPDATE the matched rows with the SET
+  // expressions applied (DuckDB returns NEW values), for INSERT the
+  // once-evaluated source widened to the full row (declared column
+  // defaults fill the gaps).
+  private def splitReturning(sql: String): Option[(String, String)] = {
+    if (!sql.toLowerCase.contains("returning")) return None
+    val re = """(?i)\bRETURNING\b""".r
+    re.findAllMatchIn(sql).toSeq.lastOption.flatMap { m =>
+      val pre = sql.substring(0, m.start)
+      val depth = pre.count(_ == '(') - pre.count(_ == ')')
+      val inStr = pre.count(_ == '\'') % 2 == 1
+      if (depth != 0 || inStr) None
+      else Some((pre.trim,
+        sql.substring(m.end).trim.stripSuffix(";").trim))
+    }
+  }
+
+  private val RetDeleteRe =
+    """(?is)\A\s*DELETE\s+FROM\s+([\w."]+)(?:\s+WHERE\s+(.+?))?\s*\z""".r
+  private val RetUpdateRe =
+    """(?is)\A\s*UPDATE\s+([\w."]+)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*\z""".r
+  private val RetInsertRe =
+    ("""(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s*""" +
+      """(?:\(([^)]*)\)\s*)?(BY\s+NAME\s+)?(.+)\z""").r
+
+  private def returningStmt(spark: SparkSession, sql: String): DataFrame = {
+    val (body, ret) = splitReturning(sql).get
+    def predOf(w: String): String = Option(w)
+      .map(x => s"coalesce(CAST(($x) AS BOOLEAN), false)").getOrElse("true")
+    def serve(rows: DataFrame): DataFrame = {
+      rows.createOrReplaceTempView("__graft_ret")
+      val out = query(spark, s"SELECT $ret FROM __graft_ret")
+        .localCheckpoint(eager = true)
+      spark.catalog.dropTempView("__graft_ret")
+      out
+    }
+    body match {
+      case RetDeleteRe(t, w) =>
+        val doomed = spark.sql(s"SELECT * FROM $t WHERE ${predOf(w)}")
+          .localCheckpoint(eager = true)
+        query(spark, body)
+        serve(doomed)
+      case RetUpdateRe(t, setList, w)
+          if !server.Dml.hasTopLevelKeyword(body, "from") =>
+        val schema = spark.table(t).schema
+        val sets = server.Dml.splitAssignments(setList)
+        val proj = schema.fields.map { f =>
+          sets.get(f.name.toLowerCase) match {
+            case Some(e) =>
+              s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+            case None => s"`${f.name}`"
+          }
+        }.mkString(", ")
+        val updated = spark.sql(
+          s"SELECT $proj FROM $t WHERE ${predOf(w)}")
+          .localCheckpoint(eager = true)
+        query(spark, body)
+        serve(updated)
+      case RetInsertRe(t, colsOrNull, byNameOrNull, src)
+          if Set("SELECT", "VALUES", "WITH", "FROM", "TABLE", "(")
+            .contains(src.trim.takeWhile(c =>
+              !c.isWhitespace && c != '(').toUpperCase match {
+              case "" => "("
+              case h => h
+            }) =>
+        val schema = spark.table(t).schema
+        val srcDf = query(spark, src).localCheckpoint(eager = true)
+        srcDf.createOrReplaceTempView("__graft_ret_src")
+        val colsPart = Option(colsOrNull).map(c => s"($c) ").getOrElse("")
+        val byPart = Option(byNameOrNull).map(_ => "BY NAME ").getOrElse("")
+        query(spark,
+          s"INSERT INTO $t $colsPart$byPart SELECT * FROM __graft_ret_src")
+        // widen the evaluated source to the full target row
+        val provided: Seq[(String, String)] =
+          if (byNameOrNull != null) srcDf.columns.map(c => (c.toLowerCase, s"`$c`")).toSeq
+          else Option(colsOrNull) match {
+            case Some(cl) =>
+              cl.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+                .zip(srcDf.columns).map { case (tc, sc) =>
+                  (tc.toLowerCase, s"`$sc`")
+                }.toSeq
+            case None =>
+              schema.fieldNames.zip(srcDf.columns).map { case (tc, sc) =>
+                (tc.toLowerCase, s"`$sc`")
+              }.toSeq
+          }
+        val pmap = provided.toMap
+        val fullProj = schema.fields.map { f =>
+          pmap.get(f.name.toLowerCase) match {
+            case Some(srcCol) =>
+              s"CAST($srcCol AS ${f.dataType.sql}) AS `${f.name}`"
+            case None =>
+              val dflt =
+                if (f.metadata.contains("CURRENT_DEFAULT"))
+                  f.metadata.getString("CURRENT_DEFAULT")
+                else "NULL"
+              s"CAST(($dflt) AS ${f.dataType.sql}) AS `${f.name}`"
+          }
+        }.mkString(", ")
+        val rows = spark.sql(s"SELECT $fullProj FROM __graft_ret_src")
+          .localCheckpoint(eager = true)
+        spark.catalog.dropTempView("__graft_ret_src")
+        serve(rows)
+      case _ => throw new IllegalArgumentException(
+        "RETURNING is supported on DELETE [WHERE], UPDATE ... SET " +
+          "[WHERE] (no FROM), and INSERT INTO [cols|BY NAME] " +
+          "VALUES/SELECT — rewrite other DML shapes without RETURNING")
+    }
   }
 
   private val TruncateRe =

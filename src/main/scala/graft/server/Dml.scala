@@ -47,6 +47,15 @@ object Dml {
     * inside a subquery or string literal, so unsupported DML shapes
     * fail with a clear message instead of a downstream parse error.
     */
+  /** public seam for Engine's RETURNING handler */
+  def hasTopLevelKeyword(s: String, kw: String): Boolean = hasTopLevel(s, kw)
+  def splitAssignments(setList: String): Map[String, String] =
+    splitTopLevel(setList).map { a =>
+      val idx = a.indexOf('=')
+      require(idx > 0, s"bad SET assignment: $a")
+      (a.substring(0, idx).trim.toLowerCase, a.substring(idx + 1).trim)
+    }.toMap
+
   private def hasTopLevel(s: String, kw: String): Boolean = {
     val low = s.toLowerCase
     val k = kw.toLowerCase

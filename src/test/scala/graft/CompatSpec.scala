@@ -1415,6 +1415,28 @@ class CompatSpec extends SparkSpecBase {
     Engine.query(spark, "DROP TABLE dsc_t")
   }
 
+  test("RETURNING on INSERT/UPDATE/DELETE") {
+    def q(sql: String) = Engine.query(spark, sql)
+    q("CREATE TABLE ret_t (a INT, b VARCHAR, c VARCHAR DEFAULT 'dv')")
+    // INSERT returns the inserted rows, defaults filled
+    val ins = q("INSERT INTO ret_t (a, b) VALUES (1, 'x'), (2, 'y') RETURNING *")
+      .collect()
+    assert(ins.map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq == Seq((1, "x", "dv"), (2, "y", "dv")))
+    // UPDATE returns the NEW values of matched rows
+    val upd = q("UPDATE ret_t SET b = b || '!' WHERE a = 1 RETURNING a, b")
+      .collect()
+    assert(upd.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "x!")))
+    // DELETE returns the removed rows
+    val del = q("DELETE FROM ret_t WHERE a = 2 RETURNING b").collect()
+    assert(del.map(_.getString(0)).toSeq == Seq("y"))
+    assert(q("SELECT count(*) c FROM ret_t").collect().head.getLong(0) == 1L)
+    // 'RETURNING' inside a string literal is data
+    q("INSERT INTO ret_t (a, b) VALUES (9, ' RETURNING x ')")
+    assert(q("SELECT count(*) c FROM ret_t").collect().head.getLong(0) == 2L)
+    q("DROP TABLE ret_t")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
