@@ -612,7 +612,7 @@ object Engine {
     "(?is)\\A\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*;?\\s*\\z".r
   private val EnumValueRe = "'((?:[^']|'')*)'".r
   private val CreateSequenceRe =
-    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?SEQUENCE\\s+" +
+    ("(?is)\\A\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?SEQUENCE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w\"]+)((?:\\s+\\w+.*?)?)\\s*;?\\s*\\z").r
   private val SeqStartRe = "(?i)START\\s+(?:WITH\\s+)?(-?\\d+)".r
   private val SeqIncRe = "(?i)INCREMENT\\s+(?:BY\\s+)?(-?\\d+)".r

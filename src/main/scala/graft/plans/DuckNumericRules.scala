@@ -468,6 +468,26 @@ object DuckTemporalPolyRule extends Rule[LogicalPlan] {
           if l.resolved && r.resolved && isTime(l.dataType) &&
             r.dataType == DateType =>
         combine(r, l)
+      // TIME + INTERVAL wraps past midnight in DuckDB (probed:
+      // TIME '23:30:00' + 1 hour = 00:30:00) — Spark's
+      // TimeAddInterval raises DATETIME_OVERFLOW instead. Micros of
+      // day + total interval micros, wrapped mod 24 h (negative-safe
+      // double-remainder), rebuilt through make_time.
+      case ta: TimeAddInterval if ta.resolved =>
+        val legacy = NumericEvalContext(EvalMode.LEGACY,
+          allowDecimalPrecisionLoss = true)
+        def rem(l: Expression, r: Long) = Remainder(l, Literal(r), legacy)
+        val day = 86400000000L
+        val tUs = GraftCall("time_micros_of",
+          Seq(Cast(ta.time, StringType)), LongType)
+        val ivUs = GraftCall("interval_micros", Seq(ta.interval), LongType)
+        val w = rem(Add(rem(Add(tUs, ivUs), day), Literal(day)), day)
+        Cast(MakeTimeStr(
+          Cast(IntegralDivide(w, Literal(3600000000L), legacy), IntegerType),
+          Cast(IntegralDivide(rem(w, 3600000000L), Literal(60000000L),
+            legacy), IntegerType),
+          Divide(Cast(rem(w, 60000000L), DoubleType), Literal(1000000.0d),
+            legacy)), ta.dataType, Some("UTC"))
     }
 }
 
