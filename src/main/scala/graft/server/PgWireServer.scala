@@ -406,7 +406,14 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
     val head = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
     Set("SELECT", "WITH", "VALUES", "TABLE", "SHOW", "DESCRIBE", "DESC",
       "EXPLAIN", "FROM", "SUMMARIZE", "PRAGMA", "CALL", "PIVOT",
-      "UNPIVOT").contains(head)
+      "UNPIVOT", "EXECUTE").contains(head) ||
+      // DML with a top-level RETURNING ships a row set + the DML tag
+      (Set("INSERT", "UPDATE", "DELETE").contains(head) &&
+        """(?i)\bRETURNING\b""".r.findAllMatchIn(sql).exists { m =>
+          val pre = sql.substring(0, m.start)
+          pre.count(_ == '(') == pre.count(_ == ')') &&
+            pre.count(_ == '\'') % 2 == 0
+        })
   }
 
   private def commandTag(sql: String, rows: Long): String = {
@@ -511,10 +518,17 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
           case Some(n) => w.cstr(s"COPY $n").send('C')
           case None => // COPY FROM STDIN: completion deferred to CopyDone
         }
-      case "UPDATE" =>
+      case "UPDATE" if !returnsRows(sql) =>
         w.cstr(s"UPDATE ${Dml.update(session, sql)}").send('C')
-      case "DELETE" =>
+      case "DELETE" if !returnsRows(sql) =>
         w.cstr(s"DELETE ${Dml.delete(session, sql)}").send('C')
+      case "UPDATE" | "DELETE" =>
+        // DML with RETURNING: Engine.query splits the clause, runs the
+        // DML, and answers the returned rows
+        val df = Engine.query(session, sql)
+        if (describeFirst) rowDescription(df)
+        val n = streamRows(df)
+        w.cstr(commandTag(sql, n)).send('C')
       case _ =>
         PgCatalogShim.intercept(session, sql) match {
           case Some(listing) =>

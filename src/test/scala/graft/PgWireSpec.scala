@@ -178,6 +178,29 @@ class PgWireSpec extends SparkSpecBase {
     c.close()
   }
 
+  test("DML RETURNING ships a row set plus the pg command tag") {
+    val (_, port) = server
+    val c = new Client(port)
+    c.startup()
+    c.query("DROP TABLE IF EXISTS wret")
+    c.query("CREATE TABLE wret(a int) USING parquet")
+    val (cols1, rows1, tag1, e1) =
+      c.query("INSERT INTO wret VALUES (1), (2) RETURNING a * 10 AS v")
+    assert(e1.isEmpty, e1)
+    assert(cols1 == Seq("v"))
+    assert(rows1.map(_.head.get).sorted == Seq("10", "20"))
+    assert(tag1.head == "INSERT 0 2")
+    val (_, rows2, tag2, e2) =
+      c.query("UPDATE wret SET a = a + 1 WHERE a = 1 RETURNING a")
+    assert(e2.isEmpty, e2)
+    assert(rows2 == Seq(Seq(Some("2"))) && tag2.head == "UPDATE 1")
+    val (_, rows3, tag3, e3) = c.query("DELETE FROM wret RETURNING *")
+    assert(e3.isEmpty, e3)
+    assert(rows3.length == 2 && tag3.head == "DELETE 2")
+    c.query("DROP TABLE wret")
+    c.close()
+  }
+
   test("INSERT ON CONFLICT upsert (DuckDB-probed session replay)") {
     val (_, port) = server
     val c = new Client(port)
