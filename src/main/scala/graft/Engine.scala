@@ -72,6 +72,15 @@ object Engine {
           Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
       case DescribeRe(target) => describeStmt(spark, target)
+      // library-level COPY (file forms; STDIN stays wire-only) —
+      // DuckDB answers the row count like any DML
+      case server.CopyOps.copyToRe(src, path, opts)
+          if """(?is)\A\s*COPY\b""".r.findFirstIn(sql).isDefined =>
+        dmlCount(spark, server.CopyOps.copyTo(spark, src, path, opts))
+      case server.CopyOps.copyFromFileRe(table, path, opts)
+          if """(?is)\A\s*COPY\b""".r.findFirstIn(sql).isDefined &&
+            !path.equalsIgnoreCase("stdin") =>
+        dmlCount(spark, server.CopyOps.copyFromFile(spark, table, path, opts))
       case TruncateRe(name) =>
         // DuckDB's TRUNCATE omits TABLE and answers the removed-row
         // count like any DML

@@ -640,45 +640,9 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
       w.send('c') // CopyDone
       Some(n)
     case copyToRe(src, path, optsOrNull) =>
-      val df =
-        if (src.startsWith("("))
-          Engine.query(session, src.stripPrefix("(").stripSuffix(")"))
-        else session.table(src)
-      val opts = Option(optsOrNull).getOrElse("").toUpperCase
-      val fmt =
-        if (opts.contains("PARQUET")) "parquet"
-        else if (opts.contains("JSON")) "json"
-        else "csv"
-      val n = df.count()
-      df.write.mode("overwrite")
-        .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
-        .option("sep", if (fmt == "csv")
-          copyDelim(optsOrNull).getOrElse(",") else ",")
-        .format(fmt).save(path)
-      Some(n)
+      Some(CopyOps.copyTo(session, src, path, optsOrNull))
     case copyFromFileRe(table, path, optsRaw) =>
-      val opts = Option(optsRaw).getOrElse("").toUpperCase
-      val schema = session.table(table).schema
-      val fmt =
-        if (opts.contains("PARQUET")) "parquet"
-        else if (opts.contains("JSON")) "json"
-        else "csv"
-      val df = fmt match {
-        case "parquet" =>
-          // positional cast to the target schema (pg COPY semantics)
-          val raw = session.read.parquet(path)
-          require(raw.schema.length == schema.length,
-            s"COPY FROM: ${raw.schema.length} cols in file, ${schema.length} in $table")
-          raw.select(raw.columns.zip(schema.fields).map { case (c, f) =>
-            org.apache.spark.sql.functions.col(c).cast(f.dataType).as(f.name)
-          }.toIndexedSeq: _*)
-        case "json" => session.read.schema(schema).json(path)
-        case "csv" => session.read.schema(schema)
-          .option("header", opts.contains("HEADER").toString)
-          .option("sep", copyDelim(optsRaw).getOrElse(","))
-          .csv(path)
-      }
-      Some(loadInto(table, df))
+      Some(CopyOps.copyFromFile(session, table, path, optsRaw))
     case copyFromStdinRe(table, optsRaw) =>
       val opts = Option(optsRaw).getOrElse("").toUpperCase
       val schema = session.table(table).schema // validates table exists

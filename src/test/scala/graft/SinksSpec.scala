@@ -100,4 +100,29 @@ class SinksSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), Option(r.getString(3)))).toSeq
     assert(got == Seq((1L, Some("b")), (2L, Some("c")), (3L, None)))
   }
+
+  test("library COPY TO with PARTITION_BY and COMPRESSION; COPY round-trip") {
+    def q(sql: String) = Engine.query(spark, sql)
+    val dir = java.nio.file.Files.createTempDirectory("graft-copy").toString
+    q("CREATE TABLE cps (k INT, grp VARCHAR)")
+    q("INSERT INTO cps VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    // hive-partitioned zstd parquet — the 100 TB export shape
+    val n = q(s"COPY cps TO '$dir/part' (FORMAT PARQUET, " +
+      "PARTITION_BY (grp), COMPRESSION 'zstd')").collect().head.getLong(0)
+    assert(n == 3L)
+    val dirs = new java.io.File(s"$dir/part").listFiles()
+      .map(_.getName).filter(_.startsWith("grp=")).sorted
+    assert(dirs.toSeq == Seq("grp=a", "grp=b"))
+    // partition values survive the read-back (hive discovery)
+    assert(q(s"SELECT count(*) c FROM read_parquet('$dir/part/*/*.parquet')")
+      .collect().head.getLong(0) == 3L)
+    // CSV export + COPY FROM back into a table
+    q(s"COPY (SELECT k, grp FROM cps) TO '$dir/csv' (FORMAT CSV, HEADER)")
+    q("CREATE TABLE cps2 (k INT, grp VARCHAR)")
+    val m = q(s"COPY cps2 FROM '$dir/csv/*.csv' (FORMAT CSV, HEADER)")
+      .collect().head.getLong(0)
+    assert(m == 3L)
+    assert(q("SELECT sum(k) s FROM cps2").collect().head.getLong(0) == 6L)
+    q("DROP TABLE cps"); q("DROP TABLE cps2")
+  }
 }
