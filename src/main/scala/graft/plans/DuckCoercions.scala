@@ -404,3 +404,55 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
       }
     }
 }
+
+/** pg/DuckDB whole-row references: a bare table (or alias) name in
+  * the select list is the row as a STRUCT — `SELECT t FROM t` yields
+  * {'a': …, 'b': …} (probed; pg-ism widely used with to_json). Fires
+  * only for names that did NOT resolve as columns (column names win)
+  * and that name a relation visible below the Project, reached
+  * through join/filter/sort shapes only — subquery boundaries keep
+  * their own scopes.
+  */
+object WholeRowRefRule extends Rule[LogicalPlan] {
+
+  private def rels(p: LogicalPlan): Map[String, Seq[Attribute]] = p match {
+    case sa: SubqueryAlias =>
+      Map(sa.identifier.name.toLowerCase -> sa.output)
+    case j: Join => rels(j.left) ++ rels(j.right)
+    case f: Filter => rels(f.child)
+    case s: Sort => rels(s.child)
+    case _ => Map.empty
+  }
+
+  private def bare(e: Expression): Option[String] = e match {
+    case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if ua.nameParts.length == 1 => Some(ua.nameParts.head)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case p: Project
+          if p.child.resolved && !p.resolved &&
+            p.projectList.exists(i => i.exists(e => bare(e).isDefined)) =>
+        val m = rels(p.child)
+        if (m.isEmpty) p
+        else {
+          def isRel(n: String) =
+            m.contains(n.toLowerCase) &&
+              !p.child.output.exists(_.name.equalsIgnoreCase(n))
+          def structOf(n: String): Expression =
+            CreateNamedStruct(m(n.toLowerCase).flatMap(a =>
+              Seq(Literal(a.name), a)))
+          val items = p.projectList.map {
+            case item if bare(item).exists(isRel) =>
+              val n = bare(item).get
+              Alias(structOf(n), n)()
+            case item => item.transformUp {
+              case e if bare(e).exists(isRel) => structOf(bare(e).get)
+            }.asInstanceOf[NamedExpression]
+          }
+          p.copy(projectList = items)
+        }
+    }
+}

@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[QuantPredMarker].getName, "duck_q_cmp"),
       (exprs: Seq[Expression]) => QuantPredMarker.fromArgs(exprs)))
     ext.injectResolutionRule(_ => QuantPredRewriteRule)
+    // pg/DuckDB whole-row references: SELECT t FROM t is the row as a
+    // struct (names that failed column resolution only)
+    ext.injectResolutionRule(_ => WholeRowRefRule)
 
     // SCALAR range/generate_series (list-returning, DuckSeries
     // semantics) — injected here as well as in Functions.registerAll
