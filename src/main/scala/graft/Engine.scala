@@ -93,6 +93,15 @@ object Engine {
         val width = spark.table(name).schema.size
         query(spark,
           s"INSERT INTO $name VALUES (${Seq.fill(width)("DEFAULT").mkString(", ")})")
+      case SetVariableRe(name, valueExpr) =>
+        val row = query(spark, s"SELECT ($valueExpr) AS v")
+        val v = row.collect().head.get(0)
+        sessionVars.put(prepKey(spark, name),
+          (v, row.schema.head.dataType))
+        spark.emptyDataFrame
+      case ResetVariableRe(name) =>
+        sessionVars.remove(prepKey(spark, name))
+        spark.emptyDataFrame
       case PrepareRe(name, body) =>
         prepared.put(prepKey(spark, name), body)
         spark.emptyDataFrame
@@ -544,6 +553,28 @@ object Engine {
     """(?is)\A\s*TRUNCATE\s+(?!TABLE\b)([\w."]+)\s*;?\s*\z""".r
   private val InsertDefaultsRe =
     """(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s+DEFAULT\s+VALUES\s*;?\s*\z""".r
+  // ---- SET VARIABLE / getvariable (DuckDB v1.1 surface, the version
+  // the reference bundles): per-session scalar variables; the value
+  // expression is evaluated ONCE at SET time; getvariable of an unset
+  // name is NULL
+  private val SetVariableRe =
+    """(?is)\A\s*SET\s+VARIABLE\s+(\w+)\s*=\s*(.+?);?\s*\z""".r
+  private val ResetVariableRe =
+    """(?is)\A\s*RESET\s+VARIABLE\s+(\w+)\s*;?\s*\z""".r
+  private val sessionVars =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      (Any, org.apache.spark.sql.types.DataType)]()
+
+  /** resolution-time lookup for the getvariable registry alias */
+  def variableLiteral(spark: SparkSession, name: String)
+      : org.apache.spark.sql.catalyst.expressions.Literal =
+    Option(sessionVars.get(prepKey(spark, name))) match {
+      case Some((v, dt)) =>
+        org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt)
+      case None => org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.NullType)
+    }
+
   private val PrepareRe =
     """(?is)\A\s*PREPARE\s+([A-Za-z_]\w*)\s+AS\s+(.+?);?\s*\z""".r
   private val ExecuteStmtRe =

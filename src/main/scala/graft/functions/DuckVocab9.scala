@@ -107,6 +107,16 @@ object DuckVocab9 {
           Literal("Conversion Error: Could not convert string '"),
           Cast(e.head, StringType), Literal("' to UUID")))), StringType))
     }
+    // DuckDB v1.1 session variables (the reference's bundled version)
+    alias("getvariable") { e =>
+      val name = e.head match {
+        case Literal(s, _) if s != null => String.valueOf(s)
+        case other => throw new IllegalArgumentException(
+          s"getvariable: name must be a literal, got $other")
+      }
+      Engine.variableLiteral(
+        org.apache.spark.sql.SparkSession.active, name)
+    }
     alias("round_even")(e => BRound(e(0), e(1)))
     alias("roundbankers")(e => BRound(e(0), e(1)))
     alias("gamma")(e => GraftCall("gamma", Seq(dbl(e.head)), DoubleType))

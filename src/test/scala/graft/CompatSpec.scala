@@ -1437,6 +1437,23 @@ class CompatSpec extends SparkSpecBase {
     q("DROP TABLE ret_t")
   }
 
+  test("SET VARIABLE / getvariable / RESET VARIABLE (DuckDB v1.1 surface)") {
+    def q(sql: String) = Engine.query(spark, sql)
+    q("SET VARIABLE cs_v = 40 + 2")
+    assert(q("SELECT getvariable('cs_v') AS v").collect().head.getInt(0) == 42)
+    q("SET VARIABLE cs_s = 'hello'")
+    assert(q("SELECT getvariable('cs_s') || '!' AS v")
+      .collect().head.getString(0) == "hello!")
+    // re-SET replaces; the value expression evaluated ONCE at SET time
+    q("SET VARIABLE cs_v = 7")
+    assert(q("SELECT getvariable('cs_v') * 2 AS v")
+      .collect().head.getInt(0) == 14)
+    q("RESET VARIABLE cs_v")
+    assert(q("SELECT getvariable('cs_v') IS NULL AS v")
+      .collect().head.getBoolean(0))
+    q("RESET VARIABLE cs_s")
+  }
+
   test("macro parameter name colliding with a qualified column") {
     spark.sql(
       "CREATE OR REPLACE TEMP VIEW mq_t AS SELECT * FROM VALUES (1),(2),(3) AS t(doc_id)")
