@@ -63,15 +63,30 @@ object Engine {
     * call, thread-local like DuckDB's per-connection statement. */
   val currentQuery = new ThreadLocal[String]()
 
-  def query(spark: SparkSession, sql: String): DataFrame = {
-    currentQuery.set(sql)
+  def query(spark: SparkSession, sqlIn: String): DataFrame = {
+    currentQuery.set(sqlIn)
     Functions.registerAll(spark)
+    val sql = hoistPivotSubqueries(spark, sqlIn)
     sql match {
       case ExplainRe(optsOrNull, analyzeOrNull, inner) =>
         explainStmt(spark, analyzeOrNull != null ||
           Option(optsOrNull).exists(_.toLowerCase.contains("analyze")), inner)
       case SummarizeRe(target) => summarize(spark, target)
+      case CommentOnRe(kind, name, value) =>
+        val k = kind.toLowerCase.replaceAll("\\s+", " ")
+        if (k == "database") throw new UnsupportedOperationException(
+          "Not implemented Error: Adding comments to databases is not implemented")
+        Comments.set(k.split(' ').head, name,
+          if (value.equalsIgnoreCase("NULL")) None
+          else Some(value.stripPrefix("'").stripSuffix("'")
+            .replace("''", "'")))
+        spark.emptyDataFrame
+      case ShowTablesRe() => showTables(spark)
+      case ShowAllTablesRe() => showAllTables(spark)
+      case ShowDatabasesRe() =>
+        query(spark, "SELECT * FROM duckdb_databases()")
       case DescribeRe(target) => describeStmt(spark, target)
+      case ShowTargetRe(target) => describeStmt(spark, target)
       // library-level COPY (file forms; STDIN stays wire-only) —
       // DuckDB answers the row count like any DML
       case server.CopyOps.copyToRe(src, path, opts)
@@ -201,6 +216,7 @@ object Engine {
         unpivotStmt(spark, target, onCols, nameCol, valueCol)
       case DropTableNameRe(name) =>
         graft.TableConstraints.clear(name) // stale PK records die here
+        graft.Comments.clear(name) // and stale COMMENT ON records
         spark.sql(sql)
       // DuckDB column DDL Spark's v1 tables reject — rebuilt
       // copy-on-write like the DML paths (snapshot, drop, re-save)
@@ -344,11 +360,96 @@ object Engine {
 
   private val SummarizeRe = "(?is)\\A\\s*SUMMARIZE\\s+(.+?);?\\s*\\z".r
 
+  /** DuckDB's PIVOT/UNPIVOT statements compose as FROM-position
+    * subqueries — `SELECT … FROM (UNPIVOT t ON …) u` (delegated
+    * surface via cpp:52). Spark's parser has no statement-in-FROM
+    * form, so each parenthesized `(PIVOT …)`/`(UNPIVOT …)` group is
+    * evaluated through query() (dynamic column discovery included)
+    * and registered as a temp view whose name replaces the group.
+    * Quote-aware paren matching; nested groups resolve through the
+    * recursive query() call. */
+  private val pivotSubCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def hoistPivotSubqueries(
+      spark: SparkSession, sql: String): String = {
+    if (!"(?is)\\(\\s*(UN)?PIVOT\\b".r.findFirstIn(sql).isDefined) return sql
+    val n = sql.length
+    var i = 0; var inStr = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '(') {
+        val after = sql.substring(i + 1).dropWhile(_.isWhitespace)
+        val kw = after.takeWhile(_.isLetter).toUpperCase
+        if (kw == "PIVOT" || kw == "UNPIVOT") {
+          // match the closing paren, quote-aware
+          var depth = 1; var j = i + 1; var s2 = false
+          while (j < n && depth > 0) {
+            val cj = sql.charAt(j)
+            if (s2) { if (cj == '\'') s2 = false }
+            else if (cj == '\'') s2 = true
+            else if (cj == '(') depth += 1
+            else if (cj == ')') depth -= 1
+            j += 1
+          }
+          require(depth == 0, s"unbalanced parentheses around $kw subquery")
+          val inner = sql.substring(i + 1, j - 1)
+          val name = s"graft_pivot_sub_${pivotSubCounter.incrementAndGet()}"
+          query(spark, inner).createOrReplaceTempView(name)
+          return hoistPivotSubqueries(spark,
+            sql.substring(0, i) + name + sql.substring(j))
+        } else i += 1
+      } else i += 1
+    }
+    sql
+  }
+
   /** DuckDB's DESCRIBE result shape — (column_name, column_type in
     * DuckDB spelling, null='YES', key/default/extra NULL) — for both
     * `DESCRIBE t` and `DESCRIBE SELECT …` (DESC alias included). */
   private val DescribeRe =
     "(?is)\\A\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?(.+?);?\\s*\\z".r
+
+  // ---- COMMENT ON / SHOW statements (DuckDB surface, probed
+  // 2026-08-15; delegated via cpp:52). DATABASE comments are "not
+  // implemented" in DuckDB itself — reproduced loudly in query().
+  private val CommentOnRe =
+    ("(?is)\\A\\s*COMMENT\\s+ON\\s+" +
+      "(TABLE|VIEW|COLUMN|SEQUENCE|INDEX|MACRO\\s+TABLE|MACRO|TYPE|DATABASE)" +
+      "\\s+([\\w.\"]+)\\s+IS\\s+(NULL|'(?:[^']|'')*')\\s*;?\\s*\\z").r
+  private val ShowTablesRe = "(?is)\\A\\s*SHOW\\s+TABLES\\s*;?\\s*\\z".r
+  private val ShowAllTablesRe =
+    "(?is)\\A\\s*SHOW\\s+ALL\\s+TABLES\\s*;?\\s*\\z".r
+  private val ShowDatabasesRe =
+    "(?is)\\A\\s*SHOW\\s+DATABASES\\s*;?\\s*\\z".r
+  // every other SHOW target describes like DESCRIBE (DuckDB: `SHOW t`
+  // is a table describe; `SHOW search_path` is a Catalog Error — the
+  // same "table not found" our describe raises; pg session variables
+  // are answered at the wire seam before reaching here)
+  private val ShowTargetRe = "(?is)\\A\\s*SHOW\\s+(.+?);?\\s*\\z".r
+
+  /** DuckDB's `SHOW TABLES`: one `name` column, tables AND views of
+    * the current schema, sorted. */
+  private def showTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().map(_.name).distinct.sorted
+      .toSeq.toDF("name")
+  }
+
+  /** DuckDB's `SHOW ALL TABLES`: (database, schema, name,
+    * column_names LIST, column_types LIST in DuckDB spellings,
+    * temporary), sorted by name. */
+  private def showAllTables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq.sortBy(_.name).map { t =>
+      val fields = scala.util.Try(spark.table(t.name).schema.fields)
+        .getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+      ("memory", "main", t.name, fields.map(_.name).toSeq,
+        fields.map(f => TypeofExpr.duckName(f.dataType)).toSeq,
+        t.tableType == "TEMPORARY")
+    }.toDF("database", "schema", "name", "column_names", "column_types",
+      "temporary")
+  }
 
   private def describeStmt(spark: SparkSession, target: String): DataFrame = {
     import spark.implicits._
@@ -725,23 +826,39 @@ object Engine {
   }
 
   /** DuckDB's dynamic `UNPIVOT <t> ON c1, c2 … INTO NAME n VALUE v`
-    * statement → Spark's native unpivot (melt). DuckDB coerces the
-    * stacked values to a common type; Spark requires one, so numeric
-    * mixtures are cast to double up front (string mixtures pass
-    * through).
+    * statement → Spark's native unpivot (melt). Both engines coerce
+    * the stacked values to their least common type (probed: INT+BIGINT
+    * → BIGINT, FLOAT+INT → FLOAT, DECIMAL(5,2)+INT → DECIMAL(12,2) —
+    * Spark's unpivot coercion lands on the same types) and both reject
+    * uncastable mixtures (INT+VARCHAR is a binder error in DuckDB and
+    * an UNPIVOT_VALUE_DATA_TYPE_MISMATCH here — rejection parity).
     */
   def unpivotStmt(spark: SparkSession, tgt: String, onCols: String,
       nameCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types._
     val base = target(spark, tgt)
     val vals = SqlRewrites.splitTop(onCols).map(_.trim)
-    val fieldType = base.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    val allNumeric = vals.forall(v =>
-      fieldType.get(v.toLowerCase).exists(_.isInstanceOf[NumericType]))
-    val prepared = if (allNumeric)
-      vals.foldLeft(base)((df, v) => df.withColumn(v, col(v).cast("double")))
-    else base
+    // two probed MaxLogicalType corners where Spark's own coercion
+    // lands elsewhere: FLOAT beats ints/decimals in DuckDB (only
+    // DOUBLE beats FLOAT — Spark widens FLOAT+INT to DOUBLE), and
+    // BOOLEAN casts across to the numeric side (Spark refuses the
+    // mix). Pre-cast those; everything else coincides.
+    val onTypes = base.schema.fields
+      .filter(f => vals.exists(_.equalsIgnoreCase(f.name)))
+      .map(_.dataType).toSeq
+    def numericish(dt: DataType) =
+      dt.isInstanceOf[NumericType] || dt == BooleanType
+    val prepared =
+      if (onTypes.contains(FloatType) && !onTypes.contains(DoubleType) &&
+          onTypes.forall(numericish))
+        vals.foldLeft(base)((df, v) => df.withColumn(v, col(v).cast("float")))
+      else if (onTypes.contains(BooleanType) && onTypes.forall(numericish))
+        base.schema.fields.filter(f => f.dataType == BooleanType &&
+            vals.exists(_.equalsIgnoreCase(f.name)))
+          .foldLeft(base)((df, f) =>
+            df.withColumn(f.name, col(f.name).cast("int")))
+      else base
     val ids = prepared.columns.toSeq
       .filterNot(c => vals.exists(_.equalsIgnoreCase(c)))
     prepared.unpivot(ids.map(col).toArray, vals.map(col).toArray,
@@ -754,8 +871,10 @@ object Engine {
     "(?is)\\A\\s*ATTACH\\s+(?:DATABASE\\s+)?'([^']*)'(?:\\s+AS\\s+(\\w+))?(?:\\s*\\([^)]*\\))?\\s*;?\\s*\\z".r
   private val DetachRe =
     "(?is)\\A\\s*DETACH\\s+(?:DATABASE\\s+)?(\\w+)\\s*;?\\s*\\z".r
+  // `\s*` before the body: `CREATE OR REPLACE TABLE t(a INT)` is valid
+  // DuckDB with no space between the name and the column list
   private val CreateOrReplaceRe =
-    "(?is)\\A\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+([\\w.]+)\\s+(.+?);?\\s*\\z".r
+    "(?is)\\A\\s*CREATE\\s+OR\\s+REPLACE\\s+TABLE\\s+([\\w.]+)\\s*(.+?);?\\s*\\z".r
 
   /** DuckDB `PRAGMA name` / `PRAGMA name('arg')` / `CALL pragma_name(...)`
     * (delegated surface — psql and the DuckDB shell both issue these;

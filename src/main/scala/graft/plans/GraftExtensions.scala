@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pg/DuckDB whole-row references: SELECT t FROM t is the row as a
     // struct (names that failed column resolution only)
     ext.injectResolutionRule(_ => WholeRowRefRule)
+    ext.injectResolutionRule(_ => WhereAliasRule)
 
     // SCALAR range/generate_series (list-returning, DuckSeries
     // semantics) — injected here as well as in Functions.registerAll
@@ -297,10 +298,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       import sp.implicits._
       sp.catalog.listTables().collect().toSeq
         .map(t => (Option(t.database).getOrElse("memory"), "main", t.name,
+          graft.Comments.get("table", t.name).orNull,
           t.tableType == "TEMPORARY", safeFields(sp, t.name).length))
         .sortBy(_._3)
-        .toDF("database_name", "schema_name", "table_name", "temporary",
-          "column_count")
+        .toDF("database_name", "schema_name", "table_name", "comment",
+          "temporary", "column_count")
     }
     injectMeta("duckdb_columns") { sp =>
       import sp.implicits._
@@ -308,11 +310,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .flatMap { t =>
           safeFields(sp, t.name).zipWithIndex.map { case (f, i) =>
             (Option(t.database).getOrElse("memory"), "main", t.name,
-              f.name, i, f.dataType.sql)
+              f.name, i,
+              graft.Comments.get("column", s"${t.name}.${f.name}").orNull,
+              f.dataType.sql)
           }
         }
         .toDF("database_name", "schema_name", "table_name", "column_name",
-          "column_index", "data_type")
+          "column_index", "comment", "data_type")
     }
     injectMeta("duckdb_settings") { sp =>
       import sp.implicits._

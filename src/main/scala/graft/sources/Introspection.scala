@@ -228,9 +228,10 @@ object Introspection {
       .filter(t => t.tableType == "VIEW" || t.tableType == "TEMPORARY")
       .sortBy(_.name)
       .map(t => (Option(t.database).getOrElse("memory"), "main", t.name,
+        graft.Comments.get("view", t.name).orNull,
         t.isTemporary, safeFields(sp, t.name).length, null: String))
-      .toDF("database_name", "schema_name", "view_name", "temporary",
-        "column_count", "sql")
+      .toDF("database_name", "schema_name", "view_name", "comment",
+        "temporary", "column_count", "sql")
   }
 
   def schemasDf(sp: SparkSession): DataFrame = {
@@ -332,9 +333,10 @@ object Introspection {
     import sp.implicits._
     Sequences.list()
       .map { case (name, next, inc) =>
-        ("memory", "main", name, 1L, inc, next)
+        ("memory", "main", name,
+          graft.Comments.get("sequence", name).orNull, 1L, inc, next)
       }
-      .toDF("database_name", "schema_name", "sequence_name",
+      .toDF("database_name", "schema_name", "sequence_name", "comment",
         "start_value", "increment_by", "last_value")
   }
 
