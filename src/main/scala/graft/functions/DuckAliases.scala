@@ -32,6 +32,7 @@ object DuckAliases {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     alias("len")(e => LenPoly(e.head))
+    alias("reverse")(e => ReversePoly(e.head))
     alias("list_distinct")(e => ArrayDistinct(e.head))
     // SELECT-position unnest (row-exploding projection; FROM-position
     // is the injected TVF) — full DuckDB surface incl. unnest(struct)
@@ -973,6 +974,23 @@ case class LenPoly(child: Expression) extends RuntimeReplaceable
     copy(child = newChild)
 }
 
+/** DuckDB's `reverse`, polymorphic like [[LenPoly]]: strings reverse
+  * by extended grapheme cluster (reverse('ab́c') is 'cb́a' — the
+  * combining mark stays attached), arrays keep Spark's element
+  * reverse. Spark's StringReverse flips UTF-16 code units, which
+  * tears combining sequences and surrogate-joined emoji apart.
+  */
+case class ReversePoly(child: Expression) extends RuntimeReplaceable
+    with UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: ArrayType => Reverse(child)
+    case StringType => GraftCall("reverse_grapheme", Seq(child), StringType)
+    case _ => Reverse(child) // Spark's own type error for the rest
+  }
+  override protected def withNewChildInternal(nc: Expression): ReversePoly =
+    copy(child = nc)
+}
+
 /** DuckDB's `bit_count`, polymorphic like [[LenPoly]]: on a BIT-string
   * ('0'/'1' chars — graft's model of the BIT type, which Spark lacks)
   * it counts set bits by character; on integral inputs it defers to
@@ -1050,6 +1068,11 @@ object TypeofExpr {
       case BinaryType => "BLOB"
       case DateType => "DATE"
       case _: TimestampType => "TIMESTAMP"
+      // DuckDB has ONE interval type (months, days, micros triple);
+      // all three Spark spellings present as INTERVAL (probed:
+      // typeof(ts - ts) is INTERVAL)
+      case _: YearMonthIntervalType | _: DayTimeIntervalType |
+          CalendarIntervalType => "INTERVAL"
       case NullType => "\"NULL\""
       case ArrayType(et, _) => s"${duckName(et)}[]"
       case MapType(kt, vt, _) => s"MAP(${duckName(kt)}, ${duckName(vt)})"

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+/** DuckDB interval semantics over Spark's three interval spellings.
+  *
+  * DuckDB has ONE interval type — a (months, days, micros) triple
+  * (delegated surface via src/duckdb_pgwire_extension.cpp:52) — while
+  * Spark splits year-month (Int months) from day-time (Long micros)
+  * and refuses to mix them. This file provides:
+  *  - the exact DuckDB/pg text rendering (probed grid 2026-08-15:
+  *    '1 year 2 months', '-3 days', '01:30:15.5', '1 day -01:00:00',
+  *    all-zero → '00:00:00'); hours are NOT capped at 24 and the
+  *    fraction trims trailing zeros,
+  *  - [[DuckIntervalString]]: `interval::VARCHAR` in that rendering,
+  *  - [[MixedIntervalExpr]]: `INTERVAL '1 month' ± INTERVAL '3 days'`
+  *    as a CalendarInterval (DuckDB keeps days distinct from the time
+  *    part, so a DAY-led Spark interval contributes whole days),
+  *  - [[DuckIntervalCastRule]]: the post-hoc rewrite wiring both in,
+  *    plus timestamp ± mixed-interval via Spark's own TimeAdd.
+  */
+object DuckIntervals {
+
+  private final val MicrosPerSecond = 1000000L
+  private final val MicrosPerDay = 86400L * MicrosPerSecond
+
+  /** DuckDB text for a (months, days, micros) triple. */
+  def text(months: Int, days: Int, micros: Long): String = {
+    val parts = Vector.newBuilder[String]
+    if (months != 0) {
+      val y = months / 12; val m = months % 12
+      if (y != 0) parts += s"$y year" + (if (math.abs(y) != 1) "s" else "")
+      if (m != 0) parts += s"$m month" + (if (math.abs(m) != 1) "s" else "")
+    }
+    if (days != 0)
+      parts += s"$days day" + (if (math.abs(days) != 1) "s" else "")
+    if (micros != 0 || (months == 0 && days == 0)) {
+      val sign = if (micros < 0) "-" else ""
+      val abs = math.abs(micros)
+      val h = abs / 3600000000L
+      val min = (abs / 60000000L) % 60
+      val s = (abs / MicrosPerSecond) % 60
+      val frac = abs % MicrosPerSecond
+      val fracTxt =
+        if (frac == 0) ""
+        else "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+      parts += f"$sign$h%02d:$min%02d:$s%02d$fracTxt"
+    }
+    parts.result().mkString(" ")
+  }
+
+  /** (months, days, micros) from any Spark interval runtime value.
+    * `daysLed` — the static type led with DAY (Spark normalizes the
+    * whole value to micros; DuckDB keeps user-spoken days distinct,
+    * so a DAY-led interval recovers its whole days). */
+  def triple(v: Any, daysLed: Boolean): (Int, Int, Long) = v match {
+    case m: java.lang.Integer => (m.intValue(), 0, 0L)
+    case us: java.lang.Long =>
+      if (daysLed) ((0, (us / MicrosPerDay).toInt, us % MicrosPerDay))
+      else (0, 0, us.longValue())
+    case ci: CalendarInterval => (ci.months, ci.days, ci.microseconds)
+    case other => throw new IllegalArgumentException(
+      s"not an interval value: $other")
+  }
+
+  private[graft] def isDaysLed(dt: DataType): Boolean = dt match {
+    case d: DayTimeIntervalType => d.startField == DayTimeIntervalType.DAY
+    case _ => false
+  }
+
+  private[graft] def isInterval(dt: DataType): Boolean = dt match {
+    case _: YearMonthIntervalType | _: DayTimeIntervalType |
+        CalendarIntervalType => true
+    case _ => false
+  }
+
+  /** a YM/DT (or CalendarInterval) pair Spark's own arithmetic
+    * refuses — both sides intervals but not the same family */
+  private[graft] def isIntervalMix(l: Expression, r: Expression): Boolean =
+    l.resolved && r.resolved &&
+      isInterval(l.dataType) && isInterval(r.dataType) &&
+      !((l.dataType.isInstanceOf[YearMonthIntervalType] &&
+          r.dataType.isInstanceOf[YearMonthIntervalType]) ||
+        (l.dataType.isInstanceOf[DayTimeIntervalType] &&
+          r.dataType.isInstanceOf[DayTimeIntervalType]))
+}
+
+/** `interval::VARCHAR` in DuckDB's text rendering. */
+case class DuckIntervalString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "duck_interval_text"
+  private lazy val daysLed = DuckIntervals.isDaysLed(child.dataType)
+  override protected def nullSafeEval(v: Any): Any = {
+    val (m, d, us) = DuckIntervals.triple(v, daysLed)
+    UTF8String.fromString(DuckIntervals.text(m, d, us))
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : DuckIntervalString = copy(child = c)
+}
+
+/** Year-month ± day-time interval (or any mix Spark refuses) as one
+  * CalendarInterval — DuckDB's single-interval-type arithmetic. */
+case class MixedIntervalExpr(left: Expression, right: Expression,
+    negRight: Boolean) extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = CalendarIntervalType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = if (negRight) "interval_sub"
+    else "interval_add"
+  private lazy val leftDaysLed = DuckIntervals.isDaysLed(left.dataType)
+  private lazy val rightDaysLed = DuckIntervals.isDaysLed(right.dataType)
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val (lm, ld, lus) = DuckIntervals.triple(l, leftDaysLed)
+    val (rm0, rd0, rus0) = DuckIntervals.triple(r, rightDaysLed)
+    val s = if (negRight) -1 else 1
+    new CalendarInterval(lm + s * rm0, ld + s * rd0, lus + s * rus0)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): MixedIntervalExpr =
+    copy(left = l, right = r)
+}
+
+/** Post-hoc wiring: interval→VARCHAR casts render DuckDB text; mixed
+  * YM±DT arithmetic Spark refuses becomes [[MixedIntervalExpr]];
+  * timestamp/date ± a mixed CalendarInterval routes through Spark's
+  * own TimeAdd (the analyzer's ResolveBinaryArithmetic has already
+  * run and won't get another chance).
+  */
+object DuckIntervalCastRule extends Rule[LogicalPlan] {
+  import DuckIntervals.{isInterval, isIntervalMix}
+
+  /** The unresolved-only fixes, shared with [[DuckResolveFixRule]]
+    * (which runs them inside the analyzer's fixpoint so downstream
+    * resolution — ORDER BY through the Project, alias naming,
+    * timezone assignment — still happens via Spark's own rules). */
+  val unresolvedFixes: PartialFunction[Expression, Expression] = {
+    // the analyzer's ResolveBinaryArithmetic sees `YM ± DT` and
+    // guesses "datetime + YM interval", emitting an unresolvable
+    // TimestampAddYMInterval whose "timestamp" is the other
+    // interval (UnaryMinus-wrapped for subtraction) — reclaim it
+    case t @ TimestampAddYMInterval(l, r, _)
+        if !t.resolved && isIntervalMix(l, r) => mix(l, r)
+    case d @ DateAddYMInterval(l, r)
+        if !d.resolved && isIntervalMix(l, r) => mix(l, r)
+    case t @ TimestampAddInterval(l, r, _)
+        if !t.resolved && isIntervalMix(l, r) => mix(l, r)
+    case a @ Add(l, r, _) if !a.resolved && isIntervalMix(l, r) =>
+      mix(l, r)
+    case s @ Subtract(l, r, _) if !s.resolved && isIntervalMix(l, r) =>
+      MixedIntervalExpr(l, r, negRight = true)
+    // the coercion cast the analyzer wrapped around the guessed
+    // node (e.g. `cast(… as interval month)`) would truncate the
+    // reclaimed triple — drop it (the reclaimed node may sit
+    // inside a DatetimeSub RuntimeReplaceable, so match on the
+    // child's now-CalendarInterval type, not the node class;
+    // user-spelled casts keep Spark's own cast error)
+    case c @ Cast(ch, _: YearMonthIntervalType | _: DayTimeIntervalType,
+        _, _)
+        if ch.resolved && ch.dataType == CalendarIntervalType &&
+          c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty &&
+          ch.exists(_.isInstanceOf[MixedIntervalExpr]) => ch
+    case a @ Add(l, r, _)
+        if !a.resolved && l.resolved && r.resolved &&
+          isDatetime(l.dataType) && r.dataType == CalendarIntervalType =>
+      datetimeAdd(l, r)
+    case a @ Add(l, r, _)
+        if !a.resolved && l.resolved && r.resolved &&
+          isDatetime(r.dataType) && l.dataType == CalendarIntervalType =>
+      datetimeAdd(r, l)
+    case s @ Subtract(l, r, _)
+        if !s.resolved && l.resolved && r.resolved &&
+          isDatetime(l.dataType) && r.dataType == CalendarIntervalType =>
+      datetimeAdd(l, UnaryMinus(r))
+    case t @ TimestampAddYMInterval(l, r, _)
+        if !t.resolved && l.resolved && r.resolved &&
+          isDatetime(l.dataType) && r.dataType == CalendarIntervalType =>
+      datetimeAdd(l, r)
+    // a reclaimed CalendarInterval under an analyzer-built
+    // TimestampAddInterval: the node itself accepts it but stayed
+    // unresolved because ResolveTimeZone ran before the reclaim —
+    // supply the session zone
+    case t @ TimestampAddInterval(l, r, None)
+        if !t.resolved && l.resolved && r.resolved &&
+          isDatetime(l.dataType) &&
+          DuckIntervals.isInterval(r.dataType) =>
+      TimestampAddInterval(l, r, Some(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries { case q =>
+      q.transformExpressionsUp(unresolvedFixes.orElse {
+        case c: Cast if c.dataType == StringType && c.child.resolved &&
+            isInterval(c.child.dataType) =>
+          DuckIntervalString(c.child)
+      })
+    }
+
+  /** UnaryMinus folded into the sign (MixedIntervalExpr negates
+    * whole triples exactly; double negation cancels) */
+  private def mix(l: Expression, r: Expression): Expression = (l, r) match {
+    case (_, UnaryMinus(inner, _)) if DuckIntervals.isInterval(inner.dataType) =>
+      MixedIntervalExpr(l, inner, negRight = true)
+    case _ => MixedIntervalExpr(l, r, negRight = false)
+  }
+
+  private def isDatetime(dt: DataType): Boolean = dt match {
+    case DateType | TimestampNTZType | _: TimestampType => true
+    case _ => false
+  }
+
+  // Spark 4's spelling of datetime + CalendarInterval (the analyzer's
+  // ResolveBinaryArithmetic emits exactly these)
+  private def datetimeAdd(dt: Expression, iv: Expression): Expression =
+    dt.dataType match {
+      // DuckDB: DATE + INTERVAL is a TIMESTAMP (probed)
+      case DateType => TimestampAddInterval(
+        Cast(dt, TimestampType, Some(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+        iv, Some(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+      case _ => TimestampAddInterval(dt, iv, Some(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    }
+}

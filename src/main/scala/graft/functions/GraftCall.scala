@@ -1,6 +1,5 @@
 package graft
 
-import java.text.BreakIterator
 
 import scala.collection.mutable
 
@@ -16,7 +15,7 @@ import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
 /** Eval-dispatched scalar vocabulary for DuckDB long-tail functions
   * whose semantics need JVM library calls (Jackson JSON traversal,
-  * BreakIterator graphemes, Lanczos gamma) rather than a Catalyst
+  * \\X-regex graphemes, Lanczos gamma) rather than a Catalyst
   * expression composition. The reference delegates all of these to
   * DuckDB core (src/duckdb_pgwire_extension.cpp:52). CodegenFallback
   * is deliberate: these are interactive-vocabulary calls, not
@@ -62,8 +61,13 @@ object GraftCall {
       val max = a(2).asInstanceOf[Double]
       val width = if (a.length > 3) a(3).asInstanceOf[Double] else 80.0
       utf8(bar(v, min, max, width))
-    // ---- graphemes (extended grapheme clusters via BreakIterator) ----
+    // ---- graphemes (extended grapheme clusters via \\X regex) ----
     case "length_grapheme" => graphemes(s(a(0))).length
+    case "reverse_grapheme" =>
+      // DuckDB's reverse walks extended grapheme clusters (probed:
+      // reverse('ab́c') is 'cb́a', the combining mark stays on b);
+      // Spark's StringReverse flips UTF-16 code units
+      utf8(graphemes(s(a(0))).reverse.mkString)
     case "left_grapheme" =>
       val g = graphemes(s(a(0))); val n = a(1).asInstanceOf[Long].toInt
       utf8(clampTake(g, n).mkString)
@@ -398,14 +402,14 @@ object GraftCall {
     lt.toNanoOfDay / 1000L
   }
 
+  // java.util.regex \X follows UAX #29 extended grapheme clusters
+  // (incl. GB11 emoji ZWJ sequences: '👨‍👩' is ONE cluster, matching
+  // DuckDB's utf8proc); java.text.BreakIterator splits at ZWJ.
+  private val graphemeRe = java.util.regex.Pattern.compile("\\X")
   private def graphemes(str: String): Vector[String] = {
-    val bi = BreakIterator.getCharacterInstance
-    bi.setText(str)
+    val m = graphemeRe.matcher(str)
     val out = Vector.newBuilder[String]
-    var start = bi.first(); var end = bi.next()
-    while (end != BreakIterator.DONE) {
-      out += str.substring(start, end); start = end; end = bi.next()
-    }
+    while (m.find()) out += m.group()
     out.result()
   }
   private def clampTake(g: Vector[String], n: Int): Vector[String] =

@@ -334,7 +334,8 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries {
-      case q => q.transformExpressionsUp {
+      case q0 =>
+        q0.transformExpressionsUp {
         // DuckDivZeroRule's guard shape: once the divide below was
         // narrowed to FLOAT (bottom-up, the case underneath), the
         // guard's NULL branch must follow it
@@ -352,21 +353,6 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
           }
         case co @ Coalesce(cs) =>
           rebind(cs).map(Coalesce(_)).getOrElse(co)
-        case cmp: BinaryComparison
-            if !cmp.resolved && cmp.left.resolved && cmp.right.resolved =>
-          (cmp.left.dataType, cmp.right.dataType) match {
-            case (BooleanType, r) if integral(r) =>
-              cmp.withNewChildren(Seq(Cast(cmp.left, r, tz), cmp.right))
-            case (l, BooleanType) if integral(l) =>
-              cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, l, tz)))
-            case (StringType, BooleanType) =>
-              cmp.withNewChildren(
-                Seq(Cast(cmp.left, BooleanType, tz), cmp.right))
-            case (BooleanType, StringType) =>
-              cmp.withNewChildren(
-                Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
-            case _ => cmp
-          }
         case ShiftLeft(l, r) if l.resolved && r.resolved =>
           DuckShift(l, r, leftShift = true, widthOf(l))
         case ShiftRight(l, r) if l.resolved && r.resolved =>
@@ -401,6 +387,146 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
             if s.outerAttrs.isEmpty && s.plan.resolved &&
               !s.plan.maxRows.exists(_ <= 1L) =>
           s.copy(plan = Limit(Literal(1), s.plan))
+      }
+    }
+}
+
+/** Resolution-batch fixes for constructs Spark will NEVER resolve by
+  * itself — injected into the analyzer's fixpoint (not post-hoc) so
+  * that everything DOWNSTREAM of the fixed node (ORDER BY resolving
+  * through the Project, UnresolvedAlias naming, timezone assignment)
+  * still happens through Spark's own rules in later iterations.
+  * Post-hoc placement left `SELECT (doc_id<5)<2 AS c … ORDER BY
+  * doc_id` unresolvable: the Sort could not resolve against an
+  * unresolved Project, and nothing re-ran ResolveReferences after the
+  * post-hoc fix. Every case here is guarded on `!resolved`, so
+  * Spark's own coercions (which ran earlier in the same iteration)
+  * always get first claim.
+  */
+object DuckResolveFixRule extends Rule[LogicalPlan] {
+
+  private def tz = Some(SQLConf.get.sessionLocalTimeZone)
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  // ---- DuckDB LIMIT/OFFSET value coercion (probed 2026-08-15):
+  // NULL means "no limit/offset" (clause dropped), strings trim +
+  // convert (ConversionError on bad text, like '… LIMIT ''abc'''),
+  // fractional values round half-up (2.4→2, 2.5→3), booleans cast.
+  // Spark's CheckAnalysis demands IntegerType.
+  // Returns None to drop the clause, Some(lit) to replace it.
+  private def duckLimitValue(e: Expression): Option[Option[Expression]] = {
+    if (!e.resolved || !e.foldable) return None
+    e.dataType match {
+      case IntegerType => None // Spark-native, leave alone
+      case NullType => Some(None)
+      case StringType =>
+        val v = e.eval()
+        if (v == null) Some(None)
+        else {
+          val s = v.toString.trim
+          val n = try java.lang.Long.parseLong(s) catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"Conversion Error: Could not convert string '$s' to INT64")
+          }
+          Some(Some(Literal(n.min(Int.MaxValue).toInt)))
+        }
+      case _: DecimalType | DoubleType | FloatType =>
+        val v = e.eval()
+        if (v == null) Some(None)
+        else {
+          val d = v match {
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case f: Float => f.toDouble
+            case d: Double => d
+          }
+          Some(Some(Literal(math.floor(d + 0.5).toLong
+            .min(Int.MaxValue).toInt)))
+        }
+      case BooleanType =>
+        val v = e.eval()
+        if (v == null) Some(None)
+        else Some(Some(Literal(if (v == true) 1 else 0)))
+      case LongType | ShortType | ByteType =>
+        val v = e.eval()
+        if (v == null) Some(None)
+        else Some(Some(Literal(
+          v.asInstanceOf[Number].longValue().min(Int.MaxValue).toInt)))
+      case _ => None
+    }
+  }
+
+  private def fixLimits(q: LogicalPlan): LogicalPlan = q match {
+    case ll @ LocalLimit(e, child) => duckLimitValue(e) match {
+      case Some(None) => child
+      case Some(Some(lit)) => ll.copy(limitExpr = lit)
+      case None => ll
+    }
+    case gl @ GlobalLimit(e, child) => duckLimitValue(e) match {
+      case Some(None) => child
+      case Some(Some(lit)) => gl.copy(limitExpr = lit)
+      case None => gl
+    }
+    case of @ Offset(e, child) => duckLimitValue(e) match {
+      case Some(None) => child
+      case Some(Some(lit)) => of.copy(offsetExpr = lit)
+      case None => of
+    }
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case q0 =>
+        val q = fixLimits(q0)
+        q.transformExpressionsUp {
+          case cmp: BinaryComparison
+              if !cmp.resolved && cmp.left.resolved && cmp.right.resolved =>
+            (cmp.left.dataType, cmp.right.dataType) match {
+              case (BooleanType, r) if integral(r) =>
+                cmp.withNewChildren(Seq(Cast(cmp.left, r, tz), cmp.right))
+              case (l, BooleanType) if integral(l) =>
+                cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, l, tz)))
+              case (StringType, BooleanType) =>
+                cmp.withNewChildren(
+                  Seq(Cast(cmp.left, BooleanType, tz), cmp.right))
+              case (BooleanType, StringType) =>
+                cmp.withNewChildren(
+                  Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
+              case _ => cmp
+            }
+          case e if DuckIntervalCastRule.unresolvedFixes.isDefinedAt(e) =>
+            DuckIntervalCastRule.unresolvedFixes(e)
+        }
+    }
+}
+
+/** Post-hoc rules can resolve expressions the Resolution batch gave
+  * up on (bool<int comparisons, LIMIT coercions, numeric-cast and
+  * temporal fixes) — but ResolveAliases has already run, so a bare
+  * `SELECT (1 < 2) < 3` still carries UnresolvedAlias and dies in
+  * CheckAnalysis with INTERNAL_ERROR. Injected LAST in the post-hoc
+  * chain: assign the alias once the child is resolved, naming from
+  * the expression with graft-injected (non-user) casts stripped so
+  * the header reads `((1 < 2) < 3)` like DuckDB's, not
+  * `(CAST(… AS INT) < 3)`. Generator children are left for Spark's
+  * own MultiAlias path (they'd need multi-column names).
+  */
+object AssignPostHocAliasRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case q => q.transformExpressionsUp {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias
+            if ua.child.resolved && !ua.child.isInstanceOf[Generator] =>
+          val stripped = ua.child.transform {
+            case c @ Cast(ch, _, _, _)
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => ch
+          }
+          Alias(ua.child,
+            org.apache.spark.sql.catalyst.util.toPrettySQL(stripped))()
       }
     }
 }

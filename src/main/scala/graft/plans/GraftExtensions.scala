@@ -80,6 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => DuckIntervalCompareRule)
     // interval dateparts + DATE + TIME combination
     ext.injectPostHocResolutionRule(_ => DuckTemporalPolyRule)
+    // interval::VARCHAR DuckDB text; mixed YM±DT interval arithmetic
+    ext.injectPostHocResolutionRule(_ => DuckIntervalCastRule)
+    // LAST post-hoc: alias any select item the rules above resolved
+    // (ResolveAliases has already run and won't get another chance)
+    ext.injectPostHocResolutionRule(_ => AssignPostHocAliasRule)
     // quantified comparisons: x op ANY|ALL (list | subquery)
     ext.injectFunction((
       FunctionIdentifier("duck_q_cmp"),
@@ -90,6 +95,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // struct (names that failed column resolution only)
     ext.injectResolutionRule(_ => WholeRowRefRule)
     ext.injectResolutionRule(_ => WhereAliasRule)
+    // fixpoint fixes for constructs Spark never resolves: bool<int
+    // comparisons, LIMIT NULL/string/fraction, mixed YM±DT intervals
+    ext.injectResolutionRule(_ => DuckResolveFixRule)
 
     // SCALAR range/generate_series (list-returning, DuckSeries
     // semantics) — injected here as well as in Functions.registerAll

@@ -58,7 +58,11 @@ object QueriesVocab9 {
     "q_duckdb_sugar2" -> ((s, dir) => sql(s, dir, sugar2Sql)),
     // POSITIONAL JOIN with NULL padding (single-partition parquet scan
     // order is the shared input order at test scale)
-    "q_duckdb_posjoin" -> ((s, dir) => sql(s, dir, posjoinSql)))
+    "q_duckdb_posjoin" -> ((s, dir) => sql(s, dir, posjoinSql)),
+    // r10 session-4 wave: DuckDB interval text rendering, mixed
+    // YM±DT interval arithmetic (DuckIntervals), grapheme-cluster
+    // reverse/length (\X regex), bool<int chains, string LIMIT
+    "q_duckdb_intervals2" -> ((s, dir) => sql(s, dir, intervals2Sql)))
 
   lazy val oracles: Map[String, String] = Map(
     "q_duckdb_funcs6" -> funcs6Sql,
@@ -76,7 +80,36 @@ object QueriesVocab9 {
     "q_duckdb_unnest2" -> unnest2Sql,
     "q_duckdb_series" -> seriesSql,
     "q_duckdb_sugar2" -> sugar2Sql,
-    "q_duckdb_posjoin" -> posjoinSql)
+    "q_duckdb_posjoin" -> posjoinSql,
+    "q_duckdb_intervals2" -> intervals2Sql)
+
+  /** identical statement both engines: interval→VARCHAR in DuckDB's
+    * pg-style text ('1 year 2 months', '1 month -3 days', '00:01:25',
+    * '30 days 10:30:30.25'), mixed year-month ± day-time arithmetic
+    * (DuckDB's single triple type; Spark refuses the mix natively —
+    * DuckIntervalCastRule + MixedIntervalExpr), DATE + mixed interval
+    * as TIMESTAMP, typeof(interval) = 'INTERVAL', grapheme-cluster
+    * reverse/length (combining marks and ZWJ emoji stay attached),
+    * bool<int comparison chains, and a whitespace-string LIMIT. */
+  private val intervals2Sql: String =
+    """SELECT doc_id,
+      |  (INTERVAL '1 month' - INTERVAL '3 days')::VARCHAR AS iv_mix1,
+      |  (INTERVAL (doc_id % 40) HOURS
+      |    + INTERVAL (doc_id % 3) MONTHS)::VARCHAR AS iv_mix2,
+      |  (INTERVAL (doc_id % 5) DAYS
+      |    - INTERVAL (doc_id % 2) MONTHS)::VARCHAR AS iv_mix3,
+      |  (TIMESTAMP '2024-03-01 12:00:30.25'
+      |    - TIMESTAMP '2024-01-31 01:30:00')::VARCHAR AS iv_sub,
+      |  (DATE '2024-01-31' + (INTERVAL '1 month'
+      |    + INTERVAL (doc_id % 4) DAYS))::VARCHAR AS iv_addts,
+      |  (INTERVAL (14 + doc_id % 3) MONTHS)::VARCHAR AS iv_ym,
+      |  (INTERVAL (85 + doc_id % 20) SECONDS)::VARCHAR AS iv_dt,
+      |  typeof(INTERVAL '3 days') AS iv_t,
+      |  reverse('ab́c' || lang) AS g_rev,
+      |  reverse(left(text, 12)) AS g_rev2,
+      |  length_grapheme('x👨‍👩' || lang) AS g_len,
+      |  (doc_id < 5) < 2 AS chain
+      |FROM documents ORDER BY doc_id LIMIT ' 25 '""".stripMargin
 
   /** identical statement both engines: [a:b:s] stepped slices (incl.
     * negative step and open lo), 4-arg list_slice, AT TIME ZONE in

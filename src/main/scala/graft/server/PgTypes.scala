@@ -90,6 +90,22 @@ object PgTypes {
         v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, mv) =>
           "\"" + k + "\": " + render(mv, vt).map(jsonQuote(_, vt)).getOrElse("null")
         }.mkString("{", ", ", "}")
+      case it if graft.DuckIntervals.isInterval(it) =>
+        // psql sees DuckDB/pg interval text ('1 month -3 days'), not
+        // java.time ISO ('P1M'); external values are Period / Duration
+        val (m, d, us) = v match {
+          case p: java.time.Period =>
+            (p.toTotalMonths.toInt, p.getDays, 0L)
+          case dur: java.time.Duration =>
+            val micros = dur.toNanos / 1000L
+            if (graft.DuckIntervals.isDaysLed(it))
+              ((0, (micros / 86400000000L).toInt, micros % 86400000000L))
+            else (0, 0, micros)
+          case ci: org.apache.spark.unsafe.types.CalendarInterval =>
+            (ci.months, ci.days, ci.microseconds)
+          case other => return Some(other.toString)
+        }
+        graft.DuckIntervals.text(m, d, us)
       case _ => v.toString
     })
   }

@@ -578,4 +578,77 @@ class Vocab10Spec extends SparkSpecBase {
     assert(rows(0) == Row(1, "a") && rows(1) == Row(2, null) &&
       rows(2) == Row(3, null))
   }
+
+  test("interval::VARCHAR renders DuckDB text; typeof is INTERVAL " +
+      "(probed grid)") {
+    def s(sql: String) = one(sql).getString(0)
+    assert(s("SELECT (INTERVAL '-1 day')::VARCHAR AS v") == "-1 day")
+    assert(s("SELECT (INTERVAL '14 months')::VARCHAR AS v") ==
+      "1 year 2 months")
+    assert(s("SELECT (INTERVAL '1 hour 30 minutes')::VARCHAR AS v") ==
+      "01:30:00")
+    assert(s("SELECT (INTERVAL '90 seconds')::VARCHAR AS v") == "00:01:30")
+    assert(s("SELECT (INTERVAL '1 hour 30 minutes 15.5 seconds')::VARCHAR" +
+      " AS v") == "01:30:15.5")
+    assert(s("SELECT (INTERVAL '0 seconds')::VARCHAR AS v") == "00:00:00")
+    assert(s("SELECT (INTERVAL '1 day -1 hour')::VARCHAR AS v") ==
+      "1 day -01:00:00")
+    assert(s("SELECT (TIMESTAMP '2024-01-02 03:00:00' - " +
+      "TIMESTAMP '2024-01-01 00:00:00')::VARCHAR AS v") == "1 day 03:00:00")
+    assert(s("SELECT typeof(INTERVAL '3 days') AS v") == "INTERVAL")
+    assert(s("SELECT typeof(TIMESTAMP '2024-01-02 00:00:00' - " +
+      "TIMESTAMP '2024-01-01 00:00:00') AS v") == "INTERVAL")
+  }
+
+  test("mixed year-month ± day-time interval arithmetic (probed)") {
+    def s(sql: String) = one(sql).getString(0)
+    assert(s("SELECT (INTERVAL '1 month' - INTERVAL '3 days')::VARCHAR AS v")
+      == "1 month -3 days")
+    assert(s("SELECT (INTERVAL '1 day' + INTERVAL '1 month')::VARCHAR AS v")
+      == "1 month 1 day")
+    assert(one("SELECT TIMESTAMP '2024-01-31 00:00:00' + " +
+      "(INTERVAL '1 month' - INTERVAL '3 days') AS v")
+      .get(0).toString.startsWith("2024-02-26"))
+    // DATE + INTERVAL is a TIMESTAMP, months apply before days
+    assert(one("SELECT DATE '2024-01-31' + " +
+      "(INTERVAL '1 month' + INTERVAL '1 day') AS v")
+      .get(0).toString.startsWith("2024-03-01"))
+  }
+
+  test("reverse walks grapheme clusters, not code units (probed)") {
+    // combining mark stays on its base; ZWJ emoji stays one cluster
+    assert(one("SELECT reverse('ab́c') AS v").getString(0) ==
+      "cb́a")
+    assert(one("SELECT reverse('👨‍👩x') AS v")
+      .getString(0) == "x👨‍👩")
+    assert(one("SELECT reverse('abc') AS v").getString(0) == "cba")
+    // arrays keep element reverse
+    assert(one("SELECT reverse([1,2,3]) AS v").getSeq[Int](0) ==
+      Seq(3, 2, 1))
+  }
+
+  test("chained comparisons resolve and self-name like DuckDB (probed)") {
+    val df = Engine.query(spark, "SELECT (1 < 2) < 3")
+    assert(df.columns.head == "((1 < 2) < 3)")
+    assert(df.collect().head.getBoolean(0))
+    assert(one("SELECT (1 > 2) = 0 AS v").getBoolean(0))
+  }
+
+  test("LIMIT/OFFSET coerce like DuckDB: NULL drops, strings convert, " +
+      "fractions round half-up (probed)") {
+    def n(sql: String) = Engine.query(spark, sql).collect().length
+    assert(n("SELECT 1 AS x FROM range(5) LIMIT NULL") == 5)
+    assert(n("SELECT 1 AS x FROM range(5) OFFSET NULL") == 5)
+    assert(n("SELECT 1 AS x FROM range(5) LIMIT NULL OFFSET NULL") == 5)
+    assert(n("SELECT 1 AS x FROM range(5) LIMIT ' 2 '") == 2)
+    assert(n("SELECT 1 AS x FROM range(5) LIMIT 2.5") == 3)
+    assert(n("SELECT 1 AS x FROM range(5) LIMIT 2.4") == 2)
+    assert(n("SELECT 1 AS x FROM range(5) OFFSET '2'") == 3)
+    val r = Engine.query(spark, "SELECT x FROM (VALUES (1),(2),(3),(4),(5))" +
+      " v(x) ORDER BY x LIMIT true OFFSET '2'").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(3))
+    val e = intercept[Exception](Engine.query(spark,
+      "SELECT 1 AS x FROM range(5) LIMIT 'abc'").collect())
+    assert(e.getMessage.contains("Could not convert string 'abc'"))
+  }
 }

@@ -159,13 +159,15 @@ class Vocab9Spec extends SparkSpecBase {
     def ageStr(a: String, b: String): String =
       one(s"SELECT CAST(age(TIMESTAMP '$a', TIMESTAMP '$b') AS STRING) s")
         .getString(0)
+    // rendering is DuckDB's own interval text (r10: the CAST AS
+    // STRING path now routes through DuckIntervalString)
     assert(ageStr("2024-03-30 23:00:00", "2024-01-31 00:00:00")
-      == "1 months 30 days 23 hours")
+      == "1 month 30 days 23:00:00")
     assert(ageStr("2024-03-31 00:00:00", "2024-01-31 00:00:00") == "2 months")
     assert(ageStr("2024-03-01 00:00:00", "2023-12-31 23:59:59")
-      == "2 months 1 seconds")
+      == "2 months 00:00:01")
     assert(ageStr("2023-01-10 05:00:00", "2024-03-15 10:30:00")
-      == "-1 years -2 months -5 days -5 hours -30 minutes")
+      == "-1 year -2 months -5 days -05:30:00")
   }
 
   test("time/epoch family over TIME and INTERVAL (probed)") {
