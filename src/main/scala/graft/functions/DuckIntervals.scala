@@ -127,6 +127,37 @@ case class MixedIntervalExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** DuckDB's `interval / n`: INTEGER division of EACH triple field,
+  * truncating toward zero, no remainder redistribution (probed:
+  * '1 day'/2 is 00:00:00 — days 1/2 = 0; '3 days'/2 is '1 day';
+  * '1 month 3 days 90 minutes'/2 is '1 day 00:45:00'; '-3 days'/2 is
+  * '-1 day'; /0 is NULL). Spark instead divides the normalized total
+  * exactly ('1 day'/2 = 12 h). Result keeps the input's static type.
+  */
+case class IntervalFieldDivide(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = left.dataType
+  override def nullable: Boolean = true
+  override def prettyName: String = "interval_div"
+  private lazy val daysLed = DuckIntervals.isDaysLed(left.dataType)
+  override def eval(input: InternalRow): Any = {
+    val l = left.eval(input); val r = right.eval(input)
+    if (l == null || r == null) return null
+    val n = r.asInstanceOf[Number].longValue()
+    if (n == 0L) return null // DuckDB: interval / 0 is NULL
+    val (m, d, us) = DuckIntervals.triple(l, daysLed)
+    val (m2, d2, us2) = ((m / n).toInt, (d / n).toInt, us / n)
+    left.dataType match {
+      case _: YearMonthIntervalType => m2
+      case _: DayTimeIntervalType => d2 * 86400000000L + us2
+      case _ => new CalendarInterval(m2, d2, us2)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): IntervalFieldDivide =
+    copy(left = l, right = r)
+}
+
 /** Post-hoc wiring: interval→VARCHAR casts render DuckDB text; mixed
   * YM±DT arithmetic Spark refuses becomes [[MixedIntervalExpr]];
   * timestamp/date ± a mixed CalendarInterval routes through Spark's
@@ -194,12 +225,59 @@ object DuckIntervalCastRule extends Rule[LogicalPlan] {
         org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
 
+  private def integral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithSubqueries { case q =>
       q.transformExpressionsUp(unresolvedFixes.orElse {
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             isInterval(c.child.dataType) =>
           DuckIntervalString(c.child)
+        // interval / n: DuckDB divides each triple field integerly —
+        // Spark's exact micros division is a silent divergence.
+        // Fractional divisors/multipliers don't bind in DuckDB at all.
+        case d @ DivideDTInterval(iv, n) if d.resolved =>
+          if (integral(n.dataType)) IntervalFieldDivide(iv, n)
+          else throw new IllegalArgumentException(
+            "Binder Error: No function matches '/(INTERVAL, " +
+              s"${n.dataType.simpleString.toUpperCase})' — DuckDB " +
+              "divides intervals by integers only")
+        case d @ DivideYMInterval(iv, n) if d.resolved =>
+          if (integral(n.dataType)) IntervalFieldDivide(iv, n)
+          else throw new IllegalArgumentException(
+            "Binder Error: No function matches '/(INTERVAL, " +
+              s"${n.dataType.simpleString.toUpperCase})' — DuckDB " +
+              "divides intervals by integers only")
+        // CalendarInterval (mixed literals via make_interval) — Spark
+        // redistributes the day remainder into micros; DuckDB doesn't.
+        // DivideInterval demands a DOUBLE divisor, so the analyzer
+        // wrapped the original in a cast — look through it
+        case d @ DivideInterval(iv, n, _) if d.resolved =>
+          val orig = n match {
+            case c @ Cast(ch, _, _, _)
+                if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => ch
+            case other => other
+          }
+          if (integral(orig.dataType)) IntervalFieldDivide(iv, orig)
+          else throw new IllegalArgumentException(
+            "Binder Error: No function matches '/(INTERVAL, " +
+              s"${orig.dataType.simpleString.toUpperCase})' — DuckDB " +
+              "divides intervals by integers only")
+        case m @ MultiplyDTInterval(_, n)
+            if m.resolved && !integral(n.dataType) =>
+          throw new IllegalArgumentException(
+            "Binder Error: No function matches '*(INTERVAL, " +
+              s"${n.dataType.simpleString.toUpperCase})' — DuckDB " +
+              "multiplies intervals by integers only")
+        case m @ MultiplyYMInterval(_, n)
+            if m.resolved && !integral(n.dataType) =>
+          throw new IllegalArgumentException(
+            "Binder Error: No function matches '*(INTERVAL, " +
+              s"${n.dataType.simpleString.toUpperCase})' — DuckDB " +
+              "multiplies intervals by integers only")
       })
     }
 

@@ -395,7 +395,28 @@ class GraftParser(delegate: ParserInterface) extends ParserInterface {
   import org.apache.spark.sql.catalyst.plans.logical.{Distinct, SubqueryAlias, Union}
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    planByName(SqlRewrites.rewrite(sqlText))
+    renameInlineDefaults(planByName(SqlRewrites.rewrite(sqlText)))
+
+  /** DuckDB numbers anonymous VALUES columns col0, col1, … — Spark
+    * starts at col1 (probed: `SELECT col0 FROM (VALUES (1),(2)) v`).
+    * Renamed at the parse seam, before ResolveInlineTables eagerly
+    * converts literal rows to a LocalRelation; explicit aliases
+    * (`v(a, b)`) overwrite these defaults either way. */
+  private def renameInlineDefaults(p: LogicalPlan): LogicalPlan =
+    p.transformDownWithSubqueries {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
+          if t.names == t.names.indices.map(i => s"col${i + 1}") =>
+        t.copy(names = t.names.indices.map(i => s"col$i"))
+      // Spark 4's AstBuilder eagerly evaluates literal inline tables
+      // to a LocalRelation at parse time — at this seam any
+      // LocalRelation with the default names IS a VALUES clause
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.output.map(_.name) ==
+            lr.output.indices.map(i => s"col${i + 1}") =>
+        lr.copy(output = lr.output.zipWithIndex.map { case (a, i) =>
+          a.withName(s"col$i")
+        })
+    }
 
   /** name-based set union: Spark has no SQL spelling for
     * `UNION [ALL] BY NAME`, so the statement is split at the BY NAME

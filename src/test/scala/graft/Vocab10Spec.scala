@@ -615,6 +615,38 @@ class Vocab10Spec extends SparkSpecBase {
       .get(0).toString.startsWith("2024-03-01"))
   }
 
+  test("interval / n divides each triple field integerly (probed)") {
+    def s(sql: String) = one(sql).getString(0)
+    assert(s("SELECT (INTERVAL '1 day' / 2)::VARCHAR AS v") == "00:00:00")
+    assert(s("SELECT (INTERVAL '3 days' / 2)::VARCHAR AS v") == "1 day")
+    assert(s("SELECT (INTERVAL '3 months' / 2)::VARCHAR AS v") == "1 month")
+    assert(s("SELECT (INTERVAL '90 minutes' / 2)::VARCHAR AS v") ==
+      "00:45:00")
+    // no remainder redistribution across fields
+    assert(s("SELECT (INTERVAL '1 month 3 days 90 minutes' / 2)::VARCHAR" +
+      " AS v") == "1 day 00:45:00")
+    assert(s("SELECT (INTERVAL '-3 days' / 2)::VARCHAR AS v") == "-1 day")
+    assert(s("SELECT (INTERVAL '3 days' / -2)::VARCHAR AS v") == "-1 day")
+    assert(one("SELECT (INTERVAL '3 days' / 0)::VARCHAR AS v").isNullAt(0))
+    // integral multiply stays native; fractional refuses like DuckDB
+    assert(s("SELECT (INTERVAL '1 day' * 3)::VARCHAR AS v") == "3 days")
+    intercept[Exception](
+      Engine.query(spark, "SELECT INTERVAL '1 day' / 2.0 AS v").collect())
+    intercept[Exception](
+      Engine.query(spark, "SELECT INTERVAL '5 days' * 1.5 AS v").collect())
+  }
+
+  test("anonymous VALUES columns number from col0 (probed)") {
+    val r = Engine.query(spark, "VALUES (1, 'a'), (2, 'b')")
+    assert(r.columns.toSeq == Seq("col0", "col1"))
+    assert(one("SELECT col0 FROM (VALUES (7),(8)) v ORDER BY col0")
+      .getInt(0) == 7)
+    // explicit aliases overwrite the defaults
+    assert(Engine.query(spark,
+      "SELECT a, b FROM (VALUES (1, 2)) AS t(a, b)").columns.toSeq ==
+      Seq("a", "b"))
+  }
+
   test("reverse walks grapheme clusters, not code units (probed)") {
     // combining mark stays on its base; ZWJ emoji stays one cluster
     assert(one("SELECT reverse('ab́c') AS v").getString(0) ==
