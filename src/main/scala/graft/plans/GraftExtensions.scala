@@ -233,12 +233,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     def active = org.apache.spark.sql.SparkSession.active
     injectReader("read_parquet")(p => active.read.parquet(p: _*))
     injectReader("parquet_scan")(p => active.read.parquet(p: _*)) // legacy alias
-    injectReader("read_json")(p => active.read.json(p: _*))
+
+    // read_json family accepts DuckDB's format option: 'array' maps
+    // to Spark's multiLine mode (a pretty-printed JSON array),
+    // 'newline_delimited'/'nd'/'auto' keep Spark's NDJSON default
+    // (which also parses single-line arrays row-wise, DuckDB's auto)
+    def jsonReader(name: String): Unit =
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.GraftExtensions", name),
+        (exprs: Seq[Expression]) => {
+          val paths = pathArgs(exprs, name)
+          var opts = Map.empty[String, String]
+          var filenameCol = false
+          exprs.drop(1).foreach {
+            case org.apache.spark.sql.catalyst.expressions
+                  .NamedArgumentExpression(key, Literal(v, _)) =>
+              val value = String.valueOf(v)
+              key.toLowerCase match {
+                case "format" => value.toLowerCase match {
+                  case "array" => opts += "multiLine" -> "true"
+                  case "newline_delimited" | "nd" | "auto" | "unstructured" =>
+                  case other => throw new IllegalArgumentException(
+                    s"$name: unknown format '$other'")
+                }
+                case "compression" => opts += "compression" -> value
+                case "ignore_errors" if value == "true" =>
+                  opts += "mode" -> "DROPMALFORMED"
+                case "filename" => filenameCol = value == "true"
+                case "maximum_object_size" | "auto_detect" |
+                    "sample_size" | "maximum_depth" => // sizing knobs: n/a
+                case other => throw new IllegalArgumentException(
+                  s"$name: unsupported option '$other'")
+              }
+            case other => throw new IllegalArgumentException(
+              s"$name: expected name=value options, got $other")
+          }
+          val df0 = active.read.options(opts).json(paths: _*)
+          val df = if (filenameCol)
+            df0.withColumn("filename",
+              org.apache.spark.sql.functions.input_file_name())
+          else df0
+          df.queryExecution.analyzed
+        }))
     // DuckDB spells the auto-detecting and newline-delimited variants
     // as distinct TVFs; Spark's json reader IS schema-inferring NDJSON
-    injectReader("read_json_auto")(p => active.read.json(p: _*))
-    injectReader("read_ndjson")(p => active.read.json(p: _*))
-    injectReader("read_ndjson_auto")(p => active.read.json(p: _*))
+    jsonReader("read_json")
+    jsonReader("read_json_auto")
+    jsonReader("read_ndjson")
+    jsonReader("read_ndjson_auto")
 
     // read_csv[_auto] accept DuckDB's named options (`delim='|'`,
     // `header=false`, ...). Spark's parser sees `name=value` as an
@@ -250,33 +293,93 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(name),
         new ExpressionInfo("graft.GraftExtensions", name),
         (exprs: Seq[Expression]) => {
+          import org.apache.spark.sql.catalyst.expressions.{
+            CreateArray, CreateNamedStruct, NamedArgumentExpression}
           val paths = pathArgs(exprs, name)
           var opts = Map("header" -> "true", "inferSchema" -> "true")
+          var names = Seq.empty[String] // names=[…]: rename detected cols
+          var schemaDdl = "" // columns={name: 'TYPE', …}: explicit schema
+          var skip = 0L // skip=N: drop the first N raw lines
+          var filenameCol = false
+          def strLit(e: Expression): String = e match {
+            case Literal(v, _) => String.valueOf(v)
+            case other => throw new IllegalArgumentException(
+              s"$name: expected a literal, got $other")
+          }
           exprs.drop(1).foreach {
-            case org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression(
-                key, Literal(v, _)) =>
-              val value = String.valueOf(v)
-              key.toLowerCase match {
-                case "delim" | "sep" => opts += "sep" -> value
-                case "header" => opts += "header" -> value
-                case "quote" => opts += "quote" -> value
-                case "escape" => opts += "escape" -> value
-                case "nullstr" => opts += "nullValue" -> value
-                case "dateformat" => opts += "dateFormat" -> value
-                case "timestampformat" => opts += "timestampFormat" -> value
-                case "compression" => opts += "compression" -> value
-                case "ignore_errors" if value == "true" =>
-                  opts += "mode" -> "DROPMALFORMED"
-                case "all_varchar" if value == "true" =>
+            case NamedArgumentExpression(key, value) =>
+              (key.toLowerCase, value) match {
+                case ("names", CreateArray(items, _)) =>
+                  names = items.map(strLit)
+                case ("columns", cns: CreateNamedStruct) =>
+                  // CreateNamedStruct.names yields evaluated name
+                  // values (UTF8String), valExprs the type literals
+                  schemaDdl = cns.names.zip(cns.valExprs)
+                    .map { case (n, t) =>
+                      s"`${String.valueOf(n)}` " +
+                        graft.UnionTypes.normalizeType(strLit(t))
+                    }
+                    .mkString(", ")
                   opts += "inferSchema" -> "false"
-                case "sample_size" | "auto_detect" => // sampling knobs: n/a
-                case other => throw new IllegalArgumentException(
+                  // DuckDB: an explicit columns= spec implies the file
+                  // has no header unless the user says otherwise
+                  opts += "header" -> "false"
+                case (k, Literal(v, _)) =>
+                  val value = String.valueOf(v)
+                  k match {
+                    case "delim" | "sep" => opts += "sep" -> value
+                    case "header" => opts += "header" -> value
+                    case "quote" => opts += "quote" -> value
+                    case "escape" => opts += "escape" -> value
+                    case "nullstr" => opts += "nullValue" -> value
+                    case "dateformat" => opts += "dateFormat" -> value
+                    case "timestampformat" =>
+                      opts += "timestampFormat" -> value
+                    case "compression" => opts += "compression" -> value
+                    case "skip" => skip = value.toLong
+                    case "filename" => filenameCol = value == "true"
+                    case "ignore_errors" if value == "true" =>
+                      opts += "mode" -> "DROPMALFORMED"
+                    case "all_varchar" if value == "true" =>
+                      opts += "inferSchema" -> "false"
+                    case "sample_size" | "auto_detect" => // sampling: n/a
+                    case other => throw new IllegalArgumentException(
+                      s"$name: unsupported option '$other'")
+                  }
+                case (other, _) => throw new IllegalArgumentException(
                   s"$name: unsupported option '$other'")
               }
             case other => throw new IllegalArgumentException(
               s"$name: expected name=value options, got $other")
           }
-          active.read.options(opts).csv(paths: _*).queryExecution.analyzed
+          val reader0 = active.read.options(opts)
+          val reader =
+            if (schemaDdl.nonEmpty) reader0.schema(schemaDdl) else reader0
+          val base =
+            if (skip > 0) {
+              // DuckDB skip drops the first N raw lines before parsing.
+              // zipWithIndex is exact: Hadoop line splits order by file
+              // offset, so the global index IS the line number — no
+              // driver materialization, one narrow pass
+              val spark = active
+              import spark.implicits._
+              val kept = spark.read.textFile(paths: _*).rdd
+                .zipWithIndex()
+                .filter(_._2 >= skip).map(_._1).toDS()
+              reader.csv(kept)
+            } else reader.csv(paths: _*)
+          val named =
+            if (names.isEmpty) base
+            else if (names.length == base.columns.length)
+              base.toDF(names: _*)
+            else throw new IllegalArgumentException(
+              s"$name: names=[…] lists ${names.length} columns, file has " +
+                s"${base.columns.length}")
+          val df = if (filenameCol)
+            named.withColumn("filename",
+              org.apache.spark.sql.functions.input_file_name())
+          else named
+          df.queryExecution.analyzed
         }))
     csvReader("read_csv")
     csvReader("read_csv_auto")

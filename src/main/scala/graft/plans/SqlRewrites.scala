@@ -53,7 +53,8 @@ object SqlRewrites {
     * a TVF argument containing an unresolved column (which is how
     * `delim=...` parses) fails analysis before the builder ever runs.
     */
-  private val csvCall = """(?i)\b(read_csv(?:_auto)?)\s*\(([^()]*)\)""".r
+  private val csvCall =
+    """(?i)\b(read_(?:csv|json|ndjson)(?:_auto)?)\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*)\)""".r
   private val csvNamedArg = """([(,]\s*)(\w+)\s*=(?![=>])""".r
 
   /** DuckDB list-of-paths literal (`read_parquet(['a','b'])`) —
@@ -1691,7 +1692,8 @@ object SqlRewrites {
       else readerListArg.replaceAllIn(sqlD, m =>
         java.util.regex.Matcher.quoteReplacement(
           s"${m.group(1)}(array(${m.group(2)})"))
-    val sqlC = if (!has("read_csv")) sqlL
+    val sqlC = if (!has("read_csv") && !has("read_json") &&
+        !has("read_ndjson")) sqlL
       else csvCall.replaceAllIn(sqlL, m => {
         val body = csvNamedArg.replaceAllIn("(" + m.group(2) + ")",
           bm => bm.group(1) + bm.group(2) + " => ").stripPrefix("(").stripSuffix(")")

@@ -43,11 +43,29 @@ object CopyOps {
         .stripSuffix("\"")).toSeq)
     val compression = """(?i)COMPRESSION\s+'?(\w+)'?""".r
       .findFirstMatchIn(raw).map(_.group(1).toLowerCase)
+    // Spark's JSON writer is NDJSON by construction — a single JSON
+    // array can't be assembled distributed; refuse rather than write
+    // a silently different shape
+    if (fmt == "json" &&
+        """(?i)\bARRAY\s+'?TRUE'?""".r.findFirstIn(raw).isDefined)
+      throw new IllegalArgumentException(
+        "COPY TO (FORMAT JSON, ARRAY TRUE) is not supported: the " +
+          "engine writes newline-delimited JSON (use ARRAY FALSE)")
+    def strOpt(key: String): Option[String] =
+      s"(?i)\\b$key\\s+'([^']*)'".r.findFirstMatchIn(raw).map(_.group(1))
     val n = df.count()
     var w = df.write.mode("overwrite")
       .option("header", (fmt == "csv" && opts.contains("HEADER")).toString)
       .option("sep", if (fmt == "csv") copyDelim(optsOrNull).getOrElse(",")
         else ",")
+    if (fmt == "csv") {
+      strOpt("QUOTE").foreach(v => w = w.option("quote", v))
+      strOpt("ESCAPE").foreach(v => w = w.option("escape", v))
+      strOpt("NULLSTR").foreach(v => w = w.option("nullValue", v))
+    }
+    strOpt("DATEFORMAT").foreach(v => w = w.option("dateFormat", v))
+    strOpt("TIMESTAMPFORMAT")
+      .foreach(v => w = w.option("timestampFormat", v))
     partBy.foreach(cols => w = w.partitionBy(cols: _*))
     compression.foreach(c => w = w.option("compression", c))
     w.format(fmt).save(path)

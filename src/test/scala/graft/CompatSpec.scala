@@ -580,6 +580,43 @@ class CompatSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("unsupported option"), ex.getMessage)
   }
 
+  test("read_csv names/columns/skip/filename + read_json format (probed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvopt2")
+    val f = dir.resolve("a.csv")
+    java.nio.file.Files.writeString(f, "x;y\n1;foo\n2;bar\n")
+    // names=[…] renames the detected columns
+    val named = Engine.query(spark,
+      s"SELECT p, q FROM read_csv('$f', delim=';', names=['p','q']) ORDER BY p")
+      .collect()
+    assert(named.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "foo"), (2, "bar")))
+    // columns={…} is an explicit schema, header off by default
+    val g = dir.resolve("b.csv")
+    java.nio.file.Files.writeString(g, "3\tbaz\n")
+    val typed = Engine.query(spark,
+      s"SELECT n, s FROM read_csv('$g', delim='\\t', header=false, " +
+        "columns={'n': 'INT', 's': 'VARCHAR'})").collect()
+    assert(typed.head.getInt(0) == 3 && typed.head.getString(1) == "baz")
+    // skip=N drops raw leading lines; filename=true adds the column
+    val skipped = Engine.query(spark,
+      s"SELECT * FROM read_csv('$f', delim=';', skip=1, header=false)")
+      .collect()
+    assert(skipped.length == 2)
+    val fn = Engine.query(spark,
+      s"SELECT filename FROM read_csv('$f', delim=';', filename=true) LIMIT 1")
+      .collect().head.getString(0)
+    assert(fn.endsWith("a.csv"))
+    // read_json format='array' reads a pretty-printed JSON array
+    val j = dir.resolve("c.json")
+    java.nio.file.Files.writeString(j,
+      "[\n  {\"a\": 1, \"b\": {\"c\": 2}},\n  {\"a\": 3, \"b\": null}\n]")
+    val arr = Engine.query(spark,
+      s"SELECT a, b.c AS c FROM read_json('$j', format='array') ORDER BY a")
+      .collect()
+    assert(arr.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(arr.head.getLong(1) == 2L && arr(1).isNullAt(1))
+  }
+
   test("read_parquet accepts a LIST of paths and glob patterns") {
     val p = s"$sfDir/region.parquet"
     val two = Engine.query(spark,
