@@ -104,8 +104,10 @@ object Engine {
         dmlCount(spark, n)
       case InsertDefaultsRe(name) =>
         // one all-DEFAULT row (Spark resolves DEFAULT to the declared
-        // column default or NULL, same as DuckDB)
-        val width = spark.table(name).schema.size
+        // column default or NULL, same as DuckDB); generated columns
+        // are not insert targets, so they don't count toward the width
+        val genN = TableConstraints.generatedOf(name).size
+        val width = spark.table(name).schema.size - genN
         query(spark,
           s"INSERT INTO $name VALUES (${Seq.fill(width)("DEFAULT").mkString(", ")})")
       case SetVariableRe(name, valueExpr) =>
@@ -231,8 +233,14 @@ object Engine {
             TableConstraints.recordPk(table, pk.map(c =>
               if (c.equalsIgnoreCase(oldC)) newC.toLowerCase else c))
         }
+        // NOT NULL / CHECK / generated records follow the new name
+        TableConstraints.renameColumn(table, oldC, newC)
         spark.emptyDataFrame
       case AlterDropColRe(table, ifExists, col) =>
+        // refuses BEFORE the rebuild when a generated column depends
+        // on the doomed column, or a CHECK references it
+        if (spark.table(table).columns.exists(_.equalsIgnoreCase(col)))
+          TableConstraints.dropColumn(table, col)
         rebuildTable(spark, table) { df =>
           if (!df.columns.exists(_.equalsIgnoreCase(col))) {
             require(ifExists != null, s"column $col does not exist in $table")
@@ -278,11 +286,49 @@ object Engine {
           server.Dml.insertOnConflict(spark, sql) else None) match {
           case Some(n) => dmlCount(spark, n)
           case None =>
-            if ("""(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b""".r
-                .findFirstIn(sql).isDefined)
-              SqlRewrites.recordPrimaryKey(sql)
-            val r = SqlRewrites.rewriteFull(Macros.expand(sql))
-            r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+        (if ("""(?is)\A\s*INSERT\b""".r.findFirstIn(sql).isDefined)
+          server.Dml.guardedInsert(spark, sql) else None) match {
+          case Some(n) => dmlCount(spark, n)
+          case None =>
+            val isCreate =
+              """(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\b""".r
+                .findFirstIn(sql).isDefined
+            (if (isCreate) SqlRewrites.extractGeneratedColumns(sql)
+             else None) match {
+              case Some((clean, table, gcols)) =>
+                // generated-column DDL: create from the CLEANED
+                // statement (typed generated columns became plain
+                // columns in place; untyped ones were removed), then
+                // record + weave the untyped ones back at their
+                // positions with inferred types via a rebuild of the
+                // still-empty table
+                SqlRewrites.recordPrimaryKey(clean)
+                val r = SqlRewrites.rewriteFull(Macros.expand(clean))
+                val out = r.dropCols.foldLeft(spark.sql(r.sql))(
+                  (df, c) => df.drop(c))
+                TableConstraints.recordGenerated(table, gcols)
+                val untyped = gcols.filter(_.declaredType.isEmpty)
+                if (untyped.nonEmpty) rebuildTable(spark, table) { df =>
+                  import org.apache.spark.sql.functions.expr
+                  val byPos = untyped.map(g => g.pos -> g).toMap
+                  var ni = 0
+                  val cols = (0 until df.columns.length + untyped.size)
+                    .map { i =>
+                      byPos.get(i) match {
+                        case Some(g) => expr(g.expr).as(g.name)
+                        case None =>
+                          val c = df.col(s"`${df.columns(ni)}`"); ni += 1; c
+                      }
+                    }
+                  df.select(cols: _*)
+                }
+                out
+              case None =>
+                if (isCreate) SqlRewrites.recordPrimaryKey(sql)
+                val r = SqlRewrites.rewriteFull(Macros.expand(sql))
+                r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+            }
+        }
         }
         }
     }
@@ -585,7 +631,8 @@ object Engine {
       case RetUpdateRe(t, setList, w)
           if !server.Dml.hasTopLevelKeyword(body, "from") =>
         val schema = spark.table(t).schema
-        val sets = server.Dml.splitAssignments(setList)
+        val sets = server.Dml.resolveDefaultSets(schema,
+          server.Dml.splitAssignments(setList))
         val proj = schema.fields.map { f =>
           sets.get(f.name.toLowerCase) match {
             case Some(e) =>
@@ -593,8 +640,9 @@ object Engine {
             case None => s"`${f.name}`"
           }
         }.mkString(", ")
-        val updated = spark.sql(
-          s"SELECT $proj FROM $t WHERE ${predOf(w)}")
+        // RETURNING rows show the POST-update generated values
+        val updated = TableConstraints.regenerate(spark, t,
+          spark.sql(s"SELECT $proj FROM $t WHERE ${predOf(w)}"))
           .localCheckpoint(eager = true)
         query(spark, body)
         serve(updated)
@@ -622,12 +670,19 @@ object Engine {
                   (tc.toLowerCase, s"`$sc`")
                 }.toSeq
             case None =>
-              schema.fieldNames.zip(srcDf.columns).map { case (tc, sc) =>
-                (tc.toLowerCase, s"`$sc`")
-              }.toSeq
+              // positional targets are the NON-generated columns
+              val genNames = TableConstraints.generatedOf(t)
+                .map(_.name.toLowerCase).toSet
+              schema.fieldNames.filterNot(f => genNames(f.toLowerCase))
+                .zip(srcDf.columns).map { case (tc, sc) =>
+                  (tc.toLowerCase, s"`$sc`")
+                }.toSeq
           }
         val pmap = provided.toMap
-        val fullProj = schema.fields.map { f =>
+        val genSet = TableConstraints.generatedOf(t)
+          .map(_.name.toLowerCase).toSet
+        val fullProj = schema.fields
+          .filterNot(f => genSet(f.name.toLowerCase)).map { f =>
           pmap.get(f.name.toLowerCase) match {
             case Some(srcCol) =>
               s"CAST($srcCol AS ${f.dataType.sql}) AS `${f.name}`"
@@ -639,7 +694,8 @@ object Engine {
               s"CAST(($dflt) AS ${f.dataType.sql}) AS `${f.name}`"
           }
         }.mkString(", ")
-        val rows = spark.sql(s"SELECT $fullProj FROM __graft_ret_src")
+        val rows = TableConstraints.withGenerated(spark, t,
+          spark.sql(s"SELECT $fullProj FROM __graft_ret_src"))
           .localCheckpoint(eager = true)
         spark.catalog.dropTempView("__graft_ret_src")
         serve(rows)

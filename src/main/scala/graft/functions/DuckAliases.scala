@@ -642,6 +642,13 @@ object DuckAliases {
       alias("quantile")(e => qdisc(e(0), e(1)))
       alias("arbitrary")(e =>
         First(e.head, ignoreNulls = false).toAggregateExpression())
+      // DuckDB any_value SKIPS nulls (probed: any_value over
+      // {NULL, NULL, 7, 9} is 7, where first() is NULL) — Spark's
+      // stock any_value keeps them. Still order-dependent by contract
+      // in both engines; the deterministic form is
+      // `any_value(x ORDER BY k)` (OrderedAgg lowering).
+      alias("any_value")(e =>
+        First(e.head, ignoreNulls = true).toAggregateExpression())
       // bitstring_agg demands explicit bounds, like DuckDB does
       // without table statistics
       alias("bitstring_agg") {

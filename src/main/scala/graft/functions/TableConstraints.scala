@@ -1,17 +1,42 @@
 package graft
 
-/** PRIMARY KEY records for engine tables. The DDL pass ACCEPTS and
-  * strips constraint syntax (no enforcement — documented divergence);
-  * the key columns are recorded here so DuckDB's PK-dependent upsert
-  * forms resolve: `ON CONFLICT` without an explicit target and
-  * `INSERT OR REPLACE/IGNORE`. Shared-registry pattern of
-  * [[Sequences]]/[[Macros]]/[[EnumTypes]]: process-wide, like the
-  * catalog itself.
+/** Constraint and generated-column records for engine tables.
+  *
+  * The DDL pass ACCEPTS constraint syntax; this registry is what makes
+  * parts of it OBSERVABLE:
+  *  - PRIMARY KEY columns are recorded so DuckDB's PK-dependent upsert
+  *    forms resolve (`ON CONFLICT` without a target, `INSERT OR
+  *    REPLACE/IGNORE`). Uniqueness itself is NOT enforced (that would
+  *    need an index probe per insert — documented divergence, the
+  *    CREATE UNIQUE INDEX refusal names the alternative).
+  *  - NOT NULL columns and CHECK expressions are row-local and ARE
+  *    enforced on INSERT/UPDATE ([[enforce]] — one aggregate pass over
+  *    the written batch, the same per-row work DuckDB does). A CHECK
+  *    passes when its expression is TRUE or NULL (SQL standard,
+  *    probed: `CHECK (a > 0)` admits NULL).
+  *  - GENERATED columns (`g [type] [GENERATED ALWAYS] AS (expr)
+  *    [VIRTUAL]`) are recorded with their expression text; the INSERT/
+  *    UPDATE paths compute them and reject direct writes (probed
+  *    DuckDB 1.0 messages). Stored physically here (parquet tables) —
+  *    observably identical to DuckDB's VIRTUAL since direct writes
+  *    are rejected; STORED is rejected at creation like DuckDB.
+  *
+  * Shared-registry pattern of [[Sequences]]/[[Macros]]/[[EnumTypes]]:
+  * process-wide, like the catalog itself.
   */
 object TableConstraints {
 
+  final case class GenCol(name: String, expr: String,
+    declaredType: Option[String], pos: Int)
+
   private val pks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val notNulls =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val checks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val gens =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[GenCol]]()
 
   // records key on the FULL (possibly schema-qualified) name so
   // same-named tables in different schemas never share a record;
@@ -22,30 +47,232 @@ object TableConstraints {
 
   private def suffix(table: String): String = key(table).split('.').last
 
+  /** the suffix fallback is only for UNQUALIFIED lookups: a qualified
+    * name like `r.t` must match exactly, else it would borrow a
+    * same-named table's record from another schema */
+  private def lookup[T](m: java.util.concurrent.ConcurrentHashMap[String, Seq[T]],
+      table: String): Option[Seq[T]] =
+    Option(m.get(key(table))).orElse {
+      if (key(table).contains('.')) None
+      else {
+        val matches = m.keySet.toArray(Array.empty[String])
+          .filter(k => k.split('.').last == suffix(table))
+        if (matches.length == 1) Option(m.get(matches.head)) else None
+      }
+    }
+
   def recordPk(table: String, cols: Seq[String]): Unit =
     pks.put(key(table), cols.map(_.toLowerCase.replace("\"", "")))
 
+  def recordNotNull(table: String, cols: Seq[String]): Unit =
+    if (cols.nonEmpty)
+      notNulls.put(key(table), cols.map(_.toLowerCase.replace("\"", "")).distinct)
+    else notNulls.remove(key(table)) // re-record to empty clears
+
+  def recordChecks(table: String, exprs: Seq[String]): Unit =
+    if (exprs.nonEmpty) checks.put(key(table), exprs)
+    else checks.remove(key(table))
+
+  def recordGenerated(table: String, cols: Seq[GenCol]): Unit =
+    if (cols.nonEmpty) gens.put(key(table), cols)
+    else gens.remove(key(table))
+
   def clear(table: String): Unit = {
-    pks.remove(key(table))
-    // an unqualified DROP also clears a uniquely-matching qualified
-    // record (the catalog resolves the name the same way)
-    if (!key(table).contains('.')) {
-      val matches = pks.keySet.toArray(Array.empty[String])
-        .filter(k => k.split('.').last == suffix(table))
-      if (matches.length == 1) pks.remove(matches.head)
+    Seq(pks, notNulls, checks, gens).foreach { m =>
+      m.remove(key(table))
+      // an unqualified DROP also clears a uniquely-matching qualified
+      // record (the catalog resolves the name the same way)
+      if (!key(table).contains('.')) {
+        val matches = m.keySet.toArray(Array.empty[String])
+          .filter(k => k.split('.').last == suffix(table))
+        if (matches.length == 1) m.remove(matches.head)
+      }
     }
   }
 
-  def pkOf(table: String): Option[Seq[String]] =
-    Option(pks.get(key(table))).orElse {
-      // the suffix fallback is only for UNQUALIFIED lookups (mirrors
-      // clear()): a qualified name like `r.t` must match exactly, else
-      // it would borrow a same-named table's PK from another schema
-      if (key(table).contains('.')) None
-      else {
-        val matches = pks.keySet.toArray(Array.empty[String])
-          .filter(k => k.split('.').last == suffix(table))
-        if (matches.length == 1) Option(pks.get(matches.head)) else None
+  def pkOf(table: String): Option[Seq[String]] = lookup(pks, table)
+
+  def notNullOf(table: String): Seq[String] =
+    lookup(notNulls, table).getOrElse(Nil)
+
+  def checksOf(table: String): Seq[String] =
+    lookup(checks, table).getOrElse(Nil)
+
+  def generatedOf(table: String): Seq[GenCol] =
+    lookup(gens, table).getOrElse(Nil)
+
+  /** does an INSERT/UPDATE into this table need the guarded path? */
+  def needsGuard(table: String): Boolean =
+    notNullOf(table).nonEmpty || checksOf(table).nonEmpty ||
+      generatedOf(table).nonEmpty
+
+  /** replace identifier `oldC` with `newC` in an expression's text —
+    * word-boundary, case-insensitive, quoted `"oldC"` too, single-
+    * quoted literals untouched. DuckDB rewrites constraint/generated
+    * expressions on ALTER RENAME (probed: renaming a generated
+    * column's dependency succeeds and the column keeps computing). */
+  private def replaceIdent(exprText: String, oldC: String,
+      newC: String): String = {
+    val q = java.util.regex.Pattern.quote(oldC)
+    val re = ("""(?i)("%s"|\b%s\b)""".format(q, q)).r
+    val sb = new StringBuilder
+    var i = 0
+    while (i < exprText.length) {
+      if (exprText.charAt(i) == '\'') {
+        val e0 = exprText.indexOf('\'', i + 1)
+        val e = if (e0 < 0) exprText.length - 1 else e0
+        sb.append(exprText.substring(i, e + 1)); i = e + 1
+      } else {
+        val next = exprText.indexOf('\'', i)
+        val seg = if (next < 0) exprText.substring(i)
+          else exprText.substring(i, next)
+        sb.append(re.replaceAllIn(seg, _ => newC))
+        i = if (next < 0) exprText.length else next
       }
     }
+    sb.toString
+  }
+
+  /** rename a column through the records (ALTER RENAME path) —
+    * NOT NULL lists, CHECK expressions, and generated-column names +
+    * expressions all follow the new name, like DuckDB's catalog. */
+  def renameColumn(table: String, oldC: String, newC: String): Unit = {
+    val o = oldC.toLowerCase
+    notNullOf(table) match {
+      case nn if nn.contains(o) =>
+        recordNotNull(table, nn.map(c => if (c == o) newC.toLowerCase else c))
+      case _ =>
+    }
+    val cks = checksOf(table)
+    if (cks.nonEmpty)
+      recordChecks(table, cks.map(replaceIdent(_, oldC, newC)))
+    val gs = generatedOf(table)
+    if (gs.nonEmpty)
+      recordGenerated(table, gs.map { g =>
+        g.copy(
+          name = if (g.name.equalsIgnoreCase(oldC)) newC else g.name,
+          expr = replaceIdent(g.expr, oldC, newC))
+      })
+  }
+
+  /** drop a column through the records (ALTER DROP path). Dropping a
+    * generated column is fine; dropping one of its dependencies
+    * refuses with DuckDB's own message. */
+  def dropColumn(table: String, c: String): Unit = {
+    val o = c.toLowerCase
+    val nn = notNullOf(table)
+    if (nn.contains(o)) recordNotNull(table, nn.filterNot(_ == o))
+    val word = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+    if (checksOf(table).exists(e => word.findFirstIn(e).isDefined))
+      throw new IllegalArgumentException(
+        s"cannot drop column $c: a CHECK constraint references it")
+    val gs = generatedOf(table)
+    if (gs.exists(g => word.findFirstIn(g.expr).isDefined &&
+        !g.name.equalsIgnoreCase(c)))
+      throw new IllegalArgumentException(
+        "Cannot drop column: column is a dependency of 1 or more " +
+          "generated column(s)")
+    if (gs.exists(_.name.equalsIgnoreCase(c)))
+      recordGenerated(table, gs.filterNot(_.name.equalsIgnoreCase(c)))
+  }
+
+  /** Enforce the table's row-local constraints on a batch about to be
+    * written — ONE aggregate job over the batch (max of violation
+    * flags), throwing DuckDB's Constraint Error messages on the first
+    * violated constraint. Scale: map-side-combining aggregate, no
+    * shuffle beyond the single flag row.
+    */
+  def enforce(table: String, rows: org.apache.spark.sql.DataFrame): Unit = {
+    val nn = notNullOf(table)
+    val cks = checksOf(table)
+    if (nn.isEmpty && cks.isEmpty) return
+    val present = rows.columns.map(_.toLowerCase).toSet
+    val nnCols = nn.filter(present)
+    val exprs =
+      nnCols.map(c => s"max(CASE WHEN `$c` IS NULL THEN 1 ELSE 0 END)") ++
+        cks.map(e =>
+          s"max(CASE WHEN NOT coalesce(CAST(($e) AS BOOLEAN), true) " +
+            "THEN 1 ELSE 0 END)")
+    if (exprs.isEmpty) return
+    val flags = rows.selectExpr(exprs: _*).collect()(0)
+    val bare = table.split('.').last.replace("\"", "")
+    nnCols.zipWithIndex.foreach { case (c, i) =>
+      if (!flags.isNullAt(i) && flags.getInt(i) == 1)
+        throw new IllegalArgumentException(
+          s"Constraint Error: NOT NULL constraint failed: $bare.$c")
+    }
+    cks.zipWithIndex.foreach { case (_, i) =>
+      val idx = nnCols.length + i
+      if (!flags.isNullAt(idx) && flags.getInt(idx) == 1)
+        throw new IllegalArgumentException(
+          s"Constraint Error: CHECK constraint failed: $bare")
+    }
+  }
+
+  /** refuse SET targets naming a generated column — DuckDB's own
+    * message (probed on 1.0, typo and all). */
+  def rejectGeneratedSets(table: String, setCols: Iterable[String]): Unit = {
+    val genNames = generatedOf(table).map(_.name.toLowerCase).toSet
+    setCols.find(c => genNames(c.toLowerCase)).foreach { g =>
+      throw new IllegalArgumentException(
+        s"""Binder Error: Cant update column "$g" because it is a """ +
+          "generated column!")
+    }
+  }
+
+  /** Weave the table's generated columns into a batch carrying only
+    * the NON-generated columns (in table order): each generated
+    * column is computed from its recorded expression over the
+    * incoming values and every output is cast to the stored column
+    * type — the row exactly as it will be written. Map-only (no
+    * shuffle); the expressions stay inside codegen.
+    */
+  def withGenerated(session: org.apache.spark.sql.SparkSession,
+      table: String, nonGen: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gs = generatedOf(table)
+    if (gs.isEmpty) return nonGen
+    val schema = session.table(table).schema
+    val genSet = gs.map(_.name.toLowerCase).toSet
+    val nonGenFields = schema.fields.filterNot(f => genSet(f.name.toLowerCase))
+    if (nonGen.columns.length != nonGenFields.length)
+      throw new IllegalArgumentException(
+        s"Binder Error: table ${table.split('.').last} has " +
+          s"${nonGenFields.length} columns but ${nonGen.columns.length} " +
+          "values were supplied")
+    import org.apache.spark.sql.functions.{col, expr}
+    val renamed = nonGen.toDF(nonGenFields.map(_.name).toIndexedSeq: _*)
+    val exprOf = gs.map(g => g.name.toLowerCase -> g.expr).toMap
+    renamed.select(schema.fields.toIndexedSeq.map { f =>
+      exprOf.get(f.name.toLowerCase) match {
+        case Some(e) => expr(e).cast(f.dataType).as(f.name)
+        case None => col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      }
+    }: _*)
+  }
+
+  /** Recompute the generated columns of a FULL-schema batch (their
+    * incoming values are stale — e.g. after UPDATE touched a
+    * dependency) from the non-generated values. */
+  def regenerate(session: org.apache.spark.sql.SparkSession,
+      table: String, full: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gs = generatedOf(table)
+    if (gs.isEmpty) full
+    else withGenerated(session, table, full.drop(gs.map(_.name): _*))
+  }
+
+  /** Shape an arbitrary batch for writing into the table: a batch
+    * already carrying the full schema gets its generated columns
+    * recomputed; a batch carrying only the non-generated columns gets
+    * them woven in. No generated columns → untouched. */
+  def completeForWrite(session: org.apache.spark.sql.SparkSession,
+      table: String, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val gs = generatedOf(table)
+    if (gs.isEmpty) df
+    else if (df.columns.length == session.table(table).schema.length)
+      regenerate(session, table, df)
+    else withGenerated(session, table, df)
+  }
 }

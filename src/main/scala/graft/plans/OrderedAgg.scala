@@ -26,14 +26,34 @@ object OrderedAgg {
 
   private val fns = Set("string_agg", "group_concat", "listagg",
     "list", "array_agg", "collect_list", "first", "last",
-    "first_value", "last_value", "arbitrary")
+    "first_value", "last_value", "arbitrary", "any_value")
   private val stringFns = Set("string_agg", "group_concat", "listagg")
   /** first/last take the 1st / last element of the ordered values
     * (NULL values keep their sorted position — probed: `last(x ORDER
-    * BY x)` over {3, NULL, 1} is NULL under NULLS LAST).
+    * BY x)` over {3, NULL, 1} is NULL under NULLS LAST). any_value
+    * picks the first NON-null of the ordered values (probed:
+    * `any_value(x)` over {NULL, NULL, 7, 9} is 7).
     */
   private val pickFns = Set("first", "last", "first_value",
-    "last_value", "arbitrary")
+    "last_value", "arbitrary", "any_value")
+  /** DuckDB accepts an inline ORDER BY in EVERY aggregate; for
+    * order-INsensitive ones the clause is meaningless and simply
+    * dropped (probed: `avg(v ORDER BY k)` parses and equals `avg(v)`).
+    * Only names where dropping is semantics-preserving are listed —
+    * unknown aggregates keep the stock parser's loud error.
+    */
+  private val dropOrderFns = Set("sum", "avg", "mean", "min", "max",
+    "count", "stddev", "stddev_pop", "stddev_samp", "var_pop",
+    "var_samp", "variance", "median", "mode", "product", "bit_and",
+    "bit_or", "bit_xor", "bool_and", "bool_or", "entropy", "kurtosis",
+    "skewness", "mad", "favg", "fsum", "sumkahan", "kahan_sum",
+    "geomean", "geometric_mean", "arg_min", "arg_max", "argmin",
+    "argmax", "min_by", "max_by", "approx_count_distinct",
+    "approx_quantile", "reservoir_quantile", "quantile",
+    "quantile_cont", "quantile_disc", "corr", "covar_pop",
+    "covar_samp", "regr_slope", "regr_intercept", "regr_count",
+    "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
+    "regr_sxy", "count_if", "countif", "histogram", "bitstring_agg")
 
   private sealed trait Tok { def start: Int; def end: Int }
   private case class Word(start: Int, end: Int, lower: String) extends Tok
@@ -80,7 +100,9 @@ object OrderedAgg {
 
   def rewrite(sql: String): String = {
     val low = sql.toLowerCase
-    if (!low.contains("order") || !fns.exists(low.contains)) return sql
+    if (!low.contains("order") ||
+        (!fns.exists(low.contains) && !dropOrderFns.exists(low.contains)))
+      return sql
     val toks = tokenize(sql)
     def matchClose(openIdx: Int): Int = {
       var depth = 0; var j = openIdx
@@ -99,7 +121,7 @@ object OrderedAgg {
     var i = 0
     while (i < toks.length) {
       (toks(i), toks.lift(i + 1)) match {
-        case (Word(fnSt, _, fn), Some(Punct(_, _, '('))) if fns(fn) =>
+        case (Word(fnSt, _, fn), Some(Punct(_, _, '('))) if fns(fn) || dropOrderFns(fn) =>
           val open = i + 1
           val close = matchClose(open)
           if (close > 0) {
@@ -171,6 +193,8 @@ object OrderedAgg {
 
   private def lowerCall(fn: String, argsText: String,
       keysText: String): String = {
+    // order-insensitive aggregate: the ORDER BY is meaningless — drop
+    if (dropOrderFns(fn)) return s"$fn($argsText)"
     val args = SqlRewrites.splitTop(argsText).map(_.trim).filter(_.nonEmpty)
     require(args.nonEmpty, s"$fn(... ORDER BY ...): missing argument")
     val isString = stringFns(fn)
@@ -204,8 +228,14 @@ object OrderedAgg {
       s"array_join(transform(filter($sorted, __s -> __s.__v IS NOT NULL)," +
         s" __s -> CAST(__s.__v AS STRING)), $sep)"
     else if (pick) {
-      val idx = if (fn == "last" || fn == "last_value") "-1" else "1"
-      s"element_at(transform($sorted, __s -> __s.__v), $idx)"
+      if (fn == "any_value")
+        // first NON-null of the ordered values (all-null group → NULL)
+        s"try_element_at(filter(transform($sorted, __s -> __s.__v), " +
+          s"__v -> __v IS NOT NULL), 1)"
+      else {
+        val idx = if (fn == "last" || fn == "last_value") "-1" else "1"
+        s"element_at(transform($sorted, __s -> __s.__v), $idx)"
+      }
     } else
       s"transform($sorted, __s -> __s.__v)"
   }

@@ -154,7 +154,9 @@ object SqlRewrites {
   private val colConstraintRe =
     """(?i)\s+(PRIMARY\s+KEY|UNIQUE(?!\s*\()|REFERENCES\s+\w+(?:\.\w+)?(?:\s*\([^()]*\))?|CHECK\s*\((?:[^()]|\([^()]*\))*\))""".r
   private val tableConstraintRe =
-    """(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY)\s*\([^()]*\)(?:\s*REFERENCES\s+\w+(?:\s*\([^()]*\))?)?""".r
+    ("""(?i),\s*(?:CONSTRAINT\s+\w+\s+)?(?:(?:PRIMARY\s+KEY|UNIQUE|""" +
+      """FOREIGN\s+KEY)\s*\([^()]*\)(?:\s*REFERENCES\s+\w+""" +
+      """(?:\s*\([^()]*\))?)?|CHECK\s*\((?:[^()]|\([^()]*\))*\))""").r
   // NOT "text": the fixture schema itself has a column named text
   private val ddlVarcharRe = """(?i)\bVARCHAR\b(?!\s*\()""".r
 
@@ -164,11 +166,53 @@ object SqlRewrites {
   private val tablePkRe = """(?i)\bPRIMARY\s+KEY\s*\(([^()]*)\)""".r
   private val colPkRe = """(?i)^\s*"?([\w]+)"?\s+.*\bPRIMARY\s+KEY\b""".r
 
-  /** Capture the PRIMARY KEY of a CREATE TABLE (table-level
-    * `PRIMARY KEY (a, b)` or a column-level `PRIMARY KEY` suffix)
-    * into [[TableConstraints]] before the strip discards the syntax.
-    * Called from Engine.query on the ORIGINAL statement text — once
-    * per user statement, not at the parser seam.
+  /** blank quoted literals and comments with spaces (index-stable:
+    * paren positions found in the blanked copy index into the raw
+    * text) — `v VARCHAR DEFAULT 'primary key'` must not record a
+    * bogus key. */
+  private def blankLiterals(raw: String): String = {
+    val bodyArr = raw.toCharArray
+    var bi = 0
+    while (bi < bodyArr.length) {
+      val c = bodyArr(bi)
+      if (c == '\'') {
+        bi += 1
+        var done = false
+        while (!done && bi < bodyArr.length) {
+          if (bodyArr(bi) == '\'') {
+            if (bi + 1 < bodyArr.length && bodyArr(bi + 1) == '\'') {
+              bodyArr(bi) = ' '; bodyArr(bi + 1) = ' '; bi += 2
+            } else { done = true; bi += 1 }
+          } else { bodyArr(bi) = ' '; bi += 1 }
+        }
+      } else if (c == '-' && bi + 1 < bodyArr.length &&
+          bodyArr(bi + 1) == '-') {
+        while (bi < bodyArr.length && bodyArr(bi) != '\n') {
+          bodyArr(bi) = ' '; bi += 1
+        }
+      } else if (c == '/' && bi + 1 < bodyArr.length &&
+          bodyArr(bi + 1) == '*') {
+        val e = raw.indexOf("*/", bi + 2)
+        val until = if (e < 0) bodyArr.length else e + 2
+        while (bi < until) { bodyArr(bi) = ' '; bi += 1 }
+      } else bi += 1
+    }
+    new String(bodyArr)
+  }
+
+  private val colNotNullRe =
+    """(?i)^\s*"?([\w]+)"?\s+.*\bNOT\s+NULL\b""".r
+  private val checkOpenRe = """(?i)\bCHECK\s*\(""".r
+
+  /** Capture a CREATE TABLE's constraints into [[TableConstraints]]
+    * before the strip discards the syntax: PRIMARY KEY (table-level
+    * `PRIMARY KEY (a, b)` or a column-level suffix), NOT NULL columns
+    * (explicit + PK-implied, like DuckDB), and CHECK expressions
+    * (column- or table-level, raw text). Called from Engine.query on
+    * the ORIGINAL statement text — once per user statement, not at
+    * the parser seam. CTAS statements (`CREATE TABLE t AS …`) have no
+    * column-def list and are skipped entirely — the guard is that the
+    * first '(' must directly follow the table name.
     */
   def recordPrimaryKey(sql: String): Unit =
     createTableNameRe.findFirstMatchIn(sql).foreach { m =>
@@ -176,51 +220,11 @@ object SqlRewrites {
       TableConstraints.clear(table) // re-create resets; re-record below
       // the column-list body: first '(' after the name to its match
       val open = sql.indexOf('(', m.end)
-      if (open >= 0) {
-        var depth = 0; var i = open; var close = -1; var inS = false
-        while (i < sql.length && close < 0) {
-          val c = sql.charAt(i)
-          if (inS) { if (c == '\'') inS = false }
-          else c match {
-            case '\'' => inS = true
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
+      if (open >= 0 && sql.substring(m.end, open).trim.isEmpty) {
+        val close = matchParen(sql, open)
         if (close > open) {
-          // blank out quoted literals and comments before the PK
-          // regexes: `v VARCHAR DEFAULT 'primary key'` must not record
-          // a bogus key (same in-string walk as the close-paren scan)
           val raw = sql.substring(open + 1, close)
-          val bodyArr = raw.toCharArray
-          var bi = 0
-          while (bi < bodyArr.length) {
-            val c = bodyArr(bi)
-            if (c == '\'') {
-              bi += 1
-              var done = false
-              while (!done && bi < bodyArr.length) {
-                if (bodyArr(bi) == '\'') {
-                  if (bi + 1 < bodyArr.length && bodyArr(bi + 1) == '\'') {
-                    bodyArr(bi) = ' '; bodyArr(bi + 1) = ' '; bi += 2
-                  } else { done = true; bi += 1 }
-                } else { bodyArr(bi) = ' '; bi += 1 }
-              }
-            } else if (c == '-' && bi + 1 < bodyArr.length &&
-                bodyArr(bi + 1) == '-') {
-              while (bi < bodyArr.length && bodyArr(bi) != '\n') {
-                bodyArr(bi) = ' '; bi += 1
-              }
-            } else if (c == '/' && bi + 1 < bodyArr.length &&
-                bodyArr(bi + 1) == '*') {
-              val e = raw.indexOf("*/", bi + 2)
-              val until = if (e < 0) bodyArr.length else e + 2
-              while (bi < until) { bodyArr(bi) = ' '; bi += 1 }
-            } else bi += 1
-          }
-          val body = new String(bodyArr)
+          val body = blankLiterals(raw)
           val cols = tablePkRe.findFirstMatchIn(body)
             .map(t => splitTop(t.group(1)).map(_.trim))
             .orElse {
@@ -230,9 +234,120 @@ object SqlRewrites {
             }
           cols.filter(_.nonEmpty)
             .foreach(cs => TableConstraints.recordPk(table, cs))
+          // NOT NULL columns: explicit suffixes (CHECK spans blanked
+          // first so `CHECK (a IS NOT NULL)` can't false-record) plus
+          // the PK columns (DuckDB: PK implies NOT NULL)
+          val segs = splitTop(body)
+          val nn = segs.flatMap { seg =>
+            val noCheck = checkOpenRe.findFirstMatchIn(seg) match {
+              case Some(cm) =>
+                val co = cm.end - 1
+                val cc = matchParen(seg, co)
+                if (cc > co) seg.substring(0, co) + seg.substring(cc + 1)
+                else seg
+              case None => seg
+            }
+            colNotNullRe.findFirstMatchIn(noCheck).map(_.group(1))
+          }
+          val pkCols = cols.getOrElse(Nil).map(_.replace("\"", ""))
+          TableConstraints.recordNotNull(table, nn ++ pkCols)
+          // CHECK expressions: positions found on the blanked body
+          // index into the raw body (blanking is length-preserving)
+          val checkExprs = checkOpenRe.findAllMatchIn(body).toSeq.flatMap { cm =>
+            val co = cm.end - 1
+            val cc = matchParen(body, co)
+            if (cc > co) Some(raw.substring(co + 1, cc).trim) else None
+          }
+          // record in Spark dialect — enforcement evaluates the text
+          TableConstraints.recordChecks(table, checkExprs.map(rewriteExprText))
         }
       }
     }
+
+  /** rewrite a bare DuckDB-dialect scalar expression to Spark SQL by
+    * round-tripping it through the full statement pass — recorded
+    * CHECK / generated-column expressions are evaluated later via
+    * Spark's own `expr`, which speaks only the stock dialect. */
+  def rewriteExprText(e: String): String = {
+    val r = rewriteFull(s"SELECT ($e)")
+    require(r.dropCols.isEmpty,
+      s"constraint expression rewrite grew helper columns: $e")
+    r.sql.trim.replaceFirst("(?is)\\ASELECT\\s*", "")
+  }
+
+  private val genColFullRe =
+    ("""(?is)^\s*("?[\w]+"?)(?:\s+((?!GENERATED\b)[A-Za-z_]\w*""" +
+      """(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\[\])?))?""" +
+      """\s+GENERATED\s+ALWAYS\s+AS\s*\(""").r
+  private val genColShortRe =
+    ("""(?is)^\s*("?[\w]+"?)(?:\s+((?!AS\b)[A-Za-z_]\w*""" +
+      """(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?(?:\[\])?))?\s+AS\s*\(""").r
+
+  /** Parse generated-column definitions out of a CREATE TABLE
+    * (`g [type] [GENERATED ALWAYS] AS (expr) [VIRTUAL]` — both DuckDB
+    * spellings). Returns the statement with the generated segments
+    * REPLACED (typed → plain column, untyped → removed; Engine adds
+    * untyped ones back with the inferred type via a table rebuild),
+    * plus the records. None when the statement has no generated
+    * columns. STORED refuses with DuckDB's own message.
+    */
+  def extractGeneratedColumns(sql: String)
+      : Option[(String, String, Seq[TableConstraints.GenCol])] = {
+    val m = createTableNameRe.findFirstMatchIn(sql).getOrElse(return None)
+    val table = m.group(1)
+    val open = sql.indexOf('(', m.end)
+    if (open < 0 || sql.substring(m.end, open).trim.nonEmpty) return None
+    val close = matchParen(sql, open)
+    if (close < open) return None
+    val raw = sql.substring(open + 1, close)
+    if ("""(?i)\bAS\s*\(""".r.findFirstIn(blankLiterals(raw)).isEmpty)
+      return None
+    val segs = splitTop(raw)
+    val outSegs = Seq.newBuilder[String]
+    val gens = Seq.newBuilder[TableConstraints.GenCol]
+    var colIdx = 0
+    val tableLevel =
+      """(?is)^\s*(PRIMARY|UNIQUE|FOREIGN|CHECK|CONSTRAINT)\b""".r
+    segs.foreach { seg =>
+      val blanked = blankLiterals(seg)
+      if (tableLevel.findFirstIn(blanked).isDefined) outSegs += seg
+      else {
+        val hit = genColFullRe.findFirstMatchIn(blanked)
+          .orElse(genColShortRe.findFirstMatchIn(blanked))
+        hit match {
+          case Some(g) =>
+            val name = g.group(1).replace("\"", "")
+            val declared = Option(g.group(2)).map(_.trim)
+            val exOpen = g.end - 1
+            val exClose = matchParen(blanked, exOpen)
+            require(exClose > exOpen, s"unbalanced generated column $name")
+            val exprText = seg.substring(exOpen + 1, exClose).trim
+            val suffix = blanked.substring(exClose + 1).trim
+            if (suffix.equalsIgnoreCase("stored"))
+              throw new IllegalArgumentException(
+                "Can not create a STORED generated column!")
+            require(suffix.isEmpty || suffix.equalsIgnoreCase("virtual"),
+              s"unsupported generated-column suffix: $suffix")
+            gens += TableConstraints.GenCol(name,
+              rewriteExprText(exprText), declared, colIdx)
+            declared.foreach(t => outSegs += s"$name $t")
+          case None => outSegs += seg
+        }
+        colIdx += 1
+      }
+    }
+    val found = gens.result()
+    if (found.isEmpty) None
+    else {
+      val kept = outSegs.result()
+      require(kept.exists(s =>
+          tableLevel.findFirstIn(blankLiterals(s)).isEmpty),
+        "a table needs at least one non-generated column")
+      val clean = sql.substring(0, open + 1) + kept.mkString(", ") +
+        sql.substring(close)
+      Some((clean, table, found))
+    }
+  }
 
   /** DuckDB numeric-literal digit separators: `1_000_000`. Token must
     * START at a non-word boundary with a digit (identifiers like
@@ -1108,6 +1223,134 @@ object SqlRewrites {
     depth == 0 && !inS
   }
 
+  /** pg/DuckDB named-window EXTENSION: `OVER (w [ORDER BY …] [frame])`
+    * copies the WINDOW-clause definition of `w` and extends it
+    * (probed on 1.0: `OVER (w2 ORDER BY a)` with `WINDOW w2 AS
+    * (PARTITION BY …)` and `OVER (w2 ROWS BETWEEN …)` both bind).
+    * Spark parses the WINDOW clause and the bare `OVER w` reference
+    * but not the parenthesized extension form — the spec is inlined
+    * textually, with the extension tail appended. Definitions may
+    * reference earlier definitions (`WINDOW w1 AS (…), w2 AS (w1 …)`)
+    * — resolved to fixpoint first. Same-named definitions with
+    * DIFFERENT specs refuse loudly (the textual pass cannot scope
+    * names to their SELECT).
+    */
+  def rewriteWindowRefExtend(sql: String): String = {
+    val defRe = """(?i)\bWINDOW\s+(\w+)\s+AS\s*\(""".r
+    val contRe = """(?is)^\s*,\s*(\w+)\s+AS\s*\(""".r
+    val spans = quotedSpans(sql)
+    def quoted(p: Int) = spans.exists(sp => p >= sp._1 && p < sp._2)
+    var defs = Map.empty[String, String]
+    for (m <- defRe.findAllMatchIn(sql) if !quoted(m.start)) {
+      var name = m.group(1).toLowerCase
+      var open = m.end - 1
+      var more = true
+      while (more) {
+        val close = matchParen(sql, open)
+        require(close > 0, s"unbalanced WINDOW definition for $name")
+        val spec = sql.substring(open + 1, close).trim
+        defs.get(name).foreach { prev =>
+          require(prev == spec,
+            s"window $name is defined more than once with different specs")
+        }
+        defs += name -> spec
+        contRe.findPrefixMatchOf(sql.substring(close + 1)) match {
+          case Some(c) =>
+            name = c.group(1).toLowerCase
+            open = close + 1 + c.end - 1
+          case None => more = false
+        }
+      }
+    }
+    if (defs.isEmpty) return sql
+    // a definition may itself start with another window's name
+    var changed = true; var guard = 0
+    while (changed && guard < 8) {
+      changed = false; guard += 1
+      defs = defs.map { case (n, spec) =>
+        val firstWord = """^(\w+)\b""".r.findFirstMatchIn(spec)
+        firstWord.map(_.group(1).toLowerCase) match {
+          case Some(w) if defs.contains(w) && w != n =>
+            changed = true
+            (n, (defs(w) + " " + spec.substring(firstWord.get.end).trim).trim)
+          case _ => (n, spec)
+        }
+      }
+    }
+    // inline `OVER (name [tail])` references (bare `OVER name` is
+    // Spark-native and stays)
+    val refRe = """(?i)\bOVER\s*\(\s*(\w+)\b""".r
+    val hits = refRe.findAllMatchIn(sql).toSeq.reverse
+      .filter(m => !quoted(m.start) && defs.contains(m.group(1).toLowerCase))
+    if (hits.isEmpty) return sql
+    val sb = new StringBuilder(sql)
+    hits.foreach { m =>
+      val open = sql.indexOf('(', m.start + 4)
+      val close = matchParen(sql, open)
+      require(close > 0, "unbalanced OVER (...)")
+      val tail = sql.substring(m.end, close).trim
+      val spec = defs(m.group(1).toLowerCase)
+      val merged = if (tail.isEmpty) spec else s"$spec $tail"
+      sb.replace(m.start, close + 1, s"OVER ($merged)")
+    }
+    sb.toString
+  }
+
+  /** DuckDB/pg ROW type spelling in casts — `x::ROW(a INT, …)` /
+    * `CAST(x AS ROW(…))` → Spark `STRUCT<a: INT, …>`. Field types
+    * recurse (nested ROW, `T[]` arrays) and pg alias names map
+    * through [[mapTypeName]] (VARCHAR → STRING). Probed on 1.0:
+    * `NULL::ROW(a INT) IS NULL` is true; `{'a':1}::ROW(a BIGINT)`
+    * casts field-wise.
+    */
+  def rewriteRowTypes(sql: String): String = {
+    val re = """(?i)(::\s*|\bAS\s+)ROW\s*\(""".r
+    var cur = sql
+    var guard = 0
+    var done = false
+    while (!done && guard < 32) {
+      guard += 1
+      val spans = quotedSpans(cur)
+      re.findAllMatchIn(cur).toSeq.reverse.find(m =>
+        !spans.exists(sp => m.start >= sp._1 && m.start < sp._2)) match {
+        case Some(m) =>
+          val open = cur.indexOf('(', m.start + m.group(1).length)
+          val close = matchParen(cur, open)
+          require(close > 0, "unbalanced ROW(...) type")
+          val struct = convertRowType(cur.substring(open + 1, close))
+          cur = cur.substring(0, m.start) + m.group(1) + struct +
+            cur.substring(close + 1)
+        case None => done = true
+      }
+    }
+    cur
+  }
+
+  private def convertRowType(body: String): String = {
+    val fields = splitTop(body).map { seg =>
+      val s = seg.trim
+      val i = s.indexWhere(_.isWhitespace)
+      require(i > 0, s"ROW field '$s' must be '<name> <type>'")
+      val name = s.substring(0, i).stripPrefix("\"").stripSuffix("\"")
+      s"$name: ${convertTypeSpelling(s.substring(i + 1))}"
+    }
+    s"STRUCT<${fields.mkString(", ")}>"
+  }
+
+  private def convertTypeSpelling(t0: String): String = {
+    val t = t0.trim
+    if ("""(?i)^ROW\s*\(""".r.findFirstIn(t).isDefined) {
+      val open = t.indexOf('(')
+      val close = matchParen(t, open)
+      require(close > 0, s"unbalanced ROW type: $t")
+      val conv = convertRowType(t.substring(open + 1, close))
+      val rest = t.substring(close + 1).trim
+      if (rest == "[]") s"ARRAY<$conv>"
+      else { require(rest.isEmpty, s"unexpected tail after ROW type: $rest"); conv }
+    } else if (t.endsWith("[]")) s"ARRAY<${convertTypeSpelling(t.dropRight(2))}>"
+    else mapTypeName(t)
+  }
+
   private def rewriteDistinctOn(sql: String): String =
     distinctOnRe.findFirstMatchIn(sql) match {
       case Some(m) if atDepth0(sql, m.start) =>
@@ -1611,10 +1854,15 @@ object SqlRewrites {
     val sqlA = if (sqlA0.toLowerCase.contains("cast"))
       replaceOutsideQuotes(castAsArr, sqlA0)(m =>
         s"AS ARRAY<${m.group(1)}>${m.group(2)}") else sqlA0
+    // ROW(...) type spellings in casts → STRUCT<...> (before the
+    // bracket pass, which would misread `ROW(a INT[])`'s brackets)
+    val sqlRw = if (lowIn.contains("row") &&
+        (lowIn.contains("::") || lowIn.contains("cast")))
+      rewriteRowTypes(sqlA) else sqlA
     // DuckDB brace literals ({'a':1} structs, MAP {k:v}) — innermost
     // first, then bracket syntax (list literals, 1-based subscripts,
     // inclusive slices) — token-aware, strings/comments untouched
-    val sqlBr = if (sqlA.indexOf('{') >= 0) BracketRewrite.rewriteBraces(sqlA) else sqlA
+    val sqlBr = if (sqlRw.indexOf('{') >= 0) BracketRewrite.rewriteBraces(sqlRw) else sqlRw
     // DuckDB operator spellings: `//` int-div, `**`/`^` power (Spark's
     // `^` is XOR — must not reach the stock parser), the ~/~~/~~~
     // match family, ^@, @, postfix !, and the list ops <@ @> && <-> <=>
@@ -1867,8 +2115,12 @@ object SqlRewrites {
         val b = replaceOutsideQuotes(colConstraintRe, a)(_ => "")
         replaceOutsideQuotes(ddlVarcharRe, b)(_ => "STRING")
       }
-    val s1b0 = if (!has("exclude")) s1dd
-      else starExclude.replaceAllIn(s1dd, "* EXCEPT (")
+    // named-window EXTENSION refs `OVER (w …)` — inline before the
+    // frame-EXCLUDE / FILTER window passes see the text
+    val s1wx = if (!has("window") || !has("over")) s1dd
+      else rewriteWindowRefExtend(s1dd)
+    val s1b0 = if (!has("exclude")) s1wx
+      else starExclude.replaceAllIn(s1wx, "* EXCEPT (")
     // window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS):
     // algebraic lowering for sum/count/avg — see WindowExclude
     val s1b1 = if (!has("exclude") || !has("over")) s1b0

@@ -100,7 +100,11 @@ object CopyOps {
   }
 
   def loadInto(session: SparkSession, table: String, df: DataFrame): Long = {
-    val snap = df.localCheckpoint() // count + write from one materialization
+    // generated columns recompute from the file's values; NOT NULL /
+    // CHECK enforce before anything lands (one aggregate pass)
+    val snap = graft.TableConstraints.completeForWrite(session, table, df)
+      .localCheckpoint() // count + write from one materialization
+    graft.TableConstraints.enforce(table, snap)
     val n = snap.count()
     Dml.lockFor(table).synchronized {
       snap.write.mode("append").insertInto(table)

@@ -56,6 +56,21 @@ object Dml {
       (a.substring(0, idx).trim.toLowerCase, a.substring(idx + 1).trim)
     }.toMap
 
+  /** `SET col = DEFAULT` resolves to the column's declared default
+    * (recorded by Spark as CURRENT_DEFAULT column metadata) or NULL
+    * when none was declared — pg/DuckDB UPDATE surface. */
+  def resolveDefaultSets(schema: org.apache.spark.sql.types.StructType,
+      sets: Map[String, String]): Map[String, String] =
+    sets.map { case (c, e) =>
+      if (e.trim.equalsIgnoreCase("default")) {
+        val d = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .filter(_.metadata.contains("CURRENT_DEFAULT"))
+          .map(_.metadata.getString("CURRENT_DEFAULT"))
+          .getOrElse("NULL")
+        (c, d)
+      } else (c, e)
+    }
+
   private def hasTopLevel(s: String, kw: String): Boolean = {
     val low = s.toLowerCase
     val k = kw.toLowerCase
@@ -134,8 +149,11 @@ object Dml {
         val action =
           if (kind.equalsIgnoreCase("ignore")) "NOTHING"
           else {
+            val genNames = graft.TableConstraints.generatedOf(table)
+              .map(_.name.toLowerCase).toSet
             val nonKey = session.table(table).schema.fieldNames
-              .filterNot(f => keys.contains(f.toLowerCase))
+              .filterNot(f => keys.contains(f.toLowerCase) ||
+                genNames(f.toLowerCase))
             require(nonKey.nonEmpty,
               s"INSERT OR REPLACE INTO $table: every column is a key")
             "UPDATE SET " + nonKey
@@ -153,10 +171,15 @@ object Dml {
               s"ON CONFLICT on $table: no conflict target given and no " +
                 "PRIMARY KEY recorded for the table"))
           require(keys.nonEmpty, "empty ON CONFLICT target")
+          val genNames = graft.TableConstraints.generatedOf(table)
+            .map(_.name.toLowerCase).toSet
           val insCols = Option(colsOrNull)
             .map(c => splitTopLevel(c.trim.stripPrefix("(").stripSuffix(")"))
               .map(_.toLowerCase))
-            .getOrElse(schema.fieldNames.toSeq.map(_.toLowerCase))
+            .getOrElse(schema.fieldNames.toSeq.map(_.toLowerCase)
+              .filterNot(genNames))
+          if (insCols.exists(genNames)) throw new IllegalArgumentException(
+            "Binder Error: Cannot insert into a generated column")
           // incoming rows, widened to the full schema (missing → NULL)
           val srcRaw = session.sql(s"SELECT * FROM ($source)")
           require(srcRaw.schema.length == insCols.length,
@@ -190,22 +213,27 @@ object Dml {
             s"SELECT excluded.* FROM excluded LEFT ANTI JOIN $table ON $on")
             .localCheckpoint()
           val nFresh = fresh.count()
+          // generated columns in `fresh` are the widened NULLs —
+          // recompute, then enforce NOT NULL/CHECK on what lands
+          def shaped(df: org.apache.spark.sql.DataFrame) = {
+            val out = graft.TableConstraints.regenerate(session, table, df)
+            graft.TableConstraints.enforce(table, out)
+            out
+          }
           if (action.equalsIgnoreCase("nothing")) {
-            if (nFresh > 0) fresh.write.mode("append").insertInto(table)
+            if (nFresh > 0)
+              shaped(fresh).write.mode("append").insertInto(table)
             nFresh
           } else {
             val setList = action.replaceFirst("(?is)^UPDATE\\s+SET\\s+", "")
-            val sets: Map[String, String] = splitTopLevel(setList).map { a =>
-              val idx = a.indexOf('=')
-              require(idx > 0, s"bad SET assignment: $a")
-              (a.substring(0, idx).trim.toLowerCase,
-                a.substring(idx + 1).trim)
-            }.toMap
+            val sets: Map[String, String] =
+              resolveDefaultSets(schema, splitAssignments(setList))
             val unknown = sets.keySet
               .diff(schema.fieldNames.map(_.toLowerCase).toSet)
             if (unknown.nonEmpty) throw new IllegalArgumentException(
               s"DO UPDATE references unknown column(s): " +
                 unknown.mkString(", "))
+            graft.TableConstraints.rejectGeneratedSets(table, sets.keySet)
             // target LEFT JOIN incoming on the keys: unmatched rows
             // keep their values, matched rows take the SET exprs. The
             // incoming side is packed into ONE struct column named
@@ -236,10 +264,11 @@ object Dml {
             // (overwrite updated target, append fresh) sidestep a
             // Union over plans sharing the excluded view's attribute
             // ids, which trips Catalyst's union constraint rewrite
-            val rewritten = joined.select(outCols: _*).localCheckpoint()
+            val rewritten =
+              shaped(joined.select(outCols: _*)).localCheckpoint()
             rewritten.write.mode("overwrite").insertInto(table)
             if (nFresh > 0)
-              fresh.toDF(schema.fieldNames: _*).write
+              shaped(fresh.toDF(schema.fieldNames.toIndexedSeq: _*)).write
                 .mode("append").insertInto(table)
             // DuckDB returns ALL source rows for DO UPDATE (probed)
             session.table("excluded").count()
@@ -247,6 +276,134 @@ object Dml {
         })
       case _ => None
     }
+
+  /** index of the ')' matching the '(' at `open` (quote-aware). */
+  private def matchParenAt(s: String, open: Int): Int = {
+    var depth = 0; var i = open; var inS = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inS) { if (c == '\'') inS = false }
+      else c match {
+        case '\'' => inS = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val insertHeadRe =
+    """(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s*""".r
+
+  /** Plain `INSERT INTO t [(cols)] [BY NAME] source` against a table
+    * with recorded NOT NULL / CHECK / generated columns: evaluates
+    * the source, widens it to the NON-generated schema (missing
+    * columns take their declared DEFAULT or NULL; bare DEFAULT items
+    * in VALUES rows resolve positionally), weaves in the generated
+    * columns, enforces the constraints (one map-side-combining
+    * aggregate pass over the batch), then appends under the table's
+    * writer lock. Returns None for unguarded tables — those keep
+    * Spark's native INSERT with no extra pass. Error messages are
+    * DuckDB's own, pinned by probe (tools/probe_r10h.tsv ddl rows).
+    */
+  def guardedInsert(session: SparkSession, sql: String): Option[Long] = {
+    val m = insertHeadRe.findPrefixMatchOf(sql).getOrElse(return None)
+    val table = m.group(1)
+    if (!graft.TableConstraints.needsGuard(table)) return None
+    var rest = sql.substring(m.end).trim.stripSuffix(";").trim
+    val schema = session.table(table).schema
+    val genSet = graft.TableConstraints.generatedOf(table)
+      .map(_.name.toLowerCase).toSet
+    val nonGenFields = schema.fields.filterNot(f => genSet(f.name.toLowerCase))
+    val bare = table.split('.').last.replace("\"", "")
+    // optional explicit column list: a leading paren group whose body
+    // is not itself a query
+    var colsOpt: Option[Seq[String]] = None
+    if (rest.startsWith("(")) {
+      val close = matchParenAt(rest, 0)
+      require(close > 0, "unbalanced ( in INSERT")
+      val inner = rest.substring(1, close).trim
+      val head = inner.split("[\\s(,]", 2)(0).toUpperCase
+      if (!Set("SELECT", "VALUES", "WITH", "FROM", "TABLE").contains(head)) {
+        colsOpt = Some(splitTopLevel(inner).map(
+          _.trim.stripPrefix("\"").stripSuffix("\"").toLowerCase))
+        rest = rest.substring(close + 1).trim
+      }
+    }
+    val byName = """(?is)\ABY\s+NAME\b""".r.findPrefixMatchOf(rest) match {
+      case Some(bm) => rest = rest.substring(bm.end).trim; true
+      case None => false
+    }
+    colsOpt.foreach { cs =>
+      if (cs.exists(genSet)) throw new IllegalArgumentException(
+        "Binder Error: Cannot insert into a generated column")
+      val unknown = cs.toSet.diff(schema.fieldNames.map(_.toLowerCase).toSet)
+      require(unknown.isEmpty,
+        s"INSERT references unknown column(s): ${unknown.mkString(", ")}")
+    }
+    val targetCols: Seq[String] =
+      colsOpt.getOrElse(nonGenFields.toSeq.map(_.name.toLowerCase))
+    val defaultOf: Map[String, String] = schema.fields.map { f =>
+      f.name.toLowerCase -> (if (f.metadata.contains("CURRENT_DEFAULT"))
+        f.metadata.getString("CURRENT_DEFAULT") else "NULL")
+    }.toMap
+    // VALUES sources: resolve bare DEFAULT items positionally before
+    // the engine evaluates the rows
+    val srcSql = """(?is)\AVALUES\b""".r.findPrefixMatchOf(rest) match {
+      case Some(vm) =>
+        val rows = splitTopLevel(rest.substring(vm.end).trim)
+        val fixed = rows.map { r =>
+          require(r.startsWith("(") && r.endsWith(")"), s"bad VALUES row: $r")
+          splitTopLevel(r.substring(1, r.length - 1)).zipWithIndex.map {
+            case (it, k) =>
+              if (it.equalsIgnoreCase("default")) {
+                if (k >= targetCols.length) throw new IllegalArgumentException(
+                  s"Binder Error: table $bare has ${targetCols.length} " +
+                    s"columns but ${k + 1} values were supplied")
+                defaultOf.getOrElse(targetCols(k), "NULL")
+              } else it
+          }.mkString("(", ", ", ")")
+        }
+        "VALUES " + fixed.mkString(", ")
+      case None => rest
+    }
+    Some(lockFor(table).synchronized {
+      // evaluate through the engine (DuckDB-dialect sources work) and
+      // snapshot BEFORE the append (COW rule: source may read target)
+      val srcDf = graft.Engine.query(session, srcSql).localCheckpoint()
+      val provided: Seq[(String, String)] =
+        if (byName) srcDf.columns.toSeq.map(c => (c.toLowerCase, s"`$c`"))
+        else {
+          if (srcDf.columns.length != targetCols.length)
+            throw new IllegalArgumentException(
+              s"Binder Error: table $bare has ${targetCols.length} " +
+                s"columns but ${srcDf.columns.length} values were supplied")
+          targetCols.zip(srcDf.columns.toSeq.map(c => s"`$c`"))
+        }
+      if (provided.exists(p => genSet(p._1)))
+        throw new IllegalArgumentException(
+          "Binder Error: Cannot insert into a generated column")
+      val pmap = provided.toMap
+      srcDf.createOrReplaceTempView("__graft_ins_src")
+      val proj = nonGenFields.map { f =>
+        pmap.get(f.name.toLowerCase) match {
+          case Some(c) => s"CAST($c AS ${f.dataType.sql}) AS `${f.name}`"
+          case None => s"CAST((${defaultOf(f.name.toLowerCase)}) AS " +
+            s"${f.dataType.sql}) AS `${f.name}`"
+        }
+      }.mkString(", ")
+      val nonGenDf = session.sql(s"SELECT $proj FROM __graft_ins_src")
+      val full = graft.TableConstraints
+        .withGenerated(session, table, nonGenDf).localCheckpoint()
+      graft.TableConstraints.enforce(table, full)
+      val n = full.count()
+      full.write.mode("append").insertInto(table)
+      session.catalog.dropTempView("__graft_ins_src")
+      n
+    })
+  }
 
   def delete(session: SparkSession, sql: String): Long = sql.trim match {
     // pg/DuckDB `DELETE FROM t USING u WHERE pred` — the predicate
@@ -307,15 +464,13 @@ object Dml {
     case updateFromRe(table, setList, using, where) =>
       lockFor(table).synchronized {
         val schema = session.table(table).schema
-        val sets: Map[String, String] = splitTopLevel(setList).map { a =>
-          val idx = a.indexOf('=')
-          require(idx > 0, s"bad SET assignment: $a")
-          (a.substring(0, idx).trim.toLowerCase, a.substring(idx + 1).trim)
-        }.toMap
+        val sets: Map[String, String] =
+          resolveDefaultSets(schema, splitAssignments(setList))
         val unknown = sets.keySet
           .diff(schema.fieldNames.map(_.toLowerCase).toSet)
         if (unknown.nonEmpty) throw new IllegalArgumentException(
           s"UPDATE references unknown column(s): ${unknown.mkString(", ")}")
+        graft.TableConstraints.rejectGeneratedSets(table, sets.keySet)
         // aliases: the predicate and SET exprs reference the TARGET by
         // its table name and the SOURCE by its name-or-alias, so the
         // rewrite re-uses exactly those names
@@ -350,12 +505,14 @@ object Dml {
           s"SELECT count(*) FROM __upd_t $tAlias JOIN $using " +
             s"ON CAST(($where) AS BOOLEAN)").collect()(0).getLong(0)
         if (n > 0) {
-          val updated = session.sql(
-            s"SELECT $proj FROM __upd_t $tAlias LEFT JOIN " +
-              s"(SELECT *, true AS __m FROM $uName) $uAlias " +
-              s"ON CAST(($where) AS BOOLEAN)")
-            .drop("__rid")
+          val updated = graft.TableConstraints.regenerate(session, table,
+            session.sql(
+              s"SELECT $proj FROM __upd_t $tAlias LEFT JOIN " +
+                s"(SELECT *, true AS __m FROM $uName) $uAlias " +
+                s"ON CAST(($where) AS BOOLEAN)")
+              .drop("__rid"))
             .localCheckpoint()
+          graft.TableConstraints.enforce(table, updated)
           updated.write.mode("overwrite").insertInto(table)
         }
         n
@@ -370,14 +527,12 @@ object Dml {
     case updateRe(table, setList, whereOrNull) => lockFor(table).synchronized {
       val pred = matchPred(Option(whereOrNull))
       val schema = session.table(table).schema
-      val sets: Map[String, String] = splitTopLevel(setList).map { a =>
-        val idx = a.indexOf('=')
-        require(idx > 0, s"bad SET assignment: $a")
-        (a.substring(0, idx).trim.toLowerCase, a.substring(idx + 1).trim)
-      }.toMap
+      val sets: Map[String, String] =
+        resolveDefaultSets(schema, splitAssignments(setList))
       val unknown = sets.keySet.diff(schema.fieldNames.map(_.toLowerCase).toSet)
       if (unknown.nonEmpty) throw new IllegalArgumentException(
         s"UPDATE references unknown column(s): ${unknown.mkString(", ")}")
+      graft.TableConstraints.rejectGeneratedSets(table, sets.keySet)
       val proj = schema.fields.map { f =>
         sets.get(f.name.toLowerCase) match {
           case Some(e) =>
@@ -390,8 +545,9 @@ object Dml {
       val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
         .collect()(0).getLong(0)
       if (n > 0) {
-        val updated = session.sql(s"SELECT $proj FROM $table")
-          .localCheckpoint()
+        val updated = graft.TableConstraints.regenerate(session, table,
+          session.sql(s"SELECT $proj FROM $table")).localCheckpoint()
+        graft.TableConstraints.enforce(table, updated)
         updated.write.mode("overwrite").insertInto(table)
       }
       n

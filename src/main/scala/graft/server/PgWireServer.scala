@@ -663,9 +663,13 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
         "COPY syntax: COPY (query)|table TO 'path' (FORMAT PARQUET|CSV|JSON [, HEADER]) | COPY table FROM 'path' (...) | COPY table FROM STDIN [(FORMAT csv [, HEADER])]")
   }
 
-  /** Append `df` to catalog table `table`; returns the row count. */
+  /** Append `df` to catalog table `table`; returns the row count.
+    * Generated columns recompute and NOT NULL / CHECK enforce first,
+    * same as the file-path COPY. */
   private def loadInto(table: String, df: DataFrame): Long = {
-    val snap = df.localCheckpoint() // count + write from one materialization
+    val snap = graft.TableConstraints.completeForWrite(session, table, df)
+      .localCheckpoint() // count + write from one materialization
+    graft.TableConstraints.enforce(table, snap)
     val n = snap.count()
     snap.write.mode("append").insertInto(table)
     n

@@ -149,19 +149,23 @@ class CompatSpec extends SparkSpecBase {
     assert(q("SELECT * FROM dmlpk WHERE k = 9").collect().head.toSeq
       == Seq(9, "q", null))
     // review-pass pins: bare target column in SET (struct-packed
-    // excluded side keeps it unambiguous), NULL-key upsert neither
-    // drops nor duplicates the row
+    // excluded side keeps it unambiguous)
     assert(q("INSERT INTO dmlpk VALUES (1,'ig',0) " +
       "ON CONFLICT (k) DO UPDATE SET v = v || '+'")
       .collect().head.getLong(0) == 1L)
     assert(q("SELECT v FROM dmlpk WHERE k = 1").collect().head
       .getString(0) == "a+")
-    q("INSERT INTO dmlpk VALUES (NULL, 'old', 1)")
-    q("INSERT INTO dmlpk VALUES (NULL, 'new', 2) " +
-      "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
-    assert(q("SELECT v FROM dmlpk WHERE k IS NULL").collect()
-      .map(_.getString(0)).toSeq == Seq("new"),
-      "NULL-keyed incoming row must update its NULL-keyed target")
+    // PRIMARY KEY implies NOT NULL (probed on 1.0: both the plain
+    // insert and the upsert refuse a NULL key with the same message)
+    val nullKey = intercept[IllegalArgumentException](
+      q("INSERT INTO dmlpk VALUES (NULL, 'old', 1)"))
+    assert(nullKey.getMessage ==
+      "Constraint Error: NOT NULL constraint failed: dmlpk.k")
+    val nullKeyUp = intercept[IllegalArgumentException](
+      q("INSERT INTO dmlpk VALUES (NULL, 'new', 2) " +
+        "ON CONFLICT (k) DO UPDATE SET v = excluded.v"))
+    assert(nullKeyUp.getMessage ==
+      "Constraint Error: NOT NULL constraint failed: dmlpk.k")
     // DROP clears the record: a PK-less re-create must refuse bare forms
     q("DROP TABLE dmlpk")
     q("CREATE TABLE dmlpk (k INT, v VARCHAR)")

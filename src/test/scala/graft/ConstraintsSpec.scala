@@ -1,0 +1,166 @@
+package graft
+
+/** NOT NULL / CHECK enforcement and generated columns — the DuckDB
+  * constraint surface reachable through the delegated engine
+  * (README.md:54 flow allows any DuckDB SQL). Every message and count
+  * below is pinned by probe against DuckDB 1.0
+  * (tools/probe_r10h.tsv ddl rows + the round-10 probe session).
+  */
+class ConstraintsSpec extends SparkSpecBase {
+
+  private def q(s: String) = Engine.query(spark, s)
+  private def rows(s: String): Seq[Seq[Any]] =
+    q(s).collect().map(_.toSeq.toList).toList
+
+  test("NOT NULL enforces on INSERT and UPDATE with DuckDB's message") {
+    q("DROP TABLE IF EXISTS cns_nn")
+    q("CREATE TABLE cns_nn (a INT NOT NULL, b INT)")
+    val e = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_nn VALUES (NULL, 5)"))
+    assert(e.getMessage ==
+      "Constraint Error: NOT NULL constraint failed: cns_nn.a")
+    assert(q("INSERT INTO cns_nn VALUES (1, 5)")
+      .collect().head.getLong(0) == 1L)
+    val e2 = intercept[IllegalArgumentException](
+      q("UPDATE cns_nn SET a = NULL"))
+    assert(e2.getMessage ==
+      "Constraint Error: NOT NULL constraint failed: cns_nn.a")
+    // the failed statements left nothing behind
+    assert(rows("SELECT * FROM cns_nn") == Seq(Seq(1, 5)))
+    q("DROP TABLE cns_nn")
+  }
+
+  test("CHECK enforces column- and table-level; NULL passes (SQL rule)") {
+    q("DROP TABLE IF EXISTS cns_ck")
+    q("CREATE TABLE cns_ck (a INT CHECK (a > 0), b INT, CHECK (b < 100))")
+    val e = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_ck VALUES (-5, 5)"))
+    assert(e.getMessage == "Constraint Error: CHECK constraint failed: cns_ck")
+    intercept[IllegalArgumentException](
+      q("INSERT INTO cns_ck VALUES (5, 500)"))
+    // probed: CHECK admits NULL (constraint is satisfied unless FALSE)
+    q("INSERT INTO cns_ck VALUES (NULL, NULL)")
+    q("INSERT INTO cns_ck VALUES (3, 30)")
+    q("UPDATE cns_ck SET b = 99")
+    intercept[IllegalArgumentException](q("UPDATE cns_ck SET b = 500"))
+    assert(rows("SELECT * FROM cns_ck ORDER BY a NULLS LAST")
+      == Seq(Seq(3, 99), Seq(null, 99)))
+    // named table-level constraint spells the same enforcement
+    q("DROP TABLE IF EXISTS cns_ck2")
+    q("CREATE TABLE cns_ck2 (a INT, CONSTRAINT pos_a CHECK (a > 0))")
+    intercept[IllegalArgumentException](
+      q("INSERT INTO cns_ck2 VALUES (-1)"))
+    q("DROP TABLE cns_ck")
+    q("DROP TABLE cns_ck2")
+  }
+
+  test("generated columns: both spellings, insert widths, recompute") {
+    q("DROP TABLE IF EXISTS cns_g")
+    q("CREATE TABLE cns_g (a INT, b INT GENERATED ALWAYS AS (a * 2) VIRTUAL)")
+    assert(q("INSERT INTO cns_g (a) VALUES (3), (4)")
+      .collect().head.getLong(0) == 2L)
+    // without a column list, VALUES supply only the non-generated width
+    q("INSERT INTO cns_g VALUES (5)")
+    assert(rows("SELECT * FROM cns_g ORDER BY a")
+      == Seq(Seq(3, 6), Seq(4, 8), Seq(5, 10)))
+    val wide = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_g VALUES (6, 99)"))
+    assert(wide.getMessage ==
+      "Binder Error: table cns_g has 1 columns but 2 values were supplied")
+    val named = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_g (a, b) VALUES (7, 99)"))
+    assert(named.getMessage ==
+      "Binder Error: Cannot insert into a generated column")
+    val upd = intercept[IllegalArgumentException](
+      q("UPDATE cns_g SET b = 5 WHERE a = 3"))
+    assert(upd.getMessage ==
+      """Binder Error: Cant update column "b" because it is a generated column!""")
+    // updating the dependency recomputes the generated value
+    q("UPDATE cns_g SET a = 10 WHERE a = 3")
+    assert(rows("SELECT * FROM cns_g ORDER BY a")
+      == Seq(Seq(4, 8), Seq(5, 10), Seq(10, 20)))
+    // STORED refuses with DuckDB's own message
+    val st = intercept[Exception](q(
+      "CREATE TABLE cns_gs (a INT, b INT GENERATED ALWAYS AS (a) STORED)"))
+    assert(st.getMessage.contains("Can not create a STORED generated column!"))
+    q("DROP TABLE cns_g")
+  }
+
+  test("generated columns: typed, mid-position, DuckDB-dialect exprs") {
+    q("DROP TABLE IF EXISTS cns_gt")
+    // declared type + :: cast + || concat in the expression
+    q("CREATE TABLE cns_gt (a INT, b VARCHAR AS (a::VARCHAR || '!'))")
+    q("INSERT INTO cns_gt (a) VALUES (1)")
+    assert(rows("SELECT * FROM cns_gt") == Seq(Seq(1, "1!")))
+    // RETURNING shows the computed value
+    assert(rows("INSERT INTO cns_gt (a) VALUES (9) RETURNING a, b")
+      == Seq(Seq(9, "9!")))
+    // generated column in the MIDDLE keeps its position (probed)
+    q("DROP TABLE IF EXISTS cns_gm")
+    q("CREATE TABLE cns_gm (a INT, g AS (a * b), b INT)")
+    q("INSERT INTO cns_gm VALUES (2, 3)")
+    assert(rows("SELECT * FROM cns_gm") == Seq(Seq(2, 6, 3)))
+    q("DROP TABLE cns_gt")
+    q("DROP TABLE cns_gm")
+  }
+
+  test("generated columns through ALTER: rename rewrites, drop guards") {
+    q("DROP TABLE IF EXISTS cns_ga")
+    q("CREATE TABLE cns_ga (a INT, g AS (a * 2), b INT)")
+    q("INSERT INTO cns_ga VALUES (3, 7)")
+    // probed: renaming a dependency succeeds and the column keeps
+    // computing (DuckDB rewrites the stored expression)
+    q("ALTER TABLE cns_ga RENAME COLUMN a TO aa")
+    q("INSERT INTO cns_ga (aa, b) VALUES (5, 8)")
+    assert(rows("SELECT * FROM cns_ga ORDER BY aa")
+      == Seq(Seq(3, 6, 7), Seq(5, 10, 8)))
+    val dep = intercept[IllegalArgumentException](
+      q("ALTER TABLE cns_ga DROP COLUMN aa"))
+    assert(dep.getMessage == "Cannot drop column: column is a " +
+      "dependency of 1 or more generated column(s)")
+    // dropping the generated column itself is fine (probed)
+    q("ALTER TABLE cns_ga DROP COLUMN g")
+    q("INSERT INTO cns_ga VALUES (9, 1)")
+    assert(rows("SELECT * FROM cns_ga ORDER BY aa")
+      == Seq(Seq(3, 7), Seq(5, 8), Seq(9, 1)))
+    q("DROP TABLE cns_ga")
+  }
+
+  test("defaults interact: NOT NULL DEFAULT, generated over DEFAULT") {
+    q("DROP TABLE IF EXISTS cns_d")
+    q("CREATE TABLE cns_d (a INT NOT NULL DEFAULT 3, b INT)")
+    q("INSERT INTO cns_d (b) VALUES (1)")
+    assert(rows("SELECT * FROM cns_d") == Seq(Seq(3, 1)))
+    // DEFAULT VALUES counts only the non-generated width and the
+    // generated column computes over the defaulted value
+    q("DROP TABLE IF EXISTS cns_dg")
+    q("CREATE TABLE cns_dg (a INT DEFAULT 5, g AS (a + 1))")
+    q("INSERT INTO cns_dg DEFAULT VALUES")
+    assert(rows("SELECT * FROM cns_dg") == Seq(Seq(5, 6)))
+    // bare DEFAULT inside VALUES resolves positionally too
+    q("INSERT INTO cns_dg VALUES (DEFAULT)")
+    assert(rows("SELECT * FROM cns_dg") == Seq(Seq(5, 6), Seq(5, 6)))
+    q("DROP TABLE cns_d")
+    q("DROP TABLE cns_dg")
+  }
+
+  test("upserts respect generated columns and PK NOT NULL") {
+    q("DROP TABLE IF EXISTS cns_u")
+    q("CREATE TABLE cns_u (k INT PRIMARY KEY, v INT, d AS (v * 10))")
+    q("INSERT INTO cns_u VALUES (1, 5), (2, 6)")
+    q("INSERT INTO cns_u VALUES (1, 50) " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v")
+    assert(rows("SELECT * FROM cns_u ORDER BY k")
+      == Seq(Seq(1, 50, 500), Seq(2, 6, 60)))
+    q("INSERT OR REPLACE INTO cns_u VALUES (2, 60)")
+    assert(rows("SELECT * FROM cns_u ORDER BY k")
+      == Seq(Seq(1, 50, 500), Seq(2, 60, 600)))
+    // DO UPDATE SET on the generated column refuses
+    val e = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_u VALUES (1, 7) " +
+        "ON CONFLICT (k) DO UPDATE SET d = 1"))
+    assert(e.getMessage ==
+      """Binder Error: Cant update column "d" because it is a generated column!""")
+    q("DROP TABLE cns_u")
+  }
+}
