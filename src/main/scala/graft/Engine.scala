@@ -98,7 +98,9 @@ object Engine {
         dmlCount(spark, server.CopyOps.copyFromFile(spark, table, path, opts))
       case TruncateRe(name) =>
         // DuckDB's TRUNCATE omits TABLE and answers the removed-row
-        // count like any DML
+        // count like any DML; rows still referenced by a foreign key
+        // refuse like DELETE (probed)
+        TableConstraints.enforceRestrict(spark, name, spark.table(name))
         val n = spark.table(name).count()
         spark.sql(s"TRUNCATE TABLE $name")
         dmlCount(spark, n)
@@ -217,6 +219,15 @@ object Engine {
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
         unpivotStmt(spark, target, onCols, nameCol, valueCol)
       case DropTableNameRe(name) =>
+        // DuckDB refuses to drop a table other tables reference
+        TableConstraints.referencingFks(name)
+          .find(_._1.split('.').last != name.split('.').last.toLowerCase)
+          .foreach { case (child, _) =>
+            throw new IllegalArgumentException(
+              "Catalog Error: Could not drop the table because this " +
+                s"""table is main key table of the table "${
+                  child.split('.').last}"""")
+          }
         graft.TableConstraints.clear(name) // stale PK records die here
         graft.Comments.clear(name) // and stale COMMENT ON records
         spark.sql(sql)
@@ -707,7 +718,7 @@ object Engine {
   }
 
   private val TruncateRe =
-    """(?is)\A\s*TRUNCATE\s+(?!TABLE\b)([\w."]+)\s*;?\s*\z""".r
+    """(?is)\A\s*TRUNCATE\s+(?:TABLE\s+)?([\w."]+)\s*;?\s*\z""".r
   private val InsertDefaultsRe =
     """(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s+DEFAULT\s+VALUES\s*;?\s*\z""".r
   // ---- SET VARIABLE / getvariable (DuckDB v1.1 surface, the version

@@ -29,6 +29,11 @@ object TableConstraints {
   final case class GenCol(name: String, expr: String,
     declaredType: Option[String], pos: Int)
 
+  /** a FOREIGN KEY edge: `cols` in the child table reference
+    * `parentCols` in `parentTable`. */
+  final case class Fk(cols: Seq[String], parentTable: String,
+    parentCols: Seq[String])
+
   private val pks =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val notNulls =
@@ -37,6 +42,10 @@ object TableConstraints {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val gens =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[GenCol]]()
+  private val uniques =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[String]]]()
+  private val fks =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Fk]]()
 
   // records key on the FULL (possibly schema-qualified) name so
   // same-named tables in different schemas never share a record;
@@ -77,8 +86,23 @@ object TableConstraints {
     if (cols.nonEmpty) gens.put(key(table), cols)
     else gens.remove(key(table))
 
+  def recordUniques(table: String, sets: Seq[Seq[String]]): Unit =
+    if (sets.nonEmpty)
+      uniques.put(key(table),
+        sets.map(_.map(_.toLowerCase.replace("\"", ""))))
+    else uniques.remove(key(table))
+
+  def recordFks(table: String, list: Seq[Fk]): Unit =
+    if (list.nonEmpty)
+      fks.put(key(table), list.map(f => Fk(
+        f.cols.map(_.toLowerCase.replace("\"", "")),
+        f.parentTable,
+        f.parentCols.map(_.toLowerCase.replace("\"", "")))))
+    else fks.remove(key(table))
+
   def clear(table: String): Unit = {
-    Seq(pks, notNulls, checks, gens).foreach { m =>
+    Seq[java.util.concurrent.ConcurrentHashMap[String, _]](
+      pks, notNulls, checks, gens, uniques, fks).foreach { m =>
       m.remove(key(table))
       // an unqualified DROP also clears a uniquely-matching qualified
       // record (the catalog resolves the name the same way)
@@ -101,10 +125,35 @@ object TableConstraints {
   def generatedOf(table: String): Seq[GenCol] =
     lookup(gens, table).getOrElse(Nil)
 
+  def uniquesOf(table: String): Seq[Seq[String]] =
+    lookup(uniques, table).getOrElse(Nil)
+
+  def fksOf(table: String): Seq[Fk] =
+    lookup(fks, table).getOrElse(Nil)
+
+  /** every (childTable, fk) edge pointing AT this table. Registry
+    * scan — the constraint catalog is driver-resident and tiny. */
+  def referencingFks(parentTable: String): Seq[(String, Fk)] = {
+    val pk0 = key(parentTable)
+    val pSuffix = suffix(parentTable)
+    val out = Seq.newBuilder[(String, Fk)]
+    fks.forEach { (child, list) =>
+      list.foreach { f =>
+        val fp = key(f.parentTable)
+        val hit = fp == pk0 ||
+          (!fp.contains('.') || !pk0.contains('.')) &&
+            fp.split('.').last == pSuffix
+        if (hit) out += ((child, f))
+      }
+    }
+    out.result()
+  }
+
   /** does an INSERT/UPDATE into this table need the guarded path? */
   def needsGuard(table: String): Boolean =
     notNullOf(table).nonEmpty || checksOf(table).nonEmpty ||
-      generatedOf(table).nonEmpty
+      generatedOf(table).nonEmpty || pkOf(table).nonEmpty ||
+      uniquesOf(table).nonEmpty || fksOf(table).nonEmpty
 
   /** replace identifier `oldC` with `newC` in an expression's text —
     * word-boundary, case-insensitive, quoted `"oldC"` too, single-
@@ -153,6 +202,26 @@ object TableConstraints {
           name = if (g.name.equalsIgnoreCase(oldC)) newC else g.name,
           expr = replaceIdent(g.expr, oldC, newC))
       })
+    val us = uniquesOf(table)
+    if (us.exists(_.contains(o)))
+      recordUniques(table,
+        us.map(_.map(c => if (c == o) newC.toLowerCase else c)))
+    val myFks = fksOf(table)
+    if (myFks.exists(_.cols.contains(o)))
+      recordFks(table, myFks.map(f => f.copy(
+        cols = f.cols.map(c => if (c == o) newC.toLowerCase else c))))
+    // parent side: children referencing this table's renamed column
+    // follow it (DuckDB's catalog keeps the edge live)
+    referencingFks(table).groupBy(_._1).foreach { case (child, _) =>
+      recordFks(child, fksOf(child).map { f =>
+        val isMine = referencingFks(table).exists(e =>
+          e._1 == child && e._2 == f)
+        if (isMine && f.parentCols.contains(o))
+          f.copy(parentCols =
+            f.parentCols.map(c => if (c == o) newC.toLowerCase else c))
+        else f
+      })
+    }
   }
 
   /** drop a column through the records (ALTER DROP path). Dropping a
@@ -174,6 +243,18 @@ object TableConstraints {
           "generated column(s)")
     if (gs.exists(_.name.equalsIgnoreCase(c)))
       recordGenerated(table, gs.filterNot(_.name.equalsIgnoreCase(c)))
+    // a UNIQUE keyset loses meaning with the column: drop the keyset
+    // (mirrors Engine's PK clear on key-column drop)
+    val us = uniquesOf(table)
+    if (us.exists(_.contains(o)))
+      recordUniques(table, us.filterNot(_.contains(o)))
+    val myFks = fksOf(table)
+    if (myFks.exists(_.cols.contains(o)))
+      recordFks(table, myFks.filterNot(_.cols.contains(o)))
+    if (referencingFks(table).exists(_._2.parentCols.contains(o)))
+      throw new IllegalArgumentException(
+        s"cannot drop column $c: a foreign key in another table " +
+          "references it")
   }
 
   /** Enforce the table's row-local constraints on a batch about to be
@@ -274,5 +355,148 @@ object TableConstraints {
     else if (df.columns.length == session.table(table).schema.length)
       regenerate(session, table, df)
     else withGenerated(session, table, df)
+  }
+
+  // ---- key-uniqueness and foreign-key probes -----------------------
+  // The DuckDB side answers these from an ART index probe per row;
+  // here each probe is ONE keyed join/aggregate over the batch —
+  // broadcast-sized in the common case (the batch is small against a
+  // big table) and a plain shuffle join otherwise, so the asymptotics
+  // survive a 1000-executor cluster. Messages pinned by probe
+  // (round-10 session; DuckDB 1.0).
+
+  private val indexDocTail =
+    " If this is an unexpected constraint violation please double " +
+      "check with the known index limitations section in our " +
+      "documentation (https://duckdb.org/docs/sql/indexes)."
+
+  private def keySetsOf(table: String): Seq[(Seq[String], Boolean)] =
+    pkOf(table).map(ks => (ks, true)).toSeq ++
+      uniquesOf(table).map(ks => (ks, false))
+
+  private def render(v: Any): String = v match {
+    case null => "NULL"
+    case other => other.toString
+  }
+
+  /** uniqueness + FK probes for a batch about to be APPENDED (rows
+    * not yet in the table): duplicates WITHIN the batch, collisions
+    * with existing rows, and missing foreign parents each throw
+    * DuckDB's own message. */
+  def enforceKeysAppend(session: org.apache.spark.sql.SparkSession,
+      table: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val present = batch.columns.map(_.toLowerCase).toSet
+    keySetsOf(table).foreach { case (ks, isPk) =>
+      if (ks.forall(present)) {
+        val nonNull = ks.map(c => s"`$c` IS NOT NULL").mkString(" AND ")
+        val keyed = batch.where(nonNull)
+        val dup = keyed.groupBy(ks.map(c => col(s"`$c`")): _*).count()
+          .where("count > 1").limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          "Constraint Error: PRIMARY KEY or UNIQUE constraint " +
+            "violated: duplicate key \"" +
+            ks.indices.map(i => render(dup.head.get(i))).mkString(", ") +
+            "\"")
+        val hit = keyed.as("__b")
+          .join(session.table(table).as("__t"),
+            ks.map(c => col(s"__b.`$c`") === col(s"__t.`$c`"))
+              .reduce(_ && _), "left_semi")
+          .limit(1).collect()
+        if (hit.nonEmpty) {
+          val row = hit.head
+          val pairs = ks.map(c =>
+            s"$c: ${render(row.get(row.fieldIndex(c)))}").mkString(", ")
+          val kind = if (isPk) "primary key" else "unique"
+          throw new IllegalArgumentException(
+            s"""Constraint Error: Duplicate key "$pairs" violates """ +
+              s"$kind constraint.$indexDocTail")
+        }
+      }
+    }
+    enforceFks(session, table, batch)
+  }
+
+  /** uniqueness + FK probes for a full-table REWRITE (UPDATE paths):
+    * only internal duplicates can exist, and DuckDB words them with
+    * the index message. */
+  def enforceKeysRewrite(session: org.apache.spark.sql.SparkSession,
+      table: String, newTable: org.apache.spark.sql.DataFrame,
+      touched: Set[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    keySetsOf(table).foreach { case (ks, isPk) =>
+      if (ks.exists(touched)) {
+        val nonNull = ks.map(c => s"`$c` IS NOT NULL").mkString(" AND ")
+        val dup = newTable.where(nonNull)
+          .groupBy(ks.map(c => col(s"`$c`")): _*).count()
+          .where("count > 1").limit(1).collect()
+        if (dup.nonEmpty) {
+          val pairs = ks.zipWithIndex.map { case (c, i) =>
+            s"$c: ${render(dup.head.get(i))}" }.mkString(", ")
+          val kind = if (isPk) "primary key" else "unique"
+          throw new IllegalArgumentException(
+            s"""Constraint Error: Duplicate key "$pairs" violates """ +
+              s"$kind constraint.$indexDocTail")
+        }
+      }
+    }
+    if (fksOf(table).exists(_.cols.exists(touched)))
+      enforceFks(session, table, newTable)
+  }
+
+  /** every non-NULL foreign key value in the batch must exist in its
+    * referenced table (one anti-join probe per edge). */
+  def enforceFks(session: org.apache.spark.sql.SparkSession,
+      table: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val present = batch.columns.map(_.toLowerCase).toSet
+    fksOf(table).foreach { fk =>
+      if (fk.cols.forall(present)) {
+        val nonNull = fk.cols.map(c => s"`$c` IS NOT NULL")
+          .mkString(" AND ")
+        val missing = batch.where(nonNull).as("__b")
+          .join(session.table(fk.parentTable).as("__p"),
+            fk.cols.zip(fk.parentCols).map { case (c, p) =>
+              col(s"__b.`$c`") === col(s"__p.`$p`") }.reduce(_ && _),
+            "left_anti")
+          .limit(1).collect()
+        if (missing.nonEmpty) {
+          val row = missing.head
+          // DuckDB names the PARENT columns in this message (probed)
+          val pairs = fk.parentCols.zip(fk.cols).map { case (p, c) =>
+            s"$p: ${render(row.get(row.fieldIndex(c)))}" }.mkString(", ")
+          throw new IllegalArgumentException(
+            "Constraint Error: Violates foreign key constraint " +
+              s"""because key "$pairs" does not exist in the """ +
+              "referenced table")
+        }
+      }
+    }
+  }
+
+  /** rows about to DISAPPEAR from `table` (DELETE, or an UPDATE that
+    * moves their key): refuse while a child row still references them
+    * (one semi-join probe per referencing edge). */
+  def enforceRestrict(session: org.apache.spark.sql.SparkSession,
+      table: String, doomed: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    referencingFks(table).foreach { case (child, fk) =>
+      val hit = doomed.as("__d")
+        .join(session.table(child).as("__c"),
+          fk.parentCols.zip(fk.cols).map { case (p, c) =>
+            col(s"__d.`$p`") === col(s"__c.`$c`") }.reduce(_ && _),
+          "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty) {
+        val row = hit.head
+        // DuckDB names the CHILD columns in the restrict message
+        val pairs = fk.cols.zip(fk.parentCols).map { case (c, p) =>
+          s"$c: ${render(row.get(row.fieldIndex(p)))}" }.mkString(", ")
+        throw new IllegalArgumentException(
+          "Constraint Error: Violates foreign key constraint because " +
+            s"""key "$pairs" is still referenced by a foreign key in """ +
+            "a different table")
+      }
+    }
   }
 }

@@ -260,9 +260,70 @@ object SqlRewrites {
           }
           // record in Spark dialect — enforcement evaluates the text
           TableConstraints.recordChecks(table, checkExprs.map(rewriteExprText))
+          // UNIQUE keysets (table-level lists + column suffixes) and
+          // FOREIGN KEY edges (both spellings; bare REFERENCES parent
+          // resolves to the parent's recorded PRIMARY KEY, like DuckDB)
+          val uqSets = Seq.newBuilder[Seq[String]]
+          val fkList = Seq.newBuilder[TableConstraints.Fk]
+          segs.foreach { seg =>
+            tableUniqueRe.findFirstMatchIn(seg) match {
+              case Some(u) =>
+                uqSets += splitTop(u.group(1))
+                  .map(_.trim.replace("\"", ""))
+              case None =>
+                tableFkRe.findFirstMatchIn(seg) match {
+                  case Some(f) =>
+                    fkList += fkOf(splitTop(f.group(1))
+                        .map(_.trim.replace("\"", "")),
+                      f.group(2), Option(f.group(3)))
+                  case None =>
+                    val noCheck = checkOpenRe.findFirstMatchIn(seg) match {
+                      case Some(cm) =>
+                        val co = cm.end - 1
+                        val cc = matchParen(seg, co)
+                        if (cc > co) seg.substring(0, co) +
+                          seg.substring(cc + 1)
+                        else seg
+                      case None => seg
+                    }
+                    colUniqueRe.findFirstMatchIn(noCheck).foreach(u =>
+                      uqSets += Seq(u.group(1)))
+                    colFkRe.findFirstMatchIn(noCheck).foreach(f =>
+                      fkList += fkOf(Seq(f.group(1)), f.group(2),
+                        Option(f.group(3))))
+                }
+            }
+          }
+          TableConstraints.recordUniques(table, uqSets.result())
+          TableConstraints.recordFks(table, fkList.result())
         }
       }
     }
+
+  private val tableUniqueRe =
+    """(?i)^\s*(?:CONSTRAINT\s+\w+\s+)?UNIQUE\s*\(([^()]*)\)""".r
+  private val tableFkRe =
+    ("""(?i)^\s*(?:CONSTRAINT\s+\w+\s+)?FOREIGN\s+KEY\s*""" +
+      """\(([^()]*)\)\s*REFERENCES\s+([\w."]+)(?:\s*\(([^()]*)\))?""").r
+  private val colUniqueRe =
+    """(?i)^\s*"?([\w]+)"?\s+.*\bUNIQUE\b""".r
+  private val colFkRe =
+    ("""(?i)^\s*"?([\w]+)"?\s+.*?\bREFERENCES\s+""" +
+      """([\w."]+)(?:\s*\(([^()]*)\))?""").r
+
+  private def fkOf(cols: Seq[String], parent: String,
+      parentColsOpt: Option[String]): TableConstraints.Fk = {
+    val pCols = parentColsOpt
+      .map(pc => splitTop(pc).map(_.trim.replace("\"", "")))
+      .getOrElse(TableConstraints.pkOf(parent).getOrElse(
+        throw new IllegalArgumentException(
+          s"REFERENCES $parent without columns: the referenced table " +
+            "has no recorded PRIMARY KEY")))
+    require(pCols.length == cols.length,
+      s"FOREIGN KEY column count (${cols.length}) does not match the " +
+        s"referenced key (${pCols.length})")
+    TableConstraints.Fk(cols, parent, pCols)
+  }
 
   /** rewrite a bare DuckDB-dialect scalar expression to Spark SQL by
     * round-tripping it through the full statement pass — recorded

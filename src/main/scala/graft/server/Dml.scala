@@ -214,10 +214,13 @@ object Dml {
             .localCheckpoint()
           val nFresh = fresh.count()
           // generated columns in `fresh` are the widened NULLs —
-          // recompute, then enforce NOT NULL/CHECK on what lands
+          // recompute, then enforce NOT NULL/CHECK and foreign keys
+          // on what lands (key uniqueness is the conflict path's own
+          // business above)
           def shaped(df: org.apache.spark.sql.DataFrame) = {
             val out = graft.TableConstraints.regenerate(session, table, df)
             graft.TableConstraints.enforce(table, out)
+            graft.TableConstraints.enforceFks(session, table, out)
             out
           }
           if (action.equalsIgnoreCase("nothing")) {
@@ -398,6 +401,7 @@ object Dml {
       val full = graft.TableConstraints
         .withGenerated(session, table, nonGenDf).localCheckpoint()
       graft.TableConstraints.enforce(table, full)
+      graft.TableConstraints.enforceKeysAppend(session, table, full)
       val n = full.count()
       full.write.mode("append").insertInto(table)
       session.catalog.dropTempView("__graft_ins_src")
@@ -424,6 +428,9 @@ object Dml {
       doomed.createOrReplaceTempView("__del_hit")
       val n = doomed.count()
       if (n > 0) {
+        graft.TableConstraints.enforceRestrict(session, table,
+          session.sql(s"SELECT * FROM __del_t WHERE __rid IN " +
+            s"(SELECT __rid FROM __del_hit)").drop("__rid"))
         val keep = session.sql(
           s"SELECT * FROM __del_t WHERE __rid NOT IN " +
             s"(SELECT __rid FROM __del_hit)")
@@ -438,6 +445,8 @@ object Dml {
       val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
         .collect()(0).getLong(0)
       if (n > 0) {
+        graft.TableConstraints.enforceRestrict(session, table,
+          session.sql(s"SELECT * FROM $table WHERE $pred"))
         val keep = session.sql(s"SELECT * FROM $table WHERE NOT $pred")
           .localCheckpoint() // snapshot BEFORE overwriting the source
         keep.write.mode("overwrite").insertInto(table)
@@ -505,6 +514,14 @@ object Dml {
           s"SELECT count(*) FROM __upd_t $tAlias JOIN $using " +
             s"ON CAST(($where) AS BOOLEAN)").collect()(0).getLong(0)
         if (n > 0) {
+          // a key-move away from a referenced value is a restricted
+          // disappearance, like DELETE (probed)
+          if (graft.TableConstraints.referencingFks(table)
+              .exists(_._2.parentCols.exists(sets.keySet)))
+            graft.TableConstraints.enforceRestrict(session, table,
+              session.sql(s"SELECT $tAlias.* FROM __upd_t $tAlias " +
+                s"JOIN $using ON CAST(($where) AS BOOLEAN)")
+                .drop("__rid"))
           val updated = graft.TableConstraints.regenerate(session, table,
             session.sql(
               s"SELECT $proj FROM __upd_t $tAlias LEFT JOIN " +
@@ -513,6 +530,8 @@ object Dml {
               .drop("__rid"))
             .localCheckpoint()
           graft.TableConstraints.enforce(table, updated)
+          graft.TableConstraints.enforceKeysRewrite(session, table,
+            updated, sets.keySet)
           updated.write.mode("overwrite").insertInto(table)
         }
         n
@@ -545,9 +564,15 @@ object Dml {
       val n = session.sql(s"SELECT count(*) FROM $table WHERE $pred")
         .collect()(0).getLong(0)
       if (n > 0) {
+        if (graft.TableConstraints.referencingFks(table)
+            .exists(_._2.parentCols.exists(sets.keySet)))
+          graft.TableConstraints.enforceRestrict(session, table,
+            session.sql(s"SELECT * FROM $table WHERE $pred"))
         val updated = graft.TableConstraints.regenerate(session, table,
           session.sql(s"SELECT $proj FROM $table")).localCheckpoint()
         graft.TableConstraints.enforce(table, updated)
+        graft.TableConstraints.enforceKeysRewrite(session, table,
+          updated, sets.keySet)
         updated.write.mode("overwrite").insertInto(table)
       }
       n

@@ -163,4 +163,89 @@ class ConstraintsSpec extends SparkSpecBase {
       """Binder Error: Cant update column "d" because it is a generated column!""")
     q("DROP TABLE cns_u")
   }
+
+  test("PRIMARY KEY / UNIQUE uniqueness enforces with DuckDB messages") {
+    q("DROP TABLE IF EXISTS cns_p")
+    q("CREATE TABLE cns_p (k INT PRIMARY KEY, v INT)")
+    q("INSERT INTO cns_p VALUES (1, 10), (2, 20)")
+    // duplicate WITHIN the batch: short wording (probed)
+    val batch = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_p VALUES (3, 30), (3, 31)"))
+    assert(batch.getMessage == "Constraint Error: PRIMARY KEY or " +
+      """UNIQUE constraint violated: duplicate key "3"""")
+    // collision with an existing row: long wording with the doc tail
+    val exist = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_p VALUES (1, 99)"))
+    assert(exist.getMessage.startsWith(
+      """Constraint Error: Duplicate key "k: 1" violates primary key """ +
+        "constraint."))
+    // an UPDATE that lands two rows on one key refuses too
+    val upd = intercept[IllegalArgumentException](
+      q("UPDATE cns_p SET k = 2 WHERE k = 1"))
+    assert(upd.getMessage.contains("""Duplicate key "k: 2""""))
+    // UNIQUE admits any number of NULLs (probed)
+    q("DROP TABLE IF EXISTS cns_uq")
+    q("CREATE TABLE cns_uq (a INT, b INT, UNIQUE (a, b))")
+    q("INSERT INTO cns_uq VALUES (1, 1), (1, 2)")
+    q("INSERT INTO cns_uq VALUES (1, NULL), (1, NULL)")
+    val uq = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_uq VALUES (1, 2)"))
+    assert(uq.getMessage.startsWith(
+      """Constraint Error: Duplicate key "a: 1, b: 2" violates unique """ +
+        "constraint."))
+    q("DROP TABLE cns_p")
+    q("DROP TABLE cns_uq")
+  }
+
+  test("FOREIGN KEY: insert/update probe the parent, delete restricts") {
+    q("DROP TABLE IF EXISTS cns_fc")
+    q("DROP TABLE IF EXISTS cns_fp")
+    q("CREATE TABLE cns_fp (k INT PRIMARY KEY, v INT)")
+    q("INSERT INTO cns_fp VALUES (1, 10), (2, 20)")
+    q("CREATE TABLE cns_fc (ck INT, r INT REFERENCES cns_fp (k))")
+    q("INSERT INTO cns_fc VALUES (1, 1)")
+    // NULL foreign keys always pass (probed)
+    q("INSERT INTO cns_fc VALUES (3, NULL)")
+    val ins = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_fc VALUES (2, 77)"))
+    assert(ins.getMessage == "Constraint Error: Violates foreign key " +
+      """constraint because key "k: 77" does not exist in the """ +
+      "referenced table")
+    val updChild = intercept[IllegalArgumentException](
+      q("UPDATE cns_fc SET r = 88 WHERE ck = 1"))
+    assert(updChild.getMessage.contains("""key "k: 88" does not exist"""))
+    // deleting / key-moving a referenced parent row restricts, with
+    // the CHILD column named in the message (probed)
+    val del = intercept[IllegalArgumentException](
+      q("DELETE FROM cns_fp WHERE k = 1"))
+    assert(del.getMessage == "Constraint Error: Violates foreign key " +
+      """constraint because key "r: 1" is still referenced by a """ +
+      "foreign key in a different table")
+    intercept[IllegalArgumentException](
+      q("UPDATE cns_fp SET k = 5 WHERE k = 1"))
+    assert(q("DELETE FROM cns_fp WHERE k = 2")
+      .collect().head.getLong(0) == 1L)
+    // dropping the parent while referenced refuses (probed wording)
+    val drop = intercept[IllegalArgumentException](
+      q("DROP TABLE cns_fp"))
+    assert(drop.getMessage == "Catalog Error: Could not drop the " +
+      "table because this table is main key table of the table " +
+      "\"cns_fc\"")
+    q("DROP TABLE cns_fc")
+    q("DROP TABLE cns_fp")
+  }
+
+  test("bare REFERENCES parent resolves to its PRIMARY KEY") {
+    q("DROP TABLE IF EXISTS cns_bc")
+    q("DROP TABLE IF EXISTS cns_bp")
+    q("CREATE TABLE cns_bp (k INT PRIMARY KEY)")
+    q("INSERT INTO cns_bp VALUES (1)")
+    q("CREATE TABLE cns_bc (z INT REFERENCES cns_bp)")
+    q("INSERT INTO cns_bc VALUES (1)")
+    val e = intercept[IllegalArgumentException](
+      q("INSERT INTO cns_bc VALUES (42)"))
+    assert(e.getMessage.contains("""key "k: 42" does not exist"""))
+    q("DROP TABLE cns_bc")
+    q("DROP TABLE cns_bp")
+  }
 }
