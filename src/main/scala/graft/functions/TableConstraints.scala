@@ -1,19 +1,19 @@
 package graft
 
-/** Constraint and generated-column records for engine tables.
-  *
-  * The DDL pass ACCEPTS constraint syntax; this registry is what makes
-  * parts of it OBSERVABLE:
-  *  - PRIMARY KEY columns are recorded so DuckDB's PK-dependent upsert
-  *    forms resolve (`ON CONFLICT` without a target, `INSERT OR
-  *    REPLACE/IGNORE`). Uniqueness itself is NOT enforced (that would
-  *    need an index probe per insert — documented divergence, the
-  *    CREATE UNIQUE INDEX refusal names the alternative).
-  *  - NOT NULL columns and CHECK expressions are row-local and ARE
-  *    enforced on INSERT/UPDATE ([[enforce]] — one aggregate pass over
-  *    the written batch, the same per-row work DuckDB does). A CHECK
-  *    passes when its expression is TRUE or NULL (SQL standard,
-  *    probed: `CHECK (a > 0)` admits NULL).
+/** Constraint and generated-column records for engine tables — the
+  * full DuckDB constraint surface, ENFORCED:
+  *  - PRIMARY KEY / UNIQUE: recorded keysets power the upsert forms
+  *    (`ON CONFLICT` without a target, `INSERT OR REPLACE/IGNORE`)
+  *    AND enforce uniqueness on every write ([[enforceKeysAppend]] /
+  *    [[enforceKeysRewrite]] — one keyed probe join per keyset, the
+  *    join-side equivalent of DuckDB's ART index probe).
+  *  - NOT NULL columns (explicit + PK-implied) and CHECK expressions
+  *    are row-local and enforce as ONE aggregate pass per written
+  *    batch ([[enforce]]). A CHECK passes when its expression is TRUE
+  *    or NULL (SQL standard, probed: `CHECK (a > 0)` admits NULL).
+  *  - FOREIGN KEY edges probe the parent on INSERT/child-UPDATE
+  *    ([[enforceFks]]) and RESTRICT deletes/truncates/key-moves/drops
+  *    of referenced parents ([[enforceRestrict]]).
   *  - GENERATED columns (`g [type] [GENERATED ALWAYS] AS (expr)
   *    [VIRTUAL]`) are recorded with their expression text; the INSERT/
   *    UPDATE paths compute them and reject direct writes (probed
@@ -38,8 +38,12 @@ object TableConstraints {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private val notNulls =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  /** a CHECK: the user's raw text (catalog rendering) and the
+    * Spark-dialect rewrite (what enforcement evaluates). */
+  final case class Chk(raw: String, spark: String)
+
   private val checks =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Chk]]()
   private val gens =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[GenCol]]()
   private val uniques =
@@ -78,7 +82,7 @@ object TableConstraints {
       notNulls.put(key(table), cols.map(_.toLowerCase.replace("\"", "")).distinct)
     else notNulls.remove(key(table)) // re-record to empty clears
 
-  def recordChecks(table: String, exprs: Seq[String]): Unit =
+  def recordChecks(table: String, exprs: Seq[Chk]): Unit =
     if (exprs.nonEmpty) checks.put(key(table), exprs)
     else checks.remove(key(table))
 
@@ -119,8 +123,23 @@ object TableConstraints {
   def notNullOf(table: String): Seq[String] =
     lookup(notNulls, table).getOrElse(Nil)
 
+  /** Spark-dialect CHECK expressions (the enforcement side). */
   def checksOf(table: String): Seq[String] =
-    lookup(checks, table).getOrElse(Nil)
+    lookup(checks, table).getOrElse(Nil).map(_.spark)
+
+  /** the user's raw CHECK texts (the catalog-rendering side). */
+  def checksRawOf(table: String): Seq[String] =
+    lookup(checks, table).getOrElse(Nil).map(_.raw)
+
+  /** every table with any recorded constraint (catalog listing). */
+  def allTables: Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    Seq[java.util.concurrent.ConcurrentHashMap[String, _]](
+      pks, notNulls, checks, uniques, fks).foreach { m =>
+      m.keySet.toArray(Array.empty[String]).sorted.foreach(out += _)
+    }
+    out.toSeq.sorted
+  }
 
   def generatedOf(table: String): Seq[GenCol] =
     lookup(gens, table).getOrElse(Nil)
@@ -192,9 +211,11 @@ object TableConstraints {
         recordNotNull(table, nn.map(c => if (c == o) newC.toLowerCase else c))
       case _ =>
     }
-    val cks = checksOf(table)
+    val cks = lookup(checks, table).getOrElse(Nil)
     if (cks.nonEmpty)
-      recordChecks(table, cks.map(replaceIdent(_, oldC, newC)))
+      recordChecks(table, cks.map(c => Chk(
+        replaceIdent(c.raw, oldC, newC),
+        replaceIdent(c.spark, oldC, newC))))
     val gs = generatedOf(table)
     if (gs.nonEmpty)
       recordGenerated(table, gs.map { g =>

@@ -258,8 +258,9 @@ object SqlRewrites {
             val cc = matchParen(body, co)
             if (cc > co) Some(raw.substring(co + 1, cc).trim) else None
           }
-          // record in Spark dialect — enforcement evaluates the text
-          TableConstraints.recordChecks(table, checkExprs.map(rewriteExprText))
+          // raw text for the catalog, Spark dialect for enforcement
+          TableConstraints.recordChecks(table, checkExprs.map(e =>
+            TableConstraints.Chk(e, rewriteExprText(e))))
           // UNIQUE keysets (table-level lists + column suffixes) and
           // FOREIGN KEY edges (both spellings; bare REFERENCES parent
           // resolves to the parent's recorded PRIMARY KEY, like DuckDB)

@@ -347,11 +347,60 @@ object Introspection {
         "is_unique", "is_primary", "sql")
   }
 
+  /** duckdb_constraints() over the recorded registry — DuckDB 1.0's
+    * 12-column shape (probed). constraint_index is declaration-order
+    * approximate (the registry groups by kind); oids are stable
+    * hashes, engine-specific like DuckDB's own. */
   def constraintsDf(sp: SparkSession): DataFrame = {
     import sp.implicits._
-    Seq.empty[(String, String, String, Long, String, String)]
-      .toDF("database_name", "schema_name", "table_name",
-        "constraint_index", "constraint_type", "constraint_text")
+    import graft.TableConstraints
+    val rows = Seq.newBuilder[(String, Long, String, Long, String, Long,
+      Long, String, String, String, Seq[Long], Seq[String])]
+    TableConstraints.allTables.foreach { t =>
+      val parts = t.split('.')
+      val (schemaName, tableName) =
+        if (parts.length > 1) (parts(0), parts.last) else ("main", t)
+      val colIdx: Map[String, Long] =
+        scala.util.Try(sp.table(t).schema.fieldNames.zipWithIndex
+          .map { case (c, i) => c.toLowerCase -> i.toLong }.toMap)
+          .getOrElse(Map.empty)
+      val tOid = (t.hashCode.toLong & 0x7fffffff)
+      var idx = -1L
+      def add(tpe: String, text: String, expr: String,
+          cols: Seq[String]): Unit = {
+        idx += 1
+        rows += (("memory", 0L, schemaName, 0L, tableName, tOid, idx,
+          tpe, text, expr, cols.flatMap(c => colIdx.get(c.toLowerCase)),
+          cols))
+      }
+      val pk = TableConstraints.pkOf(t).getOrElse(Nil)
+      if (pk.nonEmpty)
+        add("PRIMARY KEY", s"PRIMARY KEY(${pk.mkString(", ")})", null, pk)
+      TableConstraints.fksOf(t).foreach { fk =>
+        add("FOREIGN KEY",
+          s"FOREIGN KEY (${fk.cols.mkString(", ")}) REFERENCES " +
+            s"${fk.parentTable}(${fk.parentCols.mkString(", ")})",
+          null, fk.cols)
+      }
+      TableConstraints.uniquesOf(t).foreach(u =>
+        add("UNIQUE", s"UNIQUE(${u.mkString(", ")})", null, u))
+      // explicit NOT NULLs first, PK-implied last (DuckDB lists the
+      // implied ones after the declared constraints)
+      val nn = TableConstraints.notNullOf(t)
+      (nn.filterNot(pk.contains) ++ nn.filter(pk.contains)).foreach(c =>
+        add("NOT NULL", "NOT NULL", null, Seq(c)))
+      TableConstraints.checksRawOf(t).foreach { e =>
+        // referenced columns: schema names appearing as words
+        val refd = colIdx.toSeq.sortBy(_._2).map(_._1).filter(c =>
+          ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+            .findFirstIn(e).isDefined)
+        add("CHECK", s"CHECK(($e))", s"($e)", refd)
+      }
+    }
+    rows.result().toDF("database_name", "database_oid", "schema_name",
+      "schema_oid", "table_name", "table_oid", "constraint_index",
+      "constraint_type", "constraint_text", "expression",
+      "constraint_column_indexes", "constraint_column_names")
   }
 
   def temporaryFilesDf(sp: SparkSession): DataFrame = {

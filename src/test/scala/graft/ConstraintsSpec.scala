@@ -235,6 +235,22 @@ class ConstraintsSpec extends SparkSpecBase {
     q("DROP TABLE cns_fp")
   }
 
+  test("duckdb_constraints() lists the recorded registry (probed shape)") {
+    q("DROP TABLE IF EXISTS cns_dc")
+    q("CREATE TABLE cns_dc (k INT PRIMARY KEY, v INT NOT NULL, " +
+      "w INT UNIQUE, x INT CHECK (x > 0))")
+    val got = rows("SELECT constraint_type, constraint_text, " +
+      "expression, constraint_column_names FROM duckdb_constraints() " +
+      "WHERE table_name = 'cns_dc' ORDER BY constraint_index")
+    assert(got == Seq(
+      Seq("PRIMARY KEY", "PRIMARY KEY(k)", null, Seq("k")),
+      Seq("UNIQUE", "UNIQUE(w)", null, Seq("w")),
+      Seq("NOT NULL", "NOT NULL", null, Seq("v")),
+      Seq("NOT NULL", "NOT NULL", null, Seq("k")),
+      Seq("CHECK", "CHECK((x > 0))", "(x > 0)", Seq("x"))))
+    q("DROP TABLE cns_dc")
+  }
+
   test("bare REFERENCES parent resolves to its PRIMARY KEY") {
     q("DROP TABLE IF EXISTS cns_bc")
     q("DROP TABLE IF EXISTS cns_bp")
