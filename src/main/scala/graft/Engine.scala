@@ -428,7 +428,8 @@ object Engine {
   private val pivotSubCounter = new java.util.concurrent.atomic.AtomicLong()
   private def hoistPivotSubqueries(
       spark: SparkSession, sql: String): String = {
-    if (!"(?is)\\(\\s*(UN)?PIVOT\\b".r.findFirstIn(sql).isDefined) return sql
+    if (!"(?is)\\(\\s*((UN)?PIVOT|SUMMARIZE|DESC(RIBE)?|SHOW)\\b".r
+        .findFirstIn(sql).isDefined) return sql
     val n = sql.length
     var i = 0; var inStr = false
     while (i < n) {
@@ -438,7 +439,17 @@ object Engine {
       else if (c == '(') {
         val after = sql.substring(i + 1).dropWhile(_.isWhitespace)
         val kw = after.takeWhile(_.isLetter).toUpperCase
-        if (kw == "PIVOT" || kw == "UNPIVOT") {
+        // SUMMARIZE/DESCRIBE/SHOW only hoist in FROM position (the
+        // word before the paren is FROM/JOIN/,) — `(desc_col)` in an
+        // expression must NOT read as a DESCRIBE statement
+        lazy val fromPos = {
+          val before = sql.substring(0, i).trim
+          before.endsWith(",") ||
+            """(?is).*\b(FROM|JOIN)\z""".r.matches(before)
+        }
+        if (kw == "PIVOT" || kw == "UNPIVOT" ||
+            (Set("SUMMARIZE", "DESCRIBE", "DESC", "SHOW").contains(kw) &&
+              fromPos)) {
           // match the closing paren, quote-aware
           var depth = 1; var j = i + 1; var s2 = false
           while (j < n && depth > 0) {
