@@ -449,6 +449,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectMeta("duckdb_sequences")(Introspection.sequencesDf)
     injectMeta("duckdb_indexes")(Introspection.indexesDf)
     injectMeta("duckdb_constraints")(Introspection.constraintsDf)
+    // information_schema constraint views, reached via the SqlRewrites
+    // lowering (standard names; ORMs and migration tools probe them)
+    injectMeta("graft_is_table_constraints")(
+      Introspection.isTableConstraintsDf)
+    injectMeta("graft_is_key_column_usage")(
+      Introspection.isKeyColumnUsageDf)
+    injectMeta("graft_is_referential_constraints")(
+      Introspection.isReferentialConstraintsDf)
     injectMeta("duckdb_temporary_files")(Introspection.temporaryFilesDf)
     injectMeta("duckdb_secrets")(Introspection.secretsDf)
     injectMeta("duckdb_memory")(Introspection.memoryDf)

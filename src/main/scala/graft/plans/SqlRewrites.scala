@@ -754,6 +754,9 @@ object SqlRewrites {
     "(?i)\\b(from|join)\\s+information_schema\\.tables\\b".r
   private val infoSchemaColumns =
     "(?i)\\b(from|join)\\s+information_schema\\.columns\\b".r
+  private val infoSchemaConstraintViews =
+    ("(?i)\\b(from|join)\\s+information_schema\\.(table_constraints|" +
+      "key_column_usage|referential_constraints)\\b").r
   private def readerFor(ext: String): String = ext.toLowerCase match {
     case "parquet" | "pq" => "read_parquet"
     case "json" | "jsonl" | "ndjson" => "read_json"
@@ -2112,6 +2115,7 @@ object SqlRewrites {
     // natively) lowered onto the duckdb_* metadata TVFs with the
     // standard column names
     val s1is = if (!has("information_schema")) s1 else
+      infoSchemaConstraintViews.replaceAllIn(
       infoSchemaTables.replaceAllIn(
         infoSchemaColumns.replaceAllIn(s1, m =>
           java.util.regex.Matcher.quoteReplacement(
@@ -2123,7 +2127,9 @@ object SqlRewrites {
           m.group(1) + " (SELECT database_name AS table_catalog, " +
             "schema_name AS table_schema, table_name, " +
             "CASE WHEN temporary THEN 'LOCAL TEMPORARY' " +
-            "ELSE 'BASE TABLE' END AS table_type FROM duckdb_tables())"))
+            "ELSE 'BASE TABLE' END AS table_type FROM duckdb_tables())")),
+        m => java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)} graft_is_${m.group(2).toLowerCase}()"))
     val s1a = if (!has("'")) s1is else
       barePathTable.replaceAllIn(s1is, m => {
         val kw = m.group(1); val path = m.group(2); val ext = m.group(3)

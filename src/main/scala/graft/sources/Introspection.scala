@@ -403,6 +403,110 @@ object Introspection {
       "constraint_column_indexes", "constraint_column_names")
   }
 
+  // ---- information_schema constraint views (standard SQL; ORMs and
+  // migration tools probe them). Naming matches DuckDB 1.0 (probed):
+  // single-column constraints carry the column ({t}_{c}_pkey), multi-
+  // column ones drop it ({t}_pkey); NOT NULL surfaces as CHECK type
+  // with the _not_null suffix.
+
+  private def cName(table: String, cols: Seq[String],
+      suffix: String): String = {
+    val bare = table.split('.').last
+    if (cols.length == 1) s"${bare}_${cols.head}_$suffix"
+    else s"${bare}_$suffix"
+  }
+
+  private def schemaOf(t: String): String = {
+    val parts = t.split('.')
+    if (parts.length > 1) parts(0) else "main"
+  }
+
+  private def checkCols(sp: SparkSession, t: String,
+      expr: String): Seq[String] =
+    scala.util.Try(sp.table(t).schema.fieldNames.toSeq).getOrElse(Nil)
+      .filter(c => ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+        .findFirstIn(expr).isDefined).map(_.toLowerCase)
+
+  def isTableConstraintsDf(sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    import graft.TableConstraints
+    val rows = Seq.newBuilder[(String, String, String, String, String,
+      String, String, String, String, String, String)]
+    TableConstraints.allTables.foreach { t =>
+      val (sch, bare) = (schemaOf(t), t.split('.').last)
+      def add(name: String, tpe: String): Unit =
+        rows += (("memory", sch, name, "memory", sch, bare, tpe,
+          "NO", "NO", "YES", "YES"))
+      TableConstraints.fksOf(t).foreach(fk =>
+        add(cName(t, fk.cols, "fkey"), "FOREIGN KEY"))
+      TableConstraints.pkOf(t).foreach(pk =>
+        add(cName(t, pk, "pkey"), "PRIMARY KEY"))
+      TableConstraints.notNullOf(t).foreach(c =>
+        add(cName(t, Seq(c), "not_null"), "CHECK"))
+      TableConstraints.uniquesOf(t).foreach(u =>
+        add(cName(t, u, "key"), "UNIQUE"))
+      TableConstraints.checksRawOf(t).foreach(e =>
+        add(cName(t, checkCols(sp, t, e), "check"), "CHECK"))
+    }
+    rows.result().toDF("constraint_catalog", "constraint_schema",
+      "constraint_name", "table_catalog", "table_schema", "table_name",
+      "constraint_type", "is_deferrable", "initially_deferred",
+      "enforced", "nulls_distinct")
+  }
+
+  def isKeyColumnUsageDf(sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    import graft.TableConstraints
+    val rows = Seq.newBuilder[(String, String, String, String, String,
+      String, String, Int, Option[Int])]
+    TableConstraints.allTables.foreach { t =>
+      val (sch, bare) = (schemaOf(t), t.split('.').last)
+      def add(name: String, col: String, pos: Int,
+          inUnique: Option[Int]): Unit =
+        rows += (("memory", sch, name, "memory", sch, bare, col, pos,
+          inUnique))
+      TableConstraints.pkOf(t).foreach(pk => pk.zipWithIndex.foreach {
+        case (c, i) => add(cName(t, pk, "pkey"), c, i + 1, None) })
+      TableConstraints.uniquesOf(t).foreach(u => u.zipWithIndex.foreach {
+        case (c, i) => add(cName(t, u, "key"), c, i + 1, None) })
+      TableConstraints.fksOf(t).foreach(fk => fk.cols.zipWithIndex
+        .foreach { case (c, i) =>
+          add(cName(t, fk.cols, "fkey"), c, i + 1, Some(i + 1)) })
+    }
+    rows.result().toDF("constraint_catalog", "constraint_schema",
+      "constraint_name", "table_catalog", "table_schema", "table_name",
+      "column_name", "ordinal_position", "position_in_unique_constraint")
+  }
+
+  def isReferentialConstraintsDf(sp: SparkSession): DataFrame = {
+    import sp.implicits._
+    import graft.TableConstraints
+    val rows = Seq.newBuilder[(String, String, String, String, String,
+      String, String, String, String)]
+    TableConstraints.allTables.foreach { t =>
+      val sch = schemaOf(t)
+      TableConstraints.fksOf(t).foreach { fk =>
+        // DuckDB lists EVERY candidate unique-constraint name for the
+        // edge (probed: a PK-referencing FK shows both the _pkey and
+        // the _key spelling)
+        val pPk = TableConstraints.pkOf(fk.parentTable).getOrElse(Nil)
+        val uNames =
+          (if (pPk == fk.parentCols)
+            Seq(cName(fk.parentTable, pPk, "pkey")) else Nil) :+
+            cName(fk.parentTable, fk.parentCols, "key")
+        uNames.foreach { uName =>
+          rows += (("memory", sch, cName(t, fk.cols, "fkey"), "memory",
+            schemaOf(fk.parentTable), uName, "NONE", "NO ACTION",
+            "NO ACTION"))
+        }
+      }
+    }
+    rows.result().toDF("constraint_catalog", "constraint_schema",
+      "constraint_name", "unique_constraint_catalog",
+      "unique_constraint_schema", "unique_constraint_name",
+      "match_option", "update_rule", "delete_rule")
+  }
+
   def temporaryFilesDf(sp: SparkSession): DataFrame = {
     import sp.implicits._
     Seq.empty[(String, Long)].toDF("path", "size")
