@@ -335,8 +335,11 @@ object BracketRewrite {
               case Some(Word(st, _, w))
                   if !literalOpenerKw.contains(w) && w != "end" =>
                 start = st; j -= 1
+                // chain left through `.` member access AND `::` casts
+                // with a parameterized type (`x::DECIMAL(4,1) ** 2`
+                // must take x's cast, not the bare type call)
                 if (toks.lift(j).exists {
-                  case Punct(_, _, ".") => true; case _ => false
+                  case Punct(_, _, "." | "::") => true; case _ => false
                 }) { j -= 1; continue = true }
               case _ =>
             }

@@ -353,6 +353,13 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
           }
         case co @ Coalesce(cs) =>
           rebind(cs).map(Coalesce(_)).getOrElse(co)
+        // DuckDB computes avg over DECIMAL in DOUBLE (probed: typeof
+        // of avg(DECIMAL) is DOUBLE); Spark keeps DECIMAL(p+4, s+4)
+        case avg @ org.apache.spark.sql.catalyst.expressions.aggregate
+            .Average(child, mode)
+            if child.resolved && child.dataType.isInstanceOf[DecimalType] =>
+          org.apache.spark.sql.catalyst.expressions.aggregate
+            .Average(Cast(child, DoubleType, tz), mode)
         case ShiftLeft(l, r) if l.resolved && r.resolved =>
           DuckShift(l, r, leftShift = true, widthOf(l))
         case ShiftRight(l, r) if l.resolved && r.resolved =>
