@@ -251,6 +251,68 @@ class ConstraintsSpec extends SparkSpecBase {
     q("DROP TABLE cns_dc")
   }
 
+  test("psql \\d flow renders constraints (PgCatalogShim, psql-15 shapes)") {
+    q("DROP TABLE IF EXISTS cns_psql_c")
+    q("DROP TABLE IF EXISTS cns_psql")
+    q("CREATE TABLE cns_psql (k INT PRIMARY KEY, v INT NOT NULL DEFAULT 3, " +
+      "w INT UNIQUE, x INT CHECK (x > 0), g INT GENERATED ALWAYS AS (v * 2))")
+    q("CREATE TABLE cns_psql_c (r INT REFERENCES cns_psql (k))")
+    import graft.server.PgCatalogShim
+    // step 1: name → oid (the live-psql flow, replayed verbatim)
+    val oid = PgCatalogShim.intercept(spark,
+      "SELECT c.oid, n.nspname, c.relname FROM pg_catalog.pg_class c " +
+        "LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace " +
+        "WHERE c.relname OPERATOR(pg_catalog.~) '^(cns_psql)$' COLLATE " +
+        "pg_catalog.default AND pg_catalog.pg_table_is_visible(c.oid)")
+      .get.collect().head.getInt(0)
+    val childOid = PgCatalogShim.intercept(spark,
+      "SELECT c.oid, n.nspname, c.relname FROM pg_catalog.pg_class c " +
+        "WHERE c.relname OPERATOR(pg_catalog.~) '^(cns_psql_c)$'")
+      .get.collect().head.getInt(0)
+    // step 2: relation flags steer psql into the constraint sections
+    val flags = PgCatalogShim.intercept(spark,
+      s"SELECT c.relchecks, c.relkind, c.relhasindex FROM " +
+        s"pg_catalog.pg_class c WHERE c.oid = '$oid'").get.collect().head
+    assert(flags.getInt(0) == 1 && flags.getString(1) == "r" &&
+      flags.getBoolean(2))
+    // step 3: columns carry NOT NULL / defaults / generated marks
+    val atts = PgCatalogShim.intercept(spark,
+      s"SELECT a.attname FROM pg_catalog.pg_attribute a WHERE " +
+        s"a.attrelid = '$oid'").get.collect()
+      .map(r => (r.getString(0), r.getString(2), r.getBoolean(3),
+        r.getString(6))).toSeq
+    assert(atts.map(_._1) == Seq("k", "v", "w", "x", "g"))
+    assert(atts(0)._3 && atts(1)._3 && !atts(2)._3) // NOT NULL marks
+    assert(atts(1)._2 == "3") // declared default
+    assert(atts(4)._4 == "s") // generated column
+    // indexes: PK + UNIQUE as their implicit btree indexes
+    val idx = PgCatalogShim.intercept(spark,
+      s"SELECT c2.relname, i.indisprimary FROM pg_catalog.pg_index i " +
+        s"WHERE c.oid = '$oid'").get.collect()
+      .map(r => (r.getString(0), r.getString(7))).toSeq
+    assert(idx == Seq(("cns_psql_pkey", "p"), ("cns_psql_w_key", "u")))
+    // check constraints
+    val cks = PgCatalogShim.intercept(spark,
+      s"SELECT r.conname FROM pg_catalog.pg_constraint r WHERE " +
+        s"r.conrelid = '$oid' AND r.contype = 'c'").get.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cks == Seq(("cns_psql_x_check", "CHECK ((x > 0))")))
+    // FK sections, both directions
+    val out = PgCatalogShim.intercept(spark,
+      s"SELECT true as sametable, conname FROM pg_catalog.pg_constraint " +
+        s"r WHERE r.conrelid = '$childOid' AND r.contype = 'f'")
+      .get.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq(("cns_psql_c_r_fkey",
+      "FOREIGN KEY (r) REFERENCES cns_psql(k)")))
+    val in = PgCatalogShim.intercept(spark,
+      s"SELECT conname FROM pg_catalog.pg_constraint WHERE confrelid " +
+        s"IN (VALUES ('$oid'::pg_catalog.regclass)) AND contype = 'f'")
+      .get.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(in == Seq(("cns_psql_c_r_fkey", "cns_psql_c")))
+    q("DROP TABLE cns_psql_c")
+    q("DROP TABLE cns_psql")
+  }
+
   test("bare REFERENCES parent resolves to its PRIMARY KEY") {
     q("DROP TABLE IF EXISTS cns_bc")
     q("DROP TABLE IF EXISTS cns_bp")
