@@ -30,6 +30,31 @@ class PlanAuditSpec extends SparkSpecBase {
       s"read schema must prune unused columns: $rs")
   }
 
+  test("constraint key probes prune the table scan to the key columns") {
+    // the uniqueness probe joins the incoming batch against the WHOLE
+    // table — at 100 TB that is survivable only if the scan reads the
+    // key column alone (column-pruned parquet scan, broadcast-able
+    // batch side). Assert the plan shape the enforcement relies on.
+    Engine.query(spark, "DROP TABLE IF EXISTS audit_pk")
+    Engine.query(spark,
+      "CREATE TABLE audit_pk (k BIGINT PRIMARY KEY, payload STRING, " +
+        "more STRING)")
+    Engine.query(spark,
+      "INSERT INTO audit_pk VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    import org.apache.spark.sql.functions.col
+    val batch = spark.range(3, 6).select(col("id").as("k"))
+    val probe = batch.as("__b").join(
+      spark.table("audit_pk").as("__t"),
+      col("__b.k") === col("__t.k"), "left_semi")
+    val plan = formatted(probe)
+    val rs = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("k") && !rs.contains("payload") &&
+      !rs.contains("more"),
+      s"key probe must read only the key column: $rs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    Engine.query(spark, "DROP TABLE audit_pk")
+  }
+
   test("q_join_multi: dims broadcast, region filter pushes down") {
     val plan = formatted(q("q_join_multi"))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
