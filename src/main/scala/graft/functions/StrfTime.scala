@@ -16,7 +16,23 @@ object StrfTime {
     var i = 0
     while (i < fmt.length) {
       val c = fmt(i)
-      if (c == '%' && i + 1 < fmt.length) {
+      if (c == '%' && i + 1 < fmt.length && fmt(i + 1) == '-' &&
+          i + 2 < fmt.length) {
+        // `%-X` = the no-padding variants (probed: `%-d` renders 5,
+        // not 05) — java.time's single-letter patterns
+        fmt(i + 2) match {
+          case 'd' => sb ++= "d"
+          case 'm' => sb ++= "M"
+          case 'H' => sb ++= "H"
+          case 'I' => sb ++= "h"
+          case 'M' => sb ++= "m"
+          case 'S' => sb ++= "s"
+          case 'j' => sb ++= "D"
+          case 'y' => sb ++= "y"
+          case other => sb += other
+        }
+        i += 3
+      } else if (c == '%' && i + 1 < fmt.length) {
         fmt(i + 1) match {
           case 'Y' => sb ++= "yyyy"
           case 'y' => sb ++= "yy"
@@ -34,6 +50,7 @@ object StrfTime {
           case 'A' => sb ++= "EEEE"
           case 'b' => sb ++= "MMM"
           case 'B' => sb ++= "MMMM"
+          case 'z' => sb ++= "xx" // ±HHmm zone offset
           case '%' => sb += '%'
           case other => sb += other // unknown specifier → literal
         }

@@ -353,6 +353,28 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
           }
         case co @ Coalesce(cs) =>
           rebind(cs).map(Coalesce(_)).getOrElse(co)
+        // DuckDB/pg temporal sentinels: 'infinity' / '-infinity'
+        // compare beyond every real value, 'epoch' is 1970-01-01.
+        // Spark's ANSI cast rejects the words — map them onto the
+        // type's extreme/zero points (rendering shows the extreme
+        // datetime, not the word — documented divergence; ordering
+        // and comparisons are exact).
+        case c @ Cast(Literal(s, StringType), TimestampType, _, _)
+            if s != null && Set("infinity", "-infinity", "epoch")
+              .contains(s.toString.trim.toLowerCase) =>
+          s.toString.trim.toLowerCase match {
+            case "infinity" => Literal(Long.MaxValue, TimestampType)
+            case "-infinity" => Literal(Long.MinValue, TimestampType)
+            case _ => Literal(0L, TimestampType)
+          }
+        case c @ Cast(Literal(s, StringType), DateType, _, _)
+            if s != null && Set("infinity", "-infinity", "epoch")
+              .contains(s.toString.trim.toLowerCase) =>
+          s.toString.trim.toLowerCase match {
+            case "infinity" => Literal(Int.MaxValue, DateType)
+            case "-infinity" => Literal(Int.MinValue, DateType)
+            case _ => Literal(0, DateType)
+          }
         // DuckDB computes avg over DECIMAL in DOUBLE (probed: typeof
         // of avg(DECIMAL) is DOUBLE); Spark keeps DECIMAL(p+4, s+4)
         case avg @ org.apache.spark.sql.catalyst.expressions.aggregate
@@ -505,6 +527,12 @@ object DuckResolveFixRule extends Rule[LogicalPlan] {
                   Seq(cmp.left, Cast(cmp.right, BooleanType, tz)))
               case _ => cmp
             }
+          // DuckDB `timestamp::TIME` takes the time-of-day; Spark has
+          // no timestamp→time cast — render the wall time and parse
+          case Cast(child, t: org.apache.spark.sql.types.TimeType, _, _)
+              if child.resolved && child.dataType == TimestampType =>
+            Cast(DateFormatClass(child, Literal("HH:mm:ss.SSSSSS"), tz),
+              t, tz)
           case e if DuckIntervalCastRule.unresolvedFixes.isDefinedAt(e) =>
             DuckIntervalCastRule.unresolvedFixes(e)
         }

@@ -75,6 +75,9 @@ object SqlRewrites {
     // onto their plain spellings; BLOB is Spark binary, and BIT is
     // graft's '0'/'1'-string model (functions/ bitstring vocabulary)
     "timestamptz" -> "timestamp", "timetz" -> "time",
+    // storage-granularity timestamps collapse onto micros
+    "timestamp_s" -> "timestamp", "timestamp_ms" -> "timestamp",
+    "timestamp_ns" -> "timestamp",
     "blob" -> "binary", "bit" -> "string",
     // JSON is modeled as STRING (json() returns canonical text)
     "json" -> "string")
@@ -773,6 +776,9 @@ object SqlRewrites {
   /** `TIMESTAMPTZ '...'` / `TIMETZ '...'` typed literals (Spark has no
     * tz-qualified literal spellings; session TZ is pinned UTC). */
   private val typedLit = """(?i)\btimestamptz\s*(?=')""".r
+  /** `TIMESTAMP_S|MS|NS '...'` storage-granularity literals */
+  private val tsGranLit =
+    """(?i)\btimestamp_(s|ms|ns)\s*('(?:[^'']|'')*')""".r
   /** `TIMETZ '...'` consumes its literal: DuckDB renders TIMETZ with an
     * explicit zone offset (`03:04:05+02`), which Spark's TIME literal
     * cannot parse — normalize to the UTC wall time. */
@@ -1976,8 +1982,18 @@ object SqlRewrites {
     // string literal is data. TIMESTAMPTZ keeps its literal (Spark's
     // TIMESTAMP literal parses zone offsets); TIMETZ consumes and
     // normalizes its literal (Spark TIME parses no offset).
-    val sqlT0 = if (sqlTzf.toLowerCase.contains("timestamptz"))
+    val sqlT0a = if (sqlTzf.toLowerCase.contains("timestamptz"))
       replaceOutsideQuotes(typedLit, sqlTzf)(_ => "TIMESTAMP ") else sqlTzf
+    // DuckDB's storage-granularity timestamp literals: the value
+    // truncates to the declared tick (TIMESTAMP_NS is Spark's micros
+    // — finer input is already micro-truncated by the literal parser)
+    val sqlT0 = if (sqlT0a.toLowerCase.contains("timestamp_"))
+      replaceOutsideQuotes(tsGranLit, sqlT0a)(m =>
+        m.group(1).toLowerCase match {
+          case "s" => s"date_trunc('second', TIMESTAMP ${m.group(2)})"
+          case "ms" => s"date_trunc('millisecond', TIMESTAMP ${m.group(2)})"
+          case _ => s"TIMESTAMP ${m.group(2)}"
+        }) else sqlT0a
     val sqlT = if (sqlT0.toLowerCase.contains("timetz"))
       replaceOutsideQuotes(timetzLit, sqlT0)(m =>
         s"TIME '${normalizeTimeTz(m.group(1))}'") else sqlT0
