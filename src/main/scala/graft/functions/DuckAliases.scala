@@ -32,6 +32,8 @@ object DuckAliases {
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
     alias("len")(e => LenPoly(e.head))
+    // DuckDB's length is polymorphic too: list/map length, else chars
+    alias("length")(e => LenPoly(e.head))
     alias("reverse")(e => ReversePoly(e.head))
     alias("list_distinct")(e => ArrayDistinct(e.head))
     // SELECT-position unnest (row-exploding projection; FROM-position

@@ -319,6 +319,47 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** unwraps ONE analyzer-inserted (non-user) cast, else identity */
+  private object StripImplicitCast {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case c @ Cast(ch, _, _, _)
+          if c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty => Some(ch)
+      case other => Some(other)
+    }
+  }
+
+  // ---- BIT-string operations over the '0'/'1'-string model
+  private def bitStrShift(l: Expression, r: Expression,
+      leftShift: Boolean): Expression = {
+    val n = Cast(r, IntegerType)
+    val len = Length(l)
+    val zeros = StringRepeat(Literal("0"),
+      new Least(Seq(n, len)))
+    val kept =
+      if (leftShift) Substring(l, Add(n, Literal(1)), len)
+      else Substring(l, Literal(1), Subtract(len, n))
+    val shifted =
+      if (leftShift) Concat(Seq(kept, zeros))
+      else Concat(Seq(zeros, kept))
+    If(GreaterThanOrEqual(n, len), StringRepeat(Literal("0"), len), shifted)
+  }
+
+  /** per-position fold of two equal-length BIT strings */
+  def bitStrBinOp(l: Expression, r: Expression, and: Boolean): Expression = {
+    val i = NamedLambdaVariable("bi", IntegerType, nullable = false)
+    def bit(e: Expression) =
+      EqualTo(Substring(e, i, Literal(1)), Literal("1"))
+    val cond = if (and) And(bit(l), bit(r)) else Or(bit(l), bit(r))
+    val body = If(cond, Literal("1"), Literal("0"))
+    val opName = if (and) "&" else "|"
+    If(Not(EqualTo(Length(l), Length(r))),
+      Cast(RaiseError(Literal(
+        s"bitwise $opName: bitstring lengths must be equal")), StringType),
+      ArrayJoin(ArrayTransform(
+        new Sequence(Literal(1), Length(l), None, Some("UTC")),
+        LambdaFunction(body, Seq(i))), Literal(""), None))
+  }
+
   // ---- DuckShift width: the analyzer's short/byte -> int promotion
   // cast is looked through so 1::SMALLINT << 15 errors at width 16
   private def widthOf(e: Expression): Int = e match {
@@ -382,6 +423,18 @@ object DuckExprTailRule extends Rule[LogicalPlan] {
             if child.resolved && child.dataType.isInstanceOf[DecimalType] =>
           org.apache.spark.sql.catalyst.expressions.aggregate
             .Average(Cast(child, DoubleType, tz), mode)
+        // BIT strings ('0'/'1' chars — graft's model of the BIT type)
+        // shift as strings: drop from one end, zero-fill the other,
+        // length fixed (probed: '0101'::BIT << 1 = '1010'). The
+        // analyzer has already wrapped the string operand in its
+        // implicit string→int cast — look through it (user-written
+        // casts keep the numeric shift).
+        case ShiftLeft(StripImplicitCast(l), r)
+            if l.resolved && r.resolved && l.dataType == StringType =>
+          bitStrShift(l, r, leftShift = true)
+        case ShiftRight(StripImplicitCast(l), r)
+            if l.resolved && r.resolved && l.dataType == StringType =>
+          bitStrShift(l, r, leftShift = false)
         case ShiftLeft(l, r) if l.resolved && r.resolved =>
           DuckShift(l, r, leftShift = true, widthOf(l))
         case ShiftRight(l, r) if l.resolved && r.resolved =>
@@ -533,6 +586,17 @@ object DuckResolveFixRule extends Rule[LogicalPlan] {
               if child.resolved && child.dataType == TimestampType =>
             Cast(DateFormatClass(child, Literal("HH:mm:ss.SSSSSS"), tz),
               t, tz)
+          // `&` / `|` on BIT strings fold per position (Spark's
+          // bitwise ops take integrals only, so these arrive
+          // unresolved)
+          case b @ BitwiseAnd(l, r)
+              if !b.resolved && l.resolved && r.resolved &&
+                l.dataType == StringType && r.dataType == StringType =>
+            DuckExprTailRule.bitStrBinOp(l, r, and = true)
+          case b @ BitwiseOr(l, r)
+              if !b.resolved && l.resolved && r.resolved &&
+                l.dataType == StringType && r.dataType == StringType =>
+            DuckExprTailRule.bitStrBinOp(l, r, and = false)
           case e if DuckIntervalCastRule.unresolvedFixes.isDefinedAt(e) =>
             DuckIntervalCastRule.unresolvedFixes(e)
         }

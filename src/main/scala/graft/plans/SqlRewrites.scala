@@ -785,6 +785,14 @@ object SqlRewrites {
   private val timetzLit = """(?i)\btimetz\s*'([^']*)'""".r
   /** DuckDB's zero-argument `count()` ≡ `count(*)`. */
   private val countEmpty = """(?i)\bcount\s*\(\s*\)""".r
+  /** `'pattern' ESCAPE '\'` — the parser produces the default '\\'
+    * escape whether the user WROTE it or not, and DuckLikeNoEscapeRule
+    * must kill the un-written default (DuckDB LIKE has none). An
+    * explicitly written backslash escape is re-spelled onto 
+    * (pattern + clause together) so it survives that rule. Literal
+    * patterns only — a computed pattern keeps the no-escape reading. */
+  private val likeEscBs =
+    """'((?:[^']|'')*)'\s+(?i:ESCAPE)\s+'\\\\?'""".r
   /** `name := value` named-argument sugar (struct_pack/struct_insert). */
   private val namedArg = """([A-Za-z_]\w*)\s*:=""".r
   /** array-typed casts `::FLOAT[3]` / `CAST(x AS INT[])` → Spark's
@@ -1795,6 +1803,9 @@ object SqlRewrites {
       """\s*,\s*([^(),]+?)\s*::\s*([\w"]+)\s*\)""").r
   private val enumPostfixCast =
     """('(?:[^']|'')*'|[\w."]+)\s*::\s*([\w"]+)""".r
+  private val enumOrderCmp =
+    ("""('(?:[^']|'')*'|[\w."]+)\s*::\s*([\w"]+)\s*(<=|>=|<|>)\s*""" +
+      """('(?:[^']|'')*'|[\w."]+)(?:\s*::\s*([\w"]+))?""").r
   private val enumCastAsRe =
     """(?i)\bCAST\s*\(\s*([^()]+?)\s+AS\s+([\w"]+)\s*\)""".r
   private def rewriteEnums(sql: String): String = {
@@ -1815,7 +1826,17 @@ object SqlRewrites {
       if (isE(m.group(2)))
         q(s"graft_enum_code('${m.group(2)}', ${m.group(1)})")
       else q(m.matched))
-    val s4 = enumPostfixCast.replaceAllIn(s3, m =>
+    // ordering comparisons on enum casts follow DEFINITION order
+    // (probed: 'lo'::pm < 'hi'::pm is true) — both sides lower to
+    // enum_code; equality keeps the string model (same answer). Bare
+    // enum-typed columns without a cast stay lexicographic (the
+    // documented model edge — compare enum_code() for those).
+    val s3b = enumOrderCmp.replaceAllIn(s3, m =>
+      if (isE(m.group(2)) && Option(m.group(5)).forall(isE))
+        q(s"graft_enum_code('${m.group(2)}', ${m.group(1)}) " +
+          s"${m.group(3)} graft_enum_code('${m.group(2)}', ${m.group(4)})")
+      else q(m.matched))
+    val s4 = enumPostfixCast.replaceAllIn(s3b, m =>
       if (isE(m.group(2)))
         q(s"graft_enum_cast('${m.group(2)}', ${m.group(1)})")
       else q(m.matched))
@@ -2002,9 +2023,18 @@ object SqlRewrites {
     // pairs (union_value's own := form was already rewritten above)
     val sqlS = if (sqlT.contains(":="))
       replaceOutsideQuotes(namedArg, sqlT)(m => s"'${m.group(1)}',") else sqlT
+    // explicit backslash ESCAPE on a literal pattern: re-spell both
+    // onto  so DuckLikeNoEscapeRule (which kills the parser's
+    // implicit default '\\') cannot eat the user's real clause
+    val sqlEc = if (sqlS.toLowerCase.contains("escape") &&
+        sqlS.contains("\\"))
+      likeEscBs.replaceAllIn(sqlS, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"'${m.group(1).replace("\\\\", "").replace("\\", "")}' ESCAPE ''"))
+      else sqlS
     // DuckDB's zero-arg count() ≡ count(*)
-    val sql = if (sqlS.toLowerCase.contains("count"))
-      replaceOutsideQuotes(countEmpty, sqlS)(_ => "count(*)") else sqlS
+    val sql = if (sqlEc.toLowerCase.contains("count"))
+      replaceOutsideQuotes(countEmpty, sqlEc)(_ => "count(*)") else sqlEc
     val low = if (sql eq sqlEsc) lowIn else sql.toLowerCase
     @inline def has(t: String): Boolean = low.contains(t)
     // DuckDB's quoted-string-unit date_diff/date_sub: Spark's parser
