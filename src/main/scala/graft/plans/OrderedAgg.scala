@@ -152,11 +152,14 @@ object OrderedAgg {
                 toks(close).start).trim
               // word-boundary: a column named distinct_vals is not a
               // DISTINCT aggregate
-              if ("(?is)^distinct\\b".r.findFirstIn(argsText).isEmpty) {
-                spans += Span(fnSt, toks(close).end,
-                  lowerCall(fn, argsText, keysText))
-                i = close
-              }
+              val distinct =
+                "(?is)^distinct\\b".r.findFirstIn(argsText).isDefined
+              val bareArgs = if (distinct)
+                argsText.replaceFirst("(?is)^distinct\\s+", "")
+              else argsText
+              spans += Span(fnSt, toks(close).end,
+                lowerCall(fn, bareArgs, keysText, distinct))
+              i = close
             }
           }
         case _ =>
@@ -192,9 +195,10 @@ object OrderedAgg {
   }
 
   private def lowerCall(fn: String, argsText: String,
-      keysText: String): String = {
+      keysText: String, distinct: Boolean = false): String = {
+    val distKw = if (distinct) "DISTINCT " else ""
     // order-insensitive aggregate: the ORDER BY is meaningless — drop
-    if (dropOrderFns(fn)) return s"$fn($argsText)"
+    if (dropOrderFns(fn)) return s"$fn($distKw$argsText)"
     val args = SqlRewrites.splitTop(argsText).map(_.trim).filter(_.nonEmpty)
     require(args.nonEmpty, s"$fn(... ORDER BY ...): missing argument")
     val isString = stringFns(fn)
@@ -223,7 +227,16 @@ object OrderedAgg {
         s"WHEN __l.__k$n < __r.__k$n THEN $lt " +
         s"WHEN __l.__k$n > __r.__k$n THEN $gt ELSE $rest END"
     }
-    val sorted = s"array_sort($collected, (__l, __r) -> $cmp)"
+    // DISTINCT: the ORDER BY must be the DISTINCT argument itself
+    // (the pg rule DuckDB inherits), so key == value and duplicate
+    // structs are identical — array_distinct after the sort dedups
+    // while keeping sorted order
+    if (distinct)
+      require(keys.forall(_.expr.trim.equalsIgnoreCase(value.trim)),
+        s"$fn(DISTINCT ...): the ORDER BY expression must match the " +
+          "DISTINCT argument")
+    val sorted0 = s"array_sort($collected, (__l, __r) -> $cmp)"
+    val sorted = if (distinct) s"array_distinct($sorted0)" else sorted0
     if (isString)
       s"array_join(transform(filter($sorted, __s -> __s.__v IS NOT NULL)," +
         s" __s -> CAST(__s.__v AS STRING)), $sep)"

@@ -791,6 +791,10 @@ object SqlRewrites {
     * explicitly written backslash escape is re-spelled onto 
     * (pattern + clause together) so it survives that rule. Literal
     * patterns only — a computed pattern keeps the no-escape reading. */
+  private val overEmptyOrder =
+    ("""(?i)\b(row_number|rank|dense_rank|ntile|percent_rank|""" +
+      """cume_dist|lag|lead)(\s*\((?:[^()]|\([^()]*\))*\))""" +
+      """\s+OVER\s*\(\s*\)""").r
   private val likeEscBs =
     """'((?:[^']|'')*)'\s+(?i:ESCAPE)\s+'\\\\?'""".r
   /** `name := value` named-argument sugar (struct_pack/struct_insert). */
@@ -2229,10 +2233,17 @@ object SqlRewrites {
         val b = replaceOutsideQuotes(colConstraintRe, a)(_ => "")
         replaceOutsideQuotes(ddlVarcharRe, b)(_ => "STRING")
       }
+    // DuckDB runs order-REQUIRING window functions over an empty
+    // OVER () (arbitrary order); Spark refuses — give them a constant
+    // ordering (same arbitrary-order contract, rank-family all-ties)
+    val s1we = if (!has("over")) s1dd
+      else overEmptyOrder.replaceAllIn(s1dd, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"${m.group(1)}${m.group(2)} OVER (ORDER BY 1)"))
     // named-window EXTENSION refs `OVER (w …)` — inline before the
     // frame-EXCLUDE / FILTER window passes see the text
-    val s1wx = if (!has("window") || !has("over")) s1dd
-      else rewriteWindowRefExtend(s1dd)
+    val s1wx = if (!has("window") || !has("over")) s1we
+      else rewriteWindowRefExtend(s1we)
     val s1b0 = if (!has("exclude")) s1wx
       else starExclude.replaceAllIn(s1wx, "* EXCEPT (")
     // window-frame EXCLUDE (CURRENT ROW / GROUP / TIES / NO OTHERS):
