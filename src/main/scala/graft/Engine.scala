@@ -337,7 +337,15 @@ object Engine {
               case None =>
                 if (isCreate) SqlRewrites.recordPrimaryKey(sql)
                 val r = SqlRewrites.rewriteFull(Macros.expand(sql))
-                r.dropCols.foldLeft(spark.sql(r.sql))((df, c) => df.drop(c))
+                val out = r.dropCols.foldLeft(spark.sql(r.sql))(
+                  (df, c) => df.drop(c))
+                // plain INSERT answers DuckDB's Count column — the
+                // row count is the executed write command's metric
+                // (no extra job)
+                if ("""(?is)\A\s*INSERT\b""".r.findFirstIn(sql).isDefined)
+                  insertedRowCount(out)
+                    .map(dmlCount(spark, _)).getOrElse(out)
+                else out
             }
         }
         }
@@ -347,6 +355,18 @@ object Engine {
 
   private def dmlCount(spark: SparkSession, n: Long) =
     spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
+
+  /** numOutputRows of an already-executed native INSERT command. */
+  private def insertedRowCount(df: DataFrame): Option[Long] =
+    df.queryExecution.executedPlan match {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        c.commandPhysicalPlan.collectFirst {
+          case p if p.getClass.getSimpleName == "DataWritingCommandExec" &&
+              p.metrics.contains("numOutputRows") =>
+            p.metrics("numOutputRows").value
+        }
+      case _ => None
+    }
 
   /** DuckDB column-DDL forms (RENAME/DROP COLUMN, ALTER ... TYPE).
     * `ALTER TABLE t RENAME TO x` deliberately fails the rename-COLUMN

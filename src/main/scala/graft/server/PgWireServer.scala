@@ -711,7 +711,12 @@ private final class ConnectionHandler(session: SparkSession, w: MessageWriter) {
   }
 
   private def affectedRows(df: DataFrame): Long =
-    df.queryExecution.executedPlan match {
+    // Engine.query answers DML with DuckDB's one-row Count column
+    // (guarded inserts, upserts, and now plain INSERTs); native
+    // commands carry the count in their write metrics instead
+    if (df.schema.length == 1 && df.schema.head.name == "Count")
+      df.collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    else df.queryExecution.executedPlan match {
       case c: org.apache.spark.sql.execution.CommandResultExec =>
         c.commandPhysicalPlan.metrics.get("numOutputRows")
           .map(_.value).getOrElse(0L)
