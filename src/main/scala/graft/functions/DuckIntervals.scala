@@ -55,6 +55,85 @@ object DuckIntervals {
     parts.result().mkString(" ")
   }
 
+  private val hmsRe =
+    """([+-]?)(\d+):(\d{1,2}):(\d{1,2})(?:\.(\d{1,6}))?""".r
+  private val termRe = """([+-]?\d+(?:\.\d+)?)\s*([a-zA-Z]+)""".r
+  /** unit → (months, days, micros) weight */
+  private val unitWeights: Map[String, (Double, Double, Double)] = {
+    def m(n: Double) = (n, 0.0, 0.0)
+    def d(n: Double) = (0.0, n, 0.0)
+    def us(n: Double) = (0.0, 0.0, n)
+    Map(
+      "millennium" -> m(12000), "millenniums" -> m(12000),
+      "millennia" -> m(12000),
+      "century" -> m(1200), "centuries" -> m(1200),
+      "decade" -> m(120), "decades" -> m(120),
+      "year" -> m(12), "years" -> m(12), "y" -> m(12), "yr" -> m(12),
+      "yrs" -> m(12),
+      "quarter" -> m(3), "quarters" -> m(3),
+      "month" -> m(1), "months" -> m(1), "mon" -> m(1), "mons" -> m(1),
+      "week" -> d(7), "weeks" -> d(7), "w" -> d(7),
+      "day" -> d(1), "days" -> d(1), "d" -> d(1),
+      "hour" -> us(3600e6), "hours" -> us(3600e6), "h" -> us(3600e6),
+      "hr" -> us(3600e6), "hrs" -> us(3600e6),
+      "minute" -> us(60e6), "minutes" -> us(60e6), "m" -> us(60e6),
+      "min" -> us(60e6), "mins" -> us(60e6),
+      "second" -> us(1e6), "seconds" -> us(1e6), "s" -> us(1e6),
+      "sec" -> us(1e6), "secs" -> us(1e6),
+      "millisecond" -> us(1e3), "milliseconds" -> us(1e3),
+      "ms" -> us(1e3), "msec" -> us(1e3), "msecs" -> us(1e3),
+      "microsecond" -> us(1), "microseconds" -> us(1), "us" -> us(1))
+  }
+
+  /** DuckDB's INTERVAL text grammar (probed grid 2026-08-15):
+    * `HH:MM:SS[.f]` (seconds REQUIRED — '1:02' errors), or
+    * `<number> <unit>` terms with independent signs and fraction
+    * cascade (1.5 months = 1 month 15 days; 2.25 years = 2 years
+    * 3 months; 1.5 days = 1 day 12:00:00). Throws DuckDB's own
+    * Conversion Error on anything else. */
+  def parseText(s0: String): CalendarInterval = {
+    val s = s0.trim
+    def fail() = throw new IllegalArgumentException(
+      s"Conversion Error: Could not convert string '$s0' to INTERVAL")
+    hmsRe.findFirstMatchIn(s).filter(_.matched == s) match {
+      case Some(m) =>
+        val micros = m.group(2).toLong * 3600000000L +
+          m.group(3).toLong * 60000000L +
+          m.group(4).toLong * MicrosPerSecond +
+          Option(m.group(5)).map(_.padTo(6, '0').toLong).getOrElse(0L)
+        return new CalendarInterval(0, 0,
+          if (m.group(1) == "-") -micros else micros)
+      case None =>
+    }
+    val terms = termRe.findAllMatchIn(s).toSeq
+    if (terms.isEmpty) fail()
+    // the terms must tile the whole string (whitespace between them)
+    val tiled = terms.map(_.matched).mkString(" ")
+      .replaceAll("\\s+", " ")
+    if (s.replaceAll("\\s+", " ") != tiled) fail()
+    var months = 0L; var days = 0L; var micros = 0L
+    terms.foreach { t =>
+      val v = t.group(1).toDouble
+      val (wm, wd, wus) = unitWeights.getOrElse(t.group(2).toLowerCase,
+        fail())
+      if (wm != 0) {
+        val tot = v * wm
+        val whole = tot.toLong // truncate toward zero
+        months += whole
+        // month fraction cascades at 30 days/month (probed)
+        val fracDays = (tot - whole) * 30.0
+        days += fracDays.toLong
+        micros += ((fracDays - fracDays.toLong) * MicrosPerDay).round
+      } else if (wd != 0) {
+        val tot = v * wd
+        val whole = tot.toLong
+        days += whole
+        micros += ((tot - whole) * MicrosPerDay).round
+      } else micros += (v * wus).round
+    }
+    new CalendarInterval(months.toInt, days.toInt, micros)
+  }
+
   /** (months, days, micros) from any Spark interval runtime value.
     * `daysLed` — the static type led with DAY (Spark normalizes the
     * whole value to micros; DuckDB keeps user-spoken days distinct,
@@ -104,6 +183,21 @@ case class DuckIntervalString(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression)
       : DuckIntervalString = copy(child = c)
+}
+
+/** `VARCHAR::INTERVAL` through DuckDB's text grammar
+  * ([[DuckIntervals.parseText]]) — Spark's stringToInterval rejects
+  * the `HH:MM:SS` and abbreviated-unit spellings and answers NULL
+  * where DuckDB parses or errors loudly. */
+case class DuckIntervalParse(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = CalendarIntervalType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "duck_interval_parse"
+  override protected def nullSafeEval(v: Any): Any =
+    DuckIntervals.parseText(v.toString)
+  override protected def withNewChildInternal(c: Expression)
+      : DuckIntervalParse = copy(child = c)
 }
 
 /** Year-month ± day-time interval (or any mix Spark refuses) as one
@@ -236,6 +330,10 @@ object DuckIntervalCastRule extends Rule[LogicalPlan] {
         case c: Cast if c.dataType == StringType && c.child.resolved &&
             isInterval(c.child.dataType) =>
           DuckIntervalString(c.child)
+        case c: Cast if c.dataType == CalendarIntervalType &&
+            c.child.resolved && c.child.dataType == StringType &&
+            !c.child.isInstanceOf[DuckIntervalParse] =>
+          DuckIntervalParse(c.child)
         // interval / n: DuckDB divides each triple field integerly —
         // Spark's exact micros division is a silent divergence.
         // Fractional divisors/multipliers don't bind in DuckDB at all.

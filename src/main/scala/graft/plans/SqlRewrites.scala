@@ -817,6 +817,9 @@ object SqlRewrites {
       """((?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)""" +
       """(\s*::\s*[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)(?!\s*\[)""").r
   private val castAsArr = """(?i)\bAS\s+([A-Za-z_]\w*)\s*\[\s*\d*\s*\](\s*\))""".r
+  /** an already-wrapped `::ARRAY<...>` followed by another `[]` */
+  private val nestedArrCast =
+    """::ARRAY<((?:[^<>]|<[^<>]*>)*)>\s*\[\s*\d*\s*\]""".r
   /** `INTERVAL (expr) UNIT` — DuckDB's parameterized interval; Spark
     * only takes a literal quantity. One paren-nesting level. */
   private val intervalParen =
@@ -1387,7 +1390,7 @@ object SqlRewrites {
     * casts field-wise.
     */
   def rewriteRowTypes(sql: String): String = {
-    val re = """(?i)(::\s*|\bAS\s+)ROW\s*\(""".r
+    val re = """(?i)(::\s*|\bAS\s+)(?:ROW|STRUCT)\s*\(""".r
     var cur = sql
     var guard = 0
     var done = false
@@ -1944,15 +1947,30 @@ object SqlRewrites {
         s"${m.group(1)}${m.group(2)}(-(${m.group(3)}${m.group(4)}))")
       else sqlU
     // array-typed casts before the bracket pass would misread them
-    val sqlA0 = if (sqlNm.contains("::"))
-      replaceOutsideQuotes(castOpArr, sqlNm)(m => s"::ARRAY<${m.group(1)}>")
+    // (element names map through the pg aliases: VARCHAR[] → STRING;
+    // nested T[][] spellings wrap to fixpoint)
+    val sqlA00 = if (sqlNm.contains("::"))
+      replaceOutsideQuotes(castOpArr, sqlNm)(m =>
+        s"::ARRAY<${mapTypeName(m.group(1))}>")
       else sqlNm
+    val sqlA0 = {
+      var cur = sqlA00; var guard = 0
+      while (guard < 4 && nestedArrCast.findFirstIn(cur).isDefined) {
+        // the space keeps the closing pair out of the `>>` operator
+        // pass (Spark's type parser is whitespace-tolerant)
+        cur = replaceOutsideQuotes(nestedArrCast, cur)(m =>
+          s"::ARRAY<ARRAY<${m.group(1)}> >")
+        guard += 1
+      }
+      cur
+    }
     val sqlA = if (sqlA0.toLowerCase.contains("cast"))
       replaceOutsideQuotes(castAsArr, sqlA0)(m =>
-        s"AS ARRAY<${m.group(1)}>${m.group(2)}") else sqlA0
-    // ROW(...) type spellings in casts → STRUCT<...> (before the
-    // bracket pass, which would misread `ROW(a INT[])`'s brackets)
-    val sqlRw = if (lowIn.contains("row") &&
+        s"AS ARRAY<${mapTypeName(m.group(1))}>${m.group(2)}") else sqlA0
+    // ROW(...) / STRUCT(...) type spellings in casts → STRUCT<...>
+    // (before the bracket pass, which would misread `ROW(a INT[])`)
+    val sqlRw = if ((lowIn.contains("row") || lowIn.contains("struct(") ||
+        lowIn.contains("struct (")) &&
         (lowIn.contains("::") || lowIn.contains("cast")))
       rewriteRowTypes(sqlA) else sqlA
     // DuckDB brace literals ({'a':1} structs, MAP {k:v}) — innermost

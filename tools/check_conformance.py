@@ -115,6 +115,15 @@ def norm(v):
                                for k, x in v.items()},
                 "__order__": [norm(x) for x in v.values()]}
     if isinstance(v, str):
+        # temporal-shaped strings normalize symmetrically (both the
+        # graft JSON rendering inside containers and any duckdb-side
+        # string) so timestamps inside LISTs compare (r10)
+        if _TEMPORAL.match(v):
+            s2 = v.replace("T", " ").removesuffix("Z")
+            t = maybe_temporal(s2)
+            if not isinstance(t, str):
+                return norm(t)
+            return s2
         return v
     return str(v)
 
