@@ -48,7 +48,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: at 196 queries × 4 passes the localCheckpoint
+    // lifecycle WARNs ("RDD ... was locally checkpointed") run to
+    // thousands of lines and push the single JSON result line out of
+    // the bounded stdout tail the driver keeps (BENCH_r09/r10 both
+    // came back parsed:null for exactly this reason).
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Each pass returns (times, failures-of-this-pass): a query that
     // fails cold but succeeds warm still contributes its warm time.
@@ -112,7 +117,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
 
-    // The ONE line the driver parses — keep under ~1800 chars.
+    // The ONE line the driver parses — keep under ~1800 chars. Logging
+    // goes fully silent first so no late async appender line can land
+    // after (= closer to the kept tail than) the JSON.
+    spark.sparkContext.setLogLevel("OFF")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${warm.size},""" +
       s""""warm_runs":3,"agg":"min",""" +

@@ -219,9 +219,21 @@ object Engine {
       case UnpivotStmtRe(target, onCols, nameCol, valueCol) =>
         unpivotStmt(spark, target, onCols, nameCol, valueCol)
       case DropTableNameRe(name) =>
-        // DuckDB refuses to drop a table other tables reference
+        // DuckDB refuses to drop a table other tables reference.
+        // Normalize like TableConstraints.key (lowercase, quotes
+        // stripped) so DROP TABLE "t" on a self-referencing table is
+        // not wrongly refused; self-reference = exact key match, with
+        // the suffix rule only when one side is unqualified (mirrors
+        // the registry's own lookup fallback).
+        val nk = name.toLowerCase.replace("\"", "")
+        val nSuffix = nk.split('.').last
         TableConstraints.referencingFks(name)
-          .find(_._1.split('.').last != name.split('.').last.toLowerCase)
+          .find { case (child, _) =>
+            val selfRef = child == nk ||
+              ((!child.contains('.') || !nk.contains('.')) &&
+                child.split('.').last == nSuffix)
+            !selfRef
+          }
           .foreach { case (child, _) =>
             throw new IllegalArgumentException(
               "Catalog Error: Could not drop the table because this " +
@@ -652,6 +664,13 @@ object Engine {
   private val RetInsertRe =
     ("""(?is)\A\s*INSERT\s+INTO\s+([\w."]+)\s*""" +
       """(?:\(([^)]*)\)\s*)?(BY\s+NAME\s+)?(.+)\z""").r
+  // the flat-join DML shapes (same grammar as server.Dml's arms)
+  private val RetDeleteUsingRe =
+    ("""(?is)\A\s*DELETE\s+FROM\s+([\w.]+)\s+USING\s+""" +
+      """([\w.]+(?:\s+\w+)?)\s+WHERE\s+(.+?)\s*\z""").r
+  private val RetUpdateFromRe =
+    ("""(?is)\A\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+FROM\s+""" +
+      """([\w.]+(?:\s+\w+)?)\s+WHERE\s+(.+?)\s*\z""").r
 
   private def returningStmt(spark: SparkSession, sql: String): DataFrame = {
     val (body, ret) = splitReturning(sql).get
@@ -687,6 +706,48 @@ object Engine {
           spark.sql(s"SELECT $proj FROM $t WHERE ${predOf(w)}"))
           .localCheckpoint(eager = true)
         query(spark, body)
+        serve(updated)
+      // DELETE … USING … RETURNING: the deleted TARGET rows (probed —
+      // the USING table is not in RETURNING scope), each once even
+      // when several source rows matched it.
+      case RetDeleteUsingRe(t, using, w) =>
+        val tAlias = t.split('.').last
+        spark.sql(s"SELECT *, monotonically_increasing_id() AS __rid " +
+          s"FROM $t").localCheckpoint()
+          .createOrReplaceTempView("__ret_del_t")
+        val doomed = spark.sql(
+          s"SELECT DISTINCT $tAlias.* FROM __ret_del_t $tAlias " +
+            s"JOIN $using ON coalesce(CAST(($w) AS BOOLEAN), false)")
+          .drop("__rid").localCheckpoint(eager = true)
+        query(spark, body)
+        spark.catalog.dropTempView("__ret_del_t")
+        serve(doomed)
+      // UPDATE … SET … FROM … RETURNING: NEW values of the matched
+      // target rows (DuckDB returns post-update values; the source
+      // table is not in RETURNING scope — probed). The DML arm itself
+      // re-checks ambiguity and constraints; a throw there leaves
+      // nothing to serve.
+      case RetUpdateFromRe(t, setList, using, w) =>
+        val schema = spark.table(t).schema
+        val sets = server.Dml.resolveDefaultSets(schema,
+          server.Dml.splitAssignments(setList))
+        val tAlias = t.split('.').last
+        spark.sql(s"SELECT *, monotonically_increasing_id() AS __rid " +
+          s"FROM $t").localCheckpoint()
+          .createOrReplaceTempView("__ret_upd_t")
+        val proj = schema.fields.map { f =>
+          sets.get(f.name.toLowerCase) match {
+            case Some(e) =>
+              s"CAST(($e) AS ${f.dataType.sql}) AS `${f.name}`"
+            case None => s"$tAlias.`${f.name}` AS `${f.name}`"
+          }
+        }.mkString(", ")
+        val updated = TableConstraints.regenerate(spark, t,
+          spark.sql(s"SELECT $proj FROM __ret_upd_t $tAlias " +
+            s"JOIN $using ON coalesce(CAST(($w) AS BOOLEAN), false)"))
+          .localCheckpoint(eager = true)
+        query(spark, body)
+        spark.catalog.dropTempView("__ret_upd_t")
         serve(updated)
       case RetInsertRe(t, colsOrNull, byNameOrNull, src)
           if Set("SELECT", "VALUES", "WITH", "FROM", "TABLE", "(")
@@ -742,8 +803,8 @@ object Engine {
         spark.catalog.dropTempView("__graft_ret_src")
         serve(rows)
       case _ => throw new IllegalArgumentException(
-        "RETURNING is supported on DELETE [WHERE], UPDATE ... SET " +
-          "[WHERE] (no FROM), and INSERT INTO [cols|BY NAME] " +
+        "RETURNING is supported on DELETE [USING] [WHERE], UPDATE ... " +
+          "SET [FROM] [WHERE], and INSERT INTO [cols|BY NAME] " +
           "VALUES/SELECT — rewrite other DML shapes without RETURNING")
     }
   }

@@ -250,8 +250,10 @@ object TableConstraints {
     * refuses with DuckDB's own message. */
   def dropColumn(table: String, c: String): Unit = {
     val o = c.toLowerCase
-    val nn = notNullOf(table)
-    if (nn.contains(o)) recordNotNull(table, nn.filterNot(_ == o))
+    // ALL refusal guards run first: a refused drop must leave every
+    // record intact (mutating before a throw would erase the column's
+    // NOT NULL/UNIQUE/FK records while the column stays in place, so
+    // later writes would go unenforced).
     val word = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
     if (checksOf(table).exists(e => word.findFirstIn(e).isDefined))
       throw new IllegalArgumentException(
@@ -262,6 +264,13 @@ object TableConstraints {
       throw new IllegalArgumentException(
         "Cannot drop column: column is a dependency of 1 or more " +
           "generated column(s)")
+    if (referencingFks(table).exists(_._2.parentCols.contains(o)))
+      throw new IllegalArgumentException(
+        s"cannot drop column $c: a foreign key in another table " +
+          "references it")
+    // guards passed — now mutate the records
+    val nn = notNullOf(table)
+    if (nn.contains(o)) recordNotNull(table, nn.filterNot(_ == o))
     if (gs.exists(_.name.equalsIgnoreCase(c)))
       recordGenerated(table, gs.filterNot(_.name.equalsIgnoreCase(c)))
     // a UNIQUE keyset loses meaning with the column: drop the keyset
@@ -272,10 +281,6 @@ object TableConstraints {
     val myFks = fksOf(table)
     if (myFks.exists(_.cols.contains(o)))
       recordFks(table, myFks.filterNot(_.cols.contains(o)))
-    if (referencingFks(table).exists(_._2.parentCols.contains(o)))
-      throw new IllegalArgumentException(
-        s"cannot drop column $c: a foreign key in another table " +
-          "references it")
   }
 
   /** Enforce the table's row-local constraints on a batch about to be

@@ -586,34 +586,18 @@ object DuckResolveFixRule extends Rule[LogicalPlan] {
               if child.resolved && child.dataType == TimestampType =>
             Cast(DateFormatClass(child, Literal("HH:mm:ss.SSSSSS"), tz),
               t, tz)
-          // DuckDB parses list TEXT into arrays — `'[1, 2, 3]'::INT[]`
-          // (Spark has no string→array cast). Flat arrays of atomic
-          // elements: strip brackets, split on commas, trim + cast
-          // each element ('NULL' elements stay NULL; TRY casts keep
-          // their per-element null-on-error). Quoted elements are
-          // refused loudly — a comma inside quotes would split wrong.
-          case c @ Cast(child, ArrayType(et, _), _, _)
+          // DuckDB parses container TEXT — `'[1, 2, 3]'::INT[]`,
+          // `'{"a": 1}'::STRUCT(a INT)`, nested and mixed (Spark has
+          // no string→container cast, so these arrive unresolved).
+          // Full probed grammar lives in functions/DuckTextCast:
+          // quote-aware splitting, case-sensitive struct keys in any
+          // order, exact-uppercase NULL tokens, half-away-from-zero
+          // integral rounding, leaf-vs-structural TRY granularity.
+          case c @ Cast(child, t @ (_: ArrayType | _: StructType), _, _)
               if !c.resolved && child.resolved &&
                 child.dataType == StringType =>
-            val stripped = RegExpReplace(StringTrim(child),
-              Literal("^\\[|\\]$"), Literal(""), Literal(1))
-            val x = NamedLambdaVariable("__le", StringType,
-              nullable = true)
-            val elem = If(
-              EqualTo(Upper(StringTrim(x)), Literal("NULL")),
-              Literal(null, et),
-              Cast(StringTrim(x), et, tz, c.evalMode))
-            val parsed = If(
-              EqualTo(Length(StringTrim(stripped)), Literal(0)),
-              Literal.create(Array.empty[Any], ArrayType(et)),
-              ArrayTransform(
-                StringSplit(stripped, Literal(","), Literal(-1)),
-                LambdaFunction(elem, Seq(x))))
-            If(Contains(child, Literal("'")),
-              Cast(RaiseError(Literal("list text with quoted elements " +
-                "is not supported in string→list casts " +
-                "(use a list literal)")), ArrayType(et), tz),
-              parsed)
+            graft.functions.DuckTextCast(child, t,
+              c.evalMode == EvalMode.TRY)
           // `&` / `|` on BIT strings fold per position (Spark's
           // bitwise ops take integrals only, so these arrive
           // unresolved)

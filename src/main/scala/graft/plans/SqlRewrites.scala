@@ -1293,6 +1293,82 @@ object SqlRewrites {
     */
   private val distinctOnRe = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r
 
+  /** DuckDB implicit-lateral comma-unnest: `FROM t, unnest(E) [AS]
+    * [a[(c)]]` (and the CROSS JOIN spelling) is a correlated
+    * cross-apply — lowered to Spark's LATERAL VIEW over the same
+    * registered DuckUnnest generator, so struct/recursive args keep
+    * working. Probed on 1.0: an explicit `(c)` column list wins;
+    * otherwise a simple (possibly qualified) column argument names
+    * the output after its last segment (`FROM t, unnest(t.arr) u` →
+    * `u.arr`); computed arguments fall back to the name `unnest`.
+    * Several comma-unnests chain as a cartesian product (zip
+    * semantics apply only to SELECT-position unnests — probed).
+    * Fires only at paren depth 0 where the last top-level clause
+    * keyword before the match is FROM, so a SELECT-list `, unnest(x)`
+    * is untouched.
+    */
+  private val commaUnnestRe =
+    """(?i)(,|\bCROSS\s+JOIN\b)\s*unnest\s*\(""".r
+  private val clauseKwRe =
+    ("""(?i)\b(select|from|where|group|having|qualify|window|order|""" +
+      """limit|offset|fetch|union|intersect|except|join|on|using)\b""").r
+  private def lastClauseIsFrom(s: String, pos: Int): Boolean = {
+    val spans = quotedSpans(s)
+    var last = ""
+    for (m <- clauseKwRe.findAllMatchIn(s.substring(0, pos))
+         if atDepth0(s, m.start) &&
+           !spans.exists(sp => m.start >= sp._1 && m.start < sp._2))
+      last = m.group(1).toLowerCase
+    last == "from"
+  }
+  private val unnestAliasRe =
+    """^\s*(?:(?i:AS)\s+)?([A-Za-z_]\w*)\s*(?:\(\s*([A-Za-z_]\w*)\s*\))?""".r
+  private val unnestAliasStop = Set(
+    "where", "group", "having", "qualify", "window", "order", "limit",
+    "offset", "fetch", "union", "intersect", "except", "join", "cross",
+    "inner", "left", "right", "full", "natural", "positional", "asof",
+    "lateral", "on", "using", "as")
+  private val simpleColRe = """^\s*[\w"]+(?:\.[\w"]+)*\s*$""".r
+  def rewriteCommaUnnest(sql: String): String = {
+    var cur = sql
+    var guard = 0
+    var n = 0
+    var changed = true
+    while (changed && guard < 16) {
+      guard += 1
+      changed = false
+      val spans = quotedSpans(cur)
+      commaUnnestRe.findAllMatchIn(cur).find(m =>
+        !spans.exists(sp => m.start >= sp._1 && m.start < sp._2) &&
+          atDepth0(cur, m.start) && lastClauseIsFrom(cur, m.start)) match {
+        case Some(m) =>
+          val open = cur.indexOf('(', m.end - 1)
+          val close = matchParen(cur, open)
+          if (close < 0) return cur // malformed: let the parser speak
+          val arg = cur.substring(open + 1, close)
+          val tail = cur.substring(close + 1)
+          val (alias, colOpt, consumed) =
+            unnestAliasRe.findFirstMatchIn(tail) match {
+              case Some(am) if am.group(1) != null &&
+                  !unnestAliasStop(am.group(1).toLowerCase) =>
+                (am.group(1), Option(am.group(2)), am.end)
+              case _ => n += 1; (s"__gun_$n", None, 0)
+            }
+          val col = colOpt.getOrElse {
+            if (simpleColRe.findFirstIn(arg).isDefined)
+              arg.trim.split('.').last.replace("\"", "")
+            else "unnest"
+          }
+          cur = cur.substring(0, m.start) +
+            s" LATERAL VIEW unnest($arg) $alias AS $col " +
+            tail.substring(consumed)
+          changed = true
+        case None =>
+      }
+    }
+    cur
+  }
+
   private def atDepth0(s: String, pos: Int): Boolean = {
     var depth = 0; var inS = false; var i = 0
     while (i < pos) {
@@ -1404,8 +1480,19 @@ object SqlRewrites {
           val close = matchParen(cur, open)
           require(close > 0, "unbalanced ROW(...) type")
           val struct = convertRowType(cur.substring(open + 1, close))
-          cur = cur.substring(0, m.start) + m.group(1) + struct +
-            cur.substring(close + 1)
+          // `STRUCT(x INT)[]` / `[][]…` array suffixes belong to the
+          // type: wrap here (the later `::T[]` bracket pass only sees
+          // word-char type names, not the rewritten STRUCT<…>)
+          var rest = cur.substring(close + 1)
+          var wrapped = struct
+          val arrSuf = """^\s*\[\s*\d*\s*\]""".r
+          var suf = arrSuf.findFirstIn(rest)
+          while (suf.isDefined) {
+            wrapped = s"ARRAY< $wrapped >"
+            rest = rest.substring(suf.get.length)
+            suf = arrSuf.findFirstIn(rest)
+          }
+          cur = cur.substring(0, m.start) + m.group(1) + wrapped + rest
         case None => done = true
       }
     }
@@ -1420,20 +1507,24 @@ object SqlRewrites {
       val name = s.substring(0, i).stripPrefix("\"").stripSuffix("\"")
       s"$name: ${convertTypeSpelling(s.substring(i + 1))}"
     }
-    s"STRUCT<${fields.mkString(", ")}>"
+    s"STRUCT< ${fields.mkString(", ")} >"
   }
 
   private def convertTypeSpelling(t0: String): String = {
     val t = t0.trim
-    if ("""(?i)^ROW\s*\(""".r.findFirstIn(t).isDefined) {
+    if ("""(?i)^(?:ROW|STRUCT)\s*\(""".r.findFirstIn(t).isDefined) {
       val open = t.indexOf('(')
       val close = matchParen(t, open)
       require(close > 0, s"unbalanced ROW type: $t")
-      val conv = convertRowType(t.substring(open + 1, close))
-      val rest = t.substring(close + 1).trim
-      if (rest == "[]") s"ARRAY<$conv>"
-      else { require(rest.isEmpty, s"unexpected tail after ROW type: $rest"); conv }
-    } else if (t.endsWith("[]")) s"ARRAY<${convertTypeSpelling(t.dropRight(2))}>"
+      var conv = convertRowType(t.substring(open + 1, close))
+      var rest = t.substring(close + 1).trim
+      while (rest.startsWith("[") && rest.indexOf(']') > 0) {
+        conv = s"ARRAY< $conv >"
+        rest = rest.substring(rest.indexOf(']') + 1).trim
+      }
+      require(rest.isEmpty, s"unexpected tail after ROW type: $rest")
+      conv
+    } else if (t.endsWith("[]")) s"ARRAY< ${convertTypeSpelling(t.dropRight(2))} >"
     else mapTypeName(t)
   }
 
@@ -2052,7 +2143,14 @@ object SqlRewrites {
         sqlS.contains("\\"))
       likeEscBs.replaceAllIn(sqlS, m =>
         java.util.regex.Matcher.quoteReplacement(
-          s"'${m.group(1).replace("\\\\", "").replace("\\", "")}' ESCAPE ''"))
+          // group(1) is already backslash-DOUBLED by the literal seam: an
+          // original escape prefix reads as 2 chars here, an escaped
+          // literal backslash as 4. The 4-char form must survive as a
+          // literal backslash (re-doubled for the escaping parser), NOT
+          // collapse to escape-sentinels like the 2-char form.
+          s"'${m.group(1).replace("\\\\\\\\", "\u0006")
+            .replace("\\\\", "\u0007")
+            .replace("\u0006", "\\\\")}' ESCAPE '\u0007'"))
       else sqlS
     // DuckDB's zero-arg count() ≡ count(*)
     val sql = if (sqlEc.toLowerCase.contains("count"))
@@ -2093,7 +2191,8 @@ object SqlRewrites {
     val asofDrop = if (s0a != sr) Seq("__asof_nb") else Nil
     val s0p = if (has("positional")) rewritePositionalJoin(s0a) else s0a
     val posDrop = if (s0p ne s0a) Seq("__pjl", "__pjr") else Nil
-    val s0v = if (has("values") && has("in")) rewriteInValues(s0p) else s0p
+    val s0u = if (has("unnest")) rewriteCommaUnnest(s0p) else s0p
+    val s0v = if (has("values") && has("in")) rewriteInValues(s0u) else s0u
     val s0q = if (has("any") || has("all") || has("some"))
       rewriteQuantified(s0v) else s0v
     // DuckDB's parameterized interval: INTERVAL (1+2) DAYS — lowered

@@ -30,6 +30,12 @@ object ZipUnnestsRule extends Rule[LogicalPlan] {
     plan.transformUpWithSubqueries {
       case outer @ Generate(_, _, false, _, _, inner: Generate)
           if zipFamily(outer) && zipFamily(inner) && !inner.outer &&
+            // LATERAL VIEW carries its alias as the Generate qualifier;
+            // select-position unnests have none. The comma-unnest
+            // lowering (rewriteCommaUnnest) emits aliased LATERAL
+            // VIEWs precisely so its chain keeps DuckDB's
+            // cross-product semantics instead of zipping.
+            outer.qualifier.isEmpty && inner.qualifier.isEmpty &&
             outer.generator.references
               .intersect(AttributeSet(inner.generatorOutput)).isEmpty =>
         val gens = (inner.generator, outer.generator) match {

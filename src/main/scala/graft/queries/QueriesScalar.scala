@@ -56,8 +56,8 @@ object QueriesScalar {
       t(s, dir, "lineitem").select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("ad"),
-          ceil(col("l_extendedprice")).as("ce"),
-          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).cast("bigint").as("ce"),
+          floor(col("l_extendedprice")).cast("bigint").as("fl"),
           round(sqrt(col("l_quantity")), 6).as("sq"),
           round(ln(col("l_extendedprice")), 6).as("lg"),
           round(pow(col("l_quantity"), lit(2)), 6).as("p2"),

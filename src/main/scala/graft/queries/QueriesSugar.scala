@@ -8,7 +8,42 @@ import QueryDsl._
   */
 object QueriesSugar {
 
+  /** shared by the query twin and the oracle row — one source of
+    * truth keeps the identical-statement contract from drifting */
+  private val structCastStmt: String =
+    """SELECT doc_id,
+      |  CAST(sv.k AS BIGINT) AS k_round,
+      |  sv.t AS t_txt,
+      |  CAST(sv.d AS VARCHAR) AS d_txt,
+      |  CAST(list_extract(lv, 3) AS BIGINT) AS l3,
+      |  CAST(list_extract(lv, 2) AS BIGINT) AS l_null,
+      |  CAST(tv.a AS BIGINT) AS try_a
+      |FROM (
+      |  SELECT doc_id,
+      |    ('{''k'': ' || doc_id || '.5, ''t'': doc ' || lang
+      |      || ', ''d'': 2024-01-0' || (doc_id % 9 + 1) || '}')
+      |      ::STRUCT(k INT, t VARCHAR, d DATE) AS sv,
+      |    ('[' || doc_id || ', NULL, ' || n_chars || ']')::BIGINT[] AS lv,
+      |    TRY_CAST('{''a'': ' || CASE WHEN doc_id % 2 = 0 THEN 'zz'
+      |      ELSE CAST(doc_id AS VARCHAR) END || '}' AS STRUCT(a INT)) AS tv
+      |  FROM documents) q
+      |ORDER BY doc_id""".stripMargin
+
+  /** implicit-lateral comma-unnest (round 11): `FROM d, unnest(col)
+    * a(x)` — the no-LATERAL spelling DuckDB accepts; lowered by
+    * SqlRewrites.rewriteCommaUnnest to LATERAL VIEW over DuckUnnest.
+    * Chained comma-unnests are a cartesian product (probed). */
+  private val commaUnnestStmt: String =
+    """SELECT doc_id, part, n
+      |FROM (SELECT doc_id, string_split(lang, '-') AS parts
+      |      FROM documents WHERE doc_id % 5 = 0) d,
+      |  unnest(parts) AS p(part),
+      |  unnest([1, 2]) AS q(n)
+      |WHERE length(part) > 1
+      |ORDER BY doc_id, part, n""".stripMargin
+
   val defs: Map[String, Q] = Map(
+    "q_duckdb_commaunnest" -> ((s, dir) => sql(s, dir, commaUnnestStmt)),
     // QUALIFY clause (DuckDB sugar) through the rewrite pre-pass.
     "q_qualify" -> ((s, dir) => sql(s, dir,
       """SELECT o_custkey, o_orderkey, o_totalprice,
@@ -349,6 +384,12 @@ object QueriesSugar {
         |  union_extract(union_value(w := CASE WHEN doc_id % 3 = 0
         |    THEN source END), 'w') AS v_null
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // String→container TEXT casts (round 11): '{..}'::STRUCT(..) and
+    // '[..]'::T[] over computed (non-literal) text — bare/quoted
+    // values, DATE leaves, half-away-from-zero integral rounding,
+    // NULL elements, TRY leaf-null granularity. Identical statement
+    // in both engines (functions/DuckTextCast.scala).
+    "q_duckdb_structcast" -> ((s, dir) => sql(s, dir, structCastStmt)),
     // Map-function family (round 8): map(keys,vals) constructor,
     // element_at/map_extract list-wrapped access (missing key -> []),
     // map_keys/map_values order preservation, map_concat last-wins on
@@ -676,6 +717,8 @@ object QueriesSugar {
         |  union_extract(union_value(w := CASE WHEN doc_id % 3 = 0
         |    THEN source END), 'w') AS v_null
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_duckdb_structcast" -> structCastStmt,
+    "q_duckdb_commaunnest" -> commaUnnestStmt,
     "q_duckdb_maps" ->
       """SELECT doc_id,
         |  CAST(cardinality(map(list_value('a', 'b', 'c'),

@@ -107,6 +107,10 @@ object CopyOps {
     graft.TableConstraints.enforce(table, snap)
     val n = snap.count()
     Dml.lockFor(table).synchronized {
+      // key/FK probes read the CURRENT table contents, so they must
+      // sit inside the same lock as the append (DuckDB's COPY rejects
+      // duplicate PK/UNIQUE and orphan FK rows exactly like INSERT)
+      graft.TableConstraints.enforceKeysAppend(session, table, snap)
       snap.write.mode("append").insertInto(table)
     }
     n

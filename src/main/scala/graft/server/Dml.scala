@@ -30,6 +30,12 @@ object Dml {
   def lockFor(table: String): Object =
     tableLocks.computeIfAbsent(table.toLowerCase, _ => new Object)
 
+  /** Unique suffix for statement-scoped temp views: locks are
+    * per-TABLE, so two concurrent guarded INSERTs into different
+    * tables would race on a fixed view name (one statement's
+    * projection silently reading the other's source rows). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
   private val deleteRe =
     """(?is)^DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val deleteUsingRe =
@@ -389,23 +395,25 @@ object Dml {
         throw new IllegalArgumentException(
           "Binder Error: Cannot insert into a generated column")
       val pmap = provided.toMap
-      srcDf.createOrReplaceTempView("__graft_ins_src")
-      val proj = nonGenFields.map { f =>
-        pmap.get(f.name.toLowerCase) match {
-          case Some(c) => s"CAST($c AS ${f.dataType.sql}) AS `${f.name}`"
-          case None => s"CAST((${defaultOf(f.name.toLowerCase)}) AS " +
-            s"${f.dataType.sql}) AS `${f.name}`"
-        }
-      }.mkString(", ")
-      val nonGenDf = session.sql(s"SELECT $proj FROM __graft_ins_src")
-      val full = graft.TableConstraints
-        .withGenerated(session, table, nonGenDf).localCheckpoint()
-      graft.TableConstraints.enforce(table, full)
-      graft.TableConstraints.enforceKeysAppend(session, table, full)
-      val n = full.count()
-      full.write.mode("append").insertInto(table)
-      session.catalog.dropTempView("__graft_ins_src")
-      n
+      val srcView = s"__graft_ins_src_${viewSeq.incrementAndGet()}"
+      srcDf.createOrReplaceTempView(srcView)
+      try {
+        val proj = nonGenFields.map { f =>
+          pmap.get(f.name.toLowerCase) match {
+            case Some(c) => s"CAST($c AS ${f.dataType.sql}) AS `${f.name}`"
+            case None => s"CAST((${defaultOf(f.name.toLowerCase)}) AS " +
+              s"${f.dataType.sql}) AS `${f.name}`"
+          }
+        }.mkString(", ")
+        val nonGenDf = session.sql(s"SELECT $proj FROM $srcView")
+        val full = graft.TableConstraints
+          .withGenerated(session, table, nonGenDf).localCheckpoint()
+        graft.TableConstraints.enforce(table, full)
+        graft.TableConstraints.enforceKeysAppend(session, table, full)
+        val n = full.count()
+        full.write.mode("append").insertInto(table)
+        n
+      } finally session.catalog.dropTempView(srcView)
     })
   }
 

@@ -1478,6 +1478,26 @@ class CompatSpec extends SparkSpecBase {
     q("DROP TABLE ret_t")
   }
 
+  test("RETURNING on UPDATE ... FROM / DELETE ... USING (flat-join DML)") {
+    // probed on 1.0: the source table is NOT in RETURNING scope;
+    // UPDATE returns NEW target values, DELETE the removed target rows
+    def q(sql: String) = Engine.query(spark, sql)
+    q("CREATE TABLE rfj_t (id INT, v INT)")
+    q("INSERT INTO rfj_t VALUES (1, 10), (2, 20), (3, 30)")
+    q("CREATE TABLE rfj_u (id INT, w INT)")
+    q("INSERT INTO rfj_u VALUES (2, 200), (3, 300)")
+    val upd = q("UPDATE rfj_t SET v = v + u.w FROM rfj_u u " +
+      "WHERE rfj_t.id = u.id AND u.w < 250 RETURNING id, v").collect()
+    assert(upd.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((2, 220)))
+    val del = q("DELETE FROM rfj_t USING rfj_u u " +
+      "WHERE rfj_t.id = u.id AND u.w > 250 RETURNING *").collect()
+    assert(del.map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((3, 30)))
+    // the DML really happened
+    assert(q("SELECT id, v FROM rfj_t ORDER BY id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10), (2, 220)))
+    q("DROP TABLE rfj_t"); q("DROP TABLE rfj_u")
+  }
+
   test("SET VARIABLE / getvariable / RESET VARIABLE (DuckDB v1.1 surface)") {
     def q(sql: String) = Engine.query(spark, sql)
     q("SET VARIABLE cs_v = 40 + 2")

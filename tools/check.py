@@ -74,7 +74,10 @@ def main():
                 return "float"
             if t.startswith("DECIMAL"):
                 return t  # scale matters: Decimal('2.50') != 2.5 rendering
-            if t in ("JSON","VARCHAR"):
+            if t in ("JSON","VARCHAR") or t.startswith("ENUM"):
+                # ENUM proved benign: q_duckdb_union (union_tag returns
+                # ENUM('tag')) hash-passed vs Spark VARCHAR in r10 —
+                # pandas renders both as str.
                 return "str"
             return t
         # int-width skew (INTEGER vs BIGINT) is benign — the driver's
@@ -83,7 +86,13 @@ def main():
         tdiff = [(c, otypes.get(c), stypes.get(c)) for c in otypes
                  if c in stypes and tclass(otypes[c]) != tclass(stypes[c])]
         if tdiff:
-            print(f"WARN {name}: dtype skew (driver hash may fail): {tdiff}")
+            # BLOCKING, not a WARN: the r9 HUGEINT and r10 ceil/floor
+            # reds were both dtype-class skews that check.py warned
+            # about and that shipped anyway. The driver's hash is
+            # dtype-sensitive, so class skew == certain hash failure.
+            print(f"FAIL {name}: dtype skew (driver hash WILL fail): {tdiff}")
+            n_fail += 1
+            continue
         if ocols != scols:
             print(f"FAIL {name}: cols spark={scols} oracle={ocols}")
             n_fail += 1
