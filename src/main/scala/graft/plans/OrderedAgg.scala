@@ -19,8 +19,15 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Ties order by arrival (both engines stable-sort; cross-partition
   * arrival is nondeterministic, so oracle rows use tie-free keys).
-  * DISTINCT + inline ORDER BY and windowed (`… OVER`) forms are not
-  * lowered — they fall through to the stock parser's loud error.
+  *
+  * DISTINCT + inline ORDER BY is lowered when every ORDER BY
+  * expression appears in the argument list (whitespace-insensitive
+  * compare — probed: DuckDB matches the PARSED expressions, so
+  * `string_agg(DISTINCT x || 'q' ORDER BY x||'q')` is accepted);
+  * otherwise it refuses with DuckDB's own binder message. Windowed
+  * (`… OVER`) inline-ORDER-BY forms refuse with DuckDB's own parser
+  * message for EVERY function name (probed on 1.1: the rejection is
+  * grammar-level, `sum(y ORDER BY y) OVER (...)` included).
   */
 object OrderedAgg {
 
@@ -54,6 +61,18 @@ object OrderedAgg {
     "covar_samp", "regr_slope", "regr_intercept", "regr_count",
     "regr_r2", "regr_avgx", "regr_avgy", "regr_sxx", "regr_syy",
     "regr_sxy", "count_if", "countif", "histogram", "bitstring_agg")
+
+  /** Clause keywords that can directly precede a '(' without being a
+    * function call (`FROM (SELECT … ORDER BY a) over` — `over` is a
+    * legal alias in DuckDB, probed), so the scan must not treat the
+    * parenthesized group as that keyword's argument list.
+    */
+  private val clauseKw = Set("from", "join", "in", "exists", "where",
+    "on", "and", "or", "not", "values", "as", "lateral", "union",
+    "intersect", "except", "all", "any", "some", "select", "having",
+    "when", "then", "else", "case", "by", "like", "ilike", "between",
+    "over", "filter", "distinct", "using", "window", "cross", "inner",
+    "left", "right", "full", "natural", "asof", "positional")
 
   private sealed trait Tok { def start: Int; def end: Int }
   private case class Word(start: Int, end: Int, lower: String) extends Tok
@@ -101,7 +120,8 @@ object OrderedAgg {
   def rewrite(sql: String): String = {
     val low = sql.toLowerCase
     if (!low.contains("order") ||
-        (!fns.exists(low.contains) && !dropOrderFns.exists(low.contains)))
+        (!fns.exists(low.contains) && !dropOrderFns.exists(low.contains) &&
+          !low.contains("over")))
       return sql
     val toks = tokenize(sql)
     def matchClose(openIdx: Int): Int = {
@@ -121,7 +141,7 @@ object OrderedAgg {
     var i = 0
     while (i < toks.length) {
       (toks(i), toks.lift(i + 1)) match {
-        case (Word(fnSt, _, fn), Some(Punct(_, _, '('))) if fns(fn) || dropOrderFns(fn) =>
+        case (Word(fnSt, _, fn), Some(Punct(_, _, '('))) if !clauseKw(fn) =>
           val open = i + 1
           val close = matchClose(open)
           if (close > 0) {
@@ -146,7 +166,14 @@ object OrderedAgg {
               case Some(Word(_, _, "over")) => true
               case _ => false
             }
-            if (ob >= 0 && !windowed) {
+            // inline ORDER BY + OVER is a grammar-level rejection in
+            // DuckDB for EVERY function (probed) — parity-refuse here,
+            // since Spark's own parse error names the wrong construct
+            if (ob >= 0 && windowed)
+              throw new IllegalArgumentException(
+                "Parser Error: ORDER BY is not implemented for window " +
+                  "functions!")
+            if (ob >= 0 && (fns(fn) || dropOrderFns(fn))) {
               val argsText = sql.substring(toks(open).end, toks(ob).start).trim
               val keysText = sql.substring(toks(ob + 1).end,
                 toks(close).start).trim
@@ -170,6 +197,22 @@ object OrderedAgg {
     val sb = new StringBuilder(sql)
     spans.sortBy(-_.from).foreach(s => sb.replace(s.from, s.until, s.text))
     sb.toString
+  }
+
+  /** DISTINCT: every ORDER BY expression must appear in the argument
+    * list (the pg rule DuckDB inherits — probed: ANY argument
+    * qualifies, separator constants included, compared on the parsed
+    * expression so whitespace differences are immaterial).
+    */
+  private def checkDistinctKeys(argsText: Seq[String],
+      keysText: String): Unit = {
+    def canon(e: String) = e.toLowerCase.replaceAll("\\s+", "")
+    val argSet = argsText.map(canon).toSet
+    val keys = SqlRewrites.splitTop(keysText).map(parseKey)
+    if (!keys.forall(k => argSet(canon(k.expr))))
+      throw new IllegalArgumentException(
+        "Binder Error: In a DISTINCT aggregate, ORDER BY expressions " +
+          "must appear in the argument list")
   }
 
   private case class Key(expr: String, desc: Boolean, nullsFirst: Boolean)
@@ -197,9 +240,12 @@ object OrderedAgg {
   private def lowerCall(fn: String, argsText: String,
       keysText: String, distinct: Boolean = false): String = {
     val distKw = if (distinct) "DISTINCT " else ""
+    val args = SqlRewrites.splitTop(argsText).map(_.trim).filter(_.nonEmpty)
+    // DISTINCT rule first — it applies to order-insensitive
+    // aggregates too (probed: `sum(DISTINCT y ORDER BY x)` rejects)
+    if (distinct) checkDistinctKeys(argsText = args, keysText = keysText)
     // order-insensitive aggregate: the ORDER BY is meaningless — drop
     if (dropOrderFns(fn)) return s"$fn($distKw$argsText)"
-    val args = SqlRewrites.splitTop(argsText).map(_.trim).filter(_.nonEmpty)
     require(args.nonEmpty, s"$fn(... ORDER BY ...): missing argument")
     val isString = stringFns(fn)
     val sep =
@@ -227,14 +273,9 @@ object OrderedAgg {
         s"WHEN __l.__k$n < __r.__k$n THEN $lt " +
         s"WHEN __l.__k$n > __r.__k$n THEN $gt ELSE $rest END"
     }
-    // DISTINCT: the ORDER BY must be the DISTINCT argument itself
-    // (the pg rule DuckDB inherits), so key == value and duplicate
+    // (DISTINCT argument-list rule already checked above; duplicate
     // structs are identical — array_distinct after the sort dedups
-    // while keeping sorted order
-    if (distinct)
-      require(keys.forall(_.expr.trim.equalsIgnoreCase(value.trim)),
-        s"$fn(DISTINCT ...): the ORDER BY expression must match the " +
-          "DISTINCT argument")
+    // while keeping sorted order.)
     val sorted0 = s"array_sort($collected, (__l, __r) -> $cmp)"
     val sorted = if (distinct) s"array_distinct($sorted0)" else sorted0
     if (isString)

@@ -42,6 +42,10 @@ object QueriesVocab9 {
     // in-aggregate ORDER BY + unnest — DuckDB-native on the oracle
     // side, OrderedAgg lowering + Explode alias/TVF on ours
     "q_duckdb_ordagg" -> ((s, dir) => sql(s, dir, ordaggSql)),
+    // r11: DISTINCT + inline ORDER BY — key may match ANY argument
+    // (separator constants included), whitespace-insensitive compare,
+    // order-insensitive aggregates keep the DISTINCT but drop the sort
+    "q_duckdb_ordagg2" -> ((s, dir) => sql(s, dir, ordagg2Sql)),
     // syntax sugar wave: FROM-first, dollar-quoted strings, numeric
     // digit separators, SIMILAR TO — identical statement both engines
     "q_duckdb_syntax2" -> ((s, dir) => sql(s, dir, syntax2Sql)),
@@ -75,6 +79,7 @@ object QueriesVocab9 {
     "q_duckdb_compr" -> comprSql,
     "q_duckdb_exclude" -> excludeSql,
     "q_duckdb_ordagg" -> ordaggSql,
+    "q_duckdb_ordagg2" -> ordagg2Sql,
     "q_duckdb_syntax2" -> syntax2Sql,
     "q_duckdb_syntax3" -> syntax3Sql,
     "q_duckdb_unnest2" -> unnest2Sql,
@@ -282,6 +287,26 @@ object QueriesVocab9 {
       |      FROM documents WHERE doc_id < 60 GROUP BY lang)
       |SELECT a.lang, nw, wl, ids, lens, g7
       |FROM a JOIN d USING (lang) ORDER BY a.lang""".stripMargin
+
+  /** identical statement both engines: DISTINCT + inline ORDER BY
+    * forms probed on DuckDB — key matching the separator constant,
+    * whitespace-differing parsed-equal keys, DESC distinct lists, and
+    * a DISTINCT on an order-insensitive aggregate (sort dropped, rule
+    * still enforced)
+    */
+  private val ordagg2Sql: String =
+    """SELECT lang,
+      |  string_agg(DISTINCT CAST(doc_id % 5 AS VARCHAR)
+      |    ORDER BY CAST(doc_id % 5 AS VARCHAR)) AS d5,
+      |  string_agg(DISTINCT CAST(doc_id % 3 AS VARCHAR), ';'
+      |    ORDER BY CAST(doc_id % 3 AS VARCHAR) DESC) AS d3,
+      |  array_to_string(list(DISTINCT n_chars % 10
+      |    ORDER BY n_chars % 10 DESC), ',') AS l10,
+      |  CAST(sum(DISTINCT n_chars % 100 ORDER BY n_chars % 100)
+      |    AS BIGINT) AS s100,
+      |  string_agg(DISTINCT lang || '_sfx' ORDER BY lang||'_sfx') AS lx
+      |FROM documents WHERE doc_id < 80
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** identical statement both engines: every EXCLUDE kind over
     * self-containing frames (avg rounded — the lowering's exact-int

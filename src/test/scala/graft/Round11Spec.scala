@@ -94,4 +94,53 @@ class Round11Spec extends SparkSpecBase {
     assert(rows("SELECT unnest([1, 2, 3]) AS x, unnest([7]) AS y")
       == Seq(Seq("1", "7"), Seq("2", "NULL"), Seq("3", "NULL")))
   }
+
+  test("DISTINCT ordered aggregate: key may match ANY argument, parsed-expr compare") {
+    val base = " FROM (VALUES ('a',3),('b',2),('a',1),('c',2)) t(x,y)"
+    // key == DISTINCT argument (classic form)
+    assert(one(s"SELECT string_agg(DISTINCT x ORDER BY x) s$base")
+      .getString(0) == "a,b,c")
+    assert(one(s"SELECT string_agg(DISTINCT x ORDER BY x DESC) s$base")
+      .getString(0) == "c,b,a")
+    // key matches the SEPARATOR argument (probed: accepted)
+    assert(one(s"SELECT string_agg(DISTINCT x, ';' ORDER BY ';') s$base")
+      .getString(0).split(';').sorted.toSeq == Seq("a", "b", "c"))
+    // whitespace-insensitive parsed-expression compare (probed)
+    assert(one(s"SELECT string_agg(DISTINCT x || 'q' ORDER BY x||'q') s$base")
+      .getString(0) == "aq,bq,cq")
+    // list keeps distinct sorted order
+    assert(one(s"SELECT list(DISTINCT y ORDER BY y DESC) l$base")
+      .getSeq[Int](0) == Seq(3, 2, 1))
+    // order-insensitive aggregate: ORDER BY dropped but rule enforced
+    assert(one(s"SELECT sum(DISTINCT y ORDER BY y) v$base").getLong(0) == 6L)
+  }
+
+  test("DISTINCT ordered aggregate: key outside the argument list refuses (DuckDB binder parity)") {
+    val base = " FROM (VALUES ('a',3),('b',2)) t(x,y)"
+    for (q <- Seq(
+        s"SELECT string_agg(DISTINCT x ORDER BY y) s$base",
+        s"SELECT sum(DISTINCT y ORDER BY x) v$base",
+        s"SELECT min(DISTINCT y ORDER BY x) v$base")) {
+      val e = intercept[Exception](Engine.query(spark, q).collect())
+      assert(e.getMessage.contains("In a DISTINCT aggregate, ORDER BY " +
+        "expressions must appear in the argument list"), q)
+    }
+  }
+
+  test("windowed inline ORDER BY refuses for every function (DuckDB parser parity)") {
+    val base = " FROM (VALUES ('a',3),('b',2)) t(x,y)"
+    for (q <- Seq(
+        s"SELECT string_agg(x ORDER BY y) OVER (PARTITION BY y) s$base",
+        s"SELECT list(y ORDER BY y DESC) OVER () s$base",
+        s"SELECT sum(y ORDER BY y) OVER (ORDER BY y) s$base",
+        s"SELECT string_agg(DISTINCT x ORDER BY x) OVER () s$base",
+        s"SELECT first(x ORDER BY y) OVER (PARTITION BY y) s$base")) {
+      val e = intercept[Exception](Engine.query(spark, q).collect())
+      assert(e.getMessage.contains(
+        "ORDER BY is not implemented for window functions!"), q)
+    }
+    // … while `over` stays a legal table alias (probed)
+    assert(one("SELECT over.a FROM (SELECT 1 AS a ORDER BY a) over")
+      .getInt(0) == 1)
+  }
 }
