@@ -353,8 +353,12 @@ object Engine {
                   (df, c) => df.drop(c))
                 // plain INSERT answers DuckDB's Count column — the
                 // row count is the executed write command's metric
-                // (no extra job)
-                if ("""(?is)\A\s*INSERT\b""".r.findFirstIn(sql).isDefined)
+                // (no extra job). WITH-led inserts (`WITH cte …
+                // INSERT INTO …`) qualify too; insertedRowCount reads
+                // the executed plan, so a WITH…SELECT that merely
+                // mentions "insert" safely yields None
+                if ("""(?is)\A\s*(INSERT|WITH)\b""".r.findFirstIn(sql)
+                      .isDefined && sql.toLowerCase.contains("insert"))
                   insertedRowCount(out)
                     .map(dmlCount(spark, _)).getOrElse(out)
                 else out

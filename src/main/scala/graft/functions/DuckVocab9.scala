@@ -731,16 +731,31 @@ object DuckVocab9 {
     alias("pg_postmaster_start_time")(_ => CurrentTimestamp())
     alias("pg_conf_load_time")(_ => CurrentTimestamp())
     alias("current_role")(_ => Literal("duckdb"))
+    // DuckDB's session identity is the CONSTANT 'duckdb' for every
+    // user-facing spelling (probed); Spark's builtins leak the OS
+    // user, so override all three in the registry
+    for (n <- Seq("current_user", "session_user", "user"))
+      alias(n)(_ => Literal("duckdb"))
+    // database = the in-memory default catalog the introspection
+    // surface already reports ('memory', Introspection.scala), schema
+    // = DuckDB's default 'main' — probed; Spark's builtins answer
+    // spark_catalog/default, which no DuckDB client expects
+    alias("current_schema")(_ => Literal("main"))
+    for (n <- Seq("current_database", "current_catalog"))
+      alias(n)(_ => Literal("memory"))
     alias("current_query")(_ => Literal.create(
       Option(Engine.currentQuery.get()).orNull, StringType))
+    // one 'main' per search-path catalog — memory + system + temp
+    // (probed: ['main','main','main','pg_catalog'], and ATTACHing
+    // another database does NOT extend it)
+    def mainsThenPg(): Expression =
+      CreateArray(Seq.fill(3)(Literal("main")) :+ Literal("pg_catalog"))
     alias("current_schemas") {
-      case Seq(Literal(true, BooleanType)) =>
-        CreateArray(Seq(Literal("main"), Literal("pg_catalog")))
+      case Seq(Literal(true, BooleanType)) => mainsThenPg()
       case Seq(Literal(false, BooleanType)) =>
         CreateArray(Seq.empty[Expression], useStringTypeWhenEmpty = true)
       case e =>
-        If(Cast(e.head, BooleanType),
-          CreateArray(Seq(Literal("main"), Literal("pg_catalog"))),
+        If(Cast(e.head, BooleanType), mainsThenPg(),
           ArrayRepeat(Literal("main"), Literal(0)))
     }
     alias("in_search_path")(e =>
@@ -877,14 +892,44 @@ object DuckVocab9 {
         try GraftCall.structureToType(GraftCall.parseStructure(text))
         catch { case _: Exception =>
           org.apache.spark.sql.types.DataType.fromDDL(text) }
+      // parse with a STRING-leaf twin of the target schema, then cast
+      // each leaf — DuckDB coerces quoted scalars ('"7"' → BIGINT 7,
+      // probed) where Spark's typed JSON parse nulls them; a VARCHAR
+      // leaf over an object keeps the raw JSON text in both engines.
+      // Leaf failures null ONLY that leaf (non-strict) / error
+      // (strict) — probed granularity.
+      def stringTwin(t: DataType): DataType = t match {
+        case st: StructType =>
+          StructType(st.fields.map(f => f.copy(dataType = stringTwin(f.dataType))))
+        case ArrayType(et, n) => ArrayType(stringTwin(et), n)
+        case MapType(_, vt, n) => MapType(StringType, stringTwin(vt), n)
+        case _ => StringType
+      }
+      def leafCast(e: Expression, t: DataType): Expression =
+        if (strict) Cast(e, t, Some("UTC"))
+        else TryEval(Cast(e, t, Some("UTC")))
+      def coerce(e: Expression, t: DataType): Expression = t match {
+        case st: StructType =>
+          val fields = st.fields.zipWithIndex.flatMap { case (f, i) =>
+            Seq(Literal(f.name),
+              coerce(GetStructField(e, i, Some(f.name)), f.dataType))
+          }
+          If(IsNull(e), Literal(null, t), CreateNamedStruct(fields.toSeq))
+        case ArrayType(et, _) =>
+          ArrayTransform(e, lam1(x => coerce(x, et)))
+        case MapType(_, vt, _) =>
+          TransformValues(e, lam2((_, v) => coerce(v, vt)))
+        case scalar if scalar != StringType => leafCast(e, scalar)
+        case _ => e
+      }
       dt match {
         case dt @ (_: StructType | _: ArrayType | _: MapType) =>
-          JsonToStructs(dt, Map.empty[String, String], str(j), Some("UTC"))
+          coerce(JsonToStructs(stringTwin(dt), Map.empty[String, String],
+            str(j), Some("UTC")), dt)
         case scalar =>
           val text = GraftCall("json_extract_string", Seq(str(j), Literal("")),
             StringType)
-          if (strict) Cast(text, scalar, Some("UTC"))
-          else TryEval(Cast(text, scalar, Some("UTC")))
+          leafCast(text, scalar)
       }
     }
     alias("from_json")(e => fromJson(e(0), e(1), strict = false))
@@ -916,12 +961,9 @@ object DuckVocab9 {
     alias("list_bool_and")(e => boolFold(e.head, or = false))
     alias("list_bool_or")(e => boolFold(e.head, or = true))
     alias("sum_no_overflow")(e => Sum(e.head).toAggregateExpression())
-    // engine-specific order-preserving sort key (DuckDB's is its
-    // internal byte encoding; ours renders the value — same ASC order
-    // for strings, divergence documented)
-    alias("create_sort_key")(e =>
-      Cast(Concat(Seq(Literal("\u0001"), str(e.head), Literal("\u0000"))),
-        BinaryType))
+    // DuckDB's order-preserving sort-key byte encoding, reproduced
+    // exactly (see CreateSortKey's probe-derived rule table)
+    alias("create_sort_key")(e => CreateSortKey(e))
 
     // spellings that share an existing registered builder 1:1
     locally {

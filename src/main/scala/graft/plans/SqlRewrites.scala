@@ -1092,6 +1092,89 @@ object SqlRewrites {
     spans.result()
   }
 
+  /** DuckDB's alias(expr) resolves the ENCLOSING projection alias
+    * when one is present (probed: `SELECT alias(7) AS v` = 'v') —
+    * only the parser seam can see that alias, so lower
+    * `alias(...) AS ident` to the ident as a string literal (keeping
+    * the AS). Bare calls keep the expression-name fallback registered
+    * in DuckVocab9. */
+  /** words that can follow a select item and are therefore NOT a
+    * bare alias for the rewriteAliasCall scan */
+  private val aliasStopKw = Set("from", "where", "group", "order",
+    "having", "limit", "offset", "fetch", "union", "intersect",
+    "except", "qualify", "window", "as", "join", "on", "using",
+    "cross", "inner", "left", "right", "full", "natural", "when",
+    "then", "else", "end", "and", "or", "not", "is", "in", "like",
+    "ilike", "between", "asc", "desc", "nulls", "over", "filter",
+    "returning", "into")
+
+  private[graft] def rewriteAliasCall(sql: String): String = {
+    val low = sql.toLowerCase
+    val spans = quotedSpans(sql)
+    def inQuote(p: Int) = spans.exists(sp => p >= sp._1 && p < sp._2)
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    case class Rep(from: Int, until: Int, text: String)
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    var idx = low.indexOf("alias")
+    while (idx >= 0) {
+      val okStart = !inQuote(idx) &&
+        (idx == 0 || { val b = sql.charAt(idx - 1)
+          !isWord(b) && b != '.' && b != '"' })
+      var j = idx + 5
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      if (okStart && j < sql.length && sql.charAt(j) == '(') {
+        // matching close paren, skipping quoted spans
+        var depth = 0; var k = j; var close = -1
+        while (k < sql.length && close < 0) {
+          if (inQuote(k)) k += 1
+          else sql.charAt(k) match {
+            case '(' => depth += 1; k += 1
+            case ')' => depth -= 1; if (depth == 0) close = k else k += 1
+            case _ => k += 1
+          }
+        }
+        if (close > 0) {
+          var p = close + 1
+          while (p < sql.length && sql.charAt(p).isWhitespace) p += 1
+          // `AS ident` or a bare alias ident (DuckDB: `alias(7) c` =
+          // 'c'); bare form must not be a clause keyword
+          val q =
+            if (p + 2 <= sql.length && low.startsWith("as", p) &&
+                (p + 2 == sql.length || !isWord(sql.charAt(p + 2)))) {
+              var q0 = p + 2
+              while (q0 < sql.length && sql.charAt(q0).isWhitespace) q0 += 1
+              q0
+            } else p
+          val identEnd =
+            if (q < sql.length && sql.charAt(q) == '"') {
+              val e = sql.indexOf('"', q + 1)
+              if (e > 0) e + 1 else -1
+            } else {
+              var e = q
+              while (e < sql.length && isWord(sql.charAt(e))) e += 1
+              if (e > q) e else -1
+            }
+          if (identEnd > 0) {
+            val tok = sql.substring(q, identEnd)
+            val name = if (tok.startsWith("\"")) tok.drop(1).dropRight(1)
+              else tok
+            val isBare = q == p
+            if (!isBare || !aliasStopKw(name.toLowerCase))
+              reps += Rep(idx, identEnd,
+                "'" + name.replace("'", "''") + "' AS " + tok)
+          }
+        }
+      }
+      idx = low.indexOf("alias", idx + 1)
+    }
+    if (reps.isEmpty) sql
+    else {
+      val sb = new StringBuilder(sql)
+      reps.sortBy(-_.from).foreach(r => sb.replace(r.from, r.until, r.text))
+      sb.toString
+    }
+  }
+
   /** replaceAllIn, but matches that START inside a quoted/comment span
     * are left verbatim. (A match may legitimately CONTAIN a string —
     * `TIMETZ '03:04:05'` — so only the start position is tested.) */
@@ -2371,7 +2454,9 @@ object SqlRewrites {
     val s1b2 = if (!has("filter") || !has("over")) s1b1
       else WindowExclude.rewriteFilter(s1b1)
     // DuckDB in-aggregate ORDER BY (string_agg/list/array_agg …)
-    val s1b = if (!has("order")) s1b2 else OrderedAgg.rewrite(s1b2)
+    val s1b3 = if (!has("order")) s1b2 else OrderedAgg.rewrite(s1b2)
+    // alias(expr) AS ident → the enclosing projection alias (DuckDB)
+    val s1b = if (!has("alias")) s1b3 else rewriteAliasCall(s1b3)
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,

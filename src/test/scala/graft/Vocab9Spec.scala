@@ -240,13 +240,17 @@ class Vocab9Spec extends SparkSpecBase {
     assert(r.getString(2) == "varchar" && r.getString(3) == "int4")
     assert(r.getString(4) == "1205.6 kB")
     assert(r.getBoolean(5) && r.getBoolean(6) && r.isNullAt(7))
-    assert(r.getSeq[String](8) == Seq("main", "pg_catalog"))
+    // r11: one 'main' per search-path catalog (memory+system+temp),
+    // probed ['main','main','main','pg_catalog']
+    assert(r.getSeq[String](8) == Seq("main", "main", "main", "pg_catalog"))
     assert(r.getBoolean(9))
     val m = one("SELECT stats(7) a, vector_type(7) b, alias(7) c, " +
       "greatest(7) d, generate_series(3) e")
     assert(m.getString(0) ==
       "[Min: 7, Max: 7][Has Null: false, Has No Null: true][Approx Unique: 1]")
-    assert(m.getString(1) == "CONSTANT_VECTOR" && m.getString(2) == "7")
+    // r11: alias() resolves the ENCLOSING projection alias (probed:
+    // `alias(7) c` = 'c'; bare `SELECT alias(7) FROM …` stays '7')
+    assert(m.getString(1) == "CONSTANT_VECTOR" && m.getString(2) == "c")
     assert(m.getInt(3) == 7 && m.getSeq[Long](4) == Seq(0L, 1L, 2L, 3L))
   }
 

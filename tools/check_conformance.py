@@ -25,20 +25,26 @@ import duckdb
 # order, and setseed returns NULL in both.)
 NONDET = set()
 # Engine-specific by documented contract (COVERAGE/VERDICT notes).
+# r11 removed 18 names by making graft answer DuckDB's value exactly:
+# the session-identity family (current_user/session_user/user →
+# 'duckdb'; current_schema → 'main'; current_database/current_catalog
+# → 'memory'; current_schemas → 3×main+pg_catalog), the diagnostics
+# that already value-matched (current_role, current_query,
+# current_setting, in_search_path, stats, vector_type,
+# get_block_size), create_sort_key (full byte-encoding parity,
+# functions/SortKey.scala), json_transform[/_strict] (string-leaf
+# parse + per-leaf cast), row_to_json (named-struct corpus row;
+# unnamed-field naming stays doc'd), and alias (enclosing-projection
+# alias rewrite).
 ENGINE_SPECIFIC = {
-    "version", "current_role", "current_schemas", "current_query",
-    "current_setting", "in_search_path", "current_catalog",
-    "current_database", "current_schema", "current_user", "session_user",
-    "user", "stats", "vector_type", "get_block_size",
-    "create_sort_key", "json_serialize_sql", "json_serialize_plan",
+    "version",  # engine version strings necessarily differ
+    "json_serialize_sql", "json_serialize_plan",  # AST JSON is
+    # engine-internal; error-object field sets differ (doc'd)
     # approx by contract — but the small-cardinality corpus inputs are
     # exact in both engines, so count-distinct rows value-MATCH (r10);
     # the quantile forms genuinely differ (DuckDB returns an
     # input-typed approximation: approx_quantile(2.5, 0.5) = 3)
     "approx_quantile", "reservoir_quantile",
-    "row_to_json",  # unnamed-struct field naming differs (doc'd)
-    "alias",  # DuckDB resolves the ENCLOSING projection alias (doc'd)
-    "json_transform", "json_transform_strict",  # string-coercion gap (doc'd)
     "hash",  # engine-internal hash function
     "bit_length", "octet_length",  # BIT modeled as '0'/'1' strings (doc'd)
     "union_value",  # tag+members struct model renders the full struct
@@ -326,7 +332,11 @@ def main():
                         got = detail[4:].strip()
                         if got.startswith("[") and got.endswith("]"):
                             got = got[1:-1]
-                        if str(want) == got:
+                        def trimfrac(x):
+                            # 12:34:56.789000 vs 12:34:56.789
+                            return re.sub(r"(\.\d*?)0+(?=\D|$)",
+                                          r"\1", x).rstrip(".")
+                        if trimfrac(str(want)) == trimfrac(got):
                             counts["MATCH"] += 1
                             matched = True
                 except Exception:
@@ -335,7 +345,18 @@ def main():
                 counts["EXEC_ONLY"] += 1
             continue
         if not detail.startswith("{"):
-            counts["EXEC_ONLY"] += 1  # empty render
+            # empty render (DDL / zero-row result): execute on the
+            # oracle too — BOTH to keep its session state in sync for
+            # downstream rows (a skipped CREATE TABLE used to fail
+            # every later row touching it) and to MATCH when duckdb
+            # also returns zero rows
+            ok = False
+            if sql is not None:
+                try:
+                    ok = len(con.execute(sql).fetchall()) == 0
+                except Exception:
+                    ok = False
+            counts["MATCH" if ok else "EXEC_ONLY"] += 1
             continue
         if sql is None:
             continue
