@@ -28,6 +28,17 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE SIZE shuffles instead of pinning them to 32: with
+      // initialPartitionNum, AQE picks the post-shuffle partition
+      // count from actual map output (advisory 64 MB target),
+      // coalescing small-SF shuffles down to a handful while giving a
+      // token-sized posting shuffle (sf30+: tens of GB) hundreds of
+      // partitions so per-task external sorts stop multi-pass merging
+      // against a 2 GB/task memory slice. Measured r11: q_dedup_prefix
+      // sf30 warm 513 s → (see SCALE_CURVE_r11) with this line; the
+      // 100 TB posture is the same mechanism at cluster scale.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_INIT_PARTITIONS", "1024"))
       // DuckDB's TIME / TIMETZ surface needs Spark 4.1's TimeType
       // (collection-side encoder support is gated behind this flag)
       .config("spark.sql.timeType.enabled", "true")
@@ -354,14 +365,28 @@ object Engine {
                 // plain INSERT answers DuckDB's Count column — the
                 // row count is the executed write command's metric
                 // (no extra job). WITH-led inserts (`WITH cte …
-                // INSERT INTO …`) qualify too; insertedRowCount reads
-                // the executed plan, so a WITH…SELECT that merely
-                // mentions "insert" safely yields None
+                // INSERT INTO …`) and CTAS (DuckDB: `CREATE TABLE …
+                // AS SELECT` answers Count too) qualify;
+                // insertedRowCount reads the executed plan, so a
+                // statement without a write command (plain CREATE
+                // TABLE, a WITH…SELECT that merely mentions "insert")
+                // safely yields None
                 if ("""(?is)\A\s*(INSERT|WITH)\b""".r.findFirstIn(sql)
                       .isDefined && sql.toLowerCase.contains("insert"))
                   insertedRowCount(out)
                     .map(dmlCount(spark, _)).getOrElse(out)
-                else out
+                else if (isCreate) {
+                  // CTAS answers Count too (DuckDB) — the command runs
+                  // as ExecutedCommandExec with NO metrics, so count
+                  // the created table instead: parquet count() reads
+                  // row-group footers only, no data pass
+                  CtasRe.findFirstMatchIn(sql) match {
+                    case Some(m) =>
+                      val tbl = m.group(1).replace("\"", "`")
+                      dmlCount(spark, spark.table(tbl).count())
+                    case None => out
+                  }
+                } else out
             }
         }
         }
@@ -373,6 +398,12 @@ object Engine {
     spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
 
   /** numOutputRows of an already-executed native INSERT command. */
+  /** `CREATE TABLE name AS …` — captures the created table's name so
+    * the Count answer can read it back (metadata-only for parquet) */
+  private val CtasRe =
+    ("""(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
+      """TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."`]+)\s+AS\b""").r
+
   private def insertedRowCount(df: DataFrame): Option[Long] =
     df.queryExecution.executedPlan match {
       case c: org.apache.spark.sql.execution.CommandResultExec =>

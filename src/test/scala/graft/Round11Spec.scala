@@ -143,4 +143,78 @@ class Round11Spec extends SparkSpecBase {
     assert(one("SELECT over.a FROM (SELECT 1 AS a ORDER BY a) over")
       .getInt(0) == 1)
   }
+
+  test("create_sort_key: DuckDB byte-encoding parity (probed grid)") {
+    def bytes(sql: String): Seq[Int] =
+      one(sql).getAs[Array[Byte]](0).map(_ & 0xff).toSeq
+    def long(sql: String): Long = one(sql).getLong(0)
+    // VARCHAR: marker, byte+1 payload, 0x00 terminator; DESC inverts
+    // payload+terminator, NULLS FIRST swaps the marker
+    assert(bytes("SELECT create_sort_key('ab', 'ASC NULLS LAST') v")
+      == Seq(0x01, 0x62, 0x63, 0x00))
+    assert(bytes("SELECT create_sort_key('ab', 'DESC NULLS LAST') v")
+      == Seq(0x01, 0x9d, 0x9c, 0xff))
+    assert(bytes("SELECT create_sort_key('ab', 'ASC NULLS FIRST') v")
+      == Seq(0x02, 0x62, 0x63, 0x00))
+    // NULL: marker only
+    assert(bytes("SELECT create_sort_key(NULL::VARCHAR, 'ASC NULLS LAST') v")
+      == Seq(0x02))
+    // fixed-width BIGINT packing (INT = sign-flipped big-endian)
+    assert(long("SELECT create_sort_key(123, 'ASC NULLS LAST') v")
+      == 108086393120489472L)
+    assert(long("SELECT create_sort_key(123, 'DESC NULLS LAST') v")
+      == 108086388976517120L)
+    assert(long("SELECT create_sort_key(true, 'ASC NULLS LAST', " +
+      "false, 'ASC NULLS LAST') v") == 72340168526266368L)
+    // BIGINT value = 9 bytes -> BLOB
+    assert(bytes("SELECT create_sort_key(123::BIGINT, 'ASC NULLS LAST') v")
+      == Seq(0x01, 0x80, 0, 0, 0, 0, 0, 0, 0x7b))
+    // doubles: sign-flip positives, invert negatives, sentinels
+    assert(bytes("SELECT create_sort_key(1.5::DOUBLE, 'ASC NULLS LAST') v")
+      == Seq(0x01, 0xbf, 0xf8, 0, 0, 0, 0, 0, 0))
+    assert(bytes("SELECT create_sort_key('nan'::DOUBLE, 'ASC NULLS LAST') v")
+      == Seq(0x01) ++ Seq.fill(8)(0xff))
+    // nested list with null element (nulls-are-largest markers)
+    assert(bytes("SELECT create_sort_key([NULL::INT, 3], 'ASC NULLS LAST') v")
+      == Seq(0x01, 0x02, 0x01, 0x80, 0, 0, 0x03, 0x00))
+    // error parity
+    val em = intercept[Exception](Engine.query(spark,
+      "SELECT create_sort_key('a', 'NULLS LAST') v").collect())
+    assert(em.getMessage.contains("must start with either ASC or DESC"))
+    val ea = intercept[Exception](Engine.query(spark,
+      "SELECT create_sort_key('a') v").collect())
+    assert(ea.getMessage.contains("[key1, sort_specifier1"))
+  }
+
+  test("json_transform: per-leaf coercion; alias(): enclosing projection alias") {
+    // quoted scalars coerce; a failing leaf nulls ONLY that leaf
+    val r = one("""SELECT json_transform('{"a":"x","b":"7"}',""" +
+      """'{"a":"BIGINT","b":"BIGINT"}') v""")
+    val s = r.getStruct(0)
+    assert(s.isNullAt(0) && s.getLong(1) == 7L)
+    // VARCHAR leaf over an object keeps the raw JSON text
+    assert(one("""SELECT json_transform('{"a":{"b":1}}',""" +
+      """'{"a":"VARCHAR"}') v""").getStruct(0).getString(0) == """{"b":1}""")
+    // strict errors on a failing leaf
+    intercept[Exception](Engine.query(spark,
+      """SELECT json_transform_strict('{"a":"x"}','{"a":"BIGINT"}') v"""
+    ).collect())
+    // alias(): enclosing alias wins (AS and bare forms); bare call
+    // keeps the expression-name fallback
+    assert(one("SELECT alias(7) AS v").getString(0) == "v")
+    assert(one("SELECT alias(7) c").getString(0) == "c")
+    assert(one("SELECT alias(7) FROM (SELECT 1)").getString(0) == "7")
+  }
+
+  test("CTAS and WITH-led INSERT answer DuckDB's Count column") {
+    Engine.query(spark, "DROP TABLE IF EXISTS r11_ct")
+    val ct = one("CREATE TABLE r11_ct AS SELECT 1 AS a UNION ALL SELECT 2")
+    assert(ct.getLong(0) == 2L)
+    val wi = one("WITH src AS (SELECT 3 AS a) INSERT INTO r11_ct " +
+      "SELECT * FROM src")
+    assert(wi.getLong(0) == 1L)
+    assert(Engine.query(spark, "SELECT count(*) c FROM r11_ct")
+      .collect().head.getLong(0) == 3L)
+    Engine.query(spark, "DROP TABLE r11_ct")
+  }
 }
