@@ -359,6 +359,19 @@ object Engine {
                 out
               case None =>
                 if (isCreate) SqlRewrites.recordPrimaryKey(sql)
+                // CTAS Count pre-check: IF NOT EXISTS over a table
+                // that already exists SKIPS creation, and DuckDB
+                // (verified on 1.0) answers zero rows there — not the
+                // pre-existing table's count. Existence must be
+                // probed BEFORE execution.
+                val ctas = if (isCreate) CtasRe.findFirstMatchIn(sql)
+                           else None
+                val ctasSkipped = ctas.exists { m =>
+                  m.group(1) != null &&
+                    (try spark.catalog.tableExists(
+                      m.group(2).replace("\"", "").replace("`", ""))
+                     catch { case _: Exception => false })
+                }
                 val r = SqlRewrites.rewriteFull(Macros.expand(sql))
                 val out = r.dropCols.foldLeft(spark.sql(r.sql))(
                   (df, c) => df.drop(c))
@@ -379,11 +392,16 @@ object Engine {
                   // CTAS answers Count too (DuckDB) — the command runs
                   // as ExecutedCommandExec with NO metrics, so count
                   // the created table instead: parquet count() reads
-                  // row-group footers only, no data pass
-                  CtasRe.findFirstMatchIn(sql) match {
-                    case Some(m) =>
-                      val tbl = m.group(1).replace("\"", "`")
+                  // row-group footers only, no data pass. A skipped
+                  // IF-NOT-EXISTS create answers ZERO rows under the
+                  // same Count header (probed on 1.0).
+                  ctas match {
+                    case Some(m) if !ctasSkipped =>
+                      val tbl = m.group(2).replace("\"", "`")
                       dmlCount(spark, spark.table(tbl).count())
+                    case Some(_) =>
+                      spark.sql(
+                        "SELECT CAST(0 AS BIGINT) AS Count WHERE false")
                     case None => out
                   }
                 } else out
@@ -398,11 +416,17 @@ object Engine {
     spark.sql(s"SELECT CAST($n AS BIGINT) AS Count")
 
   /** numOutputRows of an already-executed native INSERT command. */
-  /** `CREATE TABLE name AS …` — captures the created table's name so
-    * the Count answer can read it back (metadata-only for parquet) */
+  /** `CREATE TABLE name AS …` — group 1 = the IF NOT EXISTS clause
+    * (null when absent; a skipped create answers zero rows, not
+    * Count), group 2 = the created table's name (quoted segments with
+    * spaces/dots allowed) so the Count answer can read it back
+    * (metadata-only for parquet). An optional parenthesized column
+    * list between name and AS is accepted. */
   private val CtasRe =
     ("""(?is)\A\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?""" +
-      """TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w."`]+)\s+AS\b""").r
+      """TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """((?:"[^"]+"|`[^`]+`|\w+)(?:\s*\.\s*(?:"[^"]+"|`[^`]+`|\w+))*)""" +
+      """\s*(?:\([^()]*\)\s*)?AS\b""").r
 
   private def insertedRowCount(df: DataFrame): Option[Long] =
     df.queryExecution.executedPlan match {

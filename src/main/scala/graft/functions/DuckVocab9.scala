@@ -917,8 +917,15 @@ object DuckVocab9 {
           If(IsNull(e), Literal(null, t), CreateNamedStruct(fields.toSeq))
         case ArrayType(et, _) =>
           ArrayTransform(e, lam1(x => coerce(x, et)))
-        case MapType(_, vt, _) =>
-          TransformValues(e, lam2((_, v) => coerce(v, vt)))
+        case MapType(kt, vt, _) =>
+          // DuckDB structure JSON can only declare string keys, but the
+          // Spark-DDL fallback ('MAP<INT,INT>') can declare typed keys
+          // — coerce those too so the result honors the declared type
+          // (r11 advice); an uncastable key nulls and TransformKeys
+          // raises its null-key error, which is the honest failure
+          val valued = TransformValues(e, lam2((_, v) => coerce(v, vt)))
+          if (kt == StringType) valued
+          else TransformKeys(valued, lam2((k, _) => Cast(k, kt, Some("UTC"))))
         case scalar if scalar != StringType => leafCast(e, scalar)
         case _ => e
       }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large-scale training-data pipelines
   * (north-star M5): exact, MinHash+LSH, SimHash, n-gram Jaccard.
@@ -275,10 +276,20 @@ object Dedup {
       .join(dfreq, "gram")
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("gram"))
+    // ONE materialization serves both self-join sides: without the
+    // persist, `prefix` (explode → dfreq join → per-doc window) is
+    // recomputed for `a` AND `b`, ~3 full posting-table
+    // materializations through shuffle — the sf100 disk exhaustion of
+    // round 11. DISK_ONLY keeps the working set off the heap
+    // (serialized, compact) and repartition-by-gram lets the
+    // sort-merge self-join reuse the cached partitioning on both
+    // sides instead of exchanging twice.
     val prefix = posts
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("gram"), col("doc_id"), col("sz"))
+      .repartition(col("gram"))
+      .persist(StorageLevel.DISK_ONLY)
 
     val a = prefix.select(col("gram").as("g1"), col("doc_id").as("id1"),
       col("sz").as("sz1"))

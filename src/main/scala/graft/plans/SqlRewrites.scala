@@ -1154,18 +1154,82 @@ object SqlRewrites {
               while (e < sql.length && isWord(sql.charAt(e))) e += 1
               if (e > q) e else -1
             }
-          if (identEnd > 0) {
+          val aliased = identEnd > 0 && {
             val tok = sql.substring(q, identEnd)
             val name = if (tok.startsWith("\"")) tok.drop(1).dropRight(1)
               else tok
             val isBare = q == p
-            if (!isBare || !aliasStopKw(name.toLowerCase))
-              reps += Rep(idx, identEnd,
-                "'" + name.replace("'", "''") + "' AS " + tok)
+            val ok = !isBare || !aliasStopKw(name.toLowerCase)
+            if (ok) reps += Rep(idx, identEnd,
+              "'" + name.replace("'", "''") + "' AS " + tok)
+            ok
+          }
+          if (!aliased) {
+            // no enclosing alias: DuckDB renders the expression's own
+            // SQL text (probed: alias(len('ab')) = "len('ab')",
+            // alias(7) = '7'). Emit the source text verbatim; at
+            // select-item position (next token is ',' / EOS / a
+            // clause keyword) also carry DuckDB's column name
+            // `alias(<text>)`, in value position just the literal.
+            val inner = sql.substring(j + 1, close).trim
+            val lit = "'" + inner.replace("'", "''") + "'"
+            val atItem = p >= sql.length || sql.charAt(p) == ',' || {
+              var e = p
+              while (e < sql.length && isWord(sql.charAt(e))) e += 1
+              e > p && aliasStopKw(sql.substring(p, e).toLowerCase)
+            }
+            val text = if (atItem)
+              lit + " AS \"alias(" + inner.replace("\"", "\"\"") + ")\""
+            else lit
+            reps += Rep(idx, close + 1, text)
           }
         }
       }
       idx = low.indexOf("alias", idx + 1)
+    }
+    if (reps.isEmpty) sql
+    else {
+      val sb = new StringBuilder(sql)
+      reps.sortBy(-_.from).foreach(r => sb.replace(r.from, r.until, r.text))
+      sb.toString
+    }
+  }
+
+  /** DuckDB's bit_length/octet_length are polymorphic over VARCHAR and
+    * BIT; graft models BIT as '0'/'1' strings (Spark has no bitstring
+    * type), so the generic string forms (bytes×8 / byte count) would
+    * be wrong for BIT arguments. BIT-ness is only visible at the
+    * parser seam — BEFORE the `::BIT` cast collapses onto STRING — so
+    * a BIT-shaped argument (trailing `::BIT`, `CAST(… AS BIT)`, or a
+    * bitstring(…)/set_bit(…) producer) lowers to the bit-model forms
+    * (probed on 1.0: bit_length('0101'::BIT) = 4, octet_length = 1,
+    * 9 bits → 2 octets; both BIGINT). */
+  private val bitLenCallRe = """(?i)\b(bit_length|octet_length)\s*\(""".r
+  private val bitShapedArg = Seq(
+    """(?is).*::\s*BIT\s*\z""".r,
+    """(?is)\ACAST\s*\(.*\s+AS\s+BIT\s*\)\z""".r,
+    """(?is)\A(?:bitstring|set_bit)\s*\(.*\)\z""".r)
+  private[graft] def rewriteBitLen(sql: String): String = {
+    val spans = quotedSpans(sql)
+    def inQuote(p: Int) = spans.exists(sp => p >= sp._1 && p < sp._2)
+    case class Rep(from: Int, until: Int, text: String)
+    val reps = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    for (m <- bitLenCallRe.findAllMatchIn(sql)
+         if !inQuote(m.start) && !reps.exists(r => m.start < r.until) &&
+           (m.start == 0 || { val b = sql.charAt(m.start - 1)
+             !(b.isLetterOrDigit || b == '_' || b == '.' || b == '"') })) {
+      val open = m.end - 1
+      val close = matchParen(sql, open)
+      if (close > open) {
+        val arg = sql.substring(open + 1, close).trim
+        if (bitShapedArg.exists(_.findFirstIn(arg).isDefined)) {
+          val text =
+            if (m.group(1).equalsIgnoreCase("bit_length"))
+              s"CAST(length($arg) AS BIGINT)"
+            else s"CAST((length($arg) + 7) DIV 8 AS BIGINT)"
+          reps += Rep(m.start, close + 1, text)
+        }
+      }
     }
     if (reps.isEmpty) sql
     else {
@@ -2456,7 +2520,11 @@ object SqlRewrites {
     // DuckDB in-aggregate ORDER BY (string_agg/list/array_agg …)
     val s1b3 = if (!has("order")) s1b2 else OrderedAgg.rewrite(s1b2)
     // alias(expr) AS ident → the enclosing projection alias (DuckDB)
-    val s1b = if (!has("alias")) s1b3 else rewriteAliasCall(s1b3)
+    val s1b4 = if (!has("alias")) s1b3 else rewriteAliasCall(s1b3)
+    // bit_length/octet_length over BIT args: must fire while ::BIT is
+    // still spelled (the cast collapse below erases the BIT-ness)
+    val s1b = if (!has("bit_length") && !has("octet_length")) s1b4
+      else rewriteBitLen(s1b4)
     // both cast rewrites can only fire if a pg type-alias name occurs
     val aliasFound = pgTypeAliases.keysIterator.exists(low.contains)
     val s2 = if (!aliasFound || !has("::")) s1b else castOp.replaceAllIn(s1b,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import QueryDsl._
 
 /** North-star M5 pipeline operators as driver-checkable queries:
@@ -202,7 +203,14 @@ object QueriesPipeline {
           "dup_trigram_frac")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           col("quality"), col("dup_trigram_frac"))
-        .localCheckpoint(eager = false)
+        // DISK_ONLY, not localCheckpoint: this frame carries the full
+        // text column, and a heap-resident copy is what walled
+        // q_pipeline_full at sf100 (27×/decade on a 64 GB heap,
+        // SCALE_CURVE_r11). Serialized columnar batches on disk keep
+        // the materialize-once property (derived quality/trigram
+        // columns are NOT re-substituted into pushed-down predicates)
+        // with a working set independent of heap size.
+        .persist(StorageLevel.DISK_ONLY)
       val kept = scored
         .filter(col("quality") >= 0.84 && col("dup_trigram_frac") <= 0.1)
       val pairs = Dedup.ngramJaccardPairs(
@@ -337,7 +345,9 @@ object QueriesPipeline {
       val docs = t(s, dir, "documents")
       val gated = CorpusOps.filterBySourceQuality(docs, minAvgQuality = 0.8)
       val despanned = Dedup.removeDuplicateSpans(gated)
-        .localCheckpoint(eager = false) // scored join + accounting share it
+        // scored join + accounting share it; DISK_ONLY (full-text
+        // frame) so the shared copy never competes with the heap
+        .persist(StorageLevel.DISK_ONLY)
       val scored = TextAnalysis.qualityModel(despanned, "doc_id", "clean_text")
         .filter(col("keep"))
         .select(col("doc_id"), col("model_score"))

@@ -1,19 +1,40 @@
 package graft.tools
+
 import graft._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageSubmitted}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Dev scratch tool (contents change per investigation). Currently: a
+  * job/stage counter for a named SparkEntry query — measures how many
+  * Spark jobs a warm run schedules, since at small SF the ~0.3 s/job
+  * scheduling floor dominates many-job DAGs (r11 verdict: shrink
+  * q_pipeline_refine's job count).
+  *
+  * Usage: runMain graft.tools.Dbg <queryName> [sfDir]
+  */
 object Dbg {
   def main(args: Array[String]): Unit = {
-    val sp = Engine.session("local[2]")
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val sp = Engine.session("local[32]")
     sp.sparkContext.setLogLevel("ERROR")
-    val df = sp.sql("CREATE TABLE r11dbg AS SELECT 1 AS a UNION ALL SELECT 2")
-    println("executedPlan class: " + df.queryExecution.executedPlan.getClass)
-    println(df.queryExecution.executedPlan.toString.take(2000))
-    df.queryExecution.executedPlan match {
-      case c: org.apache.spark.sql.execution.CommandResultExec =>
-        c.commandPhysicalPlan.foreach { p =>
-          println(s"node ${p.getClass.getSimpleName} metrics=${p.metrics.keys.mkString(",")}")
-        }
-      case other => println("not CommandResultExec: " + other.getClass)
-    }
+    val jobs = new AtomicInteger()
+    val stages = new AtomicInteger()
+    sp.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stages.incrementAndGet()
+    })
+    SparkEntry.queries(name)(sp, dir).collect() // warm (codegen + cache)
+    sp.sharedState.cacheManager.clearCache()
+    Thread.sleep(300)
+    jobs.set(0); stages.set(0)
+    val t0 = System.nanoTime()
+    val n = SparkEntry.queries(name)(sp, dir).collect().length
+    val dt = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let listener events drain
+    println(f"query=$name rows=$n warm=$dt%.3f jobs=${jobs.get} stages=${stages.get}")
     sp.stop()
   }
 }

@@ -26,7 +26,14 @@ object ProbeSql {
           // toJSON has no codec for CalendarInterval/TIME: fall back
           // to Row.toString (the comparer counts those as execute-only)
           val rendered =
-            try df.toJSON.collect().mkString("")
+            try {
+              val js = df.toJSON.collect()
+              // zero-row results carry their column list so the
+              // comparer can check shape, not just emptiness (an
+              // all-null row renders "{}", never "")
+              if (js.isEmpty) "COLS:" + df.columns.mkString(",")
+              else js.mkString("")
+            }
             catch { case _: Throwable =>
               "RAW:" + df.collect().map(_.toString).mkString("") }
           s"OK\t$name\t$kind\t$rendered"

@@ -46,7 +46,9 @@ ENGINE_SPECIFIC = {
     # input-typed approximation: approx_quantile(2.5, 0.5) = 3)
     "approx_quantile", "reservoir_quantile",
     "hash",  # engine-internal hash function
-    "bit_length", "octet_length",  # BIT modeled as '0'/'1' strings (doc'd)
+    # bit_length/octet_length: converted r12 — SqlRewrites.rewriteBitLen
+    # lowers BIT-shaped args onto the '0'/'1' model (bits = chars,
+    # octets = ceil(bits/8)); both rows value-compare now
     "union_value",  # tag+members struct model renders the full struct
 }
 # set-semantics results: order is unspecified in both engines
@@ -333,9 +335,14 @@ def main():
                         if got.startswith("[") and got.endswith("]"):
                             got = got[1:-1]
                         def trimfrac(x):
-                            # 12:34:56.789000 vs 12:34:56.789
-                            return re.sub(r"(\.\d*?)0+(?=\D|$)",
-                                          r"\1", x).rstrip(".")
+                            # fractional-seconds zero-trim anchored to
+                            # TIME renders (12:34:56.789000 vs .789);
+                            # an any-decimal trim would also equate
+                            # '2.50' with '2.5' (r11 advice)
+                            x = re.sub(r"(\d{2}:\d{2}:\d{2}\.\d*?)0+(?=\D|$)",
+                                       r"\1", x)
+                            return re.sub(r"(\d{2}:\d{2}:\d{2})\.(?=\D|$)",
+                                          r"\1", x)
                         if trimfrac(str(want)) == trimfrac(got):
                             counts["MATCH"] += 1
                             matched = True
@@ -349,11 +356,26 @@ def main():
             # oracle too — BOTH to keep its session state in sync for
             # downstream rows (a skipped CREATE TABLE used to fail
             # every later row touching it) and to MATCH when duckdb
-            # also returns zero rows
+            # also returns zero rows. For query-kind rows the probe
+            # now ships the column list (COLS:) so the zero-row MATCH
+            # also checks result shape (r11 advice: a wrongly-empty
+            # graft result used to auto-MATCH on emptiness alone);
+            # DDL/setup rows keep the emptiness-only check (their
+            # "shape" is engine bookkeeping, e.g. duckdb's Count).
             ok = False
             if sql is not None:
                 try:
-                    ok = len(con.execute(sql).fetchall()) == 0
+                    cur = con.execute(sql)
+                    rows = cur.fetchall()
+                    exp_cols = [d[0] for d in (cur.description or [])]
+                    ok = len(rows) == 0
+                    is_query = re.match(
+                        r"(?is)^\s*(SELECT|VALUES|FROM|WITH|TABLE|SHOW"
+                        r"|DESCRIBE|PRAGMA)\b", sql) is not None
+                    if ok and is_query:
+                        got_cols = ([c for c in detail[5:].split(",") if c]
+                                    if detail.startswith("COLS:") else [])
+                        ok = len(got_cols) == len(exp_cols)
                 except Exception:
                     ok = False
             counts["MATCH" if ok else "EXEC_ONLY"] += 1
