@@ -629,14 +629,19 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanWords: Int = 5): DataFrame = {
     require(spanWords >= 2)
-    val (base, toks) = tokensWithPos(docs, idCol, textCol)
-    val spans = spansWithPos(toks, spanWords)
-      .localCheckpoint(eager = false) // df count + join-back share it
+    // r12 restructure: spans are built MAP-SIDE by the fused
+    // SpanHashes expression (no lead() window), so the token table
+    // never shuffles at all — the only full-span-table exchanges left
+    // are the df aggregate and the flagged join-back; the rebuild is
+    // array arithmetic on the doc row. Oracle-verified (the oracle
+    // replays span strings, independent of the hash).
+    val spans = spansOf(docs, idCol, textCol, spanWords)
     val dup = spans.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("dw"))
       .filter(col("dw") >= 2)
       .select(col("h"))
-    rebuildWithout(base, toks, spans.join(dup, "h"), spanWords)
+    rebuildWithout(wordsOf(docs, idCol, textCol),
+      spans.join(dup, "h"), spanWords)
   }
 
   /** Surgical decontamination — cut only the OVERLAPPING spans,
@@ -653,72 +658,63 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       spanWords: Int = 5): DataFrame = {
     require(spanWords >= 2)
-    val (base, toks) = tokensWithPos(corpus, idCol, textCol)
-    val spans = spansWithPos(toks, spanWords)
-    // eval tokens feed exactly one consumer — no checkpoint
-    val (_, evalToks) = tokensWithPos(evalDocs, idCol, textCol,
-      checkpoint = false)
-    val evalSpans = spansWithPos(evalToks, spanWords)
+    val evalSpans = spansOf(evalDocs, idCol, textCol, spanWords)
       .select(col("h")).distinct()
-    rebuildWithout(base, toks, spans.join(broadcast(evalSpans), "h"),
-      spanWords)
+    // the blocklist comes from the (small) eval side and rides a
+    // BROADCAST join — the corpus never shuffles for matching, only
+    // the flagged (doc, start) rows move for the doc-keyed rebuild
+    rebuildWithout(wordsOf(corpus, idCol, textCol),
+      spansOf(corpus, idCol, textCol, spanWords)
+        .join(broadcast(evalSpans), "h"), spanWords)
   }
 
-  /** (base docs with word arrays, tokens with positions) — shared by
-    * the span-removal family; toks is lazily checkpointed because the
-    * span build and the rebuild both read it.
+  /** docs reduced to (doc_id, ws) word arrays — the span-removal
+    * family's base frame; everything per-doc derives map-side from it.
     */
-  private def tokensWithPos(docs: DataFrame, idCol: String,
-      textCol: String, checkpoint: Boolean = true): (DataFrame, DataFrame) = {
-    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+  private def wordsOf(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
       split(col(textCol), " ").as("ws"))
-    val raw = base
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-    (base, if (checkpoint) raw.localCheckpoint(eager = false) else raw)
-  }
 
-  /** (doc_id, start, h): every full-width span as an xxhash64 key,
-    * built from `spanWords - 1` leads over a doc-keyed window — the
-    * span text never materializes.
+  /** (doc_id, start, h): every full-width span as a 64-bit key, built
+    * MAP-SIDE by the fused [[graft.SpanHashes]] expression (one pass
+    * over the UTF-8 bytes, array index = start position) + posexplode
+    * — no window, so the token table never shuffles, and the hashing
+    * stays in whole-stage codegen. Docs shorter than spanWords emit
+    * no spans (empty array, posexplode drops the row). The hash is an
+    * engine-internal join key only — the oracle replays span STRINGS,
+    * so parity never depends on the hash function.
     */
-  private def spansWithPos(toks: DataFrame, spanWords: Int): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spanTail = (1 until spanWords).map(i => lead(col("w"), i).over(byDoc))
-    toks
-      .withColumn("h",
-        xxhash64(concat_ws(" ", (col("w") +: spanTail): _*)))
-      .withColumn("last", spanTail.last)
-      .filter(col("last").isNotNull) // only full-width spans
-      .select(col("doc_id"), col("pos").as("start"), col("h"))
-  }
+  private def spansOf(docs: DataFrame, idCol: String, textCol: String,
+      spanWords: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(graft.SpanHashes(col(textCol), spanWords))
+        .as(Seq("start", "h")))
 
   /** Rebuild every document without the tokens covered by
-    * `flaggedSpans` (doc_id, start, …): explode each flagged span to
-    * its covered positions, anti-join the tokens, re-assemble in
-    * position order. One row per input doc, '' when nothing survives.
+    * `flaggedSpans` (doc_id, start, …): aggregate each doc's covered
+    * POSITIONS into one array (spanWords positions per flagged span,
+    * deduplicated), then rebuild the text map-side — `array_except`
+    * keeps surviving positions in order, `element_at` re-reads the
+    * words. The only shuffles are the flagged rows by doc and the
+    * base join; tokens themselves never move. One row per input doc,
+    * '' when nothing survives.
     */
-  private def rebuildWithout(base: DataFrame, toks: DataFrame,
-      flaggedSpans: DataFrame, spanWords: Int): DataFrame = {
-    val covered = flaggedSpans
+  private def rebuildWithout(base: DataFrame, flaggedSpans: DataFrame,
+      spanWords: Int): DataFrame = {
+    val covered = flaggedSpans.groupBy(col("doc_id"))
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("start"), col("start") + (spanWords - 1))))).as("cov"))
+    val n = size(col("ws"))
+    val keptPos = array_except(sequence(lit(0), n - 1),
+      coalesce(col("cov"), typedlit(Array.empty[Int])))
+    base.join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (spanWords - 1)))
-          .as("pos"))
-      .distinct()
-
-    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("pos"), col("w")))),
-          s => s.getField("w"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-
-    base.select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        concat_ws(" ",
+          transform(keptPos, i => element_at(col("ws"), i + 1)))
+          .as("clean_text"),
+        n.cast("bigint").as("n_tokens"),
+        (n - size(keptPos)).cast("bigint").as("n_removed"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -27,14 +27,22 @@ object Dbg {
         stages.incrementAndGet()
     })
     SparkEntry.queries(name)(sp, dir).collect() // warm (codegen + cache)
-    sp.sharedState.cacheManager.clearCache()
-    Thread.sleep(300)
-    jobs.set(0); stages.set(0)
-    val t0 = System.nanoTime()
-    val n = SparkEntry.queries(name)(sp, dir).collect().length
-    val dt = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500) // let listener events drain
-    println(f"query=$name rows=$n warm=$dt%.3f jobs=${jobs.get} stages=${stages.get}")
+    // min of 3 measured runs — this box drifts ±30% (BENCH_NOTES), a
+    // single run can't tell plan wins from VM noise
+    val runs = (1 to 3).map { _ =>
+      if (!args.contains("keepcache")) sp.sharedState.cacheManager.clearCache()
+      Thread.sleep(300)
+      jobs.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(sp, dir).collect().length
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let listener events drain
+      (n, dt, jobs.get, stages.get)
+    }
+    val best = runs.minBy(_._2)
+    println(f"query=$name rows=${best._1} warm_min=${best._2}%.3f " +
+      f"all=${runs.map(r => f"${r._2}%.2f").mkString(",")} " +
+      f"jobs=${best._3} stages=${best._4}")
     sp.stop()
   }
 }
