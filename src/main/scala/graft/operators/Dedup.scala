@@ -280,16 +280,16 @@ object Dedup {
     // persist, `prefix` (explode → dfreq join → per-doc window) is
     // recomputed for `a` AND `b`, ~3 full posting-table
     // materializations through shuffle — the sf100 disk exhaustion of
-    // round 11. DISK_ONLY keeps the working set off the heap
-    // (serialized, compact) and repartition-by-gram lets the
-    // sort-merge self-join reuse the cached partitioning on both
-    // sides instead of exchanging twice.
+    // round 11. MEMORY_AND_DISK as COLUMNAR cache (compressed, ~10
+    // B/row) rather than localCheckpoint's deserialized row objects:
+    // heap-bounded with graceful columnar spill at sf100, no GC wall.
+    // (A repartition(gram)+DISK_ONLY variant measured strictly worse
+    // on the r12 I/O-bound box — all-disk round trips dominate.)
     val prefix = posts
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select(col("gram"), col("doc_id"), col("sz"))
-      .repartition(col("gram"))
-      .persist(StorageLevel.DISK_ONLY)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col("gram").as("g1"), col("doc_id").as("id1"),
       col("sz").as("sz1"))

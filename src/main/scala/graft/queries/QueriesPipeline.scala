@@ -203,14 +203,16 @@ object QueriesPipeline {
           "dup_trigram_frac")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
           col("quality"), col("dup_trigram_frac"))
-        // DISK_ONLY, not localCheckpoint: this frame carries the full
-        // text column, and a heap-resident copy is what walled
-        // q_pipeline_full at sf100 (27×/decade on a 64 GB heap,
-        // SCALE_CURVE_r11). Serialized columnar batches on disk keep
-        // the materialize-once property (derived quality/trigram
-        // columns are NOT re-substituted into pushed-down predicates)
-        // with a working set independent of heap size.
-        .persist(StorageLevel.DISK_ONLY)
+        // Columnar MEMORY_AND_DISK, not localCheckpoint: this frame
+        // carries the full text column, and a heap-resident
+        // DESERIALIZED copy is what walled q_pipeline_full at sf100
+        // (27×/decade on a 64 GB heap, SCALE_CURVE_r11). The SQL cache
+        // stores compressed columnar batches bounded by the storage
+        // pool and spills the rest to disk, keeping the
+        // materialize-once property (derived quality/trigram columns
+        // are NOT re-substituted into pushed-down predicates) with a
+        // working set that degrades gracefully instead of GC-thrashing.
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val kept = scored
         .filter(col("quality") >= 0.84 && col("dup_trigram_frac") <= 0.1)
       val pairs = Dedup.ngramJaccardPairs(
@@ -345,9 +347,9 @@ object QueriesPipeline {
       val docs = t(s, dir, "documents")
       val gated = CorpusOps.filterBySourceQuality(docs, minAvgQuality = 0.8)
       val despanned = Dedup.removeDuplicateSpans(gated)
-        // scored join + accounting share it; DISK_ONLY (full-text
-        // frame) so the shared copy never competes with the heap
-        .persist(StorageLevel.DISK_ONLY)
+        // scored join + accounting share it; columnar MEMORY_AND_DISK
+        // (full-text frame) — heap-bounded, spills columnar
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val scored = TextAnalysis.qualityModel(despanned, "doc_id", "clean_text")
         .filter(col("keep"))
         .select(col("doc_id"), col("model_score"))
