@@ -55,17 +55,26 @@ object GraphOps {
     val e0 = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .localCheckpoint(eager = false)
+    // repartition by dst BEFORE the checkpoint: the per-round neighbor
+    // join is keyed sym.dst == labels.id, and a (src,dst)-distinct
+    // frame would re-exchange sym by dst EVERY round; hash-partitioned
+    // by dst once, the checkpointed partitioning satisfies the join's
+    // distribution and only the (small) labels side shuffles per round
     val sym = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(eager = false) // reused every round — compute once
 
     // seed labels with round-1 propagation folded in: sym carries both
-    // directions, so min(dst) over a node's edges is its min neighbor
+    // directions, so min(dst) over a node's edges is its min neighbor.
+    // Checkpoints here and per round are LAZY: the convergence-sum
+    // action materializes them, so each round runs ONE job, not an
+    // eager-checkpoint job plus the sum job.
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
 
     var round = 0
@@ -85,7 +94,9 @@ object GraphOps {
       labels = merged.join(ptr, merged("label") === ptr("pid"), "left")
         .select(merged("id"), least(coalesce(col("plabel"), merged("label")),
           merged("label")).as("label"))
-        .localCheckpoint() // truncate lineage: round k must not replay 1..k-1
+        // lazy: the sum action below materializes it (one job/round);
+        // still truncates lineage — round k must not replay 1..k-1
+        .localCheckpoint(eager = false)
 
       val s = labels.agg(sum(col("label"))).head().getLong(0)
       converged = s == prevSum

@@ -22,6 +22,26 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** javax.imageio defaults to DISK-backed stream caches: every
+    * createImage{Input,Output}Stream (including the ones ImageIO.write
+    * wraps around a ByteArrayOutputStream) spills through a temp FILE.
+    * Harmless-ish single-threaded; with the codec stages now spread
+    * over all cores it serializes 32 tasks on temp-file churn (measured
+    * 0.9 s -> 10.9 s on q_multimodal_mixed). Rows here are KB-sized —
+    * memory-backed streams are strictly better. Called at each codec
+    * seam so the flag is set in whatever JVM runs the task.
+    */
+  private def noImageDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
+  /** Encode/decode are the CPU term of every multimodal operator and
+    * the fixture scan plans one task (single-row-group parquet) —
+    * spread before the codec UDF; a no-op when the scan already yields
+    * >= parallelism splits (ScaleOps.spread).
+    */
+  private def spreadDocs(docs: DataFrame): DataFrame =
+    ScaleOps.spread(docs, Seq(col("doc_id")))
+
   /** media metadata carried alongside the opaque bytes. */
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -39,7 +59,7 @@ object Multimodal {
     * in — the schema/partition/batch path is identical).
     */
   def attachMedia(docs: DataFrame): DataFrame =
-    docs.select(
+    spreadDocs(docs).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
       struct(
@@ -133,6 +153,7 @@ object Multimodal {
     */
   def attachImages(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
+      noImageDiskCache()
       val w = 1 + (nChars % 16).toInt
       val h = 1 + (docId % 12).toInt
       val g = (docId % 256).toInt
@@ -140,7 +161,7 @@ object Multimodal {
       javax.imageio.ImageIO.write(bandedRgbImage(w, h, g), "png", bos)
       bos.toByteArray
     }
-    docs.select(
+    spreadDocs(docs).select(
       col("doc_id"),
       mk(col("doc_id"), col("n_chars").cast("long")).as("media"),
       struct(
@@ -175,6 +196,7 @@ object Multimodal {
     */
   def attachImagesMixed(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
+      noImageDiskCache()
       val w = 1 + (nChars % 16).toInt
       val h = 1 + (docId % 12).toInt
       val g = (docId % 256).toInt
@@ -190,7 +212,7 @@ object Multimodal {
     val mime = expr(
       "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' " +
         "WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END")
-    docs.select(
+    spreadDocs(docs).select(
       col("doc_id"),
       mk(col("doc_id"), col("n_chars").cast("long")).as("media"),
       struct(
@@ -234,6 +256,7 @@ object Multimodal {
     */
   def extractImageFeaturesWithFormat(spark: SparkSession, media: DataFrame): DataFrame = {
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      noImageDiskCache()
       val readers = scala.collection.mutable.Map.empty[String, javax.imageio.ImageReader]
       def reader(fmt: String) = readers.getOrElseUpdate(fmt,
         javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next())
@@ -322,13 +345,14 @@ object Multimodal {
     */
   def attachAnimatedGifs(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long, nChars: Long) =>
+      noImageDiskCache()
       val w = 1 + (nChars % 16).toInt
       val h = 1 + (docId % 12).toInt
       val g = (docId % 256).toInt
       val n = 1 + (docId % 5).toInt
       encodeAnimatedGif(w, h, Array.tabulate(n)(f => (g + 17 * f) % 256))
     }
-    docs.select(
+    spreadDocs(docs).select(
       col("doc_id"),
       mk(col("doc_id"), col("n_chars").cast("long")).as("media"),
       struct(
@@ -353,6 +377,7 @@ object Multimodal {
   def extractVideoFeatures(spark: SparkSession, media: DataFrame,
       stride: Int = 2): DataFrame = {
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      noImageDiskCache()
       val rd = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       val out = it.map { r =>
         val id = r.getLong(0)
@@ -426,11 +451,12 @@ object Multimodal {
     */
   def attachAudio(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long) =>
+      noImageDiskCache()
       val n = 100 + (docId % 50).toInt
       encodeWavPcm16(Array.tabulate(n)(i =>
         ((docId * 31 + i * 17L) % 2001 - 1000).toShort))
     }
-    docs.select(
+    spreadDocs(docs).select(
       col("doc_id"),
       mk(col("doc_id")).as("media"),
       struct(
@@ -491,6 +517,7 @@ object Multimodal {
     */
   def extractAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      noImageDiskCache()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -532,6 +559,7 @@ object Multimodal {
     */
   def attachAudio2(docs: DataFrame): DataFrame = {
     val mk = udf { (docId: Long) =>
+      noImageDiskCache()
       if (docId % 2 == 0) {
         val n = 100 + (docId % 50).toInt
         encodeWavPcm16Stereo(
@@ -542,7 +570,7 @@ object Multimodal {
         encodeWavUlaw(Array.tabulate(n)(i => ((docId * 7 + i * 11L) % 256).toByte))
       }
     }
-    docs.select(col("doc_id"), mk(col("doc_id")).as("media"))
+    spreadDocs(docs).select(col("doc_id"), mk(col("doc_id")).as("media"))
   }
 
   val audioChannelFeatureSchema: StructType = StructType(Seq(
@@ -569,6 +597,7 @@ object Multimodal {
   def extractAudioChannelFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      noImageDiskCache()
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -656,6 +685,7 @@ object Multimodal {
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { it =>
+      noImageDiskCache()
       // per-partition decoder init would go here
       it.map { r => StubDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)) }
     }

@@ -11,6 +11,48 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Scale-adaptive CPU spread for heavy map stages (guide §2.5 "input
+    * skew": one huge unsplittable file → repartition immediately after
+    * the read). The driver's parquet fixtures are single-row-group
+    * files, so every scan plans exactly ONE task and a CPU-bound map
+    * (shingle hashing, media decode, quality scoring, embedding math)
+    * runs on 1 of N cores. On a real cluster the scan already yields
+    * ≥ parallelism splits, so this must be conditional: repartition to
+    * `defaultParallelism` ONLY when the planned scan parallelism is
+    * below it — at scale the condition is false and the plan is
+    * untouched (no added exchange).
+    *
+    * Only consulted for shuffle-free (scan+project) inputs: if the
+    * plan already contains an exchange, downstream stages are spread
+    * by the shuffle partitioning and `.rdd` here would trigger AQE
+    * stage execution — so such frames return unchanged.
+    *
+    * Partitioning is hash on `keys` when given (deterministic under
+    * retry, no sort-before-repartition pass), else round-robin.
+    */
+  private[graft] def spread(df: DataFrame, keys: Seq[Column] = Nil): DataFrame = {
+    if (df.isStreaming) return df
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    // narrow file-scan plans only — project/filter over a file relation.
+    // Anything else (joins/aggregates: already spread by their shuffle;
+    // cached frames, localCheckpoint RDDs, in-memory test relations:
+    // must not be re-planned, and `.rdd` on them can trigger AQE stage
+    // execution). Checked on the LOGICAL plan: the physical sparkPlan
+    // is pre-EnsureRequirements, so exchanges are not visible there.
+    def narrowScan(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation => true
+        case pr: org.apache.spark.sql.catalyst.plans.logical.Project => narrowScan(pr.child)
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => narrowScan(f.child)
+        case _ => false
+      }
+    if (!narrowScan(df.queryExecution.optimizedPlan)) df
+    else if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins
     * are exchange-free (co-located sort-merge). At 100 TB this is the
     * difference between an hourly shuffle of the fact table and none.

@@ -67,4 +67,24 @@ class ScaleOpsSpec extends SparkSpecBase {
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(key(binned) == key(exact))
   }
+
+  test("spread: widens a one-task scan to defaultParallelism, identity elsewhere") {
+    val s = spark
+    // single-row-group parquet scan plans 1 partition -> spread widens
+    val docs = Tables.load(s, sfDir, "documents")
+    val widened = ScaleOps.spread(docs, Seq(col("doc_id")))
+    assert(widened.rdd.getNumPartitions == s.sparkContext.defaultParallelism,
+      "one-task scan must spread to defaultParallelism")
+    // row set unchanged
+    assert(widened.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // identity on frames that already shuffle (exchange present)
+    val agged = docs.groupBy(col("lang")).count()
+    assert(ScaleOps.spread(agged) eq agged)
+    // identity on non-file-scan (in-memory) relations — the test-frame
+    // and cached-frame guard
+    import s.implicits._
+    val mem = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(ScaleOps.spread(mem) eq mem)
+  }
 }
