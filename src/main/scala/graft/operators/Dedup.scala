@@ -588,9 +588,16 @@ object Dedup {
       maxCharDiff: Int = 20, threshold: Double = 0.1): DataFrame = {
     val clusters = GraphOps.dupClusters(
       ngramJaccardPairs(docs, shingleSize, maxCharDiff, threshold))
-    val quality = TextAnalysis.qualityFeatures(docs, "text")
-      .select(col("doc_id"), col("quality"))
-    val ranked = clusters.join(quality, "doc_id")
+    // join BEFORE scoring: cluster members are a small fraction of the
+    // corpus, and the inner join discards every non-member row — so
+    // the quality-feature map (regexp + stopword expressions, the CPU
+    // term) runs on members only instead of the whole corpus
+    // (guide §1: don't compute things you throw away). Row-local
+    // feature math — result unchanged.
+    val members = docs.select(col("doc_id"), col("text"))
+      .join(clusters, "doc_id")
+    val ranked = TextAnalysis.qualityFeatures(members, "text")
+      .select(col("doc_id"), col("cluster_id"), col("quality"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("quality").desc, col("doc_id"))))

@@ -59,7 +59,7 @@ object Multimodal {
     * in — the schema/partition/batch path is identical).
     */
   def attachMedia(docs: DataFrame): DataFrame =
-    spreadDocs(docs).select(
+    docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
       struct(
@@ -456,7 +456,7 @@ object Multimodal {
       encodeWavPcm16(Array.tabulate(n)(i =>
         ((docId * 31 + i * 17L) % 2001 - 1000).toShort))
     }
-    spreadDocs(docs).select(
+    docs.select(
       col("doc_id"),
       mk(col("doc_id")).as("media"),
       struct(
@@ -570,7 +570,7 @@ object Multimodal {
         encodeWavUlaw(Array.tabulate(n)(i => ((docId * 7 + i * 11L) % 256).toByte))
       }
     }
-    spreadDocs(docs).select(col("doc_id"), mk(col("doc_id")).as("media"))
+    docs.select(col("doc_id"), mk(col("doc_id")).as("media"))
   }
 
   val audioChannelFeatureSchema: StructType = StructType(Seq(
