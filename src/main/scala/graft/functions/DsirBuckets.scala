@@ -122,3 +122,66 @@ object DsirBuckets {
   def apply(c: Column, buckets: Int): Column =
     ColumnBridge.column(DsirBuckets(ColumnBridge.expression(c), buckets))
 }
+
+/** `dsir_bucket_counts(text)` — [[DsirBuckets]] pre-reduced to the
+  * per-document bucket HISTOGRAM, map-side (r12, guide §2.3 "aggregate
+  * before you shuffle"): the same single text pass, but the bucket ids
+  * fold into a counts array and only the ≤ `buckets` non-zero
+  * (bucket, n) entries ship — so the downstream corpus-count aggregate
+  * and the per-doc scoring join move histogram rows instead of one row
+  * per gram INSTANCE. Multiset-identical to exploding [[DsirBuckets]]
+  * (CorpusOpsSpec gates it); emission order is ascending bucket id.
+  */
+case class DsirBucketCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+
+  require(buckets >= 2)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+
+  override def prettyName: String = "dsir_bucket_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    DsirBucketCounts.compute(input.asInstanceOf[UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.DsirBucketCounts.compute($x, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBucketCounts =
+    copy(child = newChild)
+}
+
+object DsirBucketCounts {
+
+  /** Histogram of [[DsirBuckets.compute]]; public for codegen. */
+  def compute(text: UTF8String, buckets: Int): ArrayData = {
+    val ids = DsirBuckets.compute(text, buckets)
+    val counts = new Array[Long](buckets)
+    var i = 0
+    val n = ids.numElements()
+    var nonZero = 0
+    while (i < n) {
+      val b = ids.getLong(i).toInt
+      if (counts(b) == 0L) nonZero += 1
+      counts(b) += 1L
+      i += 1
+    }
+    val out = new Array[Any](nonZero)
+    var b = 0
+    var k = 0
+    while (b < buckets) {
+      if (counts(b) > 0L) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(b.toLong, counts(b))
+        k += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, buckets: Int): Column =
+    ColumnBridge.column(DsirBucketCounts(ColumnBridge.expression(c), buckets))
+}

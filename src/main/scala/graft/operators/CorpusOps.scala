@@ -581,14 +581,24 @@ object CorpusOps {
     // (transform/element_at bigrams + per-char aggregate fold) was
     // measured 25× wall at 10× rows: the bigram lambda re-evaluated
     // the full split per element. DsirBuckets is hash-identical.
+    // r12: the per-doc bucket HISTOGRAM is computed map-side inside
+    // the same fused pass (DsirBucketCounts) — gram INSTANCES never
+    // become rows, so the corpus-count aggregates and the scoring
+    // join move ≤ `buckets` rows per doc instead of ~2 rows per
+    // token, and the shared frame persists as a narrow numeric
+    // columnar cache instead of a token-shaped localCheckpoint
+    // (guide §2.3 "aggregate before you shuffle").
     def bucketed(df: DataFrame): DataFrame =
       df.select(col(idCol).cast("long").as("doc_id"),
-        explode(DsirBuckets(col(textCol), buckets)).as("bucket"))
-    val rawGrams = bucketed(raw).localCheckpoint(eager = false)
+          explode(DsirBucketCounts(col(textCol), buckets)).as("bc"))
+        .select(col("doc_id"), col("bc.bucket").as("bucket"),
+          col("bc.n").as("n"))
+    val rawGrams = bucketed(raw)
+      .localCheckpoint(eager = false) // corpus counts + scoring share it
     val rawCnt = rawGrams.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("cr"))
+      .agg(sum(col("n")).as("cr"))
     val tgtCnt = bucketed(target).groupBy(col("bucket"))
-      .agg(count(lit(1)).as("ct"))
+      .agg(sum(col("n")).as("ct"))
     val totals = rawCnt.agg(sum(col("cr")).as("crt"))
       .crossJoin(tgtCnt.agg(sum(col("ct")).as("ctt")))
     // per-bucket smoothed log-ratio; ≤ `buckets` rows end to end
@@ -601,10 +611,15 @@ object CorpusOps {
               log(col("cr") + 1) +
               log(col("crt") + buckets), 8)
           .cast("decimal(20,10)").as("lr"))
+    // Σ n·lr ≡ the per-instance sum — but only if the decimal product
+    // keeps full scale: decimal(20,10) × BIGINT(20,0) would need
+    // precision 41 and Spark rounds at the 38 cap (ULP skew vs the
+    // oracle, caught at sf0.01); ×decimal(10,0) needs 31 — exact.
     rawGrams.join(broadcast(lr), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        round(sum(col("lr")).cast("double"), 6).as("logw"))
+      .agg(sum(col("n")).as("n_grams"),
+        round(sum(col("lr") * col("n").cast("decimal(10,0)"))
+          .cast("double"), 6).as("logw"))
   }
 
   /** DSIR deterministic top-k resample: flags the `k` highest-weight

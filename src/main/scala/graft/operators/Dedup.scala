@@ -209,7 +209,13 @@ object Dedup {
           .filter(size(split(col("text"), " ")) >= shingleSize),
         "text", shingleSize, "grams")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
-      .localCheckpoint(eager = false) // shared by postings (twice) + sizes (twice)
+      // shared by postings (twice) + sizes (twice); columnar
+      // MEMORY_AND_DISK (r12) over localCheckpoint for the same
+      // reason as prefixJaccardPairs: the gram arrays dominate this
+      // frame, and compressed columnar batches bound the heap with
+      // graceful spill where deserialized row objects walled the
+      // sf100 composites (SCALE_CURVE_r11)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
     val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
 

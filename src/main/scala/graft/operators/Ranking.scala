@@ -42,36 +42,66 @@ object Ranking {
       terms: Seq[String],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
-      .localCheckpoint(eager = false) // stats scan + posting build share it
+    // r12 restructure (guide §2.3/§2.4, "shuffle keys and metadata
+    // instead of payloads"): per-term tf is computed MAP-SIDE as
+    // size(filter(toks, = term)) — the query-term set is a tiny
+    // compile-time list, so the exploded corpus-token posting build
+    // (explode → isin filter → (doc, dl, term) hash SHUFFLE) and the
+    // localCheckpoint of the whole tokenized corpus both disappear.
+    // What persists instead is a doc_id + dl + k-int-array frame
+    // (~20 B/doc columnar), shared by the stats aggregate and the
+    // scoring pass; tf/df/score arithmetic is bit-identical (tf =
+    // occurrence count either way, df counts docs with tf > 0, and
+    // the decimal accumulator makes sum order irrelevant).
+    val posts = perTermCounts(docs, idCol, textCol, terms)
 
-    // dl values are integral doubles, so sum(avg) is order-exact
-    val stats = base.agg(count(lit(1)).cast("double").as("n"),
+    // dl values are integral doubles, so sum(avg) is order-exact.
+    // stats aggregate over the persisted narrow frame (all docs,
+    // matching or not — same denominator as the exploded form).
+    val stats = posts._1.agg(count(lit(1)).cast("double").as("n"),
       avg(col("dl")).as("avgdl"))
 
-    val posts = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-
-    val dfreq = posts.groupBy(col("term"))
+    val dfreq = posts._2.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
 
     val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
     val contrib = idf * col("tf") * lit(k1 + 1) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
 
-    posts
+    posts._2
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), contrib.as("c"))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("c").cast("decimal(30,15)")).cast("double"), 6)
         .as("score"))
+  }
+
+  /** Shared skeleton of the r12 BM25/TF-IDF shape: ONE tokenize pass
+    * computes (doc_id, dl, per-term tf array) map-side; the persisted
+    * frame is numeric-narrow (no tokens, no text). Returns (the
+    * persisted per-doc frame, the unpivoted (doc_id, dl, term, tf>0)
+    * posting rows — ≤ |terms| rows per doc, no shuffle to build).
+    */
+  private def perTermCounts(docs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String]): (DataFrame, DataFrame) = {
+    val ts = terms.distinct // isin() semantics: term multiplicity is a set
+    require(ts.nonEmpty, "query terms must be non-empty")
+    val base = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        array(ts.map(tm =>
+          size(filter(col("toks"), t => t === lit(tm)))): _*).as("tfs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = base
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("tfs")).as(Seq("ti", "tfi")))
+      .filter(col("tfi") > 0)
+      .select(col("doc_id"), col("dl"),
+        element_at(typedlit(ts), col("ti") + 1).as("term"),
+        col("tfi").cast("double").as("tf"))
+    (base, posts)
   }
 
   def bm25TopK(
@@ -238,20 +268,12 @@ object Ranking {
       textCol: String,
       terms: Seq[String],
       k: Int = 15): DataFrame = {
-    val base = docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("double").as("dl"))
-      .localCheckpoint(eager = false) // stats scan + posting build share it
+    // same r12 map-side-tf skeleton as [[bm25Scores]] — see
+    // [[perTermCounts]]: one tokenize pass, no corpus-token explode,
+    // no posting shuffle, numeric-narrow persisted frame.
+    val (base, posts) = perTermCounts(docs, idCol, textCol, terms)
 
     val stats = base.agg(count(lit(1)).cast("double").as("n"))
-
-    val posts = base
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
 
     val dfreq = posts.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))

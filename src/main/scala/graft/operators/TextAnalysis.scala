@@ -161,17 +161,28 @@ object TextAnalysis {
     */
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lambda: Double = 0.7): DataFrame = {
-    val tok = docs.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(Ranking.tokens(col(textCol))).as(Seq("pos", "w")))
+    // r12 restructure: adjacent pairs come MAP-SIDE from the token
+    // array (zip_with over two slices) instead of a lead() window —
+    // the doc-keyed window SHUFFLED the entire token table just to
+    // pair neighbors that already sit adjacent in the array; now the
+    // token table never shuffles at all (guide §2.4 "remove shuffles
+    // outright"). The shared base is the per-doc ARRAY frame (one row
+    // per doc — far smaller than the exploded token table the old
+    // shape checkpointed); bigram instances and all counts are
+    // unchanged row for row.
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+        Ranking.tokens(col(textCol)).as("toks"))
       .localCheckpoint(eager = false) // unigram counts + bigram build
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = tok
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val t = col("toks")
+    val pairsArr = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1), i =>
+          struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val bi = base.select(col("doc_id"), explode(pairsArr).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .localCheckpoint(eager = false) // counts + probe share it
-    val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val uni = base.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
     val uniTot = uni.agg(sum(col("cu")).as("ct"))
     val ctx = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val pair = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
