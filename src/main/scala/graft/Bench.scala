@@ -73,7 +73,14 @@ object Bench {
         // the eviction/GC pressure taxes every LATER query (measured:
         // ~35% on the dedup family at sf0.1). Each bench query is a
         // standalone workload — drop retained blocks between queries,
-        // outside the timed window.
+        // outside the timed window. clearCache() FIRST (r12): the
+        // scale-path frames now persist() through the SQL CacheManager,
+        // and unpersisting only the underlying RDDs leaves stale cache
+        // entries that poison later queries (measured at sf10:
+        // q_pipeline_full warm 77 s vs cold 10 s until this line) —
+        // clearCache drops entry + blocks; the RDD sweep then covers
+        // localCheckpoints, which live outside the CacheManager.
+        spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
         name -> t

@@ -33,8 +33,11 @@ object ScaleBench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val t = (System.nanoTime() - t0) / 1e9
-      // same block-hygiene rule as Bench: drop pinned localCheckpoint
-      // blocks between queries, outside the timed window
+      // same block-hygiene rule as Bench: drop SQL-cache entries AND
+      // pinned localCheckpoint blocks between queries, outside the
+      // timed window (stale CacheManager entries from the scale-path
+      // persists otherwise poison later queries — see Bench.scala)
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.valuesIterator
         .foreach(_.unpersist(blocking = false))
       name -> t

@@ -272,9 +272,14 @@ object Dedup {
       .filter(size(col("grams")) > 0)
       .localCheckpoint(eager = false) // postings + sizes + verify share it
 
-    // global document frequency per gram — the prefix order
+    // global document frequency per gram — the prefix order. df as INT
+    // (a gram's doc count fits 32 bits at any conceivable corpus) and
+    // sz as INT below: the posting table crosses two full exchanges
+    // (dfreq join by gram, ranking window by doc) — narrowing the two
+    // carried counters cuts those exchanges ~25% (guide §2.3
+    // "narrower types"), the r11 sf100 disk-exhaustion path.
     val dfreq = g.select(explode(col("grams")).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .groupBy(col("gram")).agg(count(lit(1)).cast("int").as("df"))
 
     // rank grams per doc by (df asc, gram) and keep the prefix
     val posts = g.select(col("doc_id"), size(col("grams")).as("sz"),
@@ -294,22 +299,49 @@ object Dedup {
     val prefix = posts
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select(col("gram"), col("doc_id"), col("sz"))
+      .select(col("gram"), col("doc_id"), col("sz"), col("rk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col("gram").as("g1"), col("doc_id").as("id1"),
-      col("sz").as("sz1"))
+      col("sz").as("sz1"), col("rk").as("rk1"))
     val b = prefix.select(col("gram").as("g2"), col("doc_id").as("id2"),
-      col("sz").as("sz2"))
+      col("sz").as("sz2"), col("rk").as("rk2"))
+    // PPJoin positional filter (Xiao et al. 2008, public — the classic
+    // companion to prefix filtering): both gram lists are sorted by the
+    // SAME total order (df, gram), so a shared gram at ranks (i, j)
+    // splits every match cleanly into strictly-before / shared /
+    // strictly-after — overlap ≤ min(i−1, j−1) + 1 + min(sz1−i, sz2−j),
+    // a TRUE upper bound. Jaccard ≥ t needs overlap ≥ ⌈t/(1+t)·
+    // (sz1+sz2)⌉; rows whose bound falls short are dropped IN the join,
+    // before the candidate-distinct exchange — which, not the posting
+    // table, is what actually exhausted the sf100 disk (r12 measured:
+    // stage-38 candidate exchange, Σdf² join output ~2.8B rows; the
+    // r11 "~3 posting materializations" attribution underestimated
+    // postings' true count of 260M rows ≈ 10 GB). Verification is
+    // unchanged — the filter only removes pairs that provably cannot
+    // reach the threshold, so the result set is row-identical.
+    val alpha = ceil((col("sz1") + col("sz2")) * (threshold / (1.0 + threshold)))
     val candidates = a
       .join(b, col("g1") === col("g2") && col("id1") < col("id2") &&
         col("sz1") * threshold <= col("sz2") &&
-        col("sz2") * threshold <= col("sz1"))
+        col("sz2") * threshold <= col("sz1") &&
+        least(col("rk1") - 1, col("rk2") - 1) + 1 +
+          least(col("sz1") - col("rk1"), col("sz2") - col("rk2")) >= alpha)
       .select(col("id1"), col("id2"))
       .distinct()
 
+    // SHUFFLE_HASH on the gram-array side of both verify joins (r12):
+    // the stream side of join 2 is (pair, ga) — O(candidates × array
+    // bytes), the dominant flow of the whole operator (~450 B × pairs;
+    // StageProbe measured it as the sf100 disk killer) — and sort-merge
+    // would EXTERNAL-SORT that stream, doubling its disk footprint.
+    // Hash-building the bounded g side (per-partition corpus shard,
+    // the memory-safe side at any scale) streams the heavy side
+    // unsorted: one exchange, zero sort spill.
     val g1 = g.select(col("doc_id").as("id1"), col("grams").as("ga"))
+      .hint("shuffle_hash")
     val g2 = g.select(col("doc_id").as("id2"), col("grams").as("gb"))
+      .hint("shuffle_hash")
     val inter = size(array_intersect(col("ga"), col("gb")))
     candidates.join(g1, "id1").join(g2, "id2")
       .select(col("id1"), col("id2"),
