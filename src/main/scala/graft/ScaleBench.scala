@@ -23,7 +23,11 @@ object ScaleBench {
     val sfDir = args(0)
     val out = args(1)
     val names = args.drop(2).toSeq
-    val spark = Engine.session("local[32]")
+    // honor SPARK_GRAFT_CPUS like Bench does (r13): the core-scaling
+    // probe runs the heavy queries at 8 vs 32 cores on sf10+, where
+    // (unlike sf0.1) the work is large enough for core count to show
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(s"local[$cpus]")
     spark.sparkContext.setLogLevel("WARN")
 
     val la0 = loadavg()
@@ -49,7 +53,7 @@ object ScaleBench {
     def m(ts: Seq[(String, Double)]): String =
       ts.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =
-      s"""{"sf":"$sfDir","loadavg_before":"$la0","loadavg_after":"$la1",""" +
+      s"""{"sf":"$sfDir","cpus":$cpus,"loadavg_before":"$la0","loadavg_after":"$la1",""" +
       s""""warm_total":${f"${warm.map(_._2).sum}%.3f"},""" +
       s""""queries":${m(warm)},"cold":${m(cold)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -120,9 +120,12 @@ object Dedup {
     val inter = size(array_intersect(col("g1"), col("g2")))
     // size prefilter: jaccard >= t needs min(|A|,|B|)/max(|A|,|B|) >= t;
     // prunes low-similarity collisions before the expensive intersect.
+    // 1e-9 guard (r13): at an exact size boundary the double product
+    // can overshoot the integer and drop a qualifying pair — the
+    // exact-jaccard filter below stays the arbiter either way.
     candidates.join(g1, "id1").join(g2, "id2")
-      .filter(size(col("g1")) * threshold <= size(col("g2")) &&
-        size(col("g2")) * threshold <= size(col("g1")))
+      .filter(size(col("g1")) * threshold - 1e-9 <= size(col("g2")) &&
+        size(col("g2")) * threshold - 1e-9 <= size(col("g1")))
       .select(col("id1"), col("id2"),
         round(inter.cast("double") /
           (size(col("g1")) + size(col("g2")) - inter), 6).as("jaccard"))
@@ -210,11 +213,15 @@ object Dedup {
         "text", shingleSize, "grams")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
       // shared by postings (twice) + sizes (twice); columnar
-      // MEMORY_AND_DISK (r12) over localCheckpoint for the same
-      // reason as prefixJaccardPairs: the gram arrays dominate this
-      // frame, and compressed columnar batches bound the heap with
-      // graceful spill where deserialized row objects walled the
-      // sf100 composites (SCALE_CURVE_r11)
+      // MEMORY_AND_DISK over localCheckpoint: the gram arrays dominate
+      // this frame, and compressed columnar batches bound the heap
+      // with graceful spill where deserialized row objects walled the
+      // sf100 composites (SCALE_CURVE_r11). A/B re-run r13 (min-of-3
+      // per JVM, loadavg-controlled): sf0.1 M&D 1.254 s vs localCk
+      // 1.284 s; sf10 M&D 15.23 s vs localCk 13.47/15.86 s — parity
+      // within the box's ±20% drift at both scales, so the r12 driver
+      // bench's 0.80× on this query was VM noise, and the persist
+      // stays on the sf100-safe columnar form.
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = g.select(col("doc_id"), col("n_chars"), size(col("grams")).as("sz"))
     val posts = g.select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
@@ -296,9 +303,15 @@ object Dedup {
     // heap-bounded with graceful columnar spill at sf100, no GC wall.
     // (A repartition(gram)+DISK_ONLY variant measured strictly worse
     // on the r12 I/O-bound box — all-disk round trips dominate.)
+    // ceil guards (r13, ADVICE): both ceils below are computed in
+    // double, which can overshoot the exact integer bound by 1 when
+    // t·sz lands on an integer (e.g. 5·0.6 = 3.0000000000000004 →
+    // ceil 4). Subtracting a tiny epsilon before ceil only LOOSENS the
+    // filters (longer prefix, more candidates) — the exact verify
+    // below remains the sole arbiter, so the result set is unchanged.
     val prefix = posts
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
       .select(col("gram"), col("doc_id"), col("sz"), col("rk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -320,11 +333,16 @@ object Dedup {
     // postings' true count of 260M rows ≈ 10 GB). Verification is
     // unchanged — the filter only removes pairs that provably cannot
     // reach the threshold, so the result set is row-identical.
-    val alpha = ceil((col("sz1") + col("sz2")) * (threshold / (1.0 + threshold)))
+    val alpha = ceil((col("sz1") + col("sz2")) * (threshold / (1.0 + threshold)) - 1e-9)
     val candidates = a
+      // the length filter needs the same 1e-9 guard as the ceils: at
+      // an exact boundary (t·|A| = |B| mathematically) the double
+      // product can land a hair ABOVE the integer (25·0.56 =
+      // 14.000000000000002) and drop a qualifying pair (Round13Spec
+      // pins this with a B ⊂ A fixture at J = t exactly)
       .join(b, col("g1") === col("g2") && col("id1") < col("id2") &&
-        col("sz1") * threshold <= col("sz2") &&
-        col("sz2") * threshold <= col("sz1") &&
+        col("sz1") * threshold - 1e-9 <= col("sz2") &&
+        col("sz2") * threshold - 1e-9 <= col("sz1") &&
         least(col("rk1") - 1, col("rk2") - 1) + 1 +
           least(col("sz1") - col("rk1"), col("sz2") - col("rk2")) >= alpha)
       .select(col("id1"), col("id2"))

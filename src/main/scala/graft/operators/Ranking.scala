@@ -86,13 +86,26 @@ object Ranking {
   private def perTermCounts(docs: DataFrame, idCol: String,
       textCol: String, terms: Seq[String]): (DataFrame, DataFrame) = {
     val ts = terms.distinct // isin() semantics: term multiplicity is a set
-    require(ts.nonEmpty, "query terms must be non-empty")
+    // Empty term list: preserve the pre-r12 contract (the old
+    // explode+isin shape yielded an empty score frame, not an error) —
+    // a zero-length tfs array posexplodes to zero posting rows, so the
+    // downstream aggregates are empty, as before. The base frame keeps
+    // its shape for the stats aggregate.
+    //
+    // Caching lifecycle: the returned base frame is persisted for the
+    // duration of the query; Bench/ScaleBench clear the SQL cache
+    // between queries. Library callers running many independent
+    // ranking workloads in one session should likewise call
+    // spark.sharedState.cacheManager.clearCache() between them (the
+    // operators return lazy frames, so there is no terminal action
+    // here after which an unpersist would be safe).
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"),
         tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
-        array(ts.map(tm =>
-          size(filter(col("toks"), t => t === lit(tm)))): _*).as("tfs"))
+        (if (ts.isEmpty) array().cast("array<int>")
+         else array(ts.map(tm =>
+           size(filter(col("toks"), t => t === lit(tm)))): _*)).as("tfs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posts = base
       .select(col("doc_id"), col("dl"),

@@ -71,12 +71,20 @@ object SimilaritySearch {
       .localCheckpoint(eager = false)
     val centroids = ivfCentroids(corpusCk, numClusters, kmeansIters, dims, seed)
 
+    // no checkpoint on the index (r13): it is consumed exactly once —
+    // by the probe join below — so materializing it was a pure extra
+    // corpus pass + job (the assignment expression runs over the
+    // already-checkpointed corpusCk either way). coalesce(…, -1)
+    // never fires (k-nearest of a non-empty centroid set is total) but
+    // makes the column NON-NULLABLE, so the join stops planting an
+    // isnotnull Filter that would evaluate the centroid argmax a
+    // second time per row (Filter + Project both carried it).
     val index = corpusCk
       .withColumn("cluster",
-        element_at(NearestCentroids(col("embedding"), centroids, 1), 1))
+        coalesce(element_at(NearestCentroids(col("embedding"), centroids, 1), 1),
+          lit(-1)))
       .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
         col("cluster"))
-      .localCheckpoint(eager = false)
 
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -101,6 +109,24 @@ object SimilaritySearch {
     * centroid snapshot (a tiny driver-side literal fused into the
     * codegen'd [[NearestCentroids]] argmax downstream).
     */
+  /** Run an eager driver-side action with AQE off (r13): the centroid-
+    * training actions below end in FIXED-size exchanges (a ≤8k-row
+    * TakeOrdered, a numClusters-row aggregate) regardless of corpus
+    * scale, so adaptive re-planning buys nothing while costing one
+    * extra stage-job per exchange — at sf0.1 the ~0.15 s/job driver
+    * floor made these the dominant cost of the IVF family. Scale-safe
+    * by construction (the exchange payload is bounded by numClusters,
+    * not data size); the probe/rerank QUERY plans keep AQE. Conf is
+    * set/restored around the action — callers are single-threaded
+    * query builders (Bench/Verify/oracle run queries sequentially).
+    */
+  private def withoutAqe[T](df: DataFrame)(f: => T): T = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   private def ivfCentroids(
       corpusCk: DataFrame,
       numClusters: Int,
@@ -115,11 +141,12 @@ object SimilaritySearch {
     // multiple seeds in dense regions and recall@3 drops ~0.25 on the
     // test corpus; greedy spreading restores it. Pool is ≤ 8·k rows —
     // trivially driver-sized at any corpus scale.
-    val pool: Array[Array[Double]] = corpusCk
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
-      .limit(numClusters * 8)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val pool: Array[Array[Double]] = withoutAqe(corpusCk) {
+      corpusCk
+        .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+        .limit(numClusters * 8)
+        .select(col("embedding")).collect()
+    }.map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(pool.nonEmpty, "ivfCentroids: empty corpus")
     def cosDist(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -164,10 +191,12 @@ object SimilaritySearch {
     val meanCols = (0 until dims).map(i =>
       avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
     for (_ <- 1 to kmeansIters) {
-      val means = assigned(corpusCk)
-        .groupBy(col("cluster"))
-        .agg(meanCols.head, meanCols.tail: _*)
-        .collect()
+      val means = withoutAqe(corpusCk) {
+        assigned(corpusCk)
+          .groupBy(col("cluster"))
+          .agg(meanCols.head, meanCols.tail: _*)
+          .collect()
+      }
       means.foreach { r =>
         centroids(r.getInt(0)) =
           Array.tabulate(dims)(i => r.getDouble(i + 1))
@@ -314,14 +343,16 @@ object SimilaritySearch {
     // this is the only corpus-wide resident state
     val index = corpusCk
       .withColumn("cluster",
-        element_at(NearestCentroids(col("embedding"), centroids, 1), 1))
+        coalesce(element_at(NearestCentroids(col("embedding"), centroids, 1), 1),
+          lit(-1))) // non-nullable: see ivfTopK — kills the double-eval Filter
       .withColumn("scale", greatest(
         array_max(transform(col("embedding"), v => abs(v.cast("double")))) / 127.0,
         lit(1e-12)))
       .select(col("vec_id").as("cand_id"), col("cluster"),
         transform(col("embedding"),
           v => round(v.cast("double") / col("scale")).cast("float")).as("cq"))
-      .localCheckpoint(eager = false)
+    // (r13) no checkpoint: consumed exactly once by the probe join —
+    // the quantize+assign expressions run over checkpointed corpusCk
 
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

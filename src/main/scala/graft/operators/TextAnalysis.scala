@@ -162,7 +162,9 @@ object TextAnalysis {
   def bigramLogProb(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lambda: Double = 0.7): DataFrame = {
     // r12 restructure: adjacent pairs come MAP-SIDE from the token
-    // array (zip_with over two slices) instead of a lead() window —
+    // array (transform(sequence(1, n-1)) + element_at — a zip_with
+    // over two slices was measured worse, two array copies per row)
+    // instead of a lead() window —
     // the doc-keyed window SHUFFLED the entire token table just to
     // pair neighbors that already sit adjacent in the array; now the
     // token table never shuffles at all (guide §2.4 "remove shuffles

@@ -30,7 +30,14 @@ object StageProbe {
     val watchdog = new Thread(() => {
       while (true) {
         Thread.sleep(5000)
-        val free = new java.io.File("/tmp").getUsableSpace
+        // watch the directory shuffle spill actually lands in, not a
+        // hardcoded /tmp (ADVICE r12): spark.local.dir, falling back
+        // to java.io.tmpdir
+        val spillDir = sp.conf.getOption("spark.local.dir")
+          .orElse(sys.env.get("SPARK_LOCAL_DIRS").map(_.split(",").head))
+          .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+          .split(",").head
+        val free = new java.io.File(spillDir).getUsableSpace
         if (free < minFree) {
           System.err.println(s"[watchdog] free disk ${free >> 30}G < ${minFree >> 30}G — aborting")
           Runtime.getRuntime.halt(42)

@@ -186,6 +186,46 @@ class PlanAuditSpec extends SparkSpecBase {
       s"unbounded single-partition windows:\n${offenders.mkString("\n")}")
   }
 
+  test("r12/r13 optimization plan shapes hold: bm25 one doc-flow shuffle, despan window-free, ivf single assignment pass") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case qs: QueryStageExec => nodes(qs.plan)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    // bm25 (r12 map-side tf): the executed plan carries exactly three
+    // shuffle exchanges — the per-doc score aggregate on the doc flow,
+    // plus the two broadcast-bound term/stats aggregates (whose rows
+    // are bounded by |terms| and 1). The pre-r12 shape shuffled the
+    // exploded corpus-token posting build on top of these.
+    val bm = q("q_text_bm25"); bm.collect()
+    val bmShuffles = nodes(bm.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+    assert(bmShuffles <= 3, s"q_text_bm25 gained a shuffle: $bmShuffles\n" +
+      bm.queryExecution.executedPlan.toString.take(3000))
+    // despan (r12 fused SpanHashes): the span build is map-side — no
+    // window (the pre-r12 shape shuffled the whole token table through
+    // a lead() window).
+    val ds = q("q_dedup_despan"); ds.collect()
+    val dsWindows = nodes(ds.queryExecution.executedPlan)
+      .count(_.isInstanceOf[WindowExec])
+    assert(dsWindows == 0, s"q_dedup_despan re-grew a window:\n" +
+      ds.queryExecution.executedPlan.toString.take(3000))
+    // ivf (r13 non-nullable cluster): the centroid argmax runs ONCE per
+    // corpus row — the formatted plan mentions nearest_centroids twice
+    // (query-probe Generate + index Project); a third occurrence means
+    // the join's isnotnull filter is re-evaluating it per row.
+    val ivf = q("q_ann_ivf")
+    val occurrences = "nearest_centroids".r
+      .findAllIn(formatted(ivf)).length
+    assert(occurrences <= 2,
+      s"q_ann_ivf evaluates the centroid argmax $occurrences times:\n" +
+        formatted(ivf).take(3000))
+  }
+
   test("candidate-pair operators never plan a cartesian product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val emb = Tables.load(spark, sfDir, "embeddings")
