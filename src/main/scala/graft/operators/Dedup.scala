@@ -345,8 +345,34 @@ object Dedup {
         col("sz2") * threshold - 1e-9 <= col("sz1") &&
         least(col("rk1") - 1, col("rk2") - 1) + 1 +
           least(col("sz1") - col("rk1"), col("sz2") - col("rk2")) >= alpha)
+      // Aggregated PPJoin bound (r13): the per-occurrence filter above
+      // assumes best-case "every gram before this one could be shared"
+      // — but grouped by pair we KNOW the shared-prefix-gram count
+      // exactly. Let g* be the pair's LAST shared prefix gram (max
+      // global (df, gram) order — hence max rank in BOTH docs, because
+      // the per-doc rank order IS the global order). Every shared gram
+      // ordered before g* sits at smaller rank than g* in both docs —
+      // inside both prefixes — so it is one of the cnt join rows; every
+      // shared gram after g* lies in both suffixes, of which there are
+      // at most min(sz1−rk1*, sz2−rk2*). Hence
+      //   overlap ≤ cnt + min(sz1 − max(rk1), sz2 − max(rk2)),
+      // a TRUE upper bound, strictly tighter than the per-row one
+      // (which admits any pair sharing a single early-prefix gram).
+      // StageProbe sf10: the (pair × gram-array) verify exchange — the
+      // stream that exhausted the sf100 disk — shrinks by the same
+      // factor as the candidate cut (measured in OPTIMIZATION_r13.md).
+      // Results unchanged: a dropped pair has overlap < alpha by the
+      // bound, so its exact verify must fail; DedupSpec/Round13Spec pin
+      // brute-force equivalence at boundary thresholds.
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("rk1")).as("mr1"), max(col("rk2")).as("mr2"),
+        max(col("sz1")).as("msz1"), max(col("sz2")).as("msz2"))
+      .filter(col("cnt") +
+        least(col("msz1") - col("mr1"), col("msz2") - col("mr2")) >=
+        ceil((col("msz1") + col("msz2")) *
+          (threshold / (1.0 + threshold)) - 1e-9))
       .select(col("id1"), col("id2"))
-      .distinct()
 
     // SHUFFLE_HASH on the gram-array side of both verify joins (r12):
     // the stream side of join 2 is (pair, ga) — O(candidates × array

@@ -24,7 +24,9 @@ object StageProbe {
         println(f"[stage ${s.stageInfo.stageId}%3d SUBMIT tasks=${s.stageInfo.numTasks}%5d] ${s.stageInfo.name.take(90)}")
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
-        println(f"[stage ${s.stageInfo.stageId}%3d DONE   in=${m.inputMetrics.bytesRead / 1e9}%7.2fG sr=${m.shuffleReadMetrics.totalBytesRead / 1e9}%7.2fG sw=${m.shuffleWriteMetrics.bytesWritten / 1e9}%7.2fG spill=${m.diskBytesSpilled / 1e9}%7.2fG rows=${m.shuffleWriteMetrics.recordsWritten}%12d] ${s.stageInfo.name.take(70)}")
+        val wall = (for (t0 <- s.stageInfo.submissionTime; t1 <- s.stageInfo.completionTime)
+          yield (t1 - t0) / 1e3).getOrElse(-1.0)
+        println(f"[stage ${s.stageInfo.stageId}%3d DONE  ${wall}%7.1fs in=${m.inputMetrics.bytesRead / 1e9}%7.2fG sr=${m.shuffleReadMetrics.totalBytesRead / 1e9}%7.2fG sw=${m.shuffleWriteMetrics.bytesWritten / 1e9}%7.2fG spill=${m.diskBytesSpilled / 1e9}%7.2fG rows=${m.shuffleWriteMetrics.recordsWritten}%12d] ${s.stageInfo.name.take(70)}")
       }
     })
     val watchdog = new Thread(() => {
